@@ -1,0 +1,176 @@
+"""Broadcast kNN join (SURVEY §2.3 J1/J2, §2.5 T1).
+
+Reference semantics (ReliefFRSelector.scala:334-369): every partition
+scans its local rows against a broadcast query batch computing
+``sqrt(sqdist)``, keeps a bounded top-k heap per query
+(BoundedPriorityQueue.scala:12-52), then merges heaps across partitions
+with ``reduceByKey``.
+
+Spark-first re-expression — the heap + merge is exactly what a
+rank-over-window computes, and the per-partition scan is a broadcast
+join:
+
+* ``strategy='sql'``: ``instances CROSS JOIN broadcast(queries)`` with a
+  ``zip_with``/``aggregate`` distance expression, then
+  ``row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id)
+  <= k``.  Whole plan is JVM-side codegen; AQE handles the shuffle for
+  the window.  Ties are broken deterministically by neighbor id (the
+  reference's heap breaks ties arbitrarily — SURVEY §8.3 says goldens
+  are partition-locked, so we define our own determinism contract).
+
+* ``strategy='numpy'``: the scale path. Queries are still broadcast,
+  but the distance kernel is an Arrow-batched ``mapInPandas`` numpy
+  matrix computation (vectorized, ~10-100x a per-row expression for
+  wide vectors), emitting only the per-partition top-k candidates
+  (the map-side 'heap'), finished by the same global window rank.
+  Shuffle volume is O(partitions * queries * k), never O(n * queries).
+
+At 100 TB the queries side stays a bounded sample (the algorithm's
+estimationRatio guarantees this — BASELINE.md complexity row), so the
+broadcast is small and the scan side is never shuffled.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.functions.vector import euclidean_distance
+
+#: Above this many (instance x query) pairs per partition batch we chunk
+#: the numpy distance matrix to bound executor memory.
+_MAX_BLOCK_CELLS = 4_000_000
+
+
+def knn_join(
+    instances: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "id",
+    features_col: str = "features",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    strategy: str = "sql",
+) -> DataFrame:
+    """k nearest neighbors of each query among ``instances``.
+
+    Returns ``(query_id, neighbor_id, distance, rank)`` with
+    ``rank`` in 1..k ordered by (distance, neighbor_id).
+
+    ``exclude_self`` drops pairs with equal ids: the reference includes
+    the query itself as a zero-distance neighbor (ReliefFRSelector.scala:
+    344-363 scans every local row), which is an artifact, not intent —
+    classic RELIEF-F neighborhoods exclude the instance. Pass False to
+    reproduce the reference's behavior.
+    """
+    if strategy == "numpy":
+        # Self-exclusion happens inside the kernel: the per-partition
+        # candidate set is already truncated to k, so filtering after
+        # the fact would leave k-1 neighbors for self-containing
+        # partitions.
+        cand = _candidates_numpy(
+            instances, queries, k, id_col, features_col, query_id_col, exclude_self
+        )
+    else:
+        cand = _candidates_sql(instances, queries, id_col, features_col, query_id_col)
+        if exclude_self:
+            cand = cand.filter(F.col(query_id_col) != F.col("neighbor_id"))
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _candidates_sql(
+    instances: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    features_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(features_col).alias("_q_features"),
+    )
+    inst = instances.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(features_col).alias("_n_features"),
+    )
+    return (
+        inst.crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            euclidean_distance("_q_features", "_n_features").alias("distance"),
+        )
+    )
+
+
+def _candidates_numpy(
+    instances: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    features_col: str,
+    query_id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Arrow-batched blockwise scan emitting per-partition top-k."""
+    spark = instances.sparkSession
+    qrows = queries.select(id_col, features_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = f"{query_id_col} long, neighbor_id long, distance double"
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        nq = len(ids)
+        if nq == 0:
+            return
+        d = mat.shape[1] if mat.ndim == 2 else 1
+        # Running per-partition candidates: keep at most k per query.
+        best_d = np.full((nq, k), np.inf)
+        best_i = np.full((nq, k), -1, dtype=np.int64)
+        # Chunk so the (Q, B, d) diff cube stays bounded. Direct
+        # (q-b)^2 — NOT the |q|^2 - 2qb + |b|^2 expansion, whose
+        # cancellation error (~1e-8 relative) is large enough to flip
+        # near-tied neighbor ranks vs the SQL-strategy fold.
+        chunk = max(1, _MAX_BLOCK_CELLS // max(nq * d, 1))
+        for pdf in batches:
+            n_ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            n_mat_all = np.array(list(pdf[features_col]), dtype=np.float64)
+            for s in range(0, len(n_ids_all), chunk):
+                n_ids = n_ids_all[s : s + chunk]
+                n_mat = n_mat_all[s : s + chunk]
+                diff = mat[:, None, :] - n_mat[None, :, :]
+                d2 = np.einsum("qbd,qbd->qb", diff, diff)
+                if exclude_self:
+                    d2[ids[:, None] == n_ids[None, :]] = np.inf
+                merged_d = np.concatenate([best_d, d2], axis=1)
+                merged_i = np.concatenate(
+                    [best_i, np.broadcast_to(n_ids, (nq, len(n_ids)))], axis=1
+                )
+                sel = np.argpartition(merged_d, kth=min(k, merged_d.shape[1]) - 1, axis=1)[:, :k]
+                rows = np.arange(nq)[:, None]
+                best_d = merged_d[rows, sel]
+                best_i = merged_i[rows, sel]
+        valid = best_i >= 0
+        qi, slot = np.nonzero(valid)
+        yield pd.DataFrame(
+            {
+                query_id_col: ids[qi],
+                "neighbor_id": best_i[qi, slot],
+                "distance": np.sqrt(best_d[qi, slot]),
+            }
+        )
+
+    return instances.select(id_col, features_col).mapInPandas(scan, schema=out_schema)

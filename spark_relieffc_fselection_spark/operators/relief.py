@@ -1,0 +1,428 @@
+"""RELIEF-F weighting + collision-redundancy as DataFrame aggregations.
+
+This re-expresses the reference's hand-rolled per-partition breeze
+accumulation (ReliefFRSelector.scala:377-602 dense/sparse paths) as a
+long/exploded table + ``groupBy`` aggregations, so Catalyst's
+partial/final hash aggregation does the map-side combine the reference
+wrote by hand (SURVEY §4 'map-side combine' row).
+
+Semantics implemented (citations into /root/reference):
+
+* pair enumeration: each sampled query's k = numNeighbors * nClasses
+  nearest neighbors *within the batch* (fit passes the batch itself to
+  approxNNByPartition, ReliefFRSelector.scala:262 — not the full
+  dataset, despite the :104-107 doc).
+* relevance bins: per (feature, neighbor_label, same_class) sum of
+  |q_f - n_f| (ReliefFRSelector.scala:435-441); class counter per bin
+  (:436-437, :469).
+* collapse: w(f) = sum over bins of sign * prior(neighbor_label) *
+  bin_sum / bin_count, sign = -1 when neighbor shares the query's class
+  (aggregateWeightsByFeat, ReliefFRSelector.scala:605-629).
+* collisions: feature distance <= threshold votes 1 - min(6,d)/6
+  (continuous, :417) or 1.0 (discrete; the reference uses
+  Double.MinPositiveValue and divides it back out, :637-640).
+  Threshold is the deterministic 6*(1-lowerDistanceThreshold) — the
+  reference's randomized threshold goes negative for defaults and is a
+  defect (SURVEY §8.3), so we keep the documented intent.
+* joint co-occurrence: for a (query, neighbor) pair, every colliding
+  feature pair (f1, f2), f1 != f2, with f1 in the previous batch's
+  top features, contributes the mean of the two features' *current*
+  votes to joint[f1][f2] and joint[f2][f1] (:449-457; the reference's
+  stale ``pcounter`` reads are a defect, SURVEY §8.4 — we use
+  current-pair votes only).
+* MI transform + min-max: computeRedudancy (:632-679).
+* greedy selection: selectFeatures (:685-732) — driver-side numpy;
+  inherently sequential over a tiny (nFeat) frame.
+
+Scale notes: all wide work is keyed by feature_idx or (f1, f2) — the
+shuffle volume is O(sample * k * nFeat) for relevance and
+O(sample * k * collisions^2) for the joint COO, independent of total
+dataset size. The joint table is COO (absent = zero), fixing the
+reference's dense per-feature row-vector memory hazard (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.functions.vector import minmax_norm
+from spark_relieffc_fselection_spark.operators.knn import knn_join
+
+
+def pair_feature_table(
+    batch: DataFrame,
+    neighbors: DataFrame,
+    id_col: str = "id",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query, neighbor) pairs exploded to per-feature rows.
+
+    Returns ``(query_id, neighbor_id, n_label, same_class, feature_idx,
+    fdist)`` — the long form every downstream aggregation groups over.
+    Replaces the reference's positional (partition, offset) lookup
+    (ReliefFRSelector.scala:423-433) with two equi-joins (SURVEY J3).
+    """
+    q = batch.select(
+        F.col(id_col).alias("query_id"),
+        F.col(features_col).alias("q_features"),
+        F.col(label_col).alias("q_label"),
+    )
+    n = batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(features_col).alias("n_features"),
+        F.col(label_col).alias("n_label"),
+    )
+    pairs = (
+        neighbors.select("query_id", "neighbor_id")
+        .join(n, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("same_class", F.col("n_label") == F.col("q_label"))
+    )
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        "n_label",
+        "same_class",
+        F.posexplode(
+            F.zip_with("q_features", "n_features", lambda x, y: F.abs(x - y))
+        ).alias("feature_idx", "fdist"),
+    )
+
+
+def relevance_weights(
+    long_pairs: DataFrame,
+    priors: dict[float, float],
+) -> DataFrame:
+    """Collapse per-feature class-bin sums into RELIEF relevance.
+
+    ``(feature_idx, relevance)`` per aggregateWeightsByFeat
+    (ReliefFRSelector.scala:605-629): bins where the neighbor shares the
+    query's class subtract, others add, each weighted by the neighbor
+    class's prior and normalized by the bin's pair count.
+    """
+    spark = long_pairs.sparkSession
+    prior_df = F.broadcast(
+        spark.createDataFrame(
+            [(float(k), float(v)) for k, v in priors.items()],
+            "n_label double, prior double",
+        )
+    )
+    # bin counts are per (label, same) pair counts — identical for every
+    # feature, so count once at the pair level (feature_idx == 0 slice).
+    bin_sums = long_pairs.groupBy("feature_idx", "n_label", "same_class").agg(
+        F.sum("fdist").alias("bin_sum"),
+        F.count("*").alias("bin_cnt"),
+    )
+    return (
+        bin_sums.join(prior_df, "n_label")
+        .withColumn(
+            "contrib",
+            F.when(F.col("same_class"), F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.col("prior")
+            * F.col("bin_sum")
+            / F.col("bin_cnt"),
+        )
+        .groupBy("feature_idx")
+        .agg(F.sum("contrib").alias("relevance"))
+    )
+
+
+def collision_table(
+    long_pairs: DataFrame,
+    continuous: bool,
+    lower_distance_threshold: float,
+) -> DataFrame:
+    """Per-(pair, feature) collision votes.
+
+    Continuous: collision iff fdist <= 6*(1-lowerDistanceThreshold),
+    vote = 1 - min(6, fdist)/6. Discrete: collision iff fdist == 0,
+    vote = 1. (ReliefFRSelector.scala:417, 431, 444; deterministic
+    threshold per SURVEY §8.3.)
+    """
+    if continuous:
+        threshold = 6.0 * (1.0 - lower_distance_threshold)
+        vote = F.lit(1.0) - F.least(F.lit(6.0), F.col("fdist")) / F.lit(6.0)
+    else:
+        threshold = 0.0
+        vote = F.lit(1.0)
+    return (
+        long_pairs.filter(F.col("fdist") <= F.lit(threshold))
+        .select("query_id", "neighbor_id", "feature_idx", vote.alias("vote"))
+    )
+
+
+def marginal_counts(collisions: DataFrame) -> DataFrame:
+    """Per-feature marginal collision mass (SURVEY A5)."""
+    return collisions.groupBy("feature_idx").agg(F.sum("vote").alias("marginal"))
+
+
+def joint_counts(
+    collisions: DataFrame,
+    top_features: list[int] | None,
+    continuous: bool,
+) -> DataFrame:
+    """Pairwise co-occurrence COO table (SURVEY A6).
+
+    Self-join on the (query, neighbor) pair id; rows where the left
+    feature is in ``top_features`` contribute the joint vote to BOTH
+    orientations (the reference's symmetric double update,
+    ReliefFRSelector.scala:453-454). Joint vote = mean of the two
+    features' current votes (continuous) or 1.0 (discrete).
+    """
+    if top_features is not None and len(top_features) == 0:
+        spark = collisions.sparkSession
+        return spark.createDataFrame([], "f1 int, f2 int, joint double")
+    a = collisions.select(
+        "query_id", "neighbor_id",
+        F.col("feature_idx").alias("f1"), F.col("vote").alias("v1"),
+    )
+    b = collisions.select(
+        "query_id", "neighbor_id",
+        F.col("feature_idx").alias("f2"), F.col("vote").alias("v2"),
+    )
+    if top_features is not None:
+        a = a.filter(F.col("f1").isin([int(f) for f in top_features]))
+    paired = a.join(b, ["query_id", "neighbor_id"]).filter(F.col("f1") != F.col("f2"))
+    jv = ((F.col("v1") + F.col("v2")) / 2.0) if continuous else F.col("v1")
+    both = paired.select("f1", "f2", jv.alias("jv")).unionByName(
+        paired.select(F.col("f2").alias("f1"), F.col("f1").alias("f2"), jv.alias("jv"))
+    )
+    return both.groupBy("f1", "f2").agg(F.sum("jv").alias("joint"))
+
+
+def mi_redundancy(
+    joint: DataFrame,
+    marginal: DataFrame,
+    total: float,
+    joint_total: float,
+) -> DataFrame:
+    """MI-style entropy transform + global min-max (SURVEY A10).
+
+    red(f1,f2) = jprob*log2(jprob/(p1*p2)) with NaN/inf -> 0
+    (computeRedudancy, ReliefFRSelector.scala:645-661), then min-max
+    normalized over all entries (:663-676).
+    """
+    m = marginal.select(
+        "feature_idx", (F.col("marginal") / F.lit(total)).alias("p")
+    )
+    jp = (
+        joint.join(m.withColumnRenamed("feature_idx", "f1").withColumnRenamed("p", "p1"), "f1")
+        .join(m.withColumnRenamed("feature_idx", "f2").withColumnRenamed("p", "p2"), "f2")
+        .withColumn("jprob", F.col("joint") / F.lit(joint_total))
+        .withColumn(
+            "red_raw",
+            F.col("jprob") * F.log2(F.col("jprob") / (F.col("p1") * F.col("p2"))),
+        )
+        .withColumn(
+            "red_raw",
+            F.when(
+                F.isnan("red_raw") | F.col("red_raw").isNull() | (F.col("p1") * F.col("p2") == 0),
+                F.lit(0.0),
+            ).otherwise(F.col("red_raw")),
+        )
+    )
+    stats = jp.agg(F.min("red_raw").alias("mn"), F.max("red_raw").alias("mx")).collect()
+    if not stats or stats[0]["mn"] is None:
+        return jp.select("f1", "f2", F.lit(0.0).alias("redundancy"))
+    mn, mx = float(stats[0]["mn"]), float(stats[0]["mx"])
+    return jp.select(
+        "f1", "f2",
+        minmax_norm(F.col("red_raw"), F.lit(mn), F.lit(mx)).alias("redundancy"),
+    )
+
+
+def greedy_select(
+    relevance: np.ndarray,
+    redundancy_coo: dict[tuple[int, int], float],
+    num_top_features: int,
+) -> list[int]:
+    """Greedy relevance-vs-redundancy selection (SURVEY T5).
+
+    Driver-side sequential arg-max over a tiny frame, matching
+    selectFeatures (ReliefFRSelector.scala:685-732): score =
+    relevance - accumulated_redundancy / |selected|; ties resolve to
+    the lowest feature index (the reference's scan uses strict '>').
+    """
+    n_feat = len(relevance)
+    k = min(num_top_features, n_feat)
+    red_acc = np.zeros(n_feat)
+    n_sel = 0
+    valid = np.ones(n_feat, dtype=bool)
+
+    first = int(np.lexsort((np.arange(n_feat), -relevance))[0])
+    selected = [first]
+    valid[first] = False
+    while len(selected) < k:
+        last = selected[-1]
+        for (f1, f2), v in redundancy_coo.items():
+            if f1 == last and valid[f2]:
+                red_acc[f2] += v
+        n_sel += 1
+        score = np.where(n_sel > 0, relevance - red_acc / n_sel, relevance)
+        score = np.where(valid, score, -np.inf)
+        best = int(np.argmax(score))  # argmax takes the first max -> lowest idx
+        if not np.isfinite(score[best]):
+            break
+        selected.append(best)
+        valid[best] = False
+    return selected
+
+
+def std_ranking(relevance: np.ndarray, num_top_features: int) -> list[int]:
+    """Standard RELIEF ranking: by (-relevance, feature_idx)
+    (ReliefFRSelector.scala:688-690)."""
+    order = np.lexsort((np.arange(len(relevance)), -relevance))
+    return [int(i) for i in order[: min(num_top_features, len(relevance))]]
+
+
+@dataclass
+class ReliefFitResult:
+    """Everything fit produces; arrays are indexed by feature_idx."""
+
+    relevance: np.ndarray              # min-max normalized relief weight
+    std_selection: list[int]           # top-k by relevance
+    redundancy_selection: list[int]    # greedy relevance-vs-redundancy
+    n_features: int
+    n_instances: int
+    priors: dict[float, float]
+    redundancy_coo: dict[tuple[int, int], float] = field(default_factory=dict)
+
+
+def fit_relief(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    features_col: str = "features",
+    label_col: str = "label",
+    num_top_features: int = 10,
+    num_neighbors: int = 10,
+    estimation_ratio: float = 0.25,
+    batch_size: float = 0.25,
+    lower_feature_threshold: float = 3.0,
+    lower_distance_threshold: float = 0.8,
+    redundancy_removal: bool = True,
+    discrete_data: bool = False,
+    seed: int = 12345,
+    knn_strategy: str = "sql",
+    exclude_self: bool = True,
+) -> ReliefFitResult:
+    """Full fit dataflow (ReliefFRSelector.scala:199-325, DataFrame IR).
+
+    sample -> randomSplit batches -> per batch: kNN within batch ->
+    pair table -> relevance bins + collision stats; batch top-N feeds
+    the next batch's joint-stat scope -> union-sum -> min-max -> MI ->
+    greedy selection.
+    """
+    spark = df.sparkSession
+    instances = df.select(
+        F.col(id_col).alias("id"),
+        F.col(features_col).cast("array<double>").alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    n_elems = instances.count()
+    first = instances.first()
+    n_feat = len(first["features"])
+    prior_rows = instances.groupBy("label").count().collect()
+    priors = {float(r["label"]): r["count"] / n_elems for r in prior_rows}
+    n_classes = len(priors)
+    k = num_neighbors * n_classes
+    lower_feat = max(num_top_features, round(lower_feature_threshold * num_top_features))
+
+    sample = instances.sample(fraction=estimation_ratio, seed=seed) if estimation_ratio < 1.0 else instances
+    n_batches = max(1, int(1.0 / batch_size))
+    batches = sample.randomSplit([1.0] * n_batches, seed=seed) if n_batches > 1 else [sample]
+
+    top_features: list[int] | None = []  # batch 0 contributes no joint stats
+    batch_weights: list[DataFrame] = []
+    marginals: list[DataFrame] = []
+    joints: list[DataFrame] = []
+    total_interactions = 0
+
+    for batch in batches:
+        batch = batch.cache()
+        if batch.rdd.isEmpty():
+            continue
+        neigh = knn_join(
+            batch, batch, k,
+            id_col="id", features_col="features",
+            exclude_self=exclude_self, strategy=knn_strategy,
+        )
+        long_pairs = pair_feature_table(batch, neigh).cache()
+
+        w = relevance_weights(long_pairs, priors)
+        batch_weights.append(w)
+
+        # classCounter total = number of (pair, feature) interactions /
+        # nFeat = number of pairs (ReliefFRSelector.scala:469-470 sums
+        # the per-bin pair counts).
+        n_pairs = long_pairs.filter(F.col("feature_idx") == 0).count()
+        total_interactions += n_pairs
+
+        if redundancy_removal:
+            coll = collision_table(long_pairs, not discrete_data, lower_distance_threshold).cache()
+            marginals.append(marginal_counts(coll))
+            joints.append(joint_counts(coll, top_features, not discrete_data))
+
+        # batch top-N (min-max normalized) steers the next batch's
+        # joint-stat scope (ReliefFRSelector.scala:281-283).
+        stats = w.agg(F.min("relevance").alias("mn"), F.max("relevance").alias("mx")).first()
+        wn = w.select(
+            "feature_idx",
+            minmax_norm(F.col("relevance"), F.lit(stats["mn"]), F.lit(stats["mx"])).alias("nrel"),
+        )
+        top_rows = wn.orderBy(F.desc("nrel"), F.asc("feature_idx")).limit(lower_feat).collect()
+        top_features = [int(r["feature_idx"]) for r in top_rows]
+        long_pairs.unpersist()
+        batch.unpersist()
+
+    # Merge batches: sum raw weights then global min-max (fit :300-312).
+    from functools import reduce
+
+    merged = reduce(DataFrame.unionByName, batch_weights)
+    final_w = merged.groupBy("feature_idx").agg(F.sum("relevance").alias("relevance"))
+    rows = final_w.collect()
+    relevance = np.zeros(n_feat)
+    for r in rows:
+        relevance[int(r["feature_idx"])] = float(r["relevance"])
+    mn, mx = float(relevance.min()), float(relevance.max())
+    relevance = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_feat)
+
+    std_sel = std_ranking(relevance, num_top_features)
+
+    red_coo: dict[tuple[int, int], float] = {}
+    if redundancy_removal and joints:
+        joint_all = reduce(DataFrame.unionByName, joints).groupBy("f1", "f2").agg(
+            F.sum("joint").alias("joint")
+        )
+        marg_all = reduce(DataFrame.unionByName, marginals).groupBy("feature_idx").agg(
+            F.sum("marginal").alias("marginal")
+        )
+        # jointTotal omits the first batch's share (no joint stats were
+        # collected there) — computeRedudancy, ReliefFRSelector.scala:641.
+        batch_perc = 1.0 / n_batches
+        joint_total = total_interactions * (1.0 - estimation_ratio * batch_perc)
+        if joint_total > 0 and total_interactions > 0:
+            red_df = mi_redundancy(joint_all, marg_all, float(total_interactions), joint_total)
+            for r in red_df.collect():
+                red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
+
+    red_sel = (
+        greedy_select(relevance, red_coo, num_top_features)
+        if redundancy_removal
+        else list(std_sel)
+    )
+    return ReliefFitResult(
+        relevance=relevance,
+        std_selection=std_sel,
+        redundancy_selection=red_sel,
+        n_features=n_feat,
+        n_instances=n_elems,
+        priors=priors,
+        redundancy_coo=red_coo,
+    )

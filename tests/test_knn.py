@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.knn import knn_join
+from tests.oracle_relief import knn_oracle
+
+
+@pytest.fixture(scope="module")
+def small_vectors(spark):
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(60, 8)).round(4)
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    return df, X
+
+
+@pytest.mark.parametrize("strategy", ["sql", "numpy"])
+def test_knn_matches_oracle(spark, small_vectors, strategy):
+    df, X = small_vectors
+    k = 5
+    got = (
+        knn_join(df, df, k, strategy=strategy)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    expected = knn_oracle(X, k)
+    by_query: dict[int, list[int]] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(by_query) == len(X)
+    for qid, ids in by_query.items():
+        assert ids == expected[qid], f"query {qid}"
+
+
+def test_knn_distances_correct(spark, small_vectors):
+    df, X = small_vectors
+    rows = knn_join(df, df, 3, strategy="sql").collect()
+    for r in rows:
+        d = np.sqrt(((X[r["query_id"]] - X[r["neighbor_id"]]) ** 2).sum())
+        assert abs(r["distance"] - d) < 1e-9
+
+
+def test_knn_self_inclusion_toggle(spark, small_vectors):
+    df, _ = small_vectors
+    with_self = knn_join(df, df, 1, exclude_self=False).collect()
+    assert all(r["query_id"] == r["neighbor_id"] and r["distance"] == 0.0 for r in with_self)
+
+
+def test_knn_numpy_excludes_self_without_losing_rank_slots(spark, small_vectors):
+    """Regression: the numpy kernel must exclude self *inside* the
+    kernel — post-filtering the per-partition top-k left k-1 neighbors
+    for self-containing partitions."""
+    df, X = small_vectors
+    k = 4
+    a = knn_join(df, df, k, strategy="sql").orderBy("query_id", "rank").collect()
+    b = knn_join(df, df, k, strategy="numpy").orderBy("query_id", "rank").collect()
+    assert len(a) == len(b) == len(X) * k
+    assert [r["neighbor_id"] for r in a] == [r["neighbor_id"] for r in b]
+
+
+def test_knn_query_subset_broadcast_plan(spark, small_vectors):
+    """The SQL-strategy plan must broadcast the query side (SURVEY J1)."""
+    df, _ = small_vectors
+    queries = df.filter(F.col("id") < 5)
+    plan = knn_join(df, queries, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.knn import knn_join
+from spark_relieffc_fselection_spark.operators.relief import (
+    collision_table,
+    fit_relief,
+    greedy_select,
+    joint_counts,
+    marginal_counts,
+    pair_feature_table,
+    relevance_weights,
+    std_ranking,
+)
+from tests.oracle_relief import (
+    collision_stats_oracle,
+    relief_relevance_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rng = np.random.default_rng(11)
+    n, d = 80, 6
+    X = rng.normal(size=(n, d)).round(3)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)  # features 0,1 informative
+    rows = [(i, X[i].tolist(), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    return df, X, y
+
+
+def _long_pairs(df, k):
+    neigh = knn_join(df, df, k)
+    return pair_feature_table(df, neigh)
+
+
+def test_relevance_matches_numpy_oracle(spark, labeled):
+    df, X, y = labeled
+    num_neighbors = 4
+    n_classes = len(np.unique(y))
+    lp = _long_pairs(df, num_neighbors * n_classes)
+    priors = {float(l): (y == l).mean() for l in np.unique(y)}
+    got = relevance_weights(lp, priors).orderBy("feature_idx").collect()
+    expected = relief_relevance_oracle(X, y, num_neighbors)
+    assert len(got) == X.shape[1]
+    for r in got:
+        assert abs(r["relevance"] - expected[r["feature_idx"]]) < 1e-9
+
+
+def test_informative_features_rank_top(spark, labeled):
+    df, X, y = labeled
+    res = fit_relief(
+        df,
+        num_top_features=2,
+        num_neighbors=5,
+        estimation_ratio=1.0,
+        batch_size=1.0,
+        redundancy_removal=False,
+        seed=42,
+    )
+    assert set(res.std_selection) == {0, 1}
+
+
+def test_collision_stats_match_oracle(spark, labeled):
+    df, X, y = labeled
+    num_neighbors, ldt = 3, 0.8
+    n_classes = len(np.unique(y))
+    lp = _long_pairs(df, num_neighbors * n_classes)
+    coll = collision_table(lp, continuous=True, lower_distance_threshold=ldt)
+    top = {0, 1, 2}
+    marg = {r["feature_idx"]: r["marginal"] for r in marginal_counts(coll).collect()}
+    joint = {
+        (r["f1"], r["f2"]): r["joint"]
+        for r in joint_counts(coll, sorted(top), continuous=True).collect()
+    }
+    exp_marg, exp_joint, _ = collision_stats_oracle(X, y, num_neighbors, ldt, top)
+    for f, v in marg.items():
+        assert abs(v - exp_marg[f]) < 1e-9
+    assert set(joint) == set(exp_joint)
+    for k_, v in joint.items():
+        assert abs(v - exp_joint[k_]) < 1e-9
+
+
+def test_greedy_select_demotes_redundant_copy(spark):
+    """A duplicated informative feature must be demoted under
+    redundancy removal (SURVEY §5 property-test item 2)."""
+    relevance = np.array([1.0, 0.98, 0.5, 0.2])
+    # features 0 and 1 are near-duplicates: huge mutual redundancy
+    coo = {(0, 1): 1.0, (1, 0): 1.0, (0, 2): 0.01, (2, 0): 0.01}
+    sel = greedy_select(relevance, coo, 3)
+    assert sel[0] == 0
+    assert sel[1] == 2  # not the redundant copy (1)
+    assert 1 not in sel[:2]
+
+
+def test_std_ranking_tiebreak():
+    r = np.array([0.5, 0.9, 0.9, 0.1])
+    assert std_ranking(r, 3) == [1, 2, 0]
+
+
+def test_fit_relief_batched_runs(spark, labeled):
+    df, X, y = labeled
+    res = fit_relief(
+        df,
+        num_top_features=3,
+        num_neighbors=3,
+        estimation_ratio=1.0,
+        batch_size=0.5,  # 2 batches -> joint stats flow
+        redundancy_removal=True,
+        seed=7,
+    )
+    assert len(res.std_selection) == 3
+    assert len(res.redundancy_selection) == 3
+    assert res.n_features == X.shape[1]
+    assert 0 in res.std_selection  # informative feature survives batching
