@@ -53,6 +53,13 @@ from pyspark.sql import functions as F
 from spark_relieffc_fselection_spark.functions.vector import minmax_norm
 from spark_relieffc_fselection_spark.operators.knn import knn_join
 
+#: All floating-point SUMs accumulate through this decimal type: double
+#: addition is order-sensitive and shuffle arrival order is
+#: nondeterministic, so exact decimal accumulation is what makes the
+#: engine's weights reproducible run-to-run (and bit-comparable against
+#: a DuckDB oracle using the same convention).
+DEC = "decimal(38,18)"
+
 
 def pair_feature_table(
     batch: DataFrame,
@@ -113,10 +120,8 @@ def relevance_weights(
             "n_label double, prior double",
         )
     )
-    # bin counts are per (label, same) pair counts — identical for every
-    # feature, so count once at the pair level (feature_idx == 0 slice).
     bin_sums = long_pairs.groupBy("feature_idx", "n_label", "same_class").agg(
-        F.sum("fdist").alias("bin_sum"),
+        F.sum(F.col("fdist").cast(DEC)).alias("bin_sum"),
         F.count("*").alias("bin_cnt"),
     )
     return (
@@ -125,11 +130,11 @@ def relevance_weights(
             "contrib",
             F.when(F.col("same_class"), F.lit(-1.0)).otherwise(F.lit(1.0))
             * F.col("prior")
-            * F.col("bin_sum")
+            * F.col("bin_sum").cast("double")
             / F.col("bin_cnt"),
         )
         .groupBy("feature_idx")
-        .agg(F.sum("contrib").alias("relevance"))
+        .agg(F.sum(F.col("contrib").cast(DEC)).cast("double").alias("relevance"))
     )
 
 
@@ -159,7 +164,9 @@ def collision_table(
 
 def marginal_counts(collisions: DataFrame) -> DataFrame:
     """Per-feature marginal collision mass (SURVEY A5)."""
-    return collisions.groupBy("feature_idx").agg(F.sum("vote").alias("marginal"))
+    return collisions.groupBy("feature_idx").agg(
+        F.sum(F.col("vote").cast(DEC)).cast("double").alias("marginal")
+    )
 
 
 def joint_counts(
@@ -193,7 +200,9 @@ def joint_counts(
     both = paired.select("f1", "f2", jv.alias("jv")).unionByName(
         paired.select(F.col("f2").alias("f1"), F.col("f1").alias("f2"), jv.alias("jv"))
     )
-    return both.groupBy("f1", "f2").agg(F.sum("jv").alias("joint"))
+    return both.groupBy("f1", "f2").agg(
+        F.sum(F.col("jv").cast(DEC)).cast("double").alias("joint")
+    )
 
 
 def mi_redundancy(

@@ -1,0 +1,254 @@
+"""RELIEF-F core queries (SURVEY §2.3 J1/J2, §2.4 A2-A6/A10, §2.5 T1/T3)
+over the ``embeddings`` table, each with a full DuckDB oracle.
+
+These are the oracle-checkable single-pass forms of the engine's
+operators: deterministic (no sampling — sampling itself is
+engine-seeded and exercised in estimator tests), ties broken by id,
+decimal accumulation for every float sum.
+
+The oracle SQL re-derives the same dataflow relationally:
+cross join -> distance fold -> rank window -> unnest long form ->
+class-bin aggregation -> prior-weighted collapse. That SQL *is* the
+semantic spec of the engine's RELIEF pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.knn import knn_join
+from spark_relieffc_fselection_spark.operators.relief import (
+    collision_table,
+    joint_counts,
+    marginal_counts,
+    pair_feature_table,
+    relevance_weights,
+)
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+KNN_K = 10          # q13 neighbors per query
+RELIEF_K = 30       # q14-q17: 3 neighbors x 10 classes
+JOINT_TOP = list(range(8))  # q17's fixed 'topFeatures' scope
+
+# Shared oracle CTE: instances + exact-k nearest neighbors by
+# (distance, neighbor_id). Mirrors knn_join(strategy='sql').
+_INST = """
+inst AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f, CAST(label AS DOUBLE) AS lbl
+  FROM embeddings
+)
+"""
+
+def _knn_cte(k: int, queries_pred: str = "TRUE") -> str:
+    return f"""
+{_INST},
+cand AS (
+  SELECT q.id AS query_id, q.lbl AS q_label, x.id AS neighbor_id, x.lbl AS n_label,
+         sqrt(list_sum(list_transform(generate_series(1, len(q.f)),
+                                      i -> (q.f[i] - x.f[i]) * (q.f[i] - x.f[i])))) AS dist
+  FROM inst q JOIN inst x ON q.id <> x.id
+  WHERE {queries_pred}
+),
+knn AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+    FROM cand
+  ) WHERE rnk <= {k}
+)
+"""
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+
+
+def _long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = _embeddings(spark, sf_dir)
+    neigh = knn_join(inst, inst, RELIEF_K, strategy="sql")
+    return pair_feature_table(inst, neigh)
+
+
+def _priors(inst: DataFrame) -> dict[float, float]:
+    n = inst.count()
+    return {
+        float(r["label"]): r["count"] / n
+        for r in inst.groupBy("label").count().collect()
+    }
+
+
+# --- J1/J2/T1: the broadcast kNN join ---------------------------------------
+
+@register(
+    "q13_knn_join",
+    oracle=f"""
+    WITH {_knn_cte(KNN_K, queries_pred="q.id % 10 = 0")}
+    SELECT query_id, neighbor_id, rnk AS rank, ROUND(dist, 6) AS distance
+    FROM knn
+    """,
+    doc="SURVEY J1/J2/T1: brute-force kNN == crossJoin + window rank "
+        "(approxNNByPartition, ReliefFRSelector.scala:334-369)",
+)
+def q13_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = _embeddings(spark, sf_dir)
+    queries = inst.filter(F.col("id") % 10 == 0)
+    return knn_join(inst, queries, KNN_K, strategy="sql").select(
+        "query_id", "neighbor_id", "rank", F.round("distance", 6).alias("distance")
+    )
+
+
+# --- A2-A4: RELIEF relevance -------------------------------------------------
+
+_RELIEF_ORACLE = f"""
+WITH {_knn_cte(RELIEF_K)},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
+priors AS (SELECT lbl, COUNT(*) / total AS prior FROM inst, nn GROUP BY lbl, total),
+pairs AS (
+  SELECT k.query_id, k.neighbor_id, k.n_label, (k.n_label = k.q_label) AS same_class,
+         q.f AS qf, x.f AS nf
+  FROM knn k JOIN inst q ON k.query_id = q.id JOIN inst x ON k.neighbor_id = x.id
+),
+longf AS (
+  SELECT u.i - 1 AS feature_idx, n_label, same_class, abs(qf[u.i] - nf[u.i]) AS fdist,
+         query_id, neighbor_id
+  FROM pairs, LATERAL (SELECT unnest(generate_series(1, len(qf))) AS i) u
+),
+bins AS (
+  SELECT feature_idx, n_label, same_class,
+         SUM(CAST(fdist AS DECIMAL(38,18))) AS bin_sum, COUNT(*) AS bin_cnt
+  FROM longf GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT feature_idx,
+         (CASE WHEN same_class THEN -1.0 ELSE 1.0 END) * prior
+           * CAST(bin_sum AS DOUBLE) / bin_cnt AS contrib
+  FROM bins JOIN priors ON bins.n_label = priors.lbl
+),
+relevance AS (
+  SELECT feature_idx,
+         CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS relevance
+  FROM contrib GROUP BY feature_idx
+)
+"""
+
+
+@register(
+    "q14_relief_relevance",
+    oracle=_RELIEF_ORACLE
+    + "SELECT feature_idx, ROUND(relevance, 6) AS relevance FROM relevance",
+    doc="SURVEY A2-A4: the RELIEF core — per-feature class-bin distance sums "
+        "collapsed with class priors (ReliefFRSelector.scala:402-475, 605-629)",
+)
+def q14_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = _embeddings(spark, sf_dir)
+    lp = _long_pairs(spark, sf_dir)
+    w = relevance_weights(lp, _priors(inst))
+    return w.select("feature_idx", F.round("relevance", 6).alias("relevance"))
+
+
+# --- T3: deterministic ranked top-N -------------------------------------------
+
+@register(
+    "q15_relief_topk",
+    oracle=_RELIEF_ORACLE
+    + f"""
+    SELECT feature_idx, ROUND(relevance, 6) AS relevance,
+           ROW_NUMBER() OVER (ORDER BY relevance DESC, feature_idx ASC) AS rank
+    FROM relevance
+    ORDER BY rank LIMIT 10
+    """,
+    doc="SURVEY T3: takeOrdered by (-relevance, feature_idx) "
+        "(ReliefFRSelector.scala:688-690)",
+)
+def q15_relief_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = _embeddings(spark, sf_dir)
+    lp = _long_pairs(spark, sf_dir)
+    w = relevance_weights(lp, _priors(inst))
+    ranked = w.orderBy(F.desc("relevance"), F.asc("feature_idx")).limit(10)
+    return ranked.select(
+        "feature_idx",
+        F.round("relevance", 6).alias("relevance"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("relevance"), F.asc("feature_idx")))
+        .alias("rank"),
+    )
+
+
+_COLLISION_CTE = f"""
+longf2 AS (
+  SELECT k.query_id, k.neighbor_id, u.i - 1 AS feature_idx,
+         abs(q.f[u.i] - x.f[u.i]) AS fdist
+  FROM knn k JOIN inst q ON k.query_id = q.id JOIN inst x ON k.neighbor_id = x.id,
+       LATERAL (SELECT unnest(generate_series(1, len(q.f))) AS i) u
+),
+coll AS (
+  SELECT query_id, neighbor_id, feature_idx,
+         1.0 - LEAST(6.0, fdist) / 6.0 AS vote
+  FROM longf2 WHERE fdist <= 1.2
+)
+"""
+
+
+# --- A5/P6/F3: marginal collision counts --------------------------------------
+
+@register(
+    "q16_collision_marginal",
+    oracle=f"""
+    WITH {_knn_cte(RELIEF_K)},
+    {_COLLISION_CTE}
+    SELECT feature_idx,
+           ROUND(CAST(SUM(CAST(vote AS DECIMAL(38,18))) AS DOUBLE), 6) AS marginal,
+           COUNT(*) AS n_collisions
+    FROM coll GROUP BY feature_idx
+    """,
+    doc="SURVEY A5/P6/F3: collision votes 1-min(6,d)/6 under the deterministic "
+        "threshold 6*(1-lowerDistanceThreshold)=1.2 (ReliefFRSelector.scala:417,431; "
+        "threshold de-randomized per SURVEY §8.3)",
+)
+def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = _long_pairs(spark, sf_dir)
+    coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
+    m = marginal_counts(coll)
+    cnt = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
+    return m.join(cnt, "feature_idx").select(
+        "feature_idx", F.round("marginal", 6).alias("marginal"), "n_collisions"
+    )
+
+
+# --- A6: joint (pairwise) collision counts — the redundancy COO ----------------
+
+@register(
+    "q17_collision_joint",
+    oracle=f"""
+    WITH {_knn_cte(RELIEF_K)},
+    {_COLLISION_CTE},
+    paired AS (
+      SELECT a.feature_idx AS f1, b.feature_idx AS f2, (a.vote + b.vote) / 2.0 AS jv
+      FROM coll a JOIN coll b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      WHERE a.feature_idx <> b.feature_idx
+        AND a.feature_idx < {len(JOINT_TOP)}
+    ),
+    both_dir AS (
+      SELECT f1, f2, jv FROM paired
+      UNION ALL
+      SELECT f2 AS f1, f1 AS f2, jv FROM paired
+    )
+    SELECT f1, f2,
+           ROUND(CAST(SUM(CAST(jv AS DECIMAL(38,18))) AS DOUBLE), 6) AS joint
+    FROM both_dir GROUP BY f1, f2
+    """,
+    doc="SURVEY A6: symmetric joint co-occurrence COO restricted to a "
+        "topFeatures scope (ReliefFRSelector.scala:449-457; current-pair votes "
+        "per SURVEY §8.4)",
+)
+def q17_collision_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = _long_pairs(spark, sf_dir)
+    coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
+    j = joint_counts(coll, JOINT_TOP, continuous=True)
+    return j.select("f1", "f2", F.round("joint", 6).alias("joint"))

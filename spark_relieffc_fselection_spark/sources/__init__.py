@@ -1,0 +1,53 @@
+"""Sources & sinks (SURVEY §2.1 S1-S6).
+
+The reference reads CSV/text via Spark 2.2 APIs (TestHelper.scala:
+127-152) and persists models as params-JSON + parquet
+(ReliefFRSelector.scala:854-881). Here every source is a DataFrame
+reader so Catalyst gets pushdown/pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (S4-analogue)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the testdata star schema to spark.sql(...)."""
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (S1/S2): explicit schema when known, inferSchema as the
+    test-harness fallback (TestHelper.scala:127-134)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text scan (S2 fallback, TestHelper.scala:138-152)."""
+    return spark.read.text(path)
