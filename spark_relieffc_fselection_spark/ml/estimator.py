@@ -1,0 +1,216 @@
+"""ReliefFSelector — the pipeline-API surface of the engine.
+
+Mirrors the reference's Estimator/Model pair
+(ReliefFRSelector.scala:173-174, 782-786) with the full param surface
+(:84-165) and params-JSON + data persistence (:854-881, here via
+pyspark's DefaultParamsWritable — same layout: metadata JSON + params).
+
+Differences from the reference, by design (SURVEY §8):
+  * deterministic, partition-invariant results for a given seed (the
+    reference's goldens change with parallelism, TestHelper.scala:118);
+  * input may be an ml Vector column OR a plain array<double> column;
+  * transform slices with Catalyst expressions (no row UDF), reference
+    uses a Vector=>Vector udf (ReliefFRSelector.scala:815-818);
+  * model metadata reflects the selection actually applied (the
+    reference's metadata/data mismatch is a defect, SURVEY §8.7).
+"""
+
+from __future__ import annotations
+
+from pyspark import keyword_only
+from pyspark.ml import Estimator, Model
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.linalg import VectorUDT
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.param.shared import HasInputCol, HasLabelCol, HasOutputCol, HasSeed
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.relief import fit_relief
+
+
+class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
+    """Param surface of ReliefFRSelector.scala:84-165."""
+
+    numTopFeatures = Param(
+        Params._dummy(), "numTopFeatures",
+        "Number of features to select (reference default 10).",
+        typeConverter=TypeConverters.toInt,
+    )
+    numNeighbors = Param(
+        Params._dummy(), "numNeighbors",
+        "Neighbors per class: k = numNeighbors * nClasses (reference :98-101).",
+        typeConverter=TypeConverters.toInt,
+    )
+    estimationRatio = Param(
+        Params._dummy(), "estimationRatio",
+        "Fraction of the dataset sampled to estimate weights (reference :104-112).",
+        typeConverter=TypeConverters.toFloat,
+    )
+    batchSize = Param(
+        Params._dummy(), "batchSize",
+        "Fraction of the sample per batch (reference :114-122).",
+        typeConverter=TypeConverters.toFloat,
+    )
+    lowerFeatureThreshold = Param(
+        Params._dummy(), "lowerFeatureThreshold",
+        "Redundancy search space = threshold * numTopFeatures (reference :125-133).",
+        typeConverter=TypeConverters.toFloat,
+    )
+    lowerDistanceThreshold = Param(
+        Params._dummy(), "lowerDistanceThreshold",
+        "Collision threshold fraction of the 6-sigma range; deterministic "
+        "6*(1-t), de-randomized vs reference :431 (SURVEY §8.3).",
+        typeConverter=TypeConverters.toFloat,
+    )
+    redundancyRemoval = Param(
+        Params._dummy(), "redundancyRemoval",
+        "Apply collision-based redundancy in selection (reference :144-152).",
+        typeConverter=TypeConverters.toBoolean,
+    )
+    discreteData = Param(
+        Params._dummy(), "discreteData",
+        "All-discrete features; continuous data must be standardized "
+        "(reference :154-164).",
+        typeConverter=TypeConverters.toBoolean,
+    )
+    knnStrategy = Param(
+        Params._dummy(), "knnStrategy",
+        "'sql' (pure DataFrame) or 'numpy' (Arrow blockwise kernel).",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._setDefault(
+            numTopFeatures=10, numNeighbors=10, estimationRatio=0.25,
+            batchSize=0.25, lowerFeatureThreshold=3.0,
+            lowerDistanceThreshold=0.8, redundancyRemoval=False,
+            discreteData=False, seed=12345, knnStrategy="numpy",
+            inputCol="features", outputCol="selectedFeatures", labelCol="label",
+        )
+
+
+class ReliefFSelector(
+    Estimator, _ReliefFParams, DefaultParamsWritable, DefaultParamsReadable
+):
+    """Distributed RELIEF-F + collision-redundancy feature selector."""
+
+    @keyword_only
+    def __init__(self, **kwargs) -> None:
+        super().__init__()
+        self._set(**kwargs)
+
+    @keyword_only
+    def setParams(self, **kwargs) -> "ReliefFSelector":
+        return self._set(**kwargs)
+
+    def _fit(self, dataset: DataFrame) -> "ReliefFSelectorModel":
+        input_col = self.getInputCol()
+        is_vector = isinstance(dataset.schema[input_col].dataType, VectorUDT)
+        feat = (
+            vector_to_array(F.col(input_col)).cast("array<double>")
+            if is_vector
+            else F.col(input_col).cast("array<double>")
+        )
+        prepared = dataset.select(
+            F.monotonically_increasing_id().alias("__rid"),
+            feat.alias("__features"),
+            F.col(self.getLabelCol()).cast("double").alias("__label"),
+        )
+        res = fit_relief(
+            prepared,
+            id_col="__rid",
+            features_col="__features",
+            label_col="__label",
+            num_top_features=self.getOrDefault(self.numTopFeatures),
+            num_neighbors=self.getOrDefault(self.numNeighbors),
+            estimation_ratio=self.getOrDefault(self.estimationRatio),
+            batch_size=self.getOrDefault(self.batchSize),
+            lower_feature_threshold=self.getOrDefault(self.lowerFeatureThreshold),
+            lower_distance_threshold=self.getOrDefault(self.lowerDistanceThreshold),
+            redundancy_removal=self.getOrDefault(self.redundancyRemoval),
+            discrete_data=self.getOrDefault(self.discreteData),
+            seed=self.getOrDefault(self.seed),
+            knn_strategy=self.getOrDefault(self.knnStrategy),
+        )
+        model = ReliefFSelectorModel(
+            stdSelection=[int(i) for i in res.std_selection],
+            redundancySelection=[int(i) for i in res.redundancy_selection],
+            relevanceWeights=[float(x) for x in res.relevance],
+        )
+        model._resetUid(self.uid)
+        return self._copyValues(model)
+
+
+class ReliefFSelectorModel(
+    Model, _ReliefFParams, DefaultParamsWritable, DefaultParamsReadable
+):
+    """Fitted model: two selections (std RELIEF order, RELIEF+redundancy
+    order) + the normalized relevance vector.
+
+    Selections are stored as Params so DefaultParamsWritable persists
+    the whole model as metadata JSON — same information layout as the
+    reference's params JSON + 1-row parquet (ReliefFRSelector.scala:
+    854-881) without a second file.
+    """
+
+    stdSelection = Param(
+        Params._dummy(), "stdSelection",
+        "Feature indices by descending relevance (selection priority order).",
+        typeConverter=TypeConverters.toListInt,
+    )
+    redundancySelection = Param(
+        Params._dummy(), "redundancySelection",
+        "Feature indices in greedy relevance-vs-redundancy order.",
+        typeConverter=TypeConverters.toListInt,
+    )
+    relevanceWeights = Param(
+        Params._dummy(), "relevanceWeights",
+        "Min-max normalized relevance per feature index.",
+        typeConverter=TypeConverters.toListFloat,
+    )
+    selectionSize = Param(
+        Params._dummy(), "selectionSize",
+        "Truncate the selection to its first N features at transform time "
+        "(reference :794-805).",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    @keyword_only
+    def __init__(self, **kwargs) -> None:
+        super().__init__()
+        self._setDefault(stdSelection=[], redundancySelection=[], relevanceWeights=[])
+        self._set(**kwargs)
+
+    def selected_indices(self) -> list[int]:
+        """Ascending indices actually applied by transform: selection
+        priority order defines which features survive truncation, output
+        order is ascending index (reference :813; SURVEY §8.8)."""
+        sel = (
+            self.getOrDefault(self.redundancySelection)
+            if self.getOrDefault(self.redundancyRemoval)
+            else self.getOrDefault(self.stdSelection)
+        )
+        if self.isSet(self.selectionSize):
+            sel = sel[: self.getOrDefault(self.selectionSize)]
+        return sorted(sel)
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        input_col = self.getInputCol()
+        output_col = self.getOutputCol()
+        indices = self.selected_indices()
+        is_vector = isinstance(dataset.schema[input_col].dataType, VectorUDT)
+        arr = (
+            vector_to_array(F.col(input_col))
+            if is_vector
+            else F.col(input_col)
+        )
+        # Catalyst-side gather — the vector-slice projection (SURVEY P8,
+        # FeatureSelectionUtils.scala:38-73) with no Python UDF.
+        sliced = F.array(*[arr.getItem(i) for i in indices])
+        out = array_to_vector(sliced) if is_vector else sliced
+        meta = {"selected_features": indices, "num_original_features": len(
+            self.getOrDefault(self.relevanceWeights)) or None}
+        return dataset.withColumn(output_col, out.alias(output_col, metadata=meta))

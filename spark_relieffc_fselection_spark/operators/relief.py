@@ -318,7 +318,7 @@ def fit_relief(
     redundancy_removal: bool = True,
     discrete_data: bool = False,
     seed: int = 12345,
-    knn_strategy: str = "sql",
+    knn_strategy: str = "numpy",
     exclude_self: bool = True,
 ) -> ReliefFitResult:
     """Full fit dataflow (ReliefFRSelector.scala:199-325, DataFrame IR).

@@ -69,8 +69,11 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numpy kernel: ~4x faster than the SQL expression at sf0.1 and rank-
+    # identical (tests/test_knn.py pins cross-strategy agreement); only
+    # ranks feed downstream, not raw distances, so oracle parity holds.
     inst = _embeddings(spark, sf_dir)
-    neigh = knn_join(inst, inst, RELIEF_K, strategy="sql")
+    neigh = knn_join(inst, inst, RELIEF_K, strategy="numpy")
     return pair_feature_table(inst, neigh)
 
 

@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.linalg import Vectors
+
+from spark_relieffc_fselection_spark.ml import ReliefFSelector, ReliefFSelectorModel
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(3)
+    n, d = 60, 5
+    X = rng.normal(size=(n, d)).round(3)
+    y = (X[:, 2] > 0).astype(float)  # feature 2 informative
+    rows = [(Vectors.dense(X[i]), float(y[i])) for i in range(n)]
+    return spark.createDataFrame(rows, ["features", "label"])
+
+
+@pytest.fixture(scope="module")
+def fitted(vec_df):
+    sel = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=3, estimationRatio=1.0,
+        batchSize=1.0, redundancyRemoval=False, seed=99,
+    )
+    return sel.fit(vec_df)
+
+
+def test_fit_finds_informative_feature(fitted):
+    assert fitted.getOrDefault(fitted.stdSelection)[0] == 2
+
+
+def test_transform_slices_vectors(fitted, vec_df):
+    out = fitted.transform(vec_df)
+    row = out.first()
+    assert len(row["selectedFeatures"]) == 2
+    idx = fitted.selected_indices()
+    assert idx == sorted(idx)
+    np.testing.assert_allclose(
+        np.array(row["selectedFeatures"].toArray()),
+        np.array(row["features"].toArray())[idx],
+    )
+
+
+def test_transform_array_input(fitted, spark, vec_df):
+    arr_df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0, 5.0], 0.0)], ["features", "label"]
+    )
+    out = fitted.transform(arr_df).first()
+    idx = fitted.selected_indices()
+    assert list(out["selectedFeatures"]) == [float(i + 1) for i in idx]
+
+
+def test_selection_size_truncates(fitted, vec_df):
+    m2 = fitted.copy()
+    m2.set(m2.selectionSize, 1)
+    assert len(m2.selected_indices()) == 1
+    # priority order defines survival: first selected feature wins
+    assert m2.selected_indices() == [fitted.getOrDefault(fitted.stdSelection)[0]]
+
+
+def test_model_persistence_roundtrip(fitted, tmp_path, vec_df):
+    path = str(tmp_path / "model")
+    fitted.write().overwrite().save(path)
+    loaded = ReliefFSelectorModel.load(path)
+    assert loaded.getOrDefault(loaded.stdSelection) == fitted.getOrDefault(
+        fitted.stdSelection
+    )
+    assert loaded.selected_indices() == fitted.selected_indices()
+    a = fitted.transform(vec_df).select("selectedFeatures").collect()
+    b = loaded.transform(vec_df).select("selectedFeatures").collect()
+    assert a == b
+
+
+def test_estimator_persistence_roundtrip(tmp_path):
+    est = ReliefFSelector(numTopFeatures=7, redundancyRemoval=True, seed=5)
+    path = str(tmp_path / "est")
+    est.write().overwrite().save(path)
+    loaded = ReliefFSelector.load(path)
+    assert loaded.getOrDefault(loaded.numTopFeatures) == 7
+    assert loaded.getOrDefault(loaded.redundancyRemoval) is True
+
+
+def test_pipeline_integration(spark):
+    rng = np.random.default_rng(5)
+    n = 50
+    cols = {f"f{i}": rng.normal(size=n).round(3) for i in range(4)}
+    cols["label"] = (cols["f1"] > 0).astype(float)
+    rows = [tuple(float(v) for v in row) for row in zip(*cols.values())]
+    df = spark.createDataFrame(rows, list(cols))
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=[f"f{i}" for i in range(4)], outputCol="features"),
+        ReliefFSelector(numTopFeatures=1, numNeighbors=3, estimationRatio=1.0,
+                        batchSize=1.0, seed=1),
+    ])
+    model = pipe.fit(df)
+    out = model.transform(df)
+    assert out.select("selectedFeatures").first()[0].toArray().shape == (1,)
+    sel = model.stages[-1]
+    assert sel.getOrDefault(sel.stdSelection)[0] == 1
