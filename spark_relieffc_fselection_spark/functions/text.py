@@ -1,0 +1,45 @@
+"""Text primitives shared by dedup and text-analysis operators.
+
+Every function here is a Catalyst expression chosen for *cross-engine
+portability*: the same computation is expressible verbatim in DuckDB
+SQL, which is what lets the dedup/minhash/simhash pipelines carry full
+oracles. The portable 64-bit hash is the first 15 hex chars of md5
+parsed as an integer (60 bits, identical in any engine with md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lower + trim + collapse internal whitespace."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(c), " ")
+
+
+def md5_hash64(c: Column | str) -> Column:
+    """Portable 60-bit integer hash (md5-prefix). DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """n-word shingles: ['a b c', 'b c d', ...]; empty when < n tokens.
+
+    DuckDB equivalent: ``list_transform(generate_series(1, len(t)-n+1),
+    i -> t[i] || ' ' || ... || t[i+n-1])``.
+    """
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )

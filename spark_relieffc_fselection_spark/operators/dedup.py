@@ -1,0 +1,279 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families, all DataFrame-first (BASELINE.json north-star;
+the reference has no dedup — these share the engine's join/agg/top-k
+core, SURVEY §7.4):
+
+  * exact           — hash-groupBy on normalized content
+  * ngram-Jaccard   — shingle-set overlap via exploded self-join
+  * MinHash + LSH   — banded signature bucketing, verified candidates
+  * SimHash         — bitwise majority fingerprint, banded hamming
+  * embedding cosine— near-dup by vector similarity (see simsearch)
+
+Scale design: every pipeline is shuffle-bounded by *candidate pairs*,
+never all pairs. Exact dedup shuffles one hash per doc; Jaccard joins
+on shingle (inverted index — skew-prone on stop-shingles, so shingles
+above a doc-frequency cap are dropped like any sane inverted index);
+MinHash/SimHash bucket first and verify only within buckets. At 100 TB
+none of these materializes O(n^2) anything.
+
+All hashes are the portable md5-prefix integer so every pipeline has a
+full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.functions.text import (
+    md5_hash64,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+
+#: Shingles appearing in more than this many docs are dropped from the
+#: Jaccard inverted index (stop-shingle skew guard).
+DEFAULT_DF_CAP = 1000
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (on normalized text).
+
+    Returns (content_hash, n_dups, canonical_id) for groups with >1 doc;
+    canonical = lowest id. One narrow hash + one groupBy shuffle.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            md5_hash64(normalize_text(F.col(text_col))).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_id, shingle) long table — the inverted-index input."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = DEFAULT_DF_CAP,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard >= threshold.
+
+    Inverted-index join: docs sharing >=1 shingle become candidates;
+    |A ∩ B| = count of shared shingles, |A ∪ B| = |A| + |B| - inter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = doc_shingles(docs, n, text_col, id_col)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, k, minhash) — k in 0..num_hashes-1.
+
+    Hash family: md5 of ``k || ':' || shingle`` (portable; no mod-prime
+    arithmetic that overflows int64 in SQL). Docs with no shingles get
+    no signature rows.
+    """
+    sh = doc_shingles(docs, n, text_col, id_col)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    return (
+        sh.select("doc_id", "shingle", ks)
+        .select(
+            "doc_id",
+            "k",
+            md5_hash64(F.concat_ws(":", F.col("k").cast("string"), F.col("shingle"))).alias("hv"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band of their signature.
+
+    bucket = hash of the band's ordered minhash values; candidates are
+    pairs within a bucket. Output (id_a, id_b) distinct, id_a < id_b.
+    The shuffle is per-(band, bucket) — never all-pairs.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+        .filter(F.col("band") < bands)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("k"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+        .select("doc_id", "band", md5_hash64(F.col("band_key")).alias("bucket"))
+    )
+    a = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: bucket -> candidates -> verify
+    with true Jaccard (only candidates pay the verification join)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = doc_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash) — bitwise majority over token hashes.
+
+    bit j of simhash = 1 iff sum over tokens of (+1 if token-hash bit j
+    else -1) > 0. Distinct tokens weighted once (set semantics, keeps
+    the SQL oracle simple and the operator deterministic).
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .select("doc_id", md5_hash64(F.col("tok")).alias("hv"))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    bit_votes = (
+        tok.select("doc_id", "hv", j)
+        .select(
+            "doc_id",
+            "j",
+            # shiftright/shiftleft builtins take a literal shift only;
+            # column-valued shifts need the SQL expression form.
+            F.when(F.expr("shiftright(hv, j) & 1") == 1, 1).otherwise(-1).alias("vote"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("votes"))
+    )
+    return bit_votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dups: band the fingerprint (pigeonhole: hamming <=
+    bands-1 implies an equal band), join per band, verify hamming."""
+    sigs = simhash_signatures(docs, bits, text_col, id_col)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}"),
+    )
+    a = banded.select("band", "band_val", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "band_val", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

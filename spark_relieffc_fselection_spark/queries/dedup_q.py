@@ -1,0 +1,227 @@
+"""Dedup queries over ``documents`` with full DuckDB oracles.
+
+The oracle SQL mirrors each pipeline step-for-step (normalize ->
+shingle -> hash -> index/bucket -> verify); the portable md5-prefix
+hash makes signatures bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_similar_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+# Shared SQL fragments ---------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh
+  FROM toks, LATERAL (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  ) u
+)
+"""
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K, MINHASH_BANDS = 16, 8
+SIMHASH_BITS, SIMHASH_BANDS, SIMHASH_MAXHAM = 60, 4, 3
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+@register(
+    "q18_dedup_exact",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_H64.format(x=_NORM)} AS content_hash FROM documents
+    )
+    SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM hashed GROUP BY content_hash
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text; one narrow shuffle "
+        "of (hash) regardless of corpus size",
+)
+def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from spark_relieffc_fselection_spark.functions.text import md5_hash64, normalize_text
+
+    return (
+        docs.select(
+            "doc_id", md5_hash64(normalize_text(F.col("text"))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# --- n-gram Jaccard ------------------------------------------------------------
+
+@register(
+    "q19_dedup_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Near-dup by 3-gram Jaccard via inverted-index self-join — "
+        "candidates bounded by shared shingles, never all pairs",
+)
+def q19_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD, df_cap=10**9)
+
+
+# --- MinHash signatures ----------------------------------------------------------
+
+@register(
+    "q20_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hv AS (
+      SELECT doc_id, k, {_H64.format(x="k::VARCHAR || ':' || sh")} AS hv
+      FROM shingles, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k) u
+    )
+    SELECT doc_id, k, MIN(hv) AS minhash FROM hv GROUP BY doc_id, k
+    """,
+    doc="MinHash signature matrix (portable md5 hash family)",
+)
+def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=MINHASH_K)
+
+
+# --- MinHash + LSH near-dups -----------------------------------------------------
+
+@register(
+    "q21_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hv AS (
+      SELECT doc_id, k, {_H64.format(x="k::VARCHAR || ':' || sh")} AS hv
+      FROM shingles, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k) u
+    ),
+    sigs AS (SELECT doc_id, k, MIN(hv) AS minhash FROM hv GROUP BY doc_id, k),
+    banded AS (
+      SELECT doc_id, CAST(k / {MINHASH_K // MINHASH_BANDS} AS INT) AS band,
+             {_H64.format(x="string_agg(minhash::VARCHAR, ',' ORDER BY k)")} AS bucket
+      FROM sigs GROUP BY doc_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cands c
+      JOIN shingles a ON a.doc_id = c.id_a
+      JOIN shingles b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash banded LSH -> bucket candidates -> exact-Jaccard verify; "
+        "only bucket-mates pay the verification join",
+)
+def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, threshold=JACCARD_THRESHOLD, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+_SIMHASH_CTE = f"""
+toks2 AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+tokhash AS (SELECT doc_id, {_H64.format(x="tok")} AS hv FROM toks2),
+bitvotes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM tokhash, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j) u
+  GROUP BY doc_id, j
+),
+simhashes AS (
+  -- CAST: DuckDB SUM yields HUGEINT, which pandas would round through
+  -- float64 and corrupt the low bits.
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitvotes GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "q22_simhash_signatures",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simhashes",
+    doc="SimHash fingerprints: bitwise majority over token hashes",
+)
+def q22_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, bits=SIMHASH_BITS)
+
+
+@register(
+    "q23_simhash_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (band * {SIMHASH_BITS // SIMHASH_BANDS}))
+               & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_val
+      FROM simhashes, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) u
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAXHAM}
+    """,
+    doc="SimHash near-dups: pigeonhole banding (hamming<=bands-1 implies "
+        "an equal band) -> per-band join -> hamming verify",
+)
+def q23_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, max_hamming=SIMHASH_MAXHAM, bits=SIMHASH_BITS, bands=SIMHASH_BANDS
+    )

@@ -1,0 +1,63 @@
+import pytest
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_similar_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy cat near the river bank today"
+OTHER = "completely different content about spark query engines and shuffles here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, "  THE quick   brown fox jumps over the lazy dog near the river bank today "),  # exact dup after normalize
+        (2, NEAR),   # near dup (1 word changed)
+        (3, OTHER),
+        (4, "short text"),  # < 3 tokens after shingling edge
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["canonical_id"] == 0
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_similar_pairs(docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 < pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_near_duplicates(docs, threshold=0.3, num_hashes=16, bands=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs  # 1-word change shares most shingles -> some band collides
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_for_exact_dups(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_near_dup_low_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_duplicates(docs, max_hamming=10, bits=60, bands=4).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
