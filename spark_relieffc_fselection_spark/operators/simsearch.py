@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator family (BASELINE.json): approximate-nearest-
+neighbor search sharing the kNN core of the RELIEF engine (SURVEY J1/
+T1, ReliefFRSelector.scala:334-369 is the same shape with Euclidean
+distance).
+
+Three tiers, trading recall for scan cost:
+
+  * brute-force cosine top-k  — exact; crossJoin(broadcast(queries)) +
+    window rank; the correctness baseline.
+  * sign-LSH bucketed         — deterministic hyperplane-free LSH: the
+    bucket is the sign pattern of `n_bits` fixed coordinates. No RNG,
+    so the same query is reproducible in any engine (full SQL oracle).
+  * IVF coarse quantization   — k-means-free IVF: centroids are a
+    deterministic id-stride subset of the corpus; each vector is
+    assigned to its nearest centroid ("inverted list"); queries probe
+    the `n_probe` nearest lists. This is the 100 TB path: scan cost
+    drops by ~(n_lists / n_probe) and lists are co-partitioned.
+
+Embedding-cosine near-dup dedup is `all_pairs_cosine` with a high
+threshold — listed here because it shares every building block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias(out_vec),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Ties break on neighbor_id; the query side is broadcast (bounded
+    query sets are the contract, mirroring the RELIEF sample batch).
+    """
+    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "n_vec")
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN.
+
+    Table t buckets on the sign pattern of coordinates
+    [t*n_bits, (t+1)*n_bits); candidates are the union over tables of
+    same-bucket pairs (classic multi-table LSH: per-table recall p^bits
+    compounds to 1-(1-p^bits)^tables). Per-query scan cost ~
+    n_tables * corpus / 2^n_bits. Exact cosine ranking within the
+    candidate set; fully deterministic, hence SQL-oracle-able.
+    """
+    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "n_vec")
+    q_b = _with_table_buckets(q, "q_vec", n_bits, n_tables)
+    c_b = _with_table_buckets(c, "n_vec", n_bits, n_tables)
+    cand = (
+        c_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _with_table_buckets(
+    df: DataFrame, vec_col_name: str, n_bits: int, n_tables: int
+) -> DataFrame:
+    """Explode each row to one row per LSH table with its sign bucket."""
+    tables = []
+    for t in range(n_tables):
+        acc = F.lit(0).cast("bigint")
+        for i in range(n_bits):
+            coord = t * n_bits + i
+            acc = acc + F.when(
+                F.element_at(F.col(vec_col_name), coord + 1) > 0.0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        tables.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
+    return df.select(
+        "*", F.explode(F.array(*tables)).alias("_tb")
+    ).select(*df.columns, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    centroid_stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF: centroids = rows with id % stride == 0.
+
+    Returns (centroids, assignments) where assignments maps each vector
+    to its nearest centroid by cosine (ties -> lowest centroid id).
+    At scale the assignment pass is one broadcast join (centroid count
+    is corpus/stride, kept small) and lists can be written bucketed-by
+    `list_id` for co-partitioned probes.
+    """
+    c = _prep(corpus, id_col, vec_col, "vid", "vec")
+    centroids = c.filter(F.col("vid") % centroid_stride == 0).select(
+        F.col("vid").alias("centroid_id"), F.col("vec").alias("c_vec")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assign = (
+        c.crossJoin(F.broadcast(centroids))
+        .select(
+            "vid",
+            "centroid_id",
+            cosine_similarity(F.col("vec"), F.col("c_vec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("centroid_id").alias("list_id"))
+    )
+    return centroids, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF probe: each query scans only its n_probe nearest inverted
+    lists. Returns (query_id, neighbor_id, cosine, rank)."""
+    centroids, assign = ivf_assignments(corpus, centroid_stride, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("list_id"))
+    )
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "n_vec").join(
+        assign.withColumnRenamed("vid", "neighbor_id"), "neighbor_id"
+    )
+    pairs = c.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def all_pairs_cosine(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Brute-force form for bounded corpora; at scale pre-bucket with
+    sign_lsh / IVF and run this within buckets.
+    """
+    a = _prep(corpus, id_col, vec_col, "id_a", "vec_a")
+    b = _prep(corpus, id_col, vec_col, "id_b", "vec_b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,187 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB oracles.
+
+All three ANN tiers are deterministic by construction (no RNG), so even
+the *approximate* variants have exact oracles: the oracle re-derives
+the same buckets / inverted lists and must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.simsearch import (
+    all_pairs_cosine,
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+TOPK = 10
+LSH_BITS, LSH_TABLES = 4, 4
+IVF_STRIDE, IVF_PROBE = 50, 4
+NEARDUP_COS = 0.35  # corpus max pairwise cosine is ~0.51; 0.35 = ~99.9th pct
+QUERY_PRED_SPARK = F.col("vec_id") % 25 == 0
+QUERY_PRED_SQL = "id % 25 = 0"
+
+_INST = """
+inst AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+normed AS (
+  SELECT id, v,
+         sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]))) AS nrm
+  FROM inst
+)
+"""
+
+_COSINE = """
+CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+     ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]))
+          / (a.nrm * b.nrm) END
+"""
+
+
+@register(
+    "q24_ann_bruteforce",
+    oracle=f"""
+    WITH {_INST},
+    pairs AS (
+      SELECT b.id AS query_id, a.id AS neighbor_id, {_COSINE} AS cosine
+      FROM normed a JOIN normed b ON a.id <> b.id
+      WHERE b.{QUERY_PRED_SQL}
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOPK}
+    """,
+    doc="Exact cosine top-k: broadcast crossJoin + window rank — the ANN "
+        "correctness baseline (same shape as the RELIEF kNN core)",
+)
+def q24_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(QUERY_PRED_SPARK), k=TOPK)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "q25_ann_lsh",
+    oracle=f"""
+    WITH {_INST},
+    bucketed AS (
+      SELECT id, t.tbl AS tbl,
+             {' + '.join(f'(CASE WHEN v[t.tbl * {LSH_BITS} + {i + 1}] > 0 THEN {1 << i} ELSE 0 END)' for i in range(LSH_BITS))} AS bucket
+      FROM normed, LATERAL (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS tbl) t
+    ),
+    cands AS (
+      SELECT DISTINCT b.id AS query_id, a.id AS neighbor_id
+      FROM bucketed a JOIN bucketed b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.id <> b.id AND b.{QUERY_PRED_SQL}
+    ),
+    pairs AS (
+      SELECT c.query_id, c.neighbor_id, {_COSINE} AS cosine
+      FROM cands c
+      JOIN normed a ON a.id = c.neighbor_id
+      JOIN normed b ON b.id = c.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOPK}
+    """,
+    doc="Multi-table sign-LSH ANN: union of same-bucket candidates over "
+        "disjoint coordinate groups, exact cosine rank within candidates",
+)
+def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(
+        emb, emb.filter(QUERY_PRED_SPARK), k=TOPK, n_bits=LSH_BITS, n_tables=LSH_TABLES
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "q26_ann_ivf",
+    oracle=f"""
+    WITH {_INST},
+    centroids AS (
+      SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM normed
+      WHERE id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT id AS vid, list_id FROM (
+        SELECT a.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                 (CASE WHEN a.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*c.cv[i]))
+                            / (a.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed a, centroids c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, list_id FROM (
+        SELECT q.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+                 (CASE WHEN q.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*c.cv[i]))
+                            / (q.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed q, centroids c
+        WHERE q.{QUERY_PRED_SQL}
+      ) WHERE rn <= {IVF_PROBE}
+    ),
+    pairs AS (
+      SELECT b.id AS query_id, a.id AS neighbor_id, {_COSINE} AS cosine
+      FROM normed a
+      JOIN assign ON assign.vid = a.id
+      JOIN probes ON probes.list_id = assign.list_id
+      JOIN normed b ON b.id = probes.query_id AND a.id <> b.id
+    )
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOPK}
+    """,
+    doc="IVF ANN: deterministic stride centroids, nearest-centroid inverted "
+        "lists, n_probe nearest lists scanned per query — the 100TB scan-"
+        "reduction path (lists bucketed/co-partitioned at scale)",
+)
+def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.filter(QUERY_PRED_SPARK),
+        k=TOPK,
+        centroid_stride=IVF_STRIDE,
+        n_probe=IVF_PROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "q27_embedding_neardup",
+    oracle=f"""
+    WITH {_INST},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, {_COSINE} AS cosine
+      FROM normed a JOIN normed b ON a.id < b.id
+    )
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= {NEARDUP_COS}
+    """,
+    doc="Embedding-cosine near-duplicate pairs (dedup by vector similarity)",
+)
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return all_pairs_cosine(emb, threshold=NEARDUP_COS)

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.simsearch import (
+    all_pairs_cosine,
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 50 == 0)
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_bruteforce_matches_numpy(emb, queries):
+    X = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in emb.orderBy("vec_id").collect()])
+    got = _topk_sets(brute_force_topk(emb, queries, k=5).collect())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    for qpos, qid in enumerate(ids):
+        if qid % 50 != 0:
+            continue
+        s = sims[qpos].copy()
+        s[qpos] = -np.inf
+        expected = set(ids[np.lexsort((ids, -s))[:5]])
+        assert got[qid] == expected, qid
+
+
+def test_lsh_recall_reasonable(emb, queries):
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10).collect())
+    approx = _topk_sets(
+        lsh_bucketed_topk(emb, queries, k=10, n_bits=4, n_tables=4).collect()
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    # 4 tables x 4-bit buckets: per-table match prob ~p^4, unioned over
+    # tables; weakly-similar corpus -> expect moderate but real recall
+    assert np.mean(recalls) > 0.15
+
+
+def test_ivf_recall_beats_scan_fraction(emb, queries):
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10).collect())
+    approx = _topk_sets(
+        ivf_topk(emb, queries, k=10, centroid_stride=50, n_probe=4).collect()
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    # 10 lists, probing 4 -> scanning ~40%; nearest-list probing should
+    # recover well over that fraction of true neighbors
+    assert np.mean(recalls) > 0.5
+
+
+def test_all_pairs_cosine_symmetric_bounds(emb):
+    pairs = all_pairs_cosine(emb.limit(100), threshold=0.0).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in pairs)
