@@ -1,0 +1,197 @@
+"""Text analysis operators for training-data pipelines.
+
+North-star family (BASELINE.json): language identification, quality
+scoring, token counting, document fingerprinting. All pure Catalyst
+expressions (no UDFs) composed from cross-engine-portable primitives,
+so every operator carries a full DuckDB oracle.
+
+Scale: each operator is a narrow per-row map over ``documents`` (plus
+one small broadcast join for stopword profiles) — embarrassingly
+parallel, no shuffle except final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.functions.text import (
+    md5_hash64,
+    normalize_text,
+    tokens,
+)
+
+#: Minimal stopword profiles for the 5 corpus languages. Intentionally
+#: small + disjoint-ish: the operator is a heuristic scorer, not a
+#: trained model (same contract as fasttext-style lang-id fallbacks).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "para", "está"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "est", "une", "dans", "pour", "avec", "sur", "pas"),
+}
+
+PUNCT_CLASS = r"[.,!?;:'\"()\-]"
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting: whitespace tokens, regex word tokens, chars, and
+    a BPE-ish subword estimate (~4 chars/token, the common planning
+    heuristic)."""
+    norm = normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_words = F.when(norm == "", 0).otherwise(F.size(toks))
+    n_chars = F.length(norm)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words_ws"),
+        F.size(F.regexp_extract_all(norm, F.lit(r"[a-z0-9]+"), 0)).alias("n_words_re"),
+        F.greatest(
+            F.ceil(n_chars / F.lit(4.0)).cast("bigint"), n_words.cast("bigint")
+        ).alias("n_tokens_bpe_est"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features mirror the usual LLM-corpus filters: document length,
+    mean word length, stopword ratio, punctuation density, digit
+    density. The composite is a fixed, documented weighting — the
+    point is a deterministic, portable scoring pipeline.
+    """
+    spark = docs.sparkSession
+    sw = F.broadcast(
+        spark.createDataFrame([(w,) for w in STOPWORDS["en"]], "tok string")
+    )
+    norm = normalize_text(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(norm).alias("n_chars"),
+        F.when(norm == "", 0).otherwise(F.size(tokens(F.col(text_col)))).alias("n_words"),
+        (
+            F.length(norm) - F.length(F.regexp_replace(norm, PUNCT_CLASS, ""))
+        ).alias("n_punct"),
+        (
+            F.length(norm) - F.length(F.regexp_replace(norm, r"[0-9]", ""))
+        ).alias("n_digits"),
+    )
+    tok_tbl = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    sw_counts = (
+        tok_tbl.join(sw, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_stopwords"))
+    )
+    feats = base.join(sw_counts, "doc_id", "left").na.fill({"n_stopwords": 0})
+    n_words_safe = F.greatest(F.col("n_words"), F.lit(1))
+    n_chars_safe = F.greatest(F.col("n_chars"), F.lit(1))
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round(F.col("n_chars") / n_words_safe, 6).alias("mean_word_len"),
+        F.round(F.col("n_stopwords") / n_words_safe, 6).alias("stopword_ratio"),
+        F.round(F.col("n_punct") / n_chars_safe, 6).alias("punct_ratio"),
+        F.round(F.col("n_digits") / n_chars_safe, 6).alias("digit_ratio"),
+        # Composite: reward length (saturating at 200 words) and
+        # stopword presence; penalize punct/digit noise.
+        F.round(
+            F.least(F.col("n_words") / F.lit(200.0), F.lit(1.0)) * 0.4
+            + F.least(F.col("n_stopwords") / n_words_safe * 5.0, F.lit(1.0)) * 0.3
+            + (1.0 - F.least(F.col("n_punct") / n_chars_safe * 10.0, F.lit(1.0))) * 0.15
+            + (1.0 - F.least(F.col("n_digits") / n_chars_safe * 10.0, F.lit(1.0))) * 0.15,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: CJK character detection + stopword-profile
+    voting; 'und' (undetermined) when nothing matches.
+
+    Returns (doc_id, pred_lang, lang_score) where lang_score is the
+    matched-stopword share of tokens (0 for zh/und). Ties break
+    alphabetically on language code — fully deterministic.
+    """
+    spark = docs.sparkSession
+    profile = F.broadcast(
+        spark.createDataFrame(
+            [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+            "lang string, tok string",
+        )
+    )
+    norm_docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("norm"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    tok_tbl = norm_docs.select("doc_id", F.explode("toks").alias("tok"))
+    votes = (
+        tok_tbl.join(profile, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    best = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("sw_lang"), "hits")
+    )
+    n_words = F.when(F.col("norm") == "", 0).otherwise(F.size(F.col("toks")))
+    return (
+        norm_docs.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.regexp_count(F.col("norm"), F.lit(r"[一-鿿]")) > 0, F.lit("zh")
+            )
+            .when(F.col("sw_lang").isNotNull(), F.col("sw_lang"))
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0))
+                / F.greatest(n_words, F.lit(1)).cast("double"),
+                6,
+            ).alias("lang_score"),
+        )
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    ngram_chars: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document fingerprinting: whole-content hash + winnowing-style
+    minimal char-n-gram hash (the rolling-hash fingerprint family,
+    computed as min over all char-n-gram hashes — robust to local
+    edits: one edit disturbs only n of the grams)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("norm"),
+    )
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - (ngram_chars - 1)),
+        lambda i: md5_hash64(F.substr(F.col("norm"), i, F.lit(ngram_chars))),
+    )
+    return d.select(
+        "doc_id",
+        md5_hash64(F.col("norm")).alias("content_fp"),
+        F.when(
+            F.length("norm") < ngram_chars, md5_hash64(F.col("norm"))
+        ).otherwise(F.array_min(gram_hashes)).alias("min_gram_fp"),
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis queries over ``documents`` with DuckDB oracles.
+
+The oracle SQL re-derives each pipeline with DuckDB's regexp/string
+functions; portability notes inline where the engines' function names
+differ (regexp_extract_all vs regexp_count etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_relieffc_fselection_spark.operators.textstats import (
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+FP_NGRAM = 8
+
+_STOPWORD_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+)
+
+
+@register(
+    "q28_token_stats",
+    oracle=f"""
+    WITH normed AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT doc_id,
+           length(norm) AS n_chars,
+           CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_words_ws,
+           len(regexp_extract_all(norm, '[a-z0-9]+')) AS n_words_re,
+           greatest(CAST(ceil(length(norm) / 4.0) AS BIGINT),
+                    CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT)) AS n_tokens_bpe_est
+    FROM normed
+    """,
+    doc="Token counting: whitespace + regex word tokens + BPE-ish estimate",
+)
+def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q29_quality_scores",
+    oracle=f"""
+    WITH normed AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    base AS (
+      SELECT doc_id, norm,
+             length(norm) AS n_chars,
+             CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_words,
+             length(norm) - length(regexp_replace(norm, '[.,!?;:''"()\\-]', '', 'g')) AS n_punct,
+             length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS n_digits
+      FROM normed
+    ),
+    sw AS (
+      SELECT doc_id, COUNT(*) AS n_stopwords
+      FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM normed) t
+      WHERE tok IN ({', '.join(repr(w) for w in STOPWORDS['en'])})
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_chars, n_words,
+           ROUND(n_chars / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS mean_word_len,
+           ROUND(COALESCE(n_stopwords, 0) / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS stopword_ratio,
+           ROUND(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+           ROUND(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+           ROUND(least(n_words / 200.0, 1.0) * 0.4
+                 + least(COALESCE(n_stopwords, 0) / CAST(greatest(n_words, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+                 + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.15
+                 + (1.0 - least(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.15,
+                 6) AS quality_score
+    FROM base b LEFT JOIN sw ON b.doc_id = sw.doc_id
+    """,
+    doc="Heuristic quality features + composite score (LLM-corpus filter "
+        "family: length, stopword ratio, punct/digit density)",
+)
+def q29_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q30_language_id",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, {_NORM} AS norm FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM normed),
+    profile(lang, tok) AS (VALUES {_STOPWORD_VALUES}),
+    votes AS (
+      SELECT doc_id, lang, COUNT(*) AS hits
+      FROM toks JOIN profile USING (tok) GROUP BY doc_id, lang
+    ),
+    best AS (
+      SELECT doc_id, lang AS sw_lang, hits FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY hits DESC, lang ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT n.doc_id,
+           CASE WHEN regexp_matches(n.norm, '[一-鿿]') THEN 'zh'
+                WHEN b.sw_lang IS NOT NULL THEN b.sw_lang
+                ELSE 'und' END AS pred_lang,
+           ROUND(COALESCE(b.hits, 0) / CAST(greatest(
+             CASE WHEN n.norm = '' THEN 0 ELSE len(string_split(n.norm, ' ')) END, 1) AS DOUBLE), 6) AS lang_score
+    FROM normed n LEFT JOIN best b ON n.doc_id = b.doc_id
+    """,
+    doc="Heuristic language ID: CJK char detection + stopword-profile "
+        "voting with deterministic tiebreak",
+)
+def q30_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q31_fingerprints",
+    oracle=f"""
+    WITH normed AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT doc_id,
+           {_H64.format(x='norm')} AS content_fp,
+           CASE WHEN length(norm) < {FP_NGRAM} THEN {_H64.format(x='norm')}
+                ELSE (
+                  SELECT MIN({_H64.format(x=f'substr(norm, i, {FP_NGRAM})')})
+                  FROM unnest(generate_series(1, length(norm) - {FP_NGRAM - 1})) AS t(i)
+                ) END AS min_gram_fp
+    FROM normed
+    """,
+    doc="Document fingerprinting: whole-content hash + winnowing-style "
+        "min char-8-gram hash",
+)
+def q31_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"), ngram_chars=FP_NGRAM)

@@ -1,0 +1,64 @@
+import pytest
+
+from spark_relieffc_fselection_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The cat sat on the mat and it is warm in the sun."),
+        (1, "El perro corre por la calle y la casa es grande para los niños."),
+        (2, "Der Hund ist nicht klein und das Haus ist groß für die Familie."),
+        (3, "Le chat est dans la maison avec une souris pour le dîner."),
+        (4, "这是一个中文文档 关于数据处理"),
+        (5, "xyzzy plugh qwerty"),  # no profile hits -> und
+        (6, ""),
+        (7, "Numbers 123 456!!! and,,, punctuation;;; everywhere 789."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id_multilingual(docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[1] == "es"
+    assert pred[2] == "de"
+    assert pred[3] == "fr"
+    assert pred[4] == "zh"
+    assert pred[5] == "und"
+    assert pred[6] == "und"
+
+
+def test_token_stats_counts(docs):
+    stats = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert stats[6]["n_words_ws"] == 0 and stats[6]["n_chars"] == 0
+    assert stats[0]["n_words_ws"] == 13
+    # regex tokens exclude punctuation-only fragments
+    assert stats[7]["n_words_re"] == 7
+    assert stats[0]["n_tokens_bpe_est"] >= stats[0]["n_words_ws"]
+
+
+def test_quality_scores_ordering(docs):
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    # clean English sentence beats punctuation/digit soup
+    assert q[0]["quality_score"] > q[7]["quality_score"]
+    assert q[0]["stopword_ratio"] > 0.2
+    assert q[7]["digit_ratio"] > 0.1
+    assert 0.0 <= q[6]["quality_score"] <= 1.0
+
+
+def test_fingerprints_stability(docs, spark):
+    fp = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    edited = spark.createDataFrame(
+        [(0, "The cat sat on the mat and it is warm in the sun?")],  # 1-char edit
+        "doc_id long, text string",
+    )
+    fp_e = fingerprints(edited).first()
+    assert fp_e["content_fp"] != fp[0]["content_fp"]  # whole-hash changes
+    assert fp_e["min_gram_fp"] == fp[0]["min_gram_fp"]  # min-gram robust to tail edit
+    assert fp[6]["content_fp"] == fp[6]["min_gram_fp"]  # short doc fallback
