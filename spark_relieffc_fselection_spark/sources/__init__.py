@@ -18,7 +18,23 @@ TPCH_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one testdata table (S4-analogue)."""
+    """Parquet scan of one testdata table (S4-analogue).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as raw nanos and truncate to micros
+    (exactly what DuckDB's reader does), so both engines see the same
+    instants.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,135 @@
+"""Event-time streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY §2.8); this is the
+north-star extension: the same window semantics as the batch queries in
+``queries/events_q.py``, expressed as Structured Streaming programs —
+``readStream -> withWatermark -> window/session_window/applyInPandas-
+WithState -> sink``. Batch/stream parity is pinned by
+tests/test_streaming.py (same input file, equal results).
+
+Scale notes: event-time windows + watermarks bound state by (watermark
+horizon x key cardinality) regardless of stream length; the stateful
+operator keeps one small state row per user and is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Raw schema of events.parquet (ts is TIMESTAMP(NANOS) -> read as long).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the events table. ``path`` must be a
+    DIRECTORY of parquet files (Spark file-stream contract); each file
+    becomes a micro-batch (maxFilesPerTrigger=1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-merged) on the stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.unix_timestamp("first_ts").alias("session_start_s"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "n long, total double"
+_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _user_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals — the custom stateful operator pattern
+    (applyInPandasWithState): state survives across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful streaming op: running (count, sum) per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input into an in-memory table; return it."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

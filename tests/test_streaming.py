@@ -1,0 +1,85 @@
+"""Stream-batch parity: the streaming operators must produce the same
+results as the batch event queries on the same input file."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.sources import load_table
+from spark_relieffc_fselection_spark.streaming import (
+    read_events_stream,
+    run_to_memory_sink,
+    stateful_user_totals,
+    streaming_session_agg,
+    streaming_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    # file-stream sources require a directory; stage the file into one
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return read_events_stream(spark, str(d))
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream, events_batch):
+    got = run_to_memory_sink(
+        streaming_tumbling_counts(events_stream), "tumbling_t", "complete"
+    )
+    expected = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    g = {tuple(r[:2]): (r[2], r[3]) for r in got.collect()}
+    e = {tuple(r[:2]): (r[2], r[3]) for r in expected.collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert g[k][0] == e[k][0]
+        assert abs(g[k][1] - e[k][1]) < 1e-6
+
+
+def test_streaming_sessions_match_batch(spark, events_stream, events_batch):
+    got = run_to_memory_sink(
+        streaming_session_agg(events_stream), "sessions_t", "complete"
+    )
+    expected = (
+        events_batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.unix_timestamp("first_ts").alias("session_start_s"),
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_stateful_user_totals(spark, events_stream, events_batch):
+    got = run_to_memory_sink(
+        stateful_user_totals(events_stream), "totals_t", "update"
+    )
+    expected = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    e = {r["user_id"]: (r["n_events"], r["total_value"]) for r in expected.collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert g[k][0] == e[k][0]
+        assert abs(g[k][1] - e[k][1]) < 1e-4
