@@ -23,7 +23,11 @@ TOPK = 10
 LSH_BITS, LSH_TABLES = 4, 4
 IVF_STRIDE, IVF_PROBE = 50, 4
 NEARDUP_COS = 0.35  # corpus max pairwise cosine is ~0.51; 0.35 = ~99.9th pct
-QUERY_PRED_SPARK = F.col("vec_id") % 25 == 0
+def QUERY_PRED_SPARK():
+    # deferred: building a Column requires an active SparkContext,
+    # and queries() may be enumerated before any session exists
+    return F.col("vec_id") % 25 == 0
+
 QUERY_PRED_SQL = "id % 25 = 0"
 
 _INST = """
@@ -64,7 +68,7 @@ CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
 )
 def q24_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = brute_force_topk(emb, emb.filter(QUERY_PRED_SPARK), k=TOPK)
+    out = brute_force_topk(emb, emb.filter(QUERY_PRED_SPARK()), k=TOPK)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -102,7 +106,7 @@ def q24_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = lsh_bucketed_topk(
-        emb, emb.filter(QUERY_PRED_SPARK), k=TOPK, n_bits=LSH_BITS, n_tables=LSH_TABLES
+        emb, emb.filter(QUERY_PRED_SPARK()), k=TOPK, n_bits=LSH_BITS, n_tables=LSH_TABLES
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -159,7 +163,7 @@ def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(
         emb,
-        emb.filter(QUERY_PRED_SPARK),
+        emb.filter(QUERY_PRED_SPARK()),
         k=TOPK,
         centroid_stride=IVF_STRIDE,
         n_probe=IVF_PROBE,
