@@ -70,6 +70,26 @@ def doc_shingles(
     )
 
 
+def doc_shingle_hashes(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_id, sh) with sh = 60-bit shingle hash.
+
+    Joining the inverted index on int64 keys instead of strings cuts
+    shuffle bytes and comparison cost substantially; the oracle hashes
+    identically, so any (vanishingly rare) hash collision affects both
+    engines the same way.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+        )
+        .select("doc_id", md5_hash64(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+
+
 def jaccard_similar_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -84,14 +104,14 @@ def jaccard_similar_pairs(
     |A ∩ B| = count of shared shingles, |A ∪ B| = |A| + |B| - inter.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = doc_shingles(docs, n, text_col, id_col)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "shingle")
+    sh = doc_shingle_hashes(docs, n, text_col, id_col)
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
@@ -185,11 +205,11 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = doc_shingles(docs, n, text_col, id_col)
+    sh = doc_shingle_hashes(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
-        cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

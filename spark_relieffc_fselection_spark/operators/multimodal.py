@@ -48,22 +48,38 @@ _FEATURE_SCHEMA = (
 
 def synthetic_assets(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic fake asset table for tests/demos: binary payloads
-    derived from (seed, asset_id) so every run sees identical bytes."""
-    rows = []
+    derived from (seed, asset_id) so every run sees identical bytes.
+
+    Generated DISTRIBUTED (mapInPandas over spark.range): blobs are
+    born on executors — the pattern a real ingest uses; nothing binary
+    transits the driver."""
     mods = ["image", "audio", "video"]
-    for i in range(n):
-        rng = np.random.default_rng(seed * 100_003 + i)
-        modality = mods[i % 3]
-        content = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
-        meta = {
-            "width": int(rng.integers(16, 512)) if modality == "image" else None,
-            "height": int(rng.integers(16, 512)) if modality == "image" else None,
-            "sample_rate": 16_000 if modality == "audio" else None,
-            "n_frames": int(rng.integers(1, 300)) if modality == "video" else None,
-            "format": {"image": "png", "audio": "wav", "video": "mp4"}[modality],
-        }
-        rows.append((i, modality, bytearray(content), meta))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [], "meta": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 100_003 + i)
+                modality = mods[i % 3]
+                content = rng.integers(
+                    0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8
+                ).tobytes()
+                out["asset_id"].append(i)
+                out["modality"].append(modality)
+                out["content"].append(content)
+                out["meta"].append(
+                    {
+                        "width": int(rng.integers(16, 512)) if modality == "image" else None,
+                        "height": int(rng.integers(16, 512)) if modality == "image" else None,
+                        "sample_rate": 16_000 if modality == "audio" else None,
+                        "n_frames": int(rng.integers(1, 300)) if modality == "video" else None,
+                        "format": {"image": "png", "audio": "wav", "video": "mp4"}[modality],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(n).repartition(8).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def decode_asset(content: bytes, modality: str, meta: dict) -> np.ndarray:

@@ -105,6 +105,7 @@ def pair_feature_table(
 def relevance_weights(
     long_pairs: DataFrame,
     priors: dict[float, float],
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Collapse per-feature class-bin sums into RELIEF relevance.
 
@@ -120,12 +121,27 @@ def relevance_weights(
             "n_label double, prior double",
         )
     )
+    # The collapse divisor is the classCounter — the number of (query,
+    # neighbor) PAIRS in the bin (ReliefFRSelector.scala:436-437, 469),
+    # not the per-feature row count. They coincide for dense long
+    # tables (every feature appears for every pair) but diverge for the
+    # sparse path, where zero-zero feature slots are absent rows — and
+    # a fully-inactive pair has NO rows at all, so sparse callers must
+    # pass `pair_counts` (n_label, same_class, bin_cnt) computed from
+    # the neighbor table itself.
+    if pair_counts is None:
+        pair_counts = (
+            long_pairs.select("query_id", "neighbor_id", "n_label", "same_class")
+            .distinct()
+            .groupBy("n_label", "same_class")
+            .agg(F.count("*").alias("bin_cnt"))
+        )
     bin_sums = long_pairs.groupBy("feature_idx", "n_label", "same_class").agg(
         F.sum(F.col("fdist").cast(DEC)).alias("bin_sum"),
-        F.count("*").alias("bin_cnt"),
     )
     return (
-        bin_sums.join(prior_df, "n_label")
+        bin_sums.join(pair_counts, ["n_label", "same_class"])
+        .join(prior_df, "n_label")
         .withColumn(
             "contrib",
             F.when(F.col("same_class"), F.lit(-1.0)).otherwise(F.lit(1.0))

@@ -1,0 +1,265 @@
+"""Sparse-input RELIEF-F: long/COO representation end-to-end.
+
+The reference's sparse path (ReliefFRSelector.scala:483-602) re-walks
+(indices, values) arrays with two-pointer merges inside RDD closures —
+and mis-keys feature ids doing it (SURVEY §8.1). Here sparsity is just
+*absent rows* in a long table ``(id, feature_idx, value)``:
+
+  * kNN: dist^2 = |a|^2 + |b|^2 - 2<a,b>, where the dot products come
+    from an inverted-index join on feature_idx — cost scales with
+    *shared nonzeros*, never with the nominal dimensionality. This is
+    what makes "millions of features" (README.md:11, kddb 30M features)
+    tractable: a dense scan is O(Q·N·d), this is O(Q·nnz).
+  * pair expansion: full-outer join of the two sides' active features
+    per (query, neighbor) pair — features inactive in BOTH sides are
+    skipped (they contribute 0 distance; for collisions this matches
+    the reference's sparse semantics of visiting active indices only).
+  * everything downstream — relevance_weights, collision_table,
+    marginal/joint counts, MI, greedy selection — is shared with the
+    dense path unchanged: the long-form design makes the aggregation
+    layer representation-agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.relief import (
+    DEC,
+    ReliefFitResult,
+    collision_table,
+    greedy_select,
+    joint_counts,
+    marginal_counts,
+    mi_redundancy,
+    relevance_weights,
+    std_ranking,
+)
+
+
+def to_long_form(
+    df: DataFrame,
+    id_col: str = "id",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """(long, labels): explode a dense array column to nonzero rows.
+
+    Convenience for tests/small data — real sparse corpora should
+    arrive in long form already (the natural shape of a COO parquet).
+    """
+    long_df = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(features_col)).alias("feature_idx", "value"),
+        )
+        .filter(F.col("value") != 0.0)
+    )
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("label")
+    )
+    return long_df, labels
+
+
+def sparse_knn_join(
+    long_df: DataFrame,
+    labels: DataFrame,
+    query_ids: DataFrame,
+    k: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """kNN via inverted-index dot products + the norm expansion.
+
+    ``long_df``: (id, feature_idx, value); ``query_ids``: (id) subset.
+    Returns (query_id, neighbor_id, distance, rank). Dot products only
+    materialize for pairs sharing >=1 active feature; all other pairs
+    get dist^2 = |q|^2 + |n|^2 via the norms grid.
+    """
+    # id universe comes from `labels`, NOT the long table: an all-zero
+    # row has no long-form rows at all but is still a real instance
+    # (norm 0) for both the query and neighbor sides.
+    norms = (
+        labels.select("id")
+        .join(
+            long_df.groupBy("id").agg(
+                F.sum(F.col("value") * F.col("value")).alias("sq_norm")
+            ),
+            "id",
+            "left",
+        )
+        .na.fill({"sq_norm": 0.0})
+    )
+    q_long = long_df.join(
+        F.broadcast(query_ids.select(F.col("id").alias("query_id"))),
+        long_df.id == F.col("query_id"),
+    ).select("query_id", "feature_idx", F.col("value").alias("q_val"))
+    dots = (
+        long_df.select(F.col("id").alias("neighbor_id"), "feature_idx", F.col("value").alias("n_val"))
+        .join(q_long, "feature_idx")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("q_val") * F.col("n_val")).alias("dot"))
+    )
+    grid = (
+        norms.select(F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq"))
+        .crossJoin(
+            F.broadcast(
+                norms.join(query_ids.select(F.col("id")), "id").select(
+                    F.col("id").alias("query_id"), F.col("sq_norm").alias("q_sq")
+                )
+            )
+        )
+    )
+    cand = (
+        grid.join(dots, ["query_id", "neighbor_id"], "left")
+        .na.fill({"dot": 0.0})
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.sqrt(
+                F.greatest(
+                    F.col("q_sq") + F.col("n_sq") - 2.0 * F.col("dot"), F.lit(0.0)
+                )
+            ).alias("distance"),
+        )
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sparse_pair_feature_table(
+    long_df: DataFrame, labels: DataFrame, neighbors: DataFrame
+) -> DataFrame:
+    """Long pair-feature table over the union of active features.
+
+    Output schema matches the dense ``pair_feature_table`` —
+    (query_id, neighbor_id, n_label, same_class, feature_idx, fdist) —
+    so every downstream aggregation is shared verbatim.
+    """
+    pairs = (
+        neighbors.select("query_id", "neighbor_id")
+        .join(
+            labels.select(F.col("id").alias("query_id"), F.col("label").alias("q_label")),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("same_class", F.col("n_label") == F.col("q_label"))
+    )
+    q_side = pairs.join(
+        long_df.select(F.col("id").alias("query_id"), "feature_idx", F.col("value").alias("q_val")),
+        "query_id",
+    ).select("query_id", "neighbor_id", "feature_idx", "q_val")
+    n_side = pairs.join(
+        long_df.select(
+            F.col("id").alias("neighbor_id"), "feature_idx", F.col("value").alias("n_val")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "feature_idx", "n_val")
+    merged = q_side.join(
+        n_side, ["query_id", "neighbor_id", "feature_idx"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "feature_idx",
+        F.abs(
+            F.coalesce(F.col("q_val"), F.lit(0.0))
+            - F.coalesce(F.col("n_val"), F.lit(0.0))
+        ).alias("fdist"),
+    )
+    return merged.join(
+        pairs.select("query_id", "neighbor_id", "n_label", "same_class"),
+        ["query_id", "neighbor_id"],
+    )
+
+
+def _pair_bin_counts(neighbors: DataFrame, labels: DataFrame) -> DataFrame:
+    """classCounter from the neighbor table: counts EVERY pair, even
+    ones whose rows are fully absent from the sparse long table."""
+    return (
+        neighbors.select("query_id", "neighbor_id")
+        .join(
+            labels.select(F.col("id").alias("query_id"), F.col("label").alias("q_label")),
+            "query_id",
+        )
+        .join(
+            labels.select(F.col("id").alias("neighbor_id"), F.col("label").alias("n_label")),
+            "neighbor_id",
+        )
+        .withColumn("same_class", F.col("n_label") == F.col("q_label"))
+        .groupBy("n_label", "same_class")
+        .agg(F.count("*").alias("bin_cnt"))
+    )
+
+
+def fit_relief_sparse(
+    long_df: DataFrame,
+    labels: DataFrame,
+    n_features: int,
+    *,
+    num_top_features: int = 10,
+    num_neighbors: int = 10,
+    lower_distance_threshold: float = 0.8,
+    redundancy_removal: bool = True,
+    discrete_data: bool = False,
+    top_features: list[int] | None = None,
+) -> ReliefFitResult:
+    """Single-pass sparse fit (no sampling/batching: callers sample the
+    long table upstream — at sparse scale, sampling is a filter on id).
+
+    Shares the entire aggregation layer with the dense path; cites
+    ReliefFRSelector.scala:483-602 for the semantics it re-expresses
+    (with corrected feature indexing, SURVEY §8.1).
+    """
+    n_elems = labels.count()
+    priors = {
+        float(r["label"]): r["count"] / n_elems
+        for r in labels.groupBy("label").count().collect()
+    }
+    k = num_neighbors * len(priors)
+    neigh = sparse_knn_join(long_df, labels, labels.select("id"), k).cache()
+    lp = sparse_pair_feature_table(long_df, labels, neigh).cache()
+
+    pair_counts = _pair_bin_counts(neigh, labels)
+    w_rows = relevance_weights(lp, priors, pair_counts=pair_counts).collect()
+    relevance = np.zeros(n_features)
+    for r in w_rows:
+        relevance[int(r["feature_idx"])] = float(r["relevance"])
+    mn, mx = relevance.min(), relevance.max()
+    relevance_n = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_features)
+    std_sel = std_ranking(relevance_n, num_top_features)
+
+    red_coo: dict[tuple[int, int], float] = {}
+    if redundancy_removal:
+        coll = collision_table(lp, not discrete_data, lower_distance_threshold).cache()
+        tf = top_features if top_features is not None else std_sel
+        joint = joint_counts(coll, tf, not discrete_data)
+        marg = marginal_counts(coll)
+        n_pairs = neigh.count()
+        if n_pairs:
+            red_df = mi_redundancy(joint, marg, float(n_pairs), float(n_pairs))
+            for r in red_df.collect():
+                red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
+    lp.unpersist()
+
+    red_sel = (
+        greedy_select(relevance_n, red_coo, num_top_features)
+        if redundancy_removal
+        else list(std_sel)
+    )
+    return ReliefFitResult(
+        relevance=relevance_n,
+        std_selection=std_sel,
+        redundancy_selection=red_sel,
+        n_features=n_features,
+        n_instances=n_elems,
+        priors=priors,
+        redundancy_coo=red_coo,
+    )

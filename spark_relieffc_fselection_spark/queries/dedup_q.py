@@ -36,6 +36,9 @@ shingles AS (
     SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
   ) u
+),
+shingle_hashes AS (
+  SELECT DISTINCT doc_id, {_H64.format(x='sh')} AS shh FROM shingles
 )
 """
 
@@ -77,10 +80,10 @@ def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_dedup_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingle_hashes GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shingle_hashes a JOIN shingle_hashes b ON a.shh = b.shh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -138,12 +141,12 @@ def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingle_hashes GROUP BY doc_id),
     inter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS inter
       FROM cands c
-      JOIN shingles a ON a.doc_id = c.id_a
-      JOIN shingles b ON b.doc_id = c.id_b AND b.sh = a.sh
+      JOIN shingle_hashes a ON a.doc_id = c.id_a
+      JOIN shingle_hashes b ON b.doc_id = c.id_b AND b.shh = a.shh
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,

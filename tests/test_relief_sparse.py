@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.knn import knn_join
+from spark_relieffc_fselection_spark.operators.relief import (
+    pair_feature_table,
+    relevance_weights,
+)
+from spark_relieffc_fselection_spark.operators.relief_sparse import (
+    fit_relief_sparse,
+    sparse_knn_join,
+    sparse_pair_feature_table,
+    to_long_form,
+)
+
+
+@pytest.fixture(scope="module")
+def sparse_fixture(spark):
+    """Gaussian data with ~70% exact zeros (no accidental nonzero==0,
+    so dense and sparse paths must agree bit-for-bit on relevance)."""
+    rng = np.random.default_rng(21)
+    n, d = 60, 10
+    X = rng.normal(loc=3.0, size=(n, d))  # offset: no zeros among actives
+    mask = rng.random((n, d)) < 0.7
+    X[mask] = 0.0
+    y = (X[:, 0] > 0).astype(float)
+    rows = [(i, X[i].tolist(), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    return df, X, y
+
+
+def test_sparse_knn_matches_dense(spark, sparse_fixture):
+    df, X, y = sparse_fixture
+    long_df, labels = to_long_form(df)
+    k = 5
+    dense = knn_join(df, df, k, strategy="sql").orderBy("query_id", "rank").collect()
+    sparse = (
+        sparse_knn_join(long_df, labels, labels.select("id"), k)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r["query_id"], r["neighbor_id"]) for r in dense] == [
+        (r["query_id"], r["neighbor_id"]) for r in sparse
+    ]
+    for a, b in zip(dense, sparse):
+        assert abs(a["distance"] - b["distance"]) < 1e-9
+
+
+def test_sparse_pair_table_matches_dense_relevance(spark, sparse_fixture):
+    df, X, y = sparse_fixture
+    long_df, labels = to_long_form(df)
+    k = 6
+    priors = {float(l): float((y == l).mean()) for l in np.unique(y)}
+
+    dense_lp = pair_feature_table(df, knn_join(df, df, k, strategy="sql"))
+    dense_w = {
+        r["feature_idx"]: r["relevance"]
+        for r in relevance_weights(dense_lp, priors).collect()
+    }
+    from spark_relieffc_fselection_spark.operators.relief_sparse import _pair_bin_counts
+
+    sparse_neigh = sparse_knn_join(long_df, labels, labels.select("id"), k)
+    sparse_lp = sparse_pair_feature_table(long_df, labels, sparse_neigh)
+    sparse_w = {
+        r["feature_idx"]: r["relevance"]
+        for r in relevance_weights(
+            sparse_lp, priors, pair_counts=_pair_bin_counts(sparse_neigh, labels)
+        ).collect()
+    }
+    # sparse path omits zero-zero feature slots, which contribute 0 to
+    # bin sums; the collapse divisor is the per-bin PAIR count (the
+    # reference's classCounter), so dense and sparse agree exactly.
+    for f in dense_w:
+        assert abs(dense_w[f] - sparse_w.get(f, 0.0)) < 1e-9, f
+
+
+def test_fit_relief_sparse_end_to_end(spark, sparse_fixture):
+    df, X, y = sparse_fixture
+    long_df, labels = to_long_form(df)
+    res = fit_relief_sparse(
+        long_df, labels, n_features=X.shape[1],
+        num_top_features=3, num_neighbors=4,
+        redundancy_removal=True,
+    )
+    assert len(res.std_selection) == 3
+    assert 0 in res.std_selection  # informative feature found
+    assert res.n_instances == len(X)
