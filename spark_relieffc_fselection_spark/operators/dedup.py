@@ -104,7 +104,9 @@ def jaccard_similar_pairs(
     |A ∩ B| = count of shared shingles, |A ∪ B| = |A| + |B| - inter.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = doc_shingle_hashes(docs, n, text_col, id_col)
+    # cache: the shingle table feeds sizes + both join sides; without
+    # it Spark re-runs explode+hash+distinct three times.
+    sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -128,6 +130,21 @@ def jaccard_similar_pairs(
     )
 
 
+#: Modulus of the arithmetic minhash family (Mersenne prime 2^31-1):
+#: all intermediate products stay under 2^63, so the identical integer
+#: expression runs overflow-free (ANSI-safe) in Spark AND DuckDB.
+MINHASH_M = (1 << 31) - 1
+
+#: h_k(h) = (a1(k)*(h % M) + a2(k)*(h >> 31 bits) + b(k)) mod M —
+#: a universal-ish family keyed by k, derived arithmetically so only
+#: ONE md5 per shingle is ever computed (the base hash).
+MINHASH_FAMILY_SQL = (
+    "((2654435761 * (k + 1)) % {M}) * (h % {M}) "
+    "+ ((40503 * (k + 7)) % {M}) * (h // {M}) "
+    "+ (97 * (k + 13)) % {M}"
+)
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -137,19 +154,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, k, minhash) — k in 0..num_hashes-1.
 
-    Hash family: md5 of ``k || ':' || shingle`` (portable; no mod-prime
-    arithmetic that overflows int64 in SQL). Docs with no shingles get
-    no signature rows.
+    One md5 per distinct shingle (the base 60-bit hash), then the k
+    family members derived arithmetically (MINHASH_FAMILY_SQL) — ~16x
+    fewer hash computations than an md5-per-(k, shingle) family. Docs
+    with no shingles get no signature rows.
     """
-    sh = doc_shingles(docs, n, text_col, id_col)
+    sh = doc_shingle_hashes(docs, n, text_col, id_col)
+    return minhash_signatures_from_hashes(sh, num_hashes)
+
+
+def minhash_signatures_from_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature matrix from a prebuilt (doc_id, sh) hash table."""
+    M = MINHASH_M
     ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    family = F.expr(
+        f"(((2654435761 * (k + 1)) % {M}) * (sh % {M}) "
+        f"+ ((40503 * (k + 7)) % {M}) * (sh DIV {M}) "
+        f"+ (97 * (k + 13)) % {M}) % {M}"
+    )
     return (
-        sh.select("doc_id", "shingle", ks)
-        .select(
-            "doc_id",
-            "k",
-            md5_hash64(F.concat_ws(":", F.col("k").cast("string"), F.col("shingle"))).alias("hv"),
-        )
+        sh.select("doc_id", "sh", ks)
+        .select("doc_id", "k", family.alias("hv"))
         .groupBy("doc_id", "k")
         .agg(F.min("hv").alias("minhash"))
     )
@@ -203,9 +228,11 @@ def minhash_near_duplicates(
     """MinHash-LSH near-dup pipeline: bucket -> candidates -> verify
     with true Jaccard (only candidates pay the verification join)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    # one shingle-hash table feeds signatures, sizes, and both sides of
+    # the verification join — cache it.
+    sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
+    sigs = minhash_signatures_from_hashes(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = doc_shingle_hashes(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")

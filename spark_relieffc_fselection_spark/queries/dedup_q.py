@@ -103,17 +103,31 @@ def q19_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash signatures ----------------------------------------------------------
 
+_M31 = (1 << 31) - 1
+_FAMILY = (
+    f"(((2654435761 * (k + 1)) % {_M31}) * (shh % {_M31}) "
+    f"+ ((40503 * (k + 7)) % {_M31}) * (shh // {_M31}) "
+    f"+ (97 * (k + 13)) % {_M31}) % {_M31}"
+)
+
+_SIGS_CTE = f"""
+hv AS (
+  SELECT doc_id, k, {_FAMILY} AS hv
+  FROM shingle_hashes, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k) u
+),
+sigs AS (SELECT doc_id, k, MIN(hv) AS minhash FROM hv GROUP BY doc_id, k)
+"""
+
+
 @register(
     "q20_minhash_signatures",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    hv AS (
-      SELECT doc_id, k, {_H64.format(x="k::VARCHAR || ':' || sh")} AS hv
-      FROM shingles, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k) u
-    )
-    SELECT doc_id, k, MIN(hv) AS minhash FROM hv GROUP BY doc_id, k
+    {_SIGS_CTE}
+    SELECT doc_id, k, minhash FROM sigs
     """,
-    doc="MinHash signature matrix (portable md5 hash family)",
+    doc="MinHash signature matrix: one md5 per shingle + arithmetic "
+        "universal family (overflow-safe mod 2^31-1 in both engines)",
 )
 def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -126,11 +140,7 @@ def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_minhash_lsh_neardup",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    hv AS (
-      SELECT doc_id, k, {_H64.format(x="k::VARCHAR || ':' || sh")} AS hv
-      FROM shingles, LATERAL (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k) u
-    ),
-    sigs AS (SELECT doc_id, k, MIN(hv) AS minhash FROM hv GROUP BY doc_id, k),
+    {_SIGS_CTE},
     banded AS (
       SELECT doc_id, CAST(k / {MINHASH_K // MINHASH_BANDS} AS INT) AS band,
              {_H64.format(x="string_agg(minhash::VARCHAR, ',' ORDER BY k)")} AS bucket

@@ -1,0 +1,68 @@
+"""Physical-plan audits: the optimizations SURVEY §4 says Catalyst
+must supply have to actually show up in the executed plans. These
+assertions keep them from silently regressing."""
+
+import pytest
+
+from spark_relieffc_fselection_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_scan_pushdown_and_pruning(spark, qs):
+    """q01: filters reach the parquet scan; only needed columns read."""
+    plan = _plan(qs["q01_pruned_scan"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read_schema  # no such col, but guard anyway
+    assert "l_partkey" not in read_schema  # unused column pruned
+
+
+def test_join_broadcasts_dimensions(spark, qs):
+    """q03: every dimension join is a broadcast join — the fact table
+    is never shuffled for a dim lookup."""
+    plan = _plan(qs["q03_join_revenue_by_nation"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark, qs):
+    """q05: orderBy+limit must plan as TakeOrderedAndProject, not a
+    full sort."""
+    plan = _plan(qs["q05_global_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_final(spark, qs):
+    """q02: hash aggregation with a partial (map-side) phase — the
+    reference hand-rolled this with per-partition breeze state."""
+    plan = _plan(qs["q02_groupby_agg"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semijoin_planned_as_semi(spark, qs):
+    plan = _plan(qs["q07_semijoin"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_active(spark, qs):
+    """Scalar-function pipelines stay inside whole-stage codegen.
+
+    The AQE top-level plan string hides codegen stages before
+    execution; the 'codegen' explain mode reports the subtree count."""
+    df = qs["q29_quality_scores"](spark, SF)
+    df.collect()  # AQE finalizes subplans only at execution
+    plan = _plan(df)
+    # '*(N)' operator prefixes mark whole-stage-codegen stages in AQE
+    # final plans (the literal label only appears in formatted mode)
+    assert "*(" in plan

@@ -1,0 +1,56 @@
+"""Source/ingest parity tests (SURVEY §2.1 S1/S2, §2.7 F7/F10/F11,
+TestHelper.scala:41-113 equivalents): CSV with schema + inferSchema,
+raw text, null-label cleaning, StringIndexer + VectorAssembler wiring."""
+
+import pytest
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.sources import load_table, read_csv, read_text
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv")
+    p = d / "data.csv"
+    p.write_text("class,v1,v2\na,1.5,2\nb,0.5,4\n,2.5,6\na,3.5,8\n")
+    return str(p)
+
+
+def test_csv_infer_schema(spark, csv_file):
+    df = read_csv(spark, csv_file)
+    assert dict(df.dtypes)["v1"] == "double"
+    assert df.count() == 4
+
+
+def test_csv_explicit_schema(spark, csv_file):
+    df = read_csv(spark, csv_file, schema="class string, v1 double, v2 int")
+    assert dict(df.dtypes) == {"class": "string", "v1": "double", "v2": "int"}
+
+
+def test_read_text(spark, csv_file):
+    assert read_text(spark, csv_file).count() == 5  # header + 4 rows
+
+
+def test_null_label_cleaning_pipeline(spark, csv_file):
+    """TestHelper.scala:91-113: null labels -> sentinel, StringIndexer,
+    VectorAssembler — the reference's full ingest path."""
+    df = read_csv(spark, csv_file)
+    cleaned = df.withColumn(
+        "class",
+        F.when(F.col("class").isNull(), F.lit("__MISSING__")).otherwise(F.col("class")),
+    )
+    indexed = StringIndexer(inputCol="class", outputCol="label").fit(cleaned).transform(cleaned)
+    assembled = VectorAssembler(inputCols=["v1", "v2"], outputCol="features").transform(indexed)
+    rows = assembled.select("label", "features").collect()
+    assert len(rows) == 4
+    assert all(r["features"].size == 2 for r in rows)
+    assert len({r["label"] for r in rows}) == 3  # a, b, __MISSING__
+
+
+def test_load_table_events_timestamps(spark):
+    """Nanos-timestamp handling: ts must come back as a usable
+    timestamp column."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts") >= "2024-01-01").count() == ev.count()
