@@ -68,6 +68,19 @@ def knn_join(
     classic RELIEF-F neighborhoods exclude the instance. Pass False to
     reproduce the reference's behavior.
     """
+    # Small files arrive as one partition; spread the scan side or the
+    # kernel runs on one core. But every extra partition adds k
+    # candidate rows per query to the rank-merge shuffle, so cap at
+    # ~256 scan rows per partition. (At real scale the input already
+    # has >= parallelism partitions; this is a no-op.)
+    sc = instances.sparkSession.sparkContext
+    n_parts = instances.rdd.getNumPartitions()
+    if n_parts < sc.defaultParallelism:
+        approx_rows = instances.count()
+        target = max(1, min(sc.defaultParallelism, approx_rows // 256))
+        if target > n_parts:
+            instances = instances.repartition(target)
+
     if strategy == "numpy":
         # Self-exclusion happens inside the kernel: the per-partition
         # candidate set is already truncated to k, so filtering after

@@ -360,7 +360,13 @@ def fit_relief(
     lower_feat = max(num_top_features, round(lower_feature_threshold * num_top_features))
 
     sample = instances.sample(fraction=estimation_ratio, seed=seed) if estimation_ratio < 1.0 else instances
-    n_batches = max(1, int(1.0 / batch_size))
+    sampled_size = sample.count() if estimation_ratio < 1.0 else n_elems
+    # Broadcast-memory guard (ReliefFRSelector.scala:225-228): a batch
+    # rides to every executor, so its fraction is capped such that
+    # rows x (nFeat + 2) doubles stays under ~2 GiB.
+    max_size_allowed = (2**31 - 1) / 8.0 / (n_feat + 2) / max(sampled_size, 1)
+    max_batch = min(batch_size, max_size_allowed) if max_size_allowed > 0 else batch_size
+    n_batches = max(1, int(1.0 / max_batch))
     batches = sample.randomSplit([1.0] * n_batches, seed=seed) if n_batches > 1 else [sample]
 
     top_features: list[int] | None = []  # batch 0 contributes no joint stats
@@ -371,7 +377,7 @@ def fit_relief(
 
     for batch in batches:
         batch = batch.cache()
-        if batch.rdd.isEmpty():
+        if batch.limit(1).count() == 0:
             continue
         neigh = knn_join(
             batch, batch, k,

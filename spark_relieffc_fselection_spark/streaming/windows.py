@@ -120,6 +120,18 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop repeats of the key within the
+    watermark horizon (state is bounded by the horizon — the streaming
+    form of the engine's exact-dedup operator)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

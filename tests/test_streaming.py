@@ -69,6 +69,22 @@ def test_streaming_sessions_match_batch(spark, events_stream, events_batch):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
 
 
+def test_streaming_dedup_drops_injected_repeats(spark, events_batch, tmp_path_factory):
+    import shutil
+
+    from spark_relieffc_fselection_spark.streaming import read_events_stream, streaming_dedup
+
+    # stage the same file twice -> every event arrives in two
+    # micro-batches; dedup-within-watermark must emit each id once
+    d = tmp_path_factory.mktemp("dup_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "b.parquet")
+    stream = read_events_stream(spark, str(d))
+    got = run_to_memory_sink(streaming_dedup(stream, watermark="365 days"), "dedup_t", "append")
+    assert got.count() == events_batch.count()
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
 def test_stateful_user_totals(spark, events_stream, events_batch):
     got = run_to_memory_sink(
         stateful_user_totals(events_stream), "totals_t", "update"
