@@ -197,6 +197,30 @@ class ReliefFSelectorModel(
             sel = sel[: self.getOrDefault(self.selectionSize)]
         return sorted(sel)
 
+    def ranking(self, spark) -> DataFrame:
+        """Dual ranking as a DataFrame — the engine's form of the
+        reference's console TSV dump (S5, ReliefFRSelector.scala:
+        318-321): one row per rank with both selection orders and
+        their normalized relevance."""
+        rel = self.getOrDefault(self.relevanceWeights)
+        std = self.getOrDefault(self.stdSelection)
+        red = self.getOrDefault(self.redundancySelection)
+        rows = [
+            (
+                i + 1,
+                int(s),
+                float(rel[s]) if s < len(rel) else None,
+                int(r),
+                float(rel[r]) if r < len(rel) else None,
+            )
+            for i, (s, r) in enumerate(zip(std, red))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "rank int, std_feature int, std_relevance double, "
+            "redundancy_feature int, redundancy_relevance double",
+        )
+
     def _transform(self, dataset: DataFrame) -> DataFrame:
         input_col = self.getInputCol()
         output_col = self.getOutputCol()

@@ -59,6 +59,15 @@ def test_selection_size_truncates(fitted, vec_df):
     assert m2.selected_indices() == [fitted.getOrDefault(fitted.stdSelection)[0]]
 
 
+def test_model_ranking_dataframe(fitted, spark):
+    df = fitted.ranking(spark)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["rank"] == 1
+    assert rows[0]["std_feature"] == fitted.getOrDefault(fitted.stdSelection)[0]
+    assert rows[0]["std_relevance"] == 1.0  # top feature is min-max max
+
+
 def test_model_persistence_roundtrip(fitted, tmp_path, vec_df):
     path = str(tmp_path / "model")
     fitted.write().overwrite().save(path)

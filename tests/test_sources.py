@@ -48,6 +48,15 @@ def test_null_label_cleaning_pipeline(spark, csv_file):
     assert len({r["label"] for r in rows}) == 3  # a, b, __MISSING__
 
 
+def test_parquet_sink_roundtrip(spark, tmp_path_factory):
+    """S3/S4: write a query result as parquet, read it back intact."""
+    d = str(tmp_path_factory.mktemp("sink") / "out.parquet")
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    src.write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_load_table_events_timestamps(spark):
     """Nanos-timestamp handling: ts must come back as a usable
     timestamp column."""
