@@ -55,7 +55,9 @@ def _load_modules() -> None:
         relational,
         relief_q,
     )
-    for optional in ("dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q"):
+    for optional in (
+        "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q", "extras_q"
+    ):
         try:
             __import__(f"spark_relieffc_fselection_spark.queries.{optional}")
         except ImportError:

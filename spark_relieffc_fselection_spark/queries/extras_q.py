@@ -1,0 +1,174 @@
+"""Additional coverage queries: discrete-mode RELIEF collisions,
+grouping-set rollup, distinct aggregates — SURVEY §2.4's 'engine:
+built-in' rows exercised explicitly, plus the discreteData collision
+semantics (vote=1, threshold=0) under an oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.knn import knn_join
+from spark_relieffc_fselection_spark.operators.relief import (
+    collision_table,
+    joint_counts,
+    marginal_counts,
+    pair_feature_table,
+)
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+DISC_K = 20  # 2 neighbors x 10 classes
+DISC_TOP = list(range(6))
+
+# Discretized embeddings: round each coordinate to an integer. The
+# whole relief-discrete pipeline runs on these ints in both engines.
+_DISC_CTE = f"""
+inst AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 0)) AS f,
+         CAST(label AS DOUBLE) AS lbl
+  FROM embeddings
+),
+cand AS (
+  SELECT q.id AS query_id, x.id AS neighbor_id,
+         sqrt(list_sum(list_transform(generate_series(1, len(q.f)),
+                                      i -> (q.f[i] - x.f[i]) * (q.f[i] - x.f[i])))) AS dist
+  FROM inst q JOIN inst x ON q.id <> x.id
+),
+knn AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+    FROM cand
+  ) WHERE rnk <= {DISC_K}
+),
+longf AS (
+  SELECT k.query_id, k.neighbor_id, u.i - 1 AS feature_idx,
+         abs(q.f[u.i] - x.f[u.i]) AS fdist
+  FROM knn k JOIN inst q ON k.query_id = q.id JOIN inst x ON k.neighbor_id = x.id,
+       LATERAL (SELECT unnest(generate_series(1, len(q.f))) AS i) u
+),
+coll AS (
+  SELECT query_id, neighbor_id, feature_idx, 1.0 AS vote
+  FROM longf WHERE fdist <= 0.0
+)
+"""
+
+
+def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    inst = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: F.round(x, 0)
+        ).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    # numpy kernel is safe here even for the rank tiebreak: discretized
+    # coordinates are small integers, so squared distances are exact in
+    # float64 under any summation order — ties are exact in both engines.
+    neigh = knn_join(inst, inst, DISC_K, strategy="numpy")
+    return pair_feature_table(inst, neigh)
+
+
+@register(
+    "q37_relief_discrete_collisions",
+    oracle=f"""
+    WITH {_DISC_CTE},
+    marginal AS (
+      SELECT feature_idx, CAST(COUNT(*) AS BIGINT) AS n_collisions
+      FROM coll GROUP BY feature_idx
+    ),
+    paired AS (
+      SELECT a.feature_idx AS f1, b.feature_idx AS f2, a.vote AS jv
+      FROM coll a JOIN coll b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      WHERE a.feature_idx <> b.feature_idx AND a.feature_idx < {len(DISC_TOP)}
+    ),
+    both_dir AS (
+      SELECT f1, f2, jv FROM paired
+      UNION ALL
+      SELECT f2 AS f1, f1 AS f2, jv FROM paired
+    ),
+    joint AS (
+      SELECT f1, f2, ROUND(CAST(SUM(CAST(jv AS DECIMAL(38,18))) AS DOUBLE), 6) AS joint
+      FROM both_dir GROUP BY f1, f2
+    )
+    SELECT m.feature_idx, m.n_collisions,
+           COALESCE(j.total_joint, 0.0) AS total_joint
+    FROM marginal m LEFT JOIN (
+      SELECT f1 AS feature_idx, ROUND(CAST(SUM(CAST(joint AS DECIMAL(38,18))) AS DOUBLE), 6) AS total_joint
+      FROM joint GROUP BY f1
+    ) j ON m.feature_idx = j.feature_idx
+    """,
+    doc="discreteData collision semantics: collision iff exact equality "
+        "(threshold 0), vote 1, jointVote = left vote (ReliefFRSelector."
+        "scala:417, 444 discrete branch; de-denormalized per SURVEY)",
+)
+def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lp = _discrete_long_pairs(spark, sf_dir)
+    coll = collision_table(lp, continuous=False, lower_distance_threshold=0.8).cache()
+    marg = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
+    joint = joint_counts(coll, DISC_TOP, continuous=False)
+    per_f = joint.groupBy(F.col("f1").alias("feature_idx")).agg(
+        F.round(
+            F.sum(F.col("joint").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("total_joint")
+    )
+    return (
+        marg.join(per_f, "feature_idx", "left")
+        .na.fill({"total_joint": 0.0})
+        .select("feature_idx", "n_collisions", "total_joint")
+    )
+
+
+@register(
+    "q38_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping sets: ROLLUP totals at (flag,status) / (flag) / () — "
+        "'engine: built-in' coverage of SURVEY §2.4's absent-in-reference ops",
+)
+def q38_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q39_distinct_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregates (expand + two-phase agg under the hood)",
+)
+def q39_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_items"),
+    )
