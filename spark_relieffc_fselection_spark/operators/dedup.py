@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_relieffc_fselection_spark.functions.partitioning import ensure_parallelism
 from spark_relieffc_fselection_spark.functions.text import (
     md5_hash64,
     normalize_text,
@@ -61,6 +62,7 @@ def doc_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct (doc_id, shingle) long table — the inverted-index input."""
+    docs = ensure_parallelism(docs)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -80,6 +82,7 @@ def doc_shingle_hashes(
     identically, so any (vanishingly rare) hash collision affects both
     engines the same way.
     """
+    docs = ensure_parallelism(docs)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -96,19 +99,23 @@ def jaccard_similar_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_cap: int = DEFAULT_DF_CAP,
+    df_cap: int | None = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
     Inverted-index join: docs sharing >=1 shingle become candidates;
     |A ∩ B| = count of shared shingles, |A ∪ B| = |A| + |B| - inter.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Returns (id_a, id_b, jaccard) with id_a < id_b. ``df_cap=None``
+    disables the stop-shingle guard (and skips its extra pass).
     """
     # cache: the shingle table feeds sizes + both join sides; without
     # it Spark re-runs explode+hash+distinct three times.
     sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
-    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "sh")
+    if df_cap is not None:
+        df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "sh").select(
+            "doc_id", "sh"
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")
@@ -262,7 +269,7 @@ def simhash_signatures(
     the SQL oracle simple and the operator deterministic).
     """
     tok = (
-        docs.select(
+        ensure_parallelism(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(tokens(F.col(text_col))).alias("tok"),
         )

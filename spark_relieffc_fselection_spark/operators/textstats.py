@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_relieffc_fselection_spark.functions.partitioning import ensure_parallelism
 from spark_relieffc_fselection_spark.functions.text import (
     md5_hash64,
     normalize_text,
@@ -180,7 +181,7 @@ def fingerprints(
     minimal char-n-gram hash (the rolling-hash fingerprint family,
     computed as min over all char-n-gram hashes — robust to local
     edits: one edit disturbs only n of the grams)."""
-    d = docs.select(
+    d = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         normalize_text(F.col(text_col)).alias("norm"),
     )

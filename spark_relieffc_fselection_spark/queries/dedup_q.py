@@ -98,7 +98,7 @@ def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD, df_cap=10**9)
+    return jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD, df_cap=None)
 
 
 # --- MinHash signatures ----------------------------------------------------------

@@ -155,6 +155,28 @@ def q38_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q40_percentiles",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile() and "
+        "DuckDB quantile_cont share linear interpolation) — corpus length/"
+        "quality distribution stats for pipeline filtering",
+)
+def q40_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
     "q39_distinct_agg",
     oracle="""
     SELECT l_returnflag AS flag,

@@ -1,0 +1,58 @@
+"""Hypothesis property tests for the driver-side selection math
+(SURVEY §5 item 1 — no Spark session needed, pure numpy)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_relieffc_fselection_spark.operators.relief import (
+    greedy_select,
+    std_ranking,
+)
+
+# round to 6dp: engine relevances are min-max normalized and compared
+# at 6dp; sub-epsilon differences (e.g. 1e-38) get absorbed by the
+# redundancy subtraction in float64, which hypothesis will find
+relevances = st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False).map(
+        lambda x: round(x, 6)
+    ),
+    min_size=2,
+    max_size=20,
+)
+
+
+@given(relevances, st.integers(min_value=1, max_value=25))
+@settings(max_examples=50, deadline=None)
+def test_std_ranking_is_sorted_and_unique(rel, k):
+    r = np.array(rel)
+    sel = std_ranking(r, k)
+    assert len(sel) == min(k, len(r))
+    assert len(set(sel)) == len(sel)
+    vals = [r[i] for i in sel]
+    assert vals == sorted(vals, reverse=True)
+    # ties resolve to the lower index
+    for a, b in zip(sel, sel[1:]):
+        if r[a] == r[b]:
+            assert a < b
+
+
+@given(relevances, st.integers(min_value=1, max_value=10))
+@settings(max_examples=50, deadline=None)
+def test_greedy_select_invariants(rel, k):
+    r = np.array(rel)
+    sel = greedy_select(r, {}, k)
+    assert len(set(sel)) == len(sel)
+    assert sel[0] == int(np.lexsort((np.arange(len(r)), -r))[0])
+    # with zero redundancy the greedy order IS the std ranking
+    assert sel == std_ranking(r, k)
+
+
+@given(relevances)
+@settings(max_examples=30, deadline=None)
+def test_greedy_redundancy_never_selects_first_wrong(rel):
+    r = np.array(rel)
+    coo = {(i, j): 0.5 for i in range(len(r)) for j in range(len(r)) if i != j}
+    sel = greedy_select(r, coo, min(3, len(r)))
+    # uniform redundancy shifts scores equally -> order still by relevance
+    assert sel == std_ranking(r, len(sel))
