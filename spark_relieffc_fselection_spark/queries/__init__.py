@@ -56,7 +56,8 @@ def _load_modules() -> None:
         relief_q,
     )
     for optional in (
-        "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q", "extras_q"
+        "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q",
+        "extras_q", "pipeline_q",
     ):
         try:
             __import__(f"spark_relieffc_fselection_spark.queries.{optional}")

@@ -1,0 +1,129 @@
+"""Composed pipeline query: the LLM-corpus curation flow end-to-end —
+quality scoring -> language filter -> near-duplicate removal — one
+DataFrame program, one oracle. Demonstrates that the engine's
+operators compose (each stage is the exact operator from textstats/
+dedup, not a reimplementation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.dedup import jaccard_similar_pairs
+from spark_relieffc_fselection_spark.operators.textstats import (
+    language_id,
+    quality_scores,
+)
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.queries.dedup_q import _SHINGLES_CTE
+from spark_relieffc_fselection_spark.sources import load_table
+
+MIN_QUALITY = 0.5
+KEEP_LANG = "en"
+DUP_JACCARD = 0.8
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "q41_corpus_curation",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    normed AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    quality AS (
+      SELECT b.doc_id,
+             ROUND(least(n_words / 200.0, 1.0) * 0.4
+                   + least(COALESCE(n_stopwords, 0) / CAST(greatest(n_words, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+                   + (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.15
+                   + (1.0 - least(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.15,
+                   6) AS quality_score
+      FROM (
+        SELECT doc_id,
+               length(norm) AS n_chars,
+               CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_words,
+               length(norm) - length(regexp_replace(norm, '[.,!?;:''"()\\-]', '', 'g')) AS n_punct,
+               length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')) AS n_digits
+        FROM normed
+      ) b
+      LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_stopwords
+        FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM normed) t
+        WHERE tok IN ('the','and','of','to','in','is','that','it','for','with')
+        GROUP BY doc_id
+      ) sw ON b.doc_id = sw.doc_id
+    ),
+    lang AS (
+      SELECT n.doc_id,
+             CASE WHEN regexp_matches(n.norm, '[一-鿿]') THEN 'zh'
+                  WHEN b.sw_lang IS NOT NULL THEN b.sw_lang
+                  ELSE 'und' END AS pred_lang
+      FROM normed n LEFT JOIN (
+        SELECT doc_id, lang AS sw_lang FROM (
+          SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                  ORDER BY hits DESC, lang ASC) AS rn
+          FROM (
+            SELECT doc_id, lang, COUNT(*) AS hits
+            FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM normed) t
+            JOIN (SELECT * FROM (VALUES
+              ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+              ('en','is'),('en','that'),('en','it'),('en','for'),('en','with'),
+              ('es','el'),('es','la'),('es','de'),('es','que'),('es','los'),
+              ('es','las'),('es','una'),('es','por'),('es','para'),('es','está'),
+              ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+              ('de','nicht'),('de','ein'),('de','mit'),('de','für'),('de','auf'),
+              ('fr','le'),('fr','la'),('fr','les'),('fr','est'),('fr','une'),
+              ('fr','dans'),('fr','pour'),('fr','avec'),('fr','sur'),('fr','pas')
+            ) AS p(lang, tok)) p USING (tok)
+            GROUP BY doc_id, lang
+          )
+        ) WHERE rn = 1
+      ) b ON n.doc_id = b.doc_id
+    ),
+    kept0 AS (
+      SELECT q.doc_id, q.quality_score
+      FROM quality q JOIN lang l ON q.doc_id = l.doc_id
+      WHERE q.quality_score >= {MIN_QUALITY} AND l.pred_lang = '{KEEP_LANG}'
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingle_hashes GROUP BY doc_id),
+    dup_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shingle_hashes a JOIN shingle_hashes b
+        ON a.shh = b.shh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT id_b AS doc_id
+      FROM dup_pairs
+      JOIN sizes sa ON dup_pairs.id_a = sa.doc_id
+      JOIN sizes sb ON dup_pairs.id_b = sb.doc_id
+      JOIN kept0 ka ON dup_pairs.id_a = ka.doc_id
+      JOIN kept0 kb ON dup_pairs.id_b = kb.doc_id
+      WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {DUP_JACCARD}
+    )
+    SELECT doc_id, quality_score
+    FROM kept0 WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    doc="Composed curation pipeline: quality >= 0.5 AND lang = en, then "
+        "near-dup removal keeping the lower doc_id of each jaccard>=0.8 "
+        "pair — textstats + dedup operators composed in one program",
+)
+def q41_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        q.join(lang, "doc_id")
+        .filter(
+            (F.col("quality_score") >= MIN_QUALITY)
+            & (F.col("pred_lang") == KEEP_LANG)
+        )
+        .select("doc_id", "quality_score")
+    )
+    pairs = jaccard_similar_pairs(docs, threshold=DUP_JACCARD, df_cap=None)
+    dup_b = (
+        pairs.join(kept.select(F.col("doc_id").alias("id_a")), "id_a")
+        .join(kept.select(F.col("doc_id").alias("id_b")), "id_b")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(dup_b, "doc_id", "left_anti")
