@@ -114,11 +114,15 @@ class ReliefFSelector(
             if is_vector
             else F.col(input_col).cast("array<double>")
         )
+        # cache BEFORE fit: fit_relief runs many actions, and
+        # monotonically_increasing_id must not be re-evaluated against a
+        # potentially different row-to-partition layout each time — the
+        # cache pins the id assignment.
         prepared = dataset.select(
             F.monotonically_increasing_id().alias("__rid"),
             feat.alias("__features"),
             F.col(self.getLabelCol()).cast("double").alias("__label"),
-        )
+        ).cache()
         res = fit_relief(
             prepared,
             id_col="__rid",
@@ -135,6 +139,7 @@ class ReliefFSelector(
             seed=self.getOrDefault(self.seed),
             knn_strategy=self.getOrDefault(self.knnStrategy),
         )
+        prepared.unpersist()
         model = ReliefFSelectorModel(
             stdSelection=[int(i) for i in res.std_selection],
             redundancySelection=[int(i) for i in res.redundancy_selection],

@@ -142,14 +142,20 @@ def jaccard_similar_pairs(
 #: expression runs overflow-free (ANSI-safe) in Spark AND DuckDB.
 MINHASH_M = (1 << 31) - 1
 
-#: h_k(h) = (a1(k)*(h % M) + a2(k)*(h >> 31 bits) + b(k)) mod M —
-#: a universal-ish family keyed by k, derived arithmetically so only
-#: ONE md5 per shingle is ever computed (the base hash).
-MINHASH_FAMILY_SQL = (
-    "((2654435761 * (k + 1)) % {M}) * (h % {M}) "
-    "+ ((40503 * (k + 7)) % {M}) * (h // {M}) "
-    "+ (97 * (k + 13)) % {M}"
-)
+def minhash_family_expr(hash_col: str, k_col: str = "k", div: str = "DIV") -> str:
+    """h_k(h) = (a1(k)*(h % M) + a2(k)*(h div M) + b(k)) mod M — a
+    universal-ish family keyed by k, derived arithmetically so only ONE
+    md5 per shingle is ever computed. All products stay under 2^63
+    (ANSI-safe). ``div`` is the integer-division keyword: ``DIV`` for
+    Spark SQL, ``//`` for DuckDB — the expression is otherwise
+    identical, which is what keeps the oracle bit-compatible.
+    """
+    M = MINHASH_M
+    return (
+        f"(((2654435761 * ({k_col} + 1)) % {M}) * ({hash_col} % {M}) "
+        f"+ ((40503 * ({k_col} + 7)) % {M}) * ({hash_col} {div} {M}) "
+        f"+ (97 * ({k_col} + 13)) % {M}) % {M}"
+    )
 
 
 def minhash_signatures(
@@ -172,13 +178,8 @@ def minhash_signatures(
 
 def minhash_signatures_from_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
     """Signature matrix from a prebuilt (doc_id, sh) hash table."""
-    M = MINHASH_M
     ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
-    family = F.expr(
-        f"(((2654435761 * (k + 1)) % {M}) * (sh % {M}) "
-        f"+ ((40503 * (k + 7)) % {M}) * (sh DIV {M}) "
-        f"+ (97 * (k + 13)) % {M}) % {M}"
-    )
+    family = F.expr(minhash_family_expr("sh"))
     return (
         sh.select("doc_id", "sh", ks)
         .select("doc_id", "k", family.alias("hv"))

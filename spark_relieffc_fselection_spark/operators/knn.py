@@ -176,7 +176,10 @@ def _candidates_numpy(
                 rows = np.arange(nq)[:, None]
                 best_d = merged_d[rows, sel]
                 best_i = merged_i[rows, sel]
-        valid = best_i >= 0
+        # isfinite: self-pairs are masked with inf distance but keep a
+        # valid id — they must not leak out as rank-k "neighbors" when a
+        # partition has fewer than k rows.
+        valid = (best_i >= 0) & np.isfinite(best_d)
         qi, slot = np.nonzero(valid)
         yield pd.DataFrame(
             {

@@ -91,14 +91,16 @@ def pair_feature_table(
         .join(F.broadcast(q), "query_id")
         .withColumn("same_class", F.col("n_label") == F.col("q_label"))
     )
+    from spark_relieffc_fselection_spark.functions.vector import abs_diff_array
+
     return pairs.select(
         "query_id",
         "neighbor_id",
         "n_label",
         "same_class",
-        F.posexplode(
-            F.zip_with("q_features", "n_features", lambda x, y: F.abs(x - y))
-        ).alias("feature_idx", "fdist"),
+        F.posexplode(abs_diff_array("q_features", "n_features")).alias(
+            "feature_idx", "fdist"
+        ),
     )
 
 
@@ -166,12 +168,10 @@ def collision_table(
     vote = 1. (ReliefFRSelector.scala:417, 431, 444; deterministic
     threshold per SURVEY §8.3.)
     """
-    if continuous:
-        threshold = 6.0 * (1.0 - lower_distance_threshold)
-        vote = F.lit(1.0) - F.least(F.lit(6.0), F.col("fdist")) / F.lit(6.0)
-    else:
-        threshold = 0.0
-        vote = F.lit(1.0)
+    from spark_relieffc_fselection_spark.functions.vector import collision_vote
+
+    threshold = 6.0 * (1.0 - lower_distance_threshold) if continuous else 0.0
+    vote = collision_vote(F.col("fdist"), continuous)
     return (
         long_pairs.filter(F.col("fdist") <= F.lit(threshold))
         .select("query_id", "neighbor_id", "feature_idx", vote.alias("vote"))
@@ -252,6 +252,7 @@ def mi_redundancy(
             ).otherwise(F.col("red_raw")),
         )
     )
+    jp = jp.cache()  # min/max pass + the returned projection share it
     stats = jp.agg(F.min("red_raw").alias("mn"), F.max("red_raw").alias("mx")).collect()
     if not stats or stats[0]["mn"] is None:
         return jp.select("f1", "f2", F.lit(0.0).alias("redundancy"))
@@ -386,7 +387,10 @@ def fit_relief(
         )
         long_pairs = pair_feature_table(batch, neigh).cache()
 
-        w = relevance_weights(long_pairs, priors)
+        # cache + the min/max agg below materializes w, so unpersisting
+        # long_pairs at the end of the loop doesn't force the final
+        # union-reduce to recompute each batch's kNN + explode.
+        w = relevance_weights(long_pairs, priors).cache()
         batch_weights.append(w)
 
         # classCounter total = number of (pair, feature) interactions /
@@ -397,8 +401,13 @@ def fit_relief(
 
         if redundancy_removal:
             coll = collision_table(long_pairs, not discrete_data, lower_distance_threshold).cache()
-            marginals.append(marginal_counts(coll))
-            joints.append(joint_counts(coll, top_features, not discrete_data))
+            m_b = marginal_counts(coll).cache()
+            j_b = joint_counts(coll, top_features, not discrete_data).cache()
+            # materialize before long_pairs is unpersisted below
+            m_b.count(), j_b.count()
+            coll.unpersist()
+            marginals.append(m_b)
+            joints.append(j_b)
 
         # batch top-N (min-max normalized) steers the next batch's
         # joint-stat scope (ReliefFRSelector.scala:281-283).
@@ -408,7 +417,11 @@ def fit_relief(
             minmax_norm(F.col("relevance"), F.lit(stats["mn"]), F.lit(stats["mx"])).alias("nrel"),
         )
         top_rows = wn.orderBy(F.desc("nrel"), F.asc("feature_idx")).limit(lower_feat).collect()
-        top_features = [int(r["feature_idx"]) for r in top_rows]
+        if top_rows:
+            # empty batches keep the previous ranking — the reference
+            # only replaces topFeatures when results are non-empty
+            # (ReliefFRSelector.scala:279-283)
+            top_features = [int(r["feature_idx"]) for r in top_rows]
         long_pairs.unpersist()
         batch.unpersist()
 

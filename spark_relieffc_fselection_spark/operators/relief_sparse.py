@@ -76,6 +76,13 @@ def sparse_knn_join(
     Returns (query_id, neighbor_id, distance, rank). Dot products only
     materialize for pairs sharing >=1 active feature; all other pairs
     get dist^2 = |q|^2 + |n|^2 via the norms grid.
+
+    Scale note: the dot-product join scales with shared nonzeros, but
+    the norms grid is O(|corpus| x |queries|) narrow rows (ids + two
+    doubles — no vectors). That is fine for the bounded query batches
+    fit uses; for an all-vs-all run on a huge corpus, replace the grid
+    with (a) the dot-sharing pairs ranked directly plus (b) a per-query
+    top-k over the globally sorted norm list for no-overlap candidates.
     """
     # id universe comes from `labels`, NOT the long table: an all-zero
     # row has no long-form rows at all but is still a real instance

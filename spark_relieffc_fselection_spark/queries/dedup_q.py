@@ -103,12 +103,9 @@ def q19_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash signatures ----------------------------------------------------------
 
-_M31 = (1 << 31) - 1
-_FAMILY = (
-    f"(((2654435761 * (k + 1)) % {_M31}) * (shh % {_M31}) "
-    f"+ ((40503 * (k + 7)) % {_M31}) * (shh // {_M31}) "
-    f"+ (97 * (k + 13)) % {_M31}) % {_M31}"
-)
+from spark_relieffc_fselection_spark.operators.dedup import minhash_family_expr
+
+_FAMILY = minhash_family_expr("shh", div="//")  # DuckDB integer division
 
 _SIGS_CTE = f"""
 hv AS (

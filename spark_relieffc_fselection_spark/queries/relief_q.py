@@ -78,7 +78,10 @@ def _long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q14-q17 all start from this same kNN+pair pipeline, so memoize the
     # cached DataFrame per (session, sf_dir) — pure memoization, results
     # unchanged.
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython reuses object addresses, so
+    # a fresh session could otherwise hit a cache entry bound to a
+    # stopped SparkContext.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LONG_PAIRS_CACHE:
         inst = _embeddings(spark, sf_dir)
         neigh = knn_join(inst, inst, RELIEF_K, strategy="numpy")

@@ -25,15 +25,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (exactly what DuckDB's reader does), so both engines see the same
     instants.
     """
+    # Timestamp literals in queries parse in the session timezone; the
+    # oracles compare naive-as-UTC. Pin it for externally-created
+    # sessions (the driver's) too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: double division loses ns precision above
+            # 2^53 (epoch nanos ~1.7e18) and can land on the wrong micro
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -52,7 +52,8 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division — double division is lossy for epoch nanos > 2^53
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_counts(

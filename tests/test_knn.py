@@ -59,6 +59,19 @@ def test_knn_numpy_excludes_self_without_losing_rank_slots(spark, small_vectors)
     assert [r["neighbor_id"] for r in a] == [r["neighbor_id"] for r in b]
 
 
+def test_knn_numpy_no_self_leak_when_k_exceeds_rows(spark):
+    """Regression: with fewer rows than k, the inf-masked self slot must
+    not surface as a rank-k neighbor."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "id long, features array<double>",
+    )
+    rows = knn_join(df, df, k=10, strategy="numpy").collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(np.isfinite(r["distance"]) for r in rows)
+    assert len(rows) == 6  # 3 queries x 2 real neighbors
+
+
 def test_knn_query_subset_broadcast_plan(spark, small_vectors):
     """The SQL-strategy plan must broadcast the query side (SURVEY J1)."""
     df, _ = small_vectors
