@@ -61,19 +61,21 @@ from spark_relieffc_fselection_spark.operators.knn import knn_join
 DEC = "decimal(38,18)"
 
 
-def pair_feature_table(
+def pair_table(
     batch: DataFrame,
     neighbors: DataFrame,
     id_col: str = "id",
     features_col: str = "features",
     label_col: str = "label",
 ) -> DataFrame:
-    """(query, neighbor) pairs exploded to per-feature rows.
+    """(query, neighbor) pairs with both feature vectors attached.
 
-    Returns ``(query_id, neighbor_id, n_label, same_class, feature_idx,
-    fdist)`` — the long form every downstream aggregation groups over.
-    Replaces the reference's positional (partition, offset) lookup
-    (ReliefFRSelector.scala:423-433) with two equi-joins (SURVEY J3).
+    Returns ``(query_id, neighbor_id, n_label, same_class, q_features,
+    n_features)``. Replaces the reference's positional (partition,
+    offset) lookup (ReliefFRSelector.scala:423-433) with two equi-joins
+    (SURVEY J3). This compact (pre-explode) form is the one worth
+    caching: it is nFeat times smaller than the exploded long table,
+    and re-deriving the explode from it is one in-core pass.
     """
     q = batch.select(
         F.col(id_col).alias("query_id"),
@@ -85,12 +87,18 @@ def pair_feature_table(
         F.col(features_col).alias("n_features"),
         F.col(label_col).alias("n_label"),
     )
-    pairs = (
+    return (
         neighbors.select("query_id", "neighbor_id")
         .join(n, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn("same_class", F.col("n_label") == F.col("q_label"))
     )
+
+
+def explode_pairs(pairs: DataFrame) -> DataFrame:
+    """Explode a ``pair_table`` result to per-feature rows
+    ``(query_id, neighbor_id, n_label, same_class, feature_idx, fdist)``
+    — the long form every downstream aggregation groups over."""
     from spark_relieffc_fselection_spark.functions.vector import abs_diff_array
 
     return pairs.select(
@@ -102,6 +110,17 @@ def pair_feature_table(
             "feature_idx", "fdist"
         ),
     )
+
+
+def pair_feature_table(
+    batch: DataFrame,
+    neighbors: DataFrame,
+    id_col: str = "id",
+    features_col: str = "features",
+    label_col: str = "label",
+) -> DataFrame:
+    """``explode_pairs(pair_table(...))`` — the one-shot convenience."""
+    return explode_pairs(pair_table(batch, neighbors, id_col, features_col, label_col))
 
 
 def relevance_weights(
@@ -185,39 +204,106 @@ def marginal_counts(collisions: DataFrame) -> DataFrame:
     )
 
 
+#: joint_counts uses the grouped-combos plan (one shuffle, per-pair
+#: arrays) when the per-pair collision count is bounded by this many
+#: features; wider spaces fall back to the self-join plan whose memory
+#: per task is O(1) rows.
+_JOINT_COMBOS_MAX_FEATURES = 16_384
+
+
 def joint_counts(
     collisions: DataFrame,
     top_features: list[int] | None,
     continuous: bool,
+    num_features: int | None = None,
 ) -> DataFrame:
     """Pairwise co-occurrence COO table (SURVEY A6).
 
-    Self-join on the (query, neighbor) pair id; rows where the left
-    feature is in ``top_features`` contribute the joint vote to BOTH
-    orientations (the reference's symmetric double update,
-    ReliefFRSelector.scala:453-454). Joint vote = mean of the two
-    features' current votes (continuous) or 1.0 (discrete).
+    For each (query, neighbor) pair, every colliding feature pair
+    (f1, f2), f1 != f2 with f1 in ``top_features``, contributes the
+    joint vote to BOTH orientations (the reference's symmetric double
+    update, ReliefFRSelector.scala:453-454). Joint vote = mean of the
+    two features' current votes (continuous) or the left vote
+    (discrete; identical since discrete votes are all 1.0).
+
+    Physical strategy: when the per-pair collision set is provably
+    small (``num_features`` <= _JOINT_COMBOS_MAX_FEATURES), group the
+    collisions into one array per pair and generate combinations
+    in-stage — ONE shuffle of the narrow collision rows, and the
+    combination explosion feeds straight into partial aggregation
+    (never shuffled). Otherwise self-join on the pair id (two shuffles
+    but O(1) memory per row) — the safe plan for millions of features.
     """
     if top_features is not None and len(top_features) == 0:
         spark = collisions.sparkSession
         return spark.createDataFrame([], "f1 int, f2 int, joint double")
+    use_combos = (
+        num_features is not None and num_features <= _JOINT_COMBOS_MAX_FEATURES
+    )
+    if use_combos:
+        both = _joint_combos(collisions, top_features, continuous)
+    else:
+        both = _joint_selfjoin(collisions, top_features, continuous)
+    return both.groupBy("f1", "f2").agg(
+        F.sum(F.col("jv").cast(DEC)).cast("double").alias("joint")
+    )
+
+
+def _both_orientations(fa, fb, jv) -> list:
+    # one pass emits (f1,f2) and (f2,f1) — vs a union of the swapped
+    # plan, which would execute the whole upstream subtree twice.
+    return [
+        F.explode(
+            F.array(
+                F.struct(fa.alias("f1"), fb.alias("f2")),
+                F.struct(fb.alias("f1"), fa.alias("f2")),
+            )
+        ).alias("o"),
+        jv.alias("jv"),
+    ]
+
+
+def _joint_combos(
+    collisions: DataFrame, top_features: list[int] | None, continuous: bool
+) -> DataFrame:
+    fv = collisions.groupBy("query_id", "neighbor_id").agg(
+        F.collect_list(
+            F.struct(F.col("feature_idx").alias("f"), F.col("vote").alias("v"))
+        ).alias("fv")
+    )
+    if top_features is not None:
+        top_lit = F.array(*[F.lit(int(f)) for f in top_features])
+        left = F.filter("fv", lambda s: F.array_contains(top_lit, s["f"]))
+    else:
+        left = F.col("fv")
+    ex = (
+        fv.select(F.explode(left).alias("a"), "fv")
+        .select("a", F.explode("fv").alias("b"))
+        .filter(F.col("a.f") != F.col("b.f"))
+    )
+    jv = ((F.col("a.v") + F.col("b.v")) / 2.0) if continuous else F.col("a.v")
+    return ex.select(*_both_orientations(F.col("a.f"), F.col("b.f"), jv)).select(
+        "o.f1", "o.f2", "jv"
+    )
+
+
+def _joint_selfjoin(
+    collisions: DataFrame, top_features: list[int] | None, continuous: bool
+) -> DataFrame:
     a = collisions.select(
         "query_id", "neighbor_id",
-        F.col("feature_idx").alias("f1"), F.col("vote").alias("v1"),
+        F.col("feature_idx").alias("fa"), F.col("vote").alias("va"),
     )
     b = collisions.select(
         "query_id", "neighbor_id",
-        F.col("feature_idx").alias("f2"), F.col("vote").alias("v2"),
+        F.col("feature_idx").alias("fb"), F.col("vote").alias("vb"),
     )
     if top_features is not None:
-        a = a.filter(F.col("f1").isin([int(f) for f in top_features]))
-    paired = a.join(b, ["query_id", "neighbor_id"]).filter(F.col("f1") != F.col("f2"))
-    jv = ((F.col("v1") + F.col("v2")) / 2.0) if continuous else F.col("v1")
-    both = paired.select("f1", "f2", jv.alias("jv")).unionByName(
-        paired.select(F.col("f2").alias("f1"), F.col("f1").alias("f2"), jv.alias("jv"))
-    )
-    return both.groupBy("f1", "f2").agg(
-        F.sum(F.col("jv").cast(DEC)).cast("double").alias("joint")
+        a = a.filter(F.col("fa").isin([int(f) for f in top_features]))
+    paired = a.join(b, ["query_id", "neighbor_id"]).filter(F.col("fa") != F.col("fb"))
+    jv = ((F.col("va") + F.col("vb")) / 2.0) if continuous else F.col("va")
+    return paired.select(*_both_orientations(F.col("fa"), F.col("fb"), jv)).select(
+        "o.f1", "o.f2", "jv"
     )
 
 
@@ -385,25 +471,44 @@ def fit_relief(
             id_col="id", features_col="features",
             exclude_self=exclude_self, strategy=knn_strategy,
         )
-        long_pairs = pair_feature_table(batch, neigh).cache()
-
-        # cache + the min/max agg below materializes w, so unpersisting
-        # long_pairs at the end of the loop doesn't force the final
-        # union-reduce to recompute each batch's kNN + explode.
-        w = relevance_weights(long_pairs, priors).cache()
-        batch_weights.append(w)
-
-        # classCounter total = number of (pair, feature) interactions /
-        # nFeat = number of pairs (ReliefFRSelector.scala:469-470 sums
-        # the per-bin pair counts).
-        n_pairs = long_pairs.filter(F.col("feature_idx") == 0).count()
+        # Cache the COMPACT pair table (nFeat times smaller than the
+        # exploded long form) and materialize it eagerly: a lazy cache
+        # with multiple downstream consumers computes the whole
+        # kNN+join subplan once per consumer concurrently (the cache
+        # dedupes storage, not computation). Repartition by the pair
+        # key first — AQE coalesces the small join output to few
+        # partitions, which would serialize every downstream explode;
+        # clustering by pair also makes the joint groupBy exchange-free.
+        par = spark.sparkContext.defaultParallelism
+        pairs = (
+            pair_table(batch, neigh)
+            .repartition(par, "query_id", "neighbor_id")
+            .cache()
+        )
+        # classCounter total = number of (query, neighbor) pairs
+        # (ReliefFRSelector.scala:469-470 sums the per-bin pair counts);
+        # this count is also the action that materializes the cache.
+        n_pairs = pairs.count()
         total_interactions += n_pairs
+        long_pairs = explode_pairs(pairs)
+
+        # pair-level bin counts — no distinct over the exploded table
+        pair_counts = pairs.groupBy("n_label", "same_class").agg(
+            F.count("*").alias("bin_cnt")
+        )
+        # cache + the min/max agg below materializes w, so unpersisting
+        # pairs at the end of the loop doesn't force the final
+        # union-reduce to recompute each batch's kNN + explode.
+        w = relevance_weights(long_pairs, priors, pair_counts).cache()
+        batch_weights.append(w)
 
         if redundancy_removal:
             coll = collision_table(long_pairs, not discrete_data, lower_distance_threshold).cache()
             m_b = marginal_counts(coll).cache()
-            j_b = joint_counts(coll, top_features, not discrete_data).cache()
-            # materialize before long_pairs is unpersisted below
+            j_b = joint_counts(
+                coll, top_features, not discrete_data, num_features=n_feat
+            ).cache()
+            # materialize before pairs is unpersisted below
             m_b.count(), j_b.count()
             coll.unpersist()
             marginals.append(m_b)
@@ -422,7 +527,7 @@ def fit_relief(
             # only replaces topFeatures when results are non-empty
             # (ReliefFRSelector.scala:279-283)
             top_features = [int(r["feature_idx"]) for r in top_rows]
-        long_pairs.unpersist()
+        pairs.unpersist()
         batch.unpersist()
 
     # Merge batches: sum raw weights then global min-max (fit :300-312).

@@ -232,6 +232,9 @@ def fit_relief_sparse(
     }
     k = num_neighbors * len(priors)
     neigh = sparse_knn_join(long_df, labels, labels.select("id"), k).cache()
+    # materialize NOW: both lp and pair_counts consume neigh, and a lazy
+    # cache computes the kNN subplan once per consumer concurrently
+    n_pairs = neigh.count()
     lp = sparse_pair_feature_table(long_df, labels, neigh).cache()
 
     pair_counts = _pair_bin_counts(neigh, labels)
@@ -247,9 +250,10 @@ def fit_relief_sparse(
     if redundancy_removal:
         coll = collision_table(lp, not discrete_data, lower_distance_threshold).cache()
         tf = top_features if top_features is not None else std_sel
+        # no num_features hint: sparse inputs can be millions-wide, so
+        # keep the O(1)-memory self-join plan
         joint = joint_counts(coll, tf, not discrete_data)
         marg = marginal_counts(coll)
-        n_pairs = neigh.count()
         if n_pairs:
             red_df = mi_redundancy(joint, marg, float(n_pairs), float(n_pairs))
             for r in red_df.collect():

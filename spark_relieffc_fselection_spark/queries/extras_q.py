@@ -11,9 +11,10 @@ from pyspark.sql import functions as F
 from spark_relieffc_fselection_spark.operators.knn import knn_join
 from spark_relieffc_fselection_spark.operators.relief import (
     collision_table,
+    explode_pairs,
     joint_counts,
     marginal_counts,
-    pair_feature_table,
+    pair_table,
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
@@ -68,7 +69,19 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coordinates are small integers, so squared distances are exact in
     # float64 under any summation order — ties are exact in both engines.
     neigh = knn_join(inst, inst, DISC_K, strategy="numpy")
-    return pair_feature_table(inst, neigh)
+    # cache the compact pair table and materialize it eagerly — the
+    # downstream marginal + joint aggregations both re-derive the
+    # explode from it in-core instead of re-running the kNN per branch.
+    # Repartition by pair key: AQE would otherwise coalesce this small
+    # table to ~1 partition and serialize every downstream explode.
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        pair_table(inst, neigh)
+        .repartition(par, "query_id", "neighbor_id")
+        .cache()
+    )
+    pairs.count()
+    return explode_pairs(pairs)
 
 
 @register(
@@ -106,10 +119,11 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scala:417, 444 discrete branch; de-denormalized per SURVEY)",
 )
 def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_dim = len(load_table(spark, sf_dir, "embeddings").select("embedding").first()[0])
     lp = _discrete_long_pairs(spark, sf_dir)
     coll = collision_table(lp, continuous=False, lower_distance_threshold=0.8).cache()
     marg = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
-    joint = joint_counts(coll, DISC_TOP, continuous=False)
+    joint = joint_counts(coll, DISC_TOP, continuous=False, num_features=emb_dim)
     per_f = joint.groupBy(F.col("f1").alias("feature_idx")).agg(
         F.round(
             F.sum(F.col("joint").cast("decimal(38,18)")).cast("double"), 6

@@ -20,9 +20,10 @@ from pyspark.sql import functions as F
 from spark_relieffc_fselection_spark.operators.knn import knn_join
 from spark_relieffc_fselection_spark.operators.relief import (
     collision_table,
+    explode_pairs,
     joint_counts,
     marginal_counts,
-    pair_feature_table,
+    pair_table,
     relevance_weights,
 )
 from spark_relieffc_fselection_spark.queries import register
@@ -68,25 +69,60 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LONG_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PIPE_CACHE: dict[tuple[str, str], dict] = {}
 
 
-def _long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipe(spark: SparkSession, sf_dir: str) -> dict:
     # numpy kernel: ~4x faster than the SQL expression at sf0.1 and rank-
     # identical (tests/test_knn.py pins cross-strategy agreement); only
     # ranks feed downstream, not raw distances, so oracle parity holds.
-    # q14-q17 all start from this same kNN+pair pipeline, so memoize the
-    # cached DataFrame per (session, sf_dir) — pure memoization, results
-    # unchanged.
+    # q14-q17 all share the kNN -> pair-explode -> collision prefix, so
+    # memoize the cached DataFrames per (session, sf_dir) — pure
+    # memoization, results unchanged.
     # applicationId, not id(spark): CPython reuses object addresses, so
     # a fresh session could otherwise hit a cache entry bound to a
     # stopped SparkContext.
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _LONG_PAIRS_CACHE:
+    if key not in _PIPE_CACHE:
         inst = _embeddings(spark, sf_dir)
         neigh = knn_join(inst, inst, RELIEF_K, strategy="numpy")
-        _LONG_PAIRS_CACHE[key] = pair_feature_table(inst, neigh).cache()
-    return _LONG_PAIRS_CACHE[key]
+        # Cache the COMPACT pair table and materialize it NOW: a lazy
+        # cache whose first action has several consumers of the same
+        # subplan computes the kNN pipeline once per consumer (the
+        # cache dedupes storage, not computation). The exploded long
+        # form is nFeat times bigger — never cached, re-derived per
+        # consumer in one in-core pass.
+        # Repartition by the pair key before caching: AQE coalesces the
+        # small join output to very few partitions, and every cached
+        # consumer (explode passes, the exchange-free per-pair groupBy)
+        # would inherit that near-serial layout. The shuffle moves only
+        # the compact pair rows.
+        par = spark.sparkContext.defaultParallelism
+        pairs = (
+            pair_table(inst, neigh)
+            .repartition(par, "query_id", "neighbor_id")
+            .cache()
+        )
+        pairs.count()
+        lp = explode_pairs(pairs)
+        pair_counts = pairs.groupBy("n_label", "same_class").agg(
+            F.count("*").alias("bin_cnt")
+        )
+        _PIPE_CACHE[key] = {
+            "lp": lp,
+            "dim": len(inst.select("features").first()[0]),
+            # shared by q16 + q17
+            "coll": collision_table(
+                lp, continuous=True, lower_distance_threshold=0.8
+            ).cache(),
+            # shared by q14 + q15 (64 rows — trivial to cache)
+            "w": relevance_weights(lp, _priors(inst), pair_counts).cache(),
+        }
+    return _PIPE_CACHE[key]
+
+
+def _long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe(spark, sf_dir)["lp"]
 
 
 def _priors(inst: DataFrame) -> dict[float, float]:
@@ -160,9 +196,7 @@ relevance AS (
         "collapsed with class priors (ReliefFRSelector.scala:402-475, 605-629)",
 )
 def q14_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inst = _embeddings(spark, sf_dir)
-    lp = _long_pairs(spark, sf_dir)
-    w = relevance_weights(lp, _priors(inst))
+    w = _pipe(spark, sf_dir)["w"]
     return w.select("feature_idx", F.round("relevance", 6).alias("relevance"))
 
 
@@ -181,9 +215,7 @@ def q14_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ReliefFRSelector.scala:688-690)",
 )
 def q15_relief_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    inst = _embeddings(spark, sf_dir)
-    lp = _long_pairs(spark, sf_dir)
-    w = relevance_weights(lp, _priors(inst))
+    w = _pipe(spark, sf_dir)["w"]
     ranked = w.orderBy(F.desc("relevance"), F.asc("feature_idx")).limit(10)
     return ranked.select(
         "feature_idx",
@@ -226,8 +258,7 @@ coll AS (
         "threshold de-randomized per SURVEY §8.3)",
 )
 def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lp = _long_pairs(spark, sf_dir)
-    coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
+    coll = _pipe(spark, sf_dir)["coll"]
     m = marginal_counts(coll)
     cnt = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
     return m.join(cnt, "feature_idx").select(
@@ -263,7 +294,6 @@ def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per SURVEY §8.4)",
 )
 def q17_collision_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lp = _long_pairs(spark, sf_dir)
-    coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
-    j = joint_counts(coll, JOINT_TOP, continuous=True)
+    p = _pipe(spark, sf_dir)
+    j = joint_counts(p["coll"], JOINT_TOP, continuous=True, num_features=p["dim"])
     return j.select("f1", "f2", F.round("joint", 6).alias("joint"))
