@@ -56,7 +56,12 @@ coll AS (
 """
 
 
-def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (exploded long pairs, the cached compact pair table).
+
+    The caller owns the cached pair table and must unpersist it once
+    its derived results are materialized.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     inst = emb.select(
         F.col("vec_id").alias("id"),
@@ -81,7 +86,7 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     pairs.count()
-    return explode_pairs(pairs)
+    return explode_pairs(pairs), pairs
 
 
 @register(
@@ -120,7 +125,7 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_dim = len(load_table(spark, sf_dir, "embeddings").select("embedding").first()[0])
-    lp = _discrete_long_pairs(spark, sf_dir)
+    lp, pairs = _discrete_long_pairs(spark, sf_dir)
     coll = collision_table(lp, continuous=False, lower_distance_threshold=0.8).cache()
     marg = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
     joint = joint_counts(coll, DISC_TOP, continuous=False, num_features=emb_dim)
@@ -129,11 +134,19 @@ def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("joint").cast("decimal(38,18)")).cast("double"), 6
         ).alias("total_joint")
     )
-    return (
+    # materialize the tiny (nFeat-row) result, then free the cached
+    # intermediates — leaked caches turn into GC pressure for every
+    # query that runs after this one in the session.
+    out = (
         marg.join(per_f, "feature_idx", "left")
         .na.fill({"total_joint": 0.0})
         .select("feature_idx", "n_collisions", "total_joint")
+        .cache()
     )
+    out.count()
+    coll.unpersist()
+    pairs.unpersist()
+    return out
 
 
 @register(

@@ -85,6 +85,7 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPE_CACHE:
         inst = _embeddings(spark, sf_dir)
+        dim = len(inst.select("features").first()[0])
         neigh = knn_join(inst, inst, RELIEF_K, strategy="numpy")
         # Cache the COMPACT pair table and materialize it NOW: a lazy
         # cache whose first action has several consumers of the same
@@ -108,21 +109,29 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         pair_counts = pairs.groupBy("n_label", "same_class").agg(
             F.count("*").alias("bin_cnt")
         )
-        _PIPE_CACHE[key] = {
-            "lp": lp,
-            "dim": len(inst.select("features").first()[0]),
-            # shared by q16 + q17
-            "coll": collision_table(
-                lp, continuous=True, lower_distance_threshold=0.8
-            ).cache(),
-            # shared by q14 + q15 (64 rows — trivial to cache)
+        coll = collision_table(
+            lp, continuous=True, lower_distance_threshold=0.8
+        ).cache()
+        # The four query results are all TINY (64..~1000 rows): compute
+        # and cache them now, then release the big intermediates — a
+        # leaked multi-hundred-MB cache per sf_dir otherwise piles GC
+        # pressure onto every later query in the session.
+        out = {
             "w": relevance_weights(lp, _priors(inst), pair_counts).cache(),
+            "marg": marginal_counts(coll).cache(),
+            "cnt": coll.groupBy("feature_idx")
+            .agg(F.count("*").alias("n_collisions"))
+            .cache(),
+            "joint": joint_counts(
+                coll, JOINT_TOP, continuous=True, num_features=dim
+            ).cache(),
         }
+        for df in out.values():
+            df.count()
+        coll.unpersist()
+        pairs.unpersist()
+        _PIPE_CACHE[key] = out
     return _PIPE_CACHE[key]
-
-
-def _long_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pipe(spark, sf_dir)["lp"]
 
 
 def _priors(inst: DataFrame) -> dict[float, float]:
@@ -258,9 +267,8 @@ coll AS (
         "threshold de-randomized per SURVEY §8.3)",
 )
 def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    coll = _pipe(spark, sf_dir)["coll"]
-    m = marginal_counts(coll)
-    cnt = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
+    p = _pipe(spark, sf_dir)
+    m, cnt = p["marg"], p["cnt"]
     return m.join(cnt, "feature_idx").select(
         "feature_idx", F.round("marginal", 6).alias("marginal"), "n_collisions"
     )
@@ -294,6 +302,5 @@ def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per SURVEY §8.4)",
 )
 def q17_collision_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _pipe(spark, sf_dir)
-    j = joint_counts(p["coll"], JOINT_TOP, continuous=True, num_features=p["dim"])
+    j = _pipe(spark, sf_dir)["joint"]
     return j.select("f1", "f2", F.round("joint", 6).alias("joint"))
