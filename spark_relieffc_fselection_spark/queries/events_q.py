@@ -127,6 +127,108 @@ def q34_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q42_asof_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value, 0 AS side FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, value, 1 AS side FROM events WHERE event_type = 'click'
+    ),
+    win AS (
+      SELECT *,
+             last_value(CASE WHEN side = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w AS view_ts_us,
+             last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w AS view_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           epoch_us(ts) AS click_ts_us,
+           view_ts_us,
+           ROUND(view_value, 6) AS view_value,
+           epoch_us(ts) - view_ts_us AS lag_us
+    FROM win WHERE side = 1
+    """,
+    doc="As-of join: each click matched to the user's latest view at or "
+        "before it (union + ordered window — one shuffle by user, zero "
+        "join fan-out; operators/temporal.py::asof_join). The oracle "
+        "re-derives the same inclusive-backward semantics windowed.",
+)
+def q42_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        clicks, views, on=["user_id"], ts_col="ts",
+        right_cols=("value",), tiebreak_col="event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("ts_asof").alias("view_ts_us"),
+        F.round("value_asof", 6).alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("lag_us"),
+    )
+
+
+@register(
+    "q43_range_join",
+    oracle="""
+    SELECT e.event_id,
+           COUNT(c.event_id) AS n_nearby_clicks,
+           ROUND(CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(38,18))), 0) AS DOUBLE), 6)
+             AS sum_click_value
+    FROM events e
+    LEFT JOIN events c
+      ON e.user_id = c.user_id AND c.event_type = 'click'
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="Range (interval) join: clicks within ±5min of each error, same "
+        "user. Engine buckets the time axis at the band width so the "
+        "join is a plain hash equi-join on (user, bucket) with bounded "
+        "3x fan-out (operators/temporal.py::range_join_bucketed) — "
+        "never a per-key cross product.",
+)
+def q43_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    pairs = range_join_bucketed(
+        errors, clicks, on=["user_id"], band_seconds=300.0, ts_col="ts"
+    )
+    per_error = pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
+        F.count("*").alias("n_nearby_clicks"),
+        F.sum(F.col("r_value").cast(DEC)).alias("_sum"),
+    )
+    return (
+        errors.select("event_id")
+        .join(per_error, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+            F.round(
+                F.coalesce(F.col("_sum"), F.lit(0).cast(DEC)).cast("double"), 6
+            ).alias("sum_click_value"),
+        )
+    )
+
+
+@register(
     "q35_json_extract",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
