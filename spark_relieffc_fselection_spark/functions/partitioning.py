@@ -1,14 +1,26 @@
-"""Partitioning helpers.
+"""Partitioning helpers: parallelism floors for tiny inputs and
+skew-safe join salting.
 
 Small parquet files arrive as one partition; per-row-expensive
 operators (hashing, shingling, regex) then run on one core. At real
-scale inputs already carry >= cluster parallelism partitions and these
-helpers are no-ops.
+scale inputs already carry >= cluster parallelism partitions and
+``ensure_parallelism`` is a no-op.
+
+``salted_join`` is the classic hot-key remedy for shuffle joins where
+the small side is too big to broadcast but cheap to replicate: salt
+the big side deterministically, replicate the small side once per salt
+value, and the hot key's rows spread over ``salt`` reducers instead of
+one. AQE's skew-join split handles most cases at runtime; the explicit
+salt is for the pathological single-key case AQE can't split (one key
+bigger than a whole executor) and for engines/configs without AQE.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, rows_per_partition: int = 128) -> DataFrame:
@@ -21,3 +33,35 @@ def ensure_parallelism(df: DataFrame, rows_per_partition: int = 128) -> DataFram
     approx_rows = df.count()
     target = max(1, min(sc.defaultParallelism, approx_rows // rows_per_partition))
     return df.repartition(target) if target > n_parts else df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the ``big`` side.
+
+    The big side gets a deterministic salt from a hash of its whole
+    row (so a hot key's rows spread across ``salt`` shuffle
+    partitions); the small side is replicated ``salt``x so every
+    (key, salt) bucket finds its match. Result rows are identical to
+    ``big.join(small, on, how)``; only the physical key distribution
+    changes. Replication multiplies the small side's shuffle volume by
+    ``salt`` — keep it an order of magnitude below the big side's.
+    """
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "cross",
+    ):
+        # right/full would surface each unmatched small row `salt` times
+        raise ValueError(f"salted_join does not support how={how!r}")
+    on = list(on)
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return b.join(s, on + ["_salt"], how).drop("_salt")
