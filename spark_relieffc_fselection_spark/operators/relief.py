@@ -160,6 +160,29 @@ def relevance_weights(
     bin_sums = long_pairs.groupBy("feature_idx", "n_label", "same_class").agg(
         F.sum(F.col("fdist").cast(DEC)).alias("bin_sum"),
     )
+    return _collapse_bins(bin_sums, prior_df, pair_counts)
+
+
+def relevance_from_bins(
+    bin_stats: DataFrame,
+    priors: dict[float, float],
+    pair_counts: DataFrame,
+) -> DataFrame:
+    """The A4 collapse applied to a precomputed ``feature_bin_stats``
+    frame (any frame with feature_idx, n_label, same_class, bin_sum)."""
+    spark = bin_stats.sparkSession
+    prior_df = F.broadcast(
+        spark.createDataFrame(
+            [(float(k), float(v)) for k, v in priors.items()],
+            "n_label double, prior double",
+        )
+    )
+    return _collapse_bins(bin_stats, prior_df, pair_counts)
+
+
+def _collapse_bins(
+    bin_sums: DataFrame, prior_df: DataFrame, pair_counts: DataFrame
+) -> DataFrame:
     return (
         bin_sums.join(pair_counts, ["n_label", "same_class"])
         .join(prior_df, "n_label")
@@ -172,6 +195,35 @@ def relevance_weights(
         )
         .groupBy("feature_idx")
         .agg(F.sum(F.col("contrib").cast(DEC)).cast("double").alias("relevance"))
+    )
+
+
+def feature_bin_stats(
+    long_pairs: DataFrame,
+    continuous: bool,
+    lower_distance_threshold: float,
+) -> DataFrame:
+    """ONE aggregation pass producing the sufficient statistics for
+    relevance (A3: per-class-bin distance sums) AND the marginal
+    collision mass / counts (A5) — instead of three separate scans of
+    the exploded long table.
+
+    Returns ``(feature_idx, n_label, same_class, bin_sum, vote_sum,
+    n_collisions)``; ~nFeat x nClasses x 2 rows, tiny at any scale.
+    ``relevance_from_bins`` collapses ``bin_sum``; summing ``vote_sum``
+    / ``n_collisions`` over bins reproduces ``marginal_counts`` and the
+    per-feature collision counts exactly (decimal addition is
+    associative, so the two-level sum is bit-identical).
+    """
+    from spark_relieffc_fselection_spark.functions.vector import collision_vote
+
+    threshold = 6.0 * (1.0 - lower_distance_threshold) if continuous else 0.0
+    is_coll = F.col("fdist") <= F.lit(threshold)
+    vote = collision_vote(F.col("fdist"), continuous)
+    return long_pairs.groupBy("feature_idx", "n_label", "same_class").agg(
+        F.sum(F.col("fdist").cast(DEC)).alias("bin_sum"),
+        F.sum(F.when(is_coll, vote).otherwise(F.lit(0.0)).cast(DEC)).alias("vote_sum"),
+        F.sum(F.when(is_coll, F.lit(1)).otherwise(F.lit(0))).alias("n_collisions"),
     )
 
 
@@ -496,21 +548,28 @@ def fit_relief(
         pair_counts = pairs.groupBy("n_label", "same_class").agg(
             F.count("*").alias("bin_cnt")
         )
-        # cache + the min/max agg below materializes w, so unpersisting
-        # pairs at the end of the loop doesn't force the final
-        # union-reduce to recompute each batch's kNN + explode.
-        w = relevance_weights(long_pairs, priors, pair_counts).cache()
+        # ONE fused scan of the exploded long form yields relevance bin
+        # sums AND marginal collision mass (feature_bin_stats); the
+        # joint pass is the only other explode. Cache + the min/max agg
+        # below materializes w, so unpersisting pairs at the end of the
+        # loop doesn't force the final union-reduce to recompute each
+        # batch's kNN + explode.
+        bins = feature_bin_stats(
+            long_pairs, not discrete_data, lower_distance_threshold
+        ).cache()
+        w = relevance_from_bins(bins, priors, pair_counts).cache()
         batch_weights.append(w)
 
         if redundancy_removal:
-            coll = collision_table(long_pairs, not discrete_data, lower_distance_threshold).cache()
-            m_b = marginal_counts(coll).cache()
+            coll = collision_table(long_pairs, not discrete_data, lower_distance_threshold)
+            m_b = bins.groupBy("feature_idx").agg(
+                F.sum("vote_sum").cast("double").alias("marginal")
+            ).cache()
             j_b = joint_counts(
                 coll, top_features, not discrete_data, num_features=n_feat
             ).cache()
             # materialize before pairs is unpersisted below
             m_b.count(), j_b.count()
-            coll.unpersist()
             marginals.append(m_b)
             joints.append(j_b)
 
@@ -527,6 +586,7 @@ def fit_relief(
             # only replaces topFeatures when results are non-empty
             # (ReliefFRSelector.scala:279-283)
             top_features = [int(r["feature_idx"]) for r in top_rows]
+        bins.unpersist()
         pairs.unpersist()
         batch.unpersist()
 

@@ -21,10 +21,10 @@ from spark_relieffc_fselection_spark.operators.knn import knn_join
 from spark_relieffc_fselection_spark.operators.relief import (
     collision_table,
     explode_pairs,
+    feature_bin_stats,
     joint_counts,
-    marginal_counts,
     pair_table,
-    relevance_weights,
+    relevance_from_bins,
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
@@ -109,18 +109,24 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         pair_counts = pairs.groupBy("n_label", "same_class").agg(
             F.count("*").alias("bin_cnt")
         )
-        coll = collision_table(
-            lp, continuous=True, lower_distance_threshold=0.8
-        ).cache()
-        # The four query results are all TINY (64..~1000 rows): compute
-        # and cache them now, then release the big intermediates — a
-        # leaked multi-hundred-MB cache per sf_dir otherwise piles GC
+        # TWO passes over the exploded long form total: one fused
+        # bin-stats aggregation (relevance sums + marginal votes +
+        # collision counts in a single scan — feature_bin_stats), one
+        # collision explode feeding the joint combos. All four query
+        # results are TINY (64..~1000 rows): compute and cache them
+        # now, then release the big intermediates — a leaked
+        # multi-hundred-MB cache per sf_dir otherwise piles GC
         # pressure onto every later query in the session.
+        bins = feature_bin_stats(lp, continuous=True, lower_distance_threshold=0.8)
+        coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
+        bins.cache().count()
         out = {
-            "w": relevance_weights(lp, _priors(inst), pair_counts).cache(),
-            "marg": marginal_counts(coll).cache(),
-            "cnt": coll.groupBy("feature_idx")
-            .agg(F.count("*").alias("n_collisions"))
+            "w": relevance_from_bins(bins, _priors(inst), pair_counts).cache(),
+            "marg": bins.groupBy("feature_idx")
+            .agg(F.sum("vote_sum").cast("double").alias("marginal"))
+            .cache(),
+            "cnt": bins.groupBy("feature_idx")
+            .agg(F.sum("n_collisions").alias("n_collisions"))
             .cache(),
             "joint": joint_counts(
                 coll, JOINT_TOP, continuous=True, num_features=dim
@@ -128,7 +134,7 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         }
         for df in out.values():
             df.count()
-        coll.unpersist()
+        bins.unpersist()
         pairs.unpersist()
         _PIPE_CACHE[key] = out
     return _PIPE_CACHE[key]
