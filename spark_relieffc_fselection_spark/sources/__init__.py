@@ -8,6 +8,8 @@ reader so Catalyst gets pushdown/pruning for free.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -71,3 +73,33 @@ def read_csv(
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Raw text scan (S2 fallback, TestHelper.scala:138-152)."""
     return spark.read.text(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines scan. Always pass a schema in production: schema
+    inference reads the data twice and types drift across files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink.
+
+    At 100 TB, partitioning by a low-cardinality filter column (date,
+    source, language) is what turns full scans into partition-pruned
+    reads — Catalyst pushes `WHERE partition_col = x` into the file
+    listing itself (`PartitionFilters` in the scan node), so unmatched
+    partitions are never opened. Keep partition cardinality ≤ ~10^4:
+    each partition is a directory, and tiny-file explosion costs more
+    than pruning saves.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

@@ -114,3 +114,55 @@ def test_fit_relief_batched_runs(spark, labeled):
     assert len(res.redundancy_selection) == 3
     assert res.n_features == X.shape[1]
     assert 0 in res.std_selection  # informative feature survives batching
+
+
+def test_feature_bin_stats_matches_separate_aggregations(spark, labeled):
+    """The fused one-pass stats must be bit-identical to the separate
+    relevance_weights / marginal_counts / collision-count plans."""
+    from spark_relieffc_fselection_spark.operators.relief import (
+        feature_bin_stats,
+        relevance_from_bins,
+    )
+
+    df, X, y = labeled
+    lp = _long_pairs(df, 6)
+    priors = {float(l): (y == l).mean() for l in np.unique(y)}
+    pair_counts = (
+        lp.select("query_id", "neighbor_id", "n_label", "same_class")
+        .distinct()
+        .groupBy("n_label", "same_class")
+        .agg(F.count("*").alias("bin_cnt"))
+    )
+    bins = feature_bin_stats(lp, continuous=True, lower_distance_threshold=0.8)
+
+    w_fused = {
+        r["feature_idx"]: r["relevance"]
+        for r in relevance_from_bins(bins, priors, pair_counts).collect()
+    }
+    w_sep = {
+        r["feature_idx"]: r["relevance"]
+        for r in relevance_weights(lp, priors, pair_counts).collect()
+    }
+    assert w_fused == w_sep
+
+    coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
+    m_fused = {
+        r["feature_idx"]: r["m"]
+        for r in bins.groupBy("feature_idx")
+        .agg(F.sum("vote_sum").cast("double").alias("m"))
+        .collect()
+    }
+    m_sep = {r["feature_idx"]: r["marginal"] for r in marginal_counts(coll).collect()}
+    assert m_fused == m_sep
+
+    c_fused = {
+        r["feature_idx"]: r["n"]
+        for r in bins.groupBy("feature_idx")
+        .agg(F.sum("n_collisions").alias("n"))
+        .collect()
+    }
+    c_sep = {
+        r["feature_idx"]: r["n"]
+        for r in coll.groupBy("feature_idx").agg(F.count("*").alias("n")).collect()
+    }
+    assert c_fused == c_sep

@@ -63,3 +63,30 @@ def test_load_table_events_timestamps(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.filter(F.col("ts") >= "2024-01-01").count() == ev.count()
+
+
+def test_json_source(spark, tmp_path_factory):
+    from spark_relieffc_fselection_spark.sources import read_json
+
+    d = tmp_path_factory.mktemp("json")
+    p = d / "rows.jsonl"
+    p.write_text('{"id": 1, "v": 1.5}\n{"id": 2, "v": null}\n')
+    df = read_json(spark, str(p), schema="id long, v double")
+    rows = {r["id"]: r["v"] for r in df.collect()}
+    assert rows == {1: 1.5, 2: None}
+
+
+def test_partitioned_sink_prunes(spark, tmp_path_factory):
+    """Partitioned parquet write; a filter on the partition column must
+    become a PartitionFilter (pruned listing), not a data filter."""
+    from spark_relieffc_fselection_spark.sources import write_partitioned_parquet
+
+    d = str(tmp_path_factory.mktemp("psink") / "events")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_partitioned_parquet(ev, d, ["event_type"])
+
+    back = spark.read.parquet(d).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    expected = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == expected
