@@ -87,11 +87,17 @@ def sparse_knn_join(
     # id universe comes from `labels`, NOT the long table: an all-zero
     # row has no long-form rows at all but is still a real instance
     # (norm 0) for both the query and neighbor sides.
+    # Decimal-accumulated norms/dots (the engine-wide posture, SCALE.md
+    # "Global posture"): float sums are shuffle-order-sensitive, so a
+    # double-summed distance could flip near-tied neighbor ranks
+    # between runs — and between this engine and the SQL oracle.
     norms = (
         labels.select("id")
         .join(
             long_df.groupBy("id").agg(
-                F.sum(F.col("value") * F.col("value")).alias("sq_norm")
+                F.sum((F.col("value") * F.col("value")).cast(DEC))
+                .cast("double")
+                .alias("sq_norm")
             ),
             "id",
             "left",
@@ -102,11 +108,18 @@ def sparse_knn_join(
         F.broadcast(query_ids.select(F.col("id").alias("query_id"))),
         long_df.id == F.col("query_id"),
     ).select("query_id", "feature_idx", F.col("value").alias("q_val"))
+    # queries are a bounded sample (the operator contract): broadcast
+    # their long rows so the inverted-index join never shuffles the
+    # corpus-side long table.
     dots = (
         long_df.select(F.col("id").alias("neighbor_id"), "feature_idx", F.col("value").alias("n_val"))
-        .join(q_long, "feature_idx")
+        .join(F.broadcast(q_long), "feature_idx")
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("q_val") * F.col("n_val")).alias("dot"))
+        .agg(
+            F.sum((F.col("q_val") * F.col("n_val")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
     )
     grid = (
         norms.select(F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq"))

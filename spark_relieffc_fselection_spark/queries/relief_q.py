@@ -25,6 +25,7 @@ from spark_relieffc_fselection_spark.operators.relief import (
     joint_counts,
     pair_table,
     relevance_from_bins,
+    relevance_weights,
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
@@ -310,3 +311,138 @@ def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_collision_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = _pipe(spark, sf_dir)["joint"]
     return j.select("f1", "f2", F.round("joint", 6).alias("joint"))
+
+
+SPARSE_ABS_MIN = 0.15  # deterministic sparsifier threshold on |coord|
+SPARSE_K = 30
+SPARSE_QUERY_MOD = 10  # deterministic 1-in-10 query sample (estimationRatio analogue)
+
+
+@register(
+    "q44_sparse_relief_relevance",
+    oracle=f"""
+    WITH {_INST},
+    long AS (
+      SELECT id, u.i - 1 AS feature_idx, f[u.i] AS value
+      FROM inst, LATERAL (SELECT unnest(generate_series(1, len(f))) AS i) u
+      WHERE abs(f[u.i]) > {SPARSE_ABS_MIN}
+    ),
+    sq AS (
+      SELECT id, CAST(SUM(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE) AS sq_norm
+      FROM long GROUP BY id
+    ),
+    norms AS (
+      SELECT i.id, i.lbl, COALESCE(sq.sq_norm, 0.0) AS sq_norm
+      FROM inst i LEFT JOIN sq USING (id)
+    ),
+    dots AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             CAST(SUM(CAST(a.value * b.value AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      FROM long a JOIN long b ON a.feature_idx = b.feature_idx
+      WHERE a.id % {SPARSE_QUERY_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT nq.id AS query_id, nq.lbl AS q_label,
+             nn.id AS neighbor_id, nn.lbl AS n_label,
+             sqrt(greatest(nq.sq_norm + nn.sq_norm - 2.0 * COALESCE(d.dot, 0.0), 0.0)) AS dist
+      FROM norms nq JOIN norms nn ON nq.id <> nn.id
+      LEFT JOIN dots d ON d.query_id = nq.id AND d.neighbor_id = nn.id
+      WHERE nq.id % {SPARSE_QUERY_MOD} = 0
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+        FROM grid
+      ) WHERE rnk <= {SPARSE_K}
+    ),
+    pairs AS (
+      SELECT query_id, neighbor_id, n_label, (q_label = n_label) AS same_class FROM knn
+    ),
+    qside AS (
+      SELECT p.query_id, p.neighbor_id, l.feature_idx, l.value AS q_val
+      FROM pairs p JOIN long l ON l.id = p.query_id
+    ),
+    nside AS (
+      SELECT p.query_id, p.neighbor_id, l.feature_idx, l.value AS n_val
+      FROM pairs p JOIN long l ON l.id = p.neighbor_id
+    ),
+    merged AS (
+      SELECT COALESCE(q.query_id, n.query_id) AS query_id,
+             COALESCE(q.neighbor_id, n.neighbor_id) AS neighbor_id,
+             COALESCE(q.feature_idx, n.feature_idx) AS feature_idx,
+             abs(COALESCE(q.q_val, 0.0) - COALESCE(n.n_val, 0.0)) AS fdist
+      FROM qside q FULL JOIN nside n
+        ON q.query_id = n.query_id AND q.neighbor_id = n.neighbor_id
+       AND q.feature_idx = n.feature_idx
+    ),
+    lp AS (
+      SELECT m.feature_idx, m.fdist, p.n_label, p.same_class
+      FROM merged m JOIN pairs p USING (query_id, neighbor_id)
+    ),
+    pair_counts AS (
+      SELECT n_label, same_class, COUNT(*) AS bin_cnt FROM pairs GROUP BY 1, 2
+    ),
+    priors AS (
+      SELECT lbl AS n_label,
+             COUNT(*) / CAST((SELECT COUNT(*) FROM inst) AS DOUBLE) AS prior
+      FROM inst GROUP BY lbl
+    ),
+    bin_sums AS (
+      SELECT feature_idx, n_label, same_class,
+             SUM(CAST(fdist AS DECIMAL(38,18))) AS bin_sum
+      FROM lp GROUP BY 1, 2, 3
+    ),
+    contrib AS (
+      SELECT feature_idx,
+             (CASE WHEN same_class THEN -1.0 ELSE 1.0 END) * prior
+               * CAST(bin_sum AS DOUBLE) / bin_cnt AS c
+      FROM bin_sums
+      JOIN pair_counts USING (n_label, same_class)
+      JOIN priors USING (n_label)
+    )
+    SELECT feature_idx,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6) AS relevance
+    FROM contrib GROUP BY feature_idx
+    """,
+    doc="Sparse-path RELIEF relevance end-to-end (relief_sparse.py: "
+        "inverted-index kNN via decimal-exact norm expansion, full-outer "
+        "union-of-active pair explode, shared bin collapse — "
+        "ReliefFRSelector.scala:483-602 semantics with corrected feature "
+        "indexing per SURVEY §8.1). Sparsifier keeps |x| > 1 — "
+        "deterministic, so the whole dataflow is SQL-oracle-able.",
+)
+def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief_sparse import (
+        _pair_bin_counts,
+        sparse_knn_join,
+        sparse_pair_feature_table,
+        to_long_form,
+    )
+
+    inst = _embeddings(spark, sf_dir)
+    sparse = inst.select(
+        "id",
+        F.transform(
+            "features",
+            lambda x: F.when(F.abs(x) > SPARSE_ABS_MIN, x).otherwise(F.lit(0.0)),
+        ).alias("features"),
+        "label",
+    )
+    long_df, labels = to_long_form(sparse)
+    long_df, labels = long_df.cache(), labels.cache()
+    query_ids = labels.select("id").filter(F.col("id") % SPARSE_QUERY_MOD == 0)
+    neigh = sparse_knn_join(long_df, labels, query_ids, SPARSE_K)
+    lp = sparse_pair_feature_table(long_df, labels, neigh)
+    pair_counts = _pair_bin_counts(neigh, labels)
+    n_inst = labels.count()
+    priors = {
+        float(r["label"]): r["n"] / n_inst
+        for r in labels.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    w = relevance_weights(lp, priors, pair_counts=pair_counts)
+    out = w.select("feature_idx", F.round("relevance", 6).alias("relevance")).cache()
+    out.count()
+    long_df.unpersist()
+    labels.unpersist()
+    return out
