@@ -67,6 +67,7 @@ def pair_table(
     id_col: str = "id",
     features_col: str = "features",
     label_col: str = "label",
+    instances: DataFrame | None = None,
 ) -> DataFrame:
     """(query, neighbor) pairs with both feature vectors attached.
 
@@ -76,13 +77,18 @@ def pair_table(
     (SURVEY J3). This compact (pre-explode) form is the one worth
     caching: it is nFeat times smaller than the exploded long table,
     and re-deriving the explode from it is one in-core pass.
+
+    ``instances`` supplies the NEIGHBOR side; it defaults to ``batch``
+    (self-kNN) but MUST be the full corpus whenever ``neighbors`` was
+    computed against a superset of the query batch — otherwise
+    out-of-batch neighbors silently drop out of the join.
     """
     q = batch.select(
         F.col(id_col).alias("query_id"),
         F.col(features_col).alias("q_features"),
         F.col(label_col).alias("q_label"),
     )
-    n = batch.select(
+    n = (instances if instances is not None else batch).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(features_col).alias("n_features"),
         F.col(label_col).alias("n_label"),

@@ -32,6 +32,11 @@ from spark_relieffc_fselection_spark.sources import load_table
 
 KNN_K = 10          # q13 neighbors per query
 RELIEF_K = 30       # q14-q17: 3 neighbors x 10 classes
+# Deterministic 1-in-4 query sample for the relief pipeline — the
+# reference's own default estimationRatio is 0.25 (ReliefFRSelector.
+# scala:104-112); sampling the query side is THE algorithmic scaling
+# knob, and the modulo form keeps it oracle-reproducible.
+RELIEF_QPRED = "q.id % 4 = 0"
 JOINT_TOP = list(range(8))  # q17's fixed 'topFeatures' scope
 
 # Shared oracle CTE: instances + exact-k nearest neighbors by
@@ -85,9 +90,26 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
     # stopped SparkContext.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPE_CACHE:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+        _t = _time.time()
+
+        def _mark(label: str) -> None:
+            nonlocal _t
+            if _dbg:
+                print(f"#pipe {label}: {_time.time() - _t:.2f}s", file=_sys.stderr)
+            _t = _time.time()
+
         inst = _embeddings(spark, sf_dir)
         dim = len(inst.select("features").first()[0])
-        neigh = knn_join(inst, inst, RELIEF_K, strategy="numpy")
+        _mark("dim")
+        # estimationRatio analogue: deterministic 1-in-4 query sample
+        # (must mirror RELIEF_QPRED in the oracles)
+        queries = inst.filter(F.col("id") % 4 == 0)
+        neigh = knn_join(inst, queries, RELIEF_K, strategy="numpy")
         # Cache the COMPACT pair table and materialize it NOW: a lazy
         # cache whose first action has several consumers of the same
         # subplan computes the kNN pipeline once per consumer (the
@@ -101,11 +123,12 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         # the compact pair rows.
         par = spark.sparkContext.defaultParallelism
         pairs = (
-            pair_table(inst, neigh)
+            pair_table(queries, neigh, instances=inst)
             .repartition(par, "query_id", "neighbor_id")
             .cache()
         )
         pairs.count()
+        _mark("knn+pairs")
         lp = explode_pairs(pairs)
         pair_counts = pairs.groupBy("n_label", "same_class").agg(
             F.count("*").alias("bin_cnt")
@@ -121,6 +144,7 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         bins = feature_bin_stats(lp, continuous=True, lower_distance_threshold=0.8)
         coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
         bins.cache().count()
+        _mark("bins")
         out = {
             "w": relevance_from_bins(bins, _priors(inst), pair_counts).cache(),
             "marg": bins.groupBy("feature_idx")
@@ -133,8 +157,9 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
                 coll, JOINT_TOP, continuous=True, num_features=dim
             ).cache(),
         }
-        for df in out.values():
+        for name_, df in out.items():
             df.count()
+            _mark(name_)
         bins.unpersist()
         pairs.unpersist()
         _PIPE_CACHE[key] = out
@@ -172,7 +197,7 @@ def q13_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A2-A4: RELIEF relevance -------------------------------------------------
 
 _RELIEF_ORACLE = f"""
-WITH {_knn_cte(RELIEF_K)},
+WITH {_knn_cte(RELIEF_K, RELIEF_QPRED)},
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
 priors AS (SELECT lbl, COUNT(*) / total AS prior FROM inst, nn GROUP BY lbl, total),
 pairs AS (
@@ -262,7 +287,7 @@ coll AS (
 @register(
     "q16_collision_marginal",
     oracle=f"""
-    WITH {_knn_cte(RELIEF_K)},
+    WITH {_knn_cte(RELIEF_K, RELIEF_QPRED)},
     {_COLLISION_CTE}
     SELECT feature_idx,
            ROUND(CAST(SUM(CAST(vote AS DECIMAL(38,18))) AS DOUBLE), 6) AS marginal,
@@ -286,7 +311,7 @@ def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_collision_joint",
     oracle=f"""
-    WITH {_knn_cte(RELIEF_K)},
+    WITH {_knn_cte(RELIEF_K, RELIEF_QPRED)},
     {_COLLISION_CTE},
     paired AS (
       SELECT a.feature_idx AS f1, b.feature_idx AS f2, (a.vote + b.vote) / 2.0 AS jv
