@@ -56,6 +56,7 @@ def knn_join(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
     strategy: str = "sql",
+    num_instances: int | None = None,
 ) -> DataFrame:
     """k nearest neighbors of each query among ``instances``.
 
@@ -76,7 +77,9 @@ def knn_join(
     sc = instances.sparkSession.sparkContext
     n_parts = instances.rdd.getNumPartitions()
     if n_parts < sc.defaultParallelism:
-        approx_rows = instances.count()
+        # `num_instances` (when the caller already knows it) saves a
+        # count() job on the scan side.
+        approx_rows = num_instances if num_instances is not None else instances.count()
         target = max(1, min(sc.defaultParallelism, approx_rows // 256))
         if target > n_parts:
             instances = instances.repartition(target)

@@ -230,6 +230,48 @@ def feature_bin_stats(
         F.sum(F.col("fdist").cast(DEC)).alias("bin_sum"),
         F.sum(F.when(is_coll, vote).otherwise(F.lit(0.0)).cast(DEC)).alias("vote_sum"),
         F.sum(F.when(is_coll, F.lit(1)).otherwise(F.lit(0))).alias("n_collisions"),
+        # Per-bin row count == per-bin PAIR count for dense long tables
+        # (every pair emits every feature); lets dense callers collapse
+        # without a separate pair-count job.
+        F.count("*").alias("n_rows"),
+    )
+
+
+def per_feature_stats(
+    bin_stats: DataFrame,
+    priors: dict[float, float],
+) -> DataFrame:
+    """ONE job collapsing ``feature_bin_stats`` (dense path) into every
+    per-feature statistic the relief pipeline serves: relevance (A4),
+    marginal collision mass (A5), and collision counts.
+
+    Returns ``(feature_idx, relevance, marginal, n_collisions)``.
+    Decimal-identical to running ``relevance_from_bins`` plus the two
+    marginal aggregations separately (the contributions summed are the
+    same values in the same decimal type; only the number of Spark jobs
+    changes). Dense-only: uses ``n_rows`` as the bin's pair count.
+    """
+    spark = bin_stats.sparkSession
+    prior_df = F.broadcast(
+        spark.createDataFrame(
+            [(float(k), float(v)) for k, v in priors.items()],
+            "n_label double, prior double",
+        )
+    )
+    contrib = (
+        F.when(F.col("same_class"), F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.col("prior")
+        * F.col("bin_sum").cast("double")
+        / F.col("n_rows")
+    )
+    return (
+        bin_stats.join(prior_df, "n_label")
+        .groupBy("feature_idx")
+        .agg(
+            F.sum(contrib.cast(DEC)).cast("double").alias("relevance"),
+            F.sum("vote_sum").cast("double").alias("marginal"),
+            F.sum("n_collisions").alias("n_collisions"),
+        )
     )
 
 
@@ -324,10 +366,20 @@ def _both_orientations(fa, fb, jv) -> list:
 def _joint_combos(
     collisions: DataFrame, top_features: list[int] | None, continuous: bool
 ) -> DataFrame:
-    fv = collisions.groupBy("query_id", "neighbor_id").agg(
-        F.collect_list(
-            F.struct(F.col("feature_idx").alias("f"), F.col("vote").alias("v"))
-        ).alias("fv")
+    # The grouped per-pair table is tiny in BYTES, so AQE coalesces it
+    # to ~1 partition — but the combination explode below multiplies
+    # each row by O(|top| * collisions), so a byte-based coalesce here
+    # serializes the whole expensive stage. Spread the compact rows
+    # across cores first; the shuffle moves only ~1 array row per pair.
+    par = collisions.sparkSession.sparkContext.defaultParallelism
+    fv = (
+        collisions.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("feature_idx").alias("f"), F.col("vote").alias("v"))
+            ).alias("fv")
+        )
+        .repartition(par, "query_id", "neighbor_id")
     )
     if top_features is not None:
         top_lit = F.array(*[F.lit(int(f)) for f in top_features])

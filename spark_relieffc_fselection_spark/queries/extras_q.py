@@ -56,13 +56,23 @@ coll AS (
 """
 
 
-def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Returns (exploded long pairs, the cached compact pair table).
+def _discrete_long_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Returns (exploded long pairs, the LAZILY cached compact pair
+    table, embedding dim).
 
     The caller owns the cached pair table and must unpersist it once
-    its derived results are materialized.
+    its derived results are materialized; the cache fills as a side
+    effect of the caller's first materializing action.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # one job yields row count (feeds knn_join's partition sizing) AND
+    # the embedding dim — vs separate count() + first() actions.
+    n_total, first_emb = emb.agg(
+        F.count("*"), F.first("embedding")
+    ).first()
+    dim = len(first_emb)
     inst = emb.select(
         F.col("vec_id").alias("id"),
         F.transform(
@@ -73,10 +83,10 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
     # numpy kernel is safe here even for the rank tiebreak: discretized
     # coordinates are small integers, so squared distances are exact in
     # float64 under any summation order — ties are exact in both engines.
-    neigh = knn_join(inst, inst, DISC_K, strategy="numpy")
-    # cache the compact pair table and materialize it eagerly — the
-    # downstream marginal + joint aggregations both re-derive the
-    # explode from it in-core instead of re-running the kNN per branch.
+    neigh = knn_join(inst, inst, DISC_K, strategy="numpy", num_instances=n_total)
+    # cache the compact pair table — the downstream marginal + joint
+    # aggregations both re-derive the explode from it in-core instead
+    # of re-running the kNN per branch.
     # Repartition by pair key: AQE would otherwise coalesce this small
     # table to ~1 partition and serialize every downstream explode.
     par = spark.sparkContext.defaultParallelism
@@ -85,8 +95,7 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
         .repartition(par, "query_id", "neighbor_id")
         .cache()
     )
-    pairs.count()
-    return explode_pairs(pairs), pairs
+    return explode_pairs(pairs), pairs, dim
 
 
 @register(
@@ -124,9 +133,13 @@ def _discrete_long_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, D
         "scala:417, 444 discrete branch; de-denormalized per SURVEY)",
 )
 def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb_dim = len(load_table(spark, sf_dir, "embeddings").select("embedding").first()[0])
-    lp, pairs = _discrete_long_pairs(spark, sf_dir)
+    lp, pairs, emb_dim = _discrete_long_pairs(spark, sf_dir)
     coll = collision_table(lp, continuous=False, lower_distance_threshold=0.8).cache()
+    # ONE materializing job fills the pair cache AND the collision
+    # cache before the marginal/joint branches fan out — without it the
+    # two branches of the final join would race to compute the same
+    # cached partitions and duplicate the kNN + explode work.
+    coll.count()
     marg = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
     joint = joint_counts(coll, DISC_TOP, continuous=False, num_features=emb_dim)
     per_f = joint.groupBy(F.col("f1").alias("feature_idx")).agg(

@@ -24,7 +24,7 @@ from spark_relieffc_fselection_spark.operators.relief import (
     feature_bin_stats,
     joint_counts,
     pair_table,
-    relevance_from_bins,
+    per_feature_stats,
     relevance_weights,
 )
 from spark_relieffc_fselection_spark.queries import register
@@ -104,74 +104,59 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
             _t = _time.time()
 
         inst = _embeddings(spark, sf_dir)
-        dim = len(inst.select("features").first()[0])
-        _mark("dim")
+        # One job yields priors, total count AND dim (dim from any
+        # collected feature row) — vs three separate actions.
+        label_rows = (
+            inst.groupBy("label")
+            .agg(F.count("*").alias("n"), F.first("features").alias("fx"))
+            .collect()
+        )
+        n_total = sum(r["n"] for r in label_rows)
+        dim = len(label_rows[0]["fx"])
+        priors = {float(r["label"]): r["n"] / n_total for r in label_rows}
+        _mark("priors+dim")
         # estimationRatio analogue: deterministic 1-in-4 query sample
         # (must mirror RELIEF_QPRED in the oracles)
         queries = inst.filter(F.col("id") % 4 == 0)
-        neigh = knn_join(inst, queries, RELIEF_K, strategy="numpy")
-        # Cache the COMPACT pair table and materialize it NOW: a lazy
-        # cache whose first action has several consumers of the same
-        # subplan computes the kNN pipeline once per consumer (the
-        # cache dedupes storage, not computation). The exploded long
-        # form is nFeat times bigger — never cached, re-derived per
-        # consumer in one in-core pass.
+        neigh = knn_join(
+            inst, queries, RELIEF_K, strategy="numpy", num_instances=n_total
+        )
+        # Cache the COMPACT pair table (the exploded long form is nFeat
+        # times bigger — never cached, re-derived per consumer in one
+        # in-core pass). NOT materialized eagerly: the per-feature job
+        # below is its first and only consumer before the joint job, so
+        # the cache fills as a side effect of useful work.
         # Repartition by the pair key before caching: AQE coalesces the
         # small join output to very few partitions, and every cached
-        # consumer (explode passes, the exchange-free per-pair groupBy)
-        # would inherit that near-serial layout. The shuffle moves only
-        # the compact pair rows.
+        # consumer (explode passes) would inherit that near-serial
+        # layout. The shuffle moves only the compact pair rows.
         par = spark.sparkContext.defaultParallelism
         pairs = (
             pair_table(queries, neigh, instances=inst)
             .repartition(par, "query_id", "neighbor_id")
             .cache()
         )
-        pairs.count()
-        _mark("knn+pairs")
         lp = explode_pairs(pairs)
-        pair_counts = pairs.groupBy("n_label", "same_class").agg(
-            F.count("*").alias("bin_cnt")
-        )
         # TWO passes over the exploded long form total: one fused
         # bin-stats aggregation (relevance sums + marginal votes +
-        # collision counts in a single scan — feature_bin_stats), one
-        # collision explode feeding the joint combos. All four query
+        # collision counts in a single scan — feature_bin_stats,
+        # collapsed per-feature by per_feature_stats in the SAME job),
+        # one collision explode feeding the joint combos. Both query
         # results are TINY (64..~1000 rows): compute and cache them
-        # now, then release the big intermediates — a leaked
+        # now, then release the big pair cache — a leaked
         # multi-hundred-MB cache per sf_dir otherwise piles GC
         # pressure onto every later query in the session.
         bins = feature_bin_stats(lp, continuous=True, lower_distance_threshold=0.8)
         coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
-        bins.cache().count()
-        _mark("bins")
-        out = {
-            "w": relevance_from_bins(bins, _priors(inst), pair_counts).cache(),
-            "marg": bins.groupBy("feature_idx")
-            .agg(F.sum("vote_sum").cast("double").alias("marginal"))
-            .cache(),
-            "cnt": bins.groupBy("feature_idx")
-            .agg(F.sum("n_collisions").alias("n_collisions"))
-            .cache(),
-            "joint": joint_counts(
-                coll, JOINT_TOP, continuous=True, num_features=dim
-            ).cache(),
-        }
-        for name_, df in out.items():
-            df.count()
-            _mark(name_)
-        bins.unpersist()
+        perfeat = per_feature_stats(bins, priors).cache()
+        perfeat.count()
+        _mark("perfeat")
+        joint = joint_counts(coll, JOINT_TOP, continuous=True, num_features=dim).cache()
+        joint.count()
+        _mark("joint")
         pairs.unpersist()
-        _PIPE_CACHE[key] = out
+        _PIPE_CACHE[key] = {"perfeat": perfeat, "joint": joint}
     return _PIPE_CACHE[key]
-
-
-def _priors(inst: DataFrame) -> dict[float, float]:
-    n = inst.count()
-    return {
-        float(r["label"]): r["count"] / n
-        for r in inst.groupBy("label").count().collect()
-    }
 
 
 # --- J1/J2/T1: the broadcast kNN join ---------------------------------------
@@ -237,7 +222,7 @@ relevance AS (
         "collapsed with class priors (ReliefFRSelector.scala:402-475, 605-629)",
 )
 def q14_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _pipe(spark, sf_dir)["w"]
+    w = _pipe(spark, sf_dir)["perfeat"]
     return w.select("feature_idx", F.round("relevance", 6).alias("relevance"))
 
 
@@ -256,7 +241,7 @@ def q14_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ReliefFRSelector.scala:688-690)",
 )
 def q15_relief_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _pipe(spark, sf_dir)["w"]
+    w = _pipe(spark, sf_dir)["perfeat"]
     ranked = w.orderBy(F.desc("relevance"), F.asc("feature_idx")).limit(10)
     return ranked.select(
         "feature_idx",
@@ -299,9 +284,8 @@ coll AS (
         "threshold de-randomized per SURVEY §8.3)",
 )
 def q16_collision_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _pipe(spark, sf_dir)
-    m, cnt = p["marg"], p["cnt"]
-    return m.join(cnt, "feature_idx").select(
+    p = _pipe(spark, sf_dir)["perfeat"]
+    return p.select(
         "feature_idx", F.round("marginal", 6).alias("marginal"), "n_collisions"
     )
 
@@ -457,17 +441,24 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_df, labels = to_long_form(sparse)
     long_df, labels = long_df.cache(), labels.cache()
     query_ids = labels.select("id").filter(F.col("id") % SPARSE_QUERY_MOD == 0)
-    neigh = sparse_knn_join(long_df, labels, query_ids, SPARSE_K)
+    # ONE job for the priors (sum of label counts == total). It also
+    # fills the long/labels caches before the kNN job reads them.
+    label_rows = labels.groupBy("label").agg(F.count("*").alias("n")).collect()
+    n_inst = sum(r["n"] for r in label_rows)
+    priors = {float(r["label"]): r["n"] / n_inst for r in label_rows}
+    # Cache + materialize the tiny neighbor table: it feeds the pair
+    # explode THREE times (q-side, n-side, final label join) plus the
+    # pair-count aggregation — uncached, the whole inverted-index kNN
+    # subplan (grid cross-join + rank window) would re-execute per
+    # consumer.
+    neigh = sparse_knn_join(long_df, labels, query_ids, SPARSE_K).cache()
+    neigh.count()
     lp = sparse_pair_feature_table(long_df, labels, neigh)
     pair_counts = _pair_bin_counts(neigh, labels)
-    n_inst = labels.count()
-    priors = {
-        float(r["label"]): r["n"] / n_inst
-        for r in labels.groupBy("label").agg(F.count("*").alias("n")).collect()
-    }
     w = relevance_weights(lp, priors, pair_counts=pair_counts)
     out = w.select("feature_idx", F.round("relevance", 6).alias("relevance")).cache()
     out.count()
+    neigh.unpersist()
     long_df.unpersist()
     labels.unpersist()
     return out
