@@ -53,6 +53,23 @@ def main() -> None:
         .agg(_F.sum(_F.col("x").cast("decimal(38,18)")))
         .count()
     )
+    # Second warmup tier: run every query once at a tiny sf. Janino
+    # caches generated code by source text and the per-operator plans
+    # are identical across sf dirs (only the scan path literal
+    # differs), so this compiles each query's full codegen/shuffle
+    # machinery without touching the timed sf's data or memoized
+    # caches (those key on sf_dir).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if warm_dir != sf_dir and os.path.isdir(warm_dir):
+        for name, fn in all_queries().items():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
+        # Leaked cache entries tax every later action's cache lookup
+        # with a canonicalized-plan comparison; start the timed runs
+        # with a clean CacheManager.
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in all_queries().items():

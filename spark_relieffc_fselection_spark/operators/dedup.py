@@ -108,9 +108,12 @@ def jaccard_similar_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b. ``df_cap=None``
     disables the stop-shingle guard (and skips its extra pass).
     """
-    # cache: the shingle table feeds sizes + both join sides; without
-    # it Spark re-runs explode+hash+distinct three times.
-    sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
+    # No cache: the shingle table feeds sizes + both join sides, but
+    # all three consumers sit under ONE action and share the distinct's
+    # exchange, which Spark's ReuseExchange dedupes — measured
+    # cache-vs-not parity at sf0.1, and a session-lived cache entry
+    # slows every later query's cache lookup.
+    sh = doc_shingle_hashes(docs, n, text_col, id_col)
     if df_cap is not None:
         df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
         sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "sh").select(
@@ -236,9 +239,10 @@ def minhash_near_duplicates(
     """MinHash-LSH near-dup pipeline: bucket -> candidates -> verify
     with true Jaccard (only candidates pay the verification join)."""
     rows_per_band = num_hashes // bands
-    # one shingle-hash table feeds signatures, sizes, and both sides of
-    # the verification join — cache it.
-    sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
+    # One shingle-hash table feeds signatures, sizes, and both sides of
+    # the verification join — all under one action, so ReuseExchange
+    # shares the distinct's exchange; no session-lived cache entry.
+    sh = doc_shingle_hashes(docs, n, text_col, id_col)
     sigs = minhash_signatures_from_hashes(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))

@@ -448,7 +448,10 @@ def mi_redundancy(
             ).otherwise(F.col("red_raw")),
         )
     )
-    jp = jp.cache()  # min/max pass + the returned projection share it
+    # No cache: the min/max pass and the returned projection are two
+    # actions, but jp's inputs are cached by every fit caller, so the
+    # recompute is one cheap agg over in-core data — cheaper session-
+    # wide than a leaked cache entry no caller can unpersist.
     stats = jp.agg(F.min("red_raw").alias("mn"), F.max("red_raw").alias("mx")).collect()
     if not stats or stats[0]["mn"] is None:
         return jp.select("f1", "f2", F.lit(0.0).alias("redundancy"))
@@ -678,6 +681,12 @@ def fit_relief(
             red_df = mi_redundancy(joint_all, marg_all, float(total_interactions), joint_total)
             for r in red_df.collect():
                 red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
+
+    # Everything is driver-side numpy from here: release the per-batch
+    # caches so a long-lived session doesn't accumulate dead entries
+    # (each live entry also taxes every later cache lookup).
+    for df in (*batch_weights, *marginals, *joints):
+        df.unpersist()
 
     red_sel = (
         greedy_select(relevance, red_coo, num_top_features)

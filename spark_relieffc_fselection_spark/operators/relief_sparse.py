@@ -273,6 +273,10 @@ def fit_relief_sparse(
                 red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
     lp.unpersist()
 
+    neigh.unpersist()
+    if redundancy_removal:
+        coll.unpersist()
+
     red_sel = (
         greedy_select(relevance_n, red_coo, num_top_features)
         if redundancy_removal

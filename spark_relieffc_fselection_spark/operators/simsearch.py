@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.functions.vector import (
-    cosine_similarity,
+
     dot_product,
     l2_norm,
 )
@@ -38,6 +38,30 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -
     return df.select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).cast("array<double>").alias(out_vec),
+    )
+
+
+def _prep_normed(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str, out_nrm: str
+) -> DataFrame:
+    """Project (id, vec, |vec|): the norm is computed ONCE per row
+    before any join. Array folds are interpreted (higher-order
+    functions sit outside whole-stage codegen), so recomputing norms
+    per candidate pair triples the fold work of every similarity join.
+    Same fold order as computing it per-pair -> bit-identical cosines.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(out_id),
+        v.alias(out_vec),
+        l2_norm(v).alias(out_nrm),
+    )
+
+
+def _cos(q_vec: str, n_vec: str, q_nrm: str, n_nrm: str):
+    den = F.col(q_nrm) * F.col(n_nrm)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col(q_vec), F.col(n_vec)) / den
     )
 
 
@@ -54,8 +78,8 @@ def brute_force_topk(
     Ties break on neighbor_id; the query side is broadcast (bounded
     query sets are the contract, mirroring the RELIEF sample batch).
     """
-    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
-    c = _prep(corpus, id_col, vec_col, "neighbor_id", "n_vec")
+    q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
+    c = _prep_normed(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm")
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -66,7 +90,7 @@ def brute_force_topk(
         pairs.select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+            _cos("q_vec", "n_vec", "q_nrm", "n_nrm").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -92,13 +116,13 @@ def lsh_bucketed_topk(
     n_tables * corpus / 2^n_bits. Exact cosine ranking within the
     candidate set; fully deterministic, hence SQL-oracle-able.
     """
-    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
-    c = _prep(corpus, id_col, vec_col, "neighbor_id", "n_vec")
+    q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
+    c = _prep_normed(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm")
     q_b = _with_table_buckets(q, "q_vec", n_bits, n_tables)
     c_b = _with_table_buckets(c, "n_vec", n_bits, n_tables)
     cand = (
         c_b.join(F.broadcast(q_b), ["table", "bucket"])
-        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .select("query_id", "neighbor_id", "q_vec", "n_vec", "q_nrm", "n_nrm")
         .distinct()
     )
     if exclude_self:
@@ -108,7 +132,7 @@ def lsh_bucketed_topk(
         cand.select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+            _cos("q_vec", "n_vec", "q_nrm", "n_nrm").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -148,9 +172,11 @@ def ivf_assignments(
     is corpus/stride, kept small) and lists can be written bucketed-by
     `list_id` for co-partitioned probes.
     """
-    c = _prep(corpus, id_col, vec_col, "vid", "vec")
+    c = _prep_normed(corpus, id_col, vec_col, "vid", "vec", "v_nrm")
     centroids = c.filter(F.col("vid") % centroid_stride == 0).select(
-        F.col("vid").alias("centroid_id"), F.col("vec").alias("c_vec")
+        F.col("vid").alias("centroid_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("v_nrm").alias("c_nrm"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("centroid_id"))
     assign = (
@@ -158,7 +184,7 @@ def ivf_assignments(
         .select(
             "vid",
             "centroid_id",
-            cosine_similarity(F.col("vec"), F.col("c_vec")).alias("sim"),
+            _cos("vec", "c_vec", "v_nrm", "c_nrm").alias("sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -180,21 +206,22 @@ def ivf_topk(
     """IVF probe: each query scans only its n_probe nearest inverted
     lists. Returns (query_id, neighbor_id, cosine, rank)."""
     centroids, assign = ivf_assignments(corpus, centroid_stride, id_col, vec_col)
-    q = _prep(queries, id_col, vec_col, "query_id", "q_vec")
+    q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
         .select(
             "query_id",
             "q_vec",
+            "q_nrm",
             "centroid_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            _cos("q_vec", "c_vec", "q_nrm", "c_nrm").alias("sim"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_vec", F.col("centroid_id").alias("list_id"))
+        .select("query_id", "q_vec", "q_nrm", F.col("centroid_id").alias("list_id"))
     )
-    c = _prep(corpus, id_col, vec_col, "neighbor_id", "n_vec").join(
+    c = _prep_normed(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm").join(
         assign.withColumnRenamed("vid", "neighbor_id"), "neighbor_id"
     )
     pairs = c.join(F.broadcast(probes), "list_id")
@@ -205,7 +232,7 @@ def ivf_topk(
         pairs.select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+            _cos("q_vec", "n_vec", "q_nrm", "n_nrm").alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -63,3 +63,21 @@ def _load_modules() -> None:
             __import__(f"spark_relieffc_fselection_spark.queries.{optional}")
         except ImportError:
             pass
+
+
+def localize(df: DataFrame) -> DataFrame:
+    """Materialize a SMALL result as a LocalRelation (collect + rebuild).
+
+    For memoized tiny results (relief per-feature stats, joint COO —
+    tens to ~1k rows), ``.cache()`` is the wrong tool: each live cache
+    entry carries its full analyzed plan, and EVERY later action in the
+    session pays a canonicalized-plan comparison against every entry
+    during cache lookup. A handful of pipeline-sized cached plans
+    measurably slows unrelated queries (2-3x on sub-second jobs). A
+    LocalRelation has no lineage, occupies no executor storage, and
+    costs nothing to compare against.
+
+    Only for driver-sized results — never big distributed data.
+    """
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, schema=df.schema)

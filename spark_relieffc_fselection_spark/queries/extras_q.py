@@ -16,7 +16,7 @@ from spark_relieffc_fselection_spark.operators.relief import (
     marginal_counts,
     pair_table,
 )
-from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.queries import localize, register
 from spark_relieffc_fselection_spark.sources import load_table
 
 DISC_K = 20  # 2 neighbors x 10 classes
@@ -147,16 +147,14 @@ def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.col("joint").cast("decimal(38,18)")).cast("double"), 6
         ).alias("total_joint")
     )
-    # materialize the tiny (nFeat-row) result, then free the cached
-    # intermediates — leaked caches turn into GC pressure for every
-    # query that runs after this one in the session.
-    out = (
+    # localize the tiny (nFeat-row) result, then free the cached
+    # intermediates — every cache entry left behind slows later
+    # queries' cache-lookup plan comparisons for the whole session.
+    out = localize(
         marg.join(per_f, "feature_idx", "left")
         .na.fill({"total_joint": 0.0})
         .select("feature_idx", "n_collisions", "total_joint")
-        .cache()
     )
-    out.count()
     coll.unpersist()
     pairs.unpersist()
     return out
@@ -233,4 +231,118 @@ def q39_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q45_analytic_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(COALESCE(lag(o_totalprice) OVER seq, -1.0), 6) AS prev_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) OVER seq AS DOUBLE), 6) AS run_sum,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders
+    WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Analytic windows beyond top-k ranking: lag, running decimal sum, "
+        "rank — per-customer order timeline (absent in reference; engine "
+        "built-in, SURVEY §2.8). Running sum in DECIMAL so every prefix is "
+        "order-exact in both engines.",
+)
+def q45_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.coalesce(
+                F.lag("o_totalprice").over(
+                    Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+                ),
+                F.lit(-1.0),
+            ),
+            6,
+        ).alias("prev_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,18)")).over(seq).cast("double"),
+            6,
+        ).alias("run_sum"),
+        F.rank().over(rk).alias("price_rank"),
+    )
+
+
+@register(
+    "q46_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets: all four aggregation granularities in one "
+        "pass (Expand + single shuffle — vs four scans if hand-unioned)",
+)
+def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "q47_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18)))
+                 FILTER (o_orderstatus = 'O') AS DOUBLE), 6) AS open_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (explicit value list => no extra distinct scan; Spark "
+        "plans it as conditional aggregation, same as the oracle's FILTER)",
+)
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,18)")).alias("sp"),
+        )
+    )
+    return piv.select(
+        "priority",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+        F.col("P_n").alias("n_pending"),
+        F.round(F.col("O_sp").cast("double"), 6).alias("open_price"),
     )

@@ -27,7 +27,7 @@ from spark_relieffc_fselection_spark.operators.relief import (
     per_feature_stats,
     relevance_weights,
 )
-from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.queries import localize, register
 from spark_relieffc_fselection_spark.sources import load_table
 
 KNN_K = 10          # q13 neighbors per query
@@ -148,11 +148,12 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         # pressure onto every later query in the session.
         bins = feature_bin_stats(lp, continuous=True, lower_distance_threshold=0.8)
         coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
-        perfeat = per_feature_stats(bins, priors).cache()
-        perfeat.count()
+        # localize, not cache: the memoized results live for the whole
+        # session, and every retained cache entry slows later queries'
+        # cache lookups by its (huge) plan size. LocalRelations don't.
+        perfeat = localize(per_feature_stats(bins, priors))
         _mark("perfeat")
-        joint = joint_counts(coll, JOINT_TOP, continuous=True, num_features=dim).cache()
-        joint.count()
+        joint = localize(joint_counts(coll, JOINT_TOP, continuous=True, num_features=dim))
         _mark("joint")
         pairs.unpersist()
         _PIPE_CACHE[key] = {"perfeat": perfeat, "joint": joint}
@@ -456,8 +457,9 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = sparse_pair_feature_table(long_df, labels, neigh)
     pair_counts = _pair_bin_counts(neigh, labels)
     w = relevance_weights(lp, priors, pair_counts=pair_counts)
-    out = w.select("feature_idx", F.round("relevance", 6).alias("relevance")).cache()
-    out.count()
+    out = localize(
+        w.select("feature_idx", F.round("relevance", 6).alias("relevance"))
+    )
     neigh.unpersist()
     long_df.unpersist()
     labels.unpersist()
