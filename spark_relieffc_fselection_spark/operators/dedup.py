@@ -100,6 +100,7 @@ def jaccard_similar_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int | None = DEFAULT_DF_CAP,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
@@ -107,13 +108,19 @@ def jaccard_similar_pairs(
     |A ∩ B| = count of shared shingles, |A ∪ B| = |A| + |B| - inter.
     Returns (id_a, id_b, jaccard) with id_a < id_b. ``df_cap=None``
     disables the stop-shingle guard (and skips its extra pass).
+
+    ``shingle_hashes``: prebuilt (doc_id, sh) table (ideally cached by
+    the caller — the query layer shares ONE cached table across the
+    whole dedup family). When absent we cache locally: the table feeds
+    sizes + both join sides, and ReuseExchange does NOT dedupe them
+    (the sides carry different projections), so without a cache the
+    explode+hash+distinct runs three times (measured 5x slower sf0.1).
     """
-    # No cache: the shingle table feeds sizes + both join sides, but
-    # all three consumers sit under ONE action and share the distinct's
-    # exchange, which Spark's ReuseExchange dedupes — measured
-    # cache-vs-not parity at sf0.1, and a session-lived cache entry
-    # slows every later query's cache lookup.
-    sh = doc_shingle_hashes(docs, n, text_col, id_col)
+    if shingle_hashes is not None:
+        sh = shingle_hashes
+    else:
+        sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
+        sh.count()  # fill once — concurrent consumer stages race otherwise
     if df_cap is not None:
         df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
         sh = sh.join(df_counts.filter(F.col("df") <= df_cap), "sh").select(
@@ -167,6 +174,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, k, minhash) — k in 0..num_hashes-1.
 
@@ -175,8 +183,9 @@ def minhash_signatures(
     fewer hash computations than an md5-per-(k, shingle) family. Docs
     with no shingles get no signature rows.
     """
-    sh = doc_shingle_hashes(docs, n, text_col, id_col)
-    return minhash_signatures_from_hashes(sh, num_hashes)
+    if shingle_hashes is None:
+        shingle_hashes = doc_shingle_hashes(docs, n, text_col, id_col)
+    return minhash_signatures_from_hashes(shingle_hashes, num_hashes)
 
 
 def minhash_signatures_from_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -235,14 +244,23 @@ def minhash_near_duplicates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: bucket -> candidates -> verify
-    with true Jaccard (only candidates pay the verification join)."""
+    with true Jaccard (only candidates pay the verification join).
+
+    One shingle-hash table feeds signatures, sizes, and both sides of
+    the verification join — four consumers with distinct projections,
+    which ReuseExchange does not unify; pass a caller-cached
+    ``shingle_hashes`` (preferred) or we cache locally.
+    """
     rows_per_band = num_hashes // bands
-    # One shingle-hash table feeds signatures, sizes, and both sides of
-    # the verification join — all under one action, so ReuseExchange
-    # shares the distinct's exchange; no session-lived cache entry.
-    sh = doc_shingle_hashes(docs, n, text_col, id_col)
+    if shingle_hashes is not None:
+        sh = shingle_hashes
+    else:
+        sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
+        sh.count()  # fill once — concurrent consumer stages race otherwise
+
     sigs = minhash_signatures_from_hashes(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))

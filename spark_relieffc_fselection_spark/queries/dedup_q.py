@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.dedup import (
+    doc_shingle_hashes,
     exact_duplicate_groups,
     jaccard_similar_pairs,
     minhash_near_duplicates,
@@ -20,6 +21,28 @@ from spark_relieffc_fselection_spark.operators.dedup import (
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
+
+# The whole dedup family (q19 jaccard, q20 minhash sigs, q21 LSH) sits
+# on one (doc_id, shingle_hash) table. Memoize ONE cached copy per
+# (session, sf_dir) — same pattern as relief_q._PIPE_CACHE — so the
+# explode+md5+distinct pass runs once per corpus, not once per query
+# consumer (it feeds up to 4 sides per pipeline and ReuseExchange does
+# not unify differently-projected reuses).
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = doc_shingle_hashes(docs).cache()
+        # Materialize NOW: an unmaterialized cache under a multi-consumer
+        # plan is computed by every concurrent downstream stage (they
+        # race to fill it), so the first query would pay the shingle
+        # build up to 3x. One explicit job fills it exactly once.
+        sh.count()
+        _SHINGLE_CACHE[key] = sh
+    return _SHINGLE_CACHE[key]
 
 # Shared SQL fragments ---------------------------------------------------------
 
@@ -98,7 +121,12 @@ def q18_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_similar_pairs(docs, threshold=JACCARD_THRESHOLD, df_cap=None)
+    return jaccard_similar_pairs(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        df_cap=None,
+        shingle_hashes=_shingles(spark, sf_dir),
+    )
 
 
 # --- MinHash signatures ----------------------------------------------------------
@@ -128,7 +156,9 @@ sigs AS (SELECT doc_id, k, MIN(hv) AS minhash FROM hv GROUP BY doc_id, k)
 )
 def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, num_hashes=MINHASH_K)
+    return minhash_signatures(
+        docs, num_hashes=MINHASH_K, shingle_hashes=_shingles(spark, sf_dir)
+    )
 
 
 # --- MinHash + LSH near-dups -----------------------------------------------------
@@ -169,7 +199,11 @@ def q20_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        docs, threshold=JACCARD_THRESHOLD, num_hashes=MINHASH_K, bands=MINHASH_BANDS
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        shingle_hashes=_shingles(spark, sf_dir),
     )
 
 

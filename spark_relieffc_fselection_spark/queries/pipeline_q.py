@@ -119,7 +119,11 @@ def q41_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "quality_score")
     )
-    pairs = jaccard_similar_pairs(docs, threshold=DUP_JACCARD, df_cap=None)
+    from spark_relieffc_fselection_spark.queries.dedup_q import _shingles
+
+    pairs = jaccard_similar_pairs(
+        docs, threshold=DUP_JACCARD, df_cap=None, shingle_hashes=_shingles(spark, sf_dir)
+    )
     dup_b = (
         pairs.join(kept.select(F.col("doc_id").alias("id_a")), "id_a")
         .join(kept.select(F.col("doc_id").alias("id_b")), "id_b")
