@@ -80,10 +80,11 @@ def _discrete_long_pairs(
         ).alias("features"),
         F.col("label").cast("double").alias("label"),
     )
-    # numpy kernel is safe here even for the rank tiebreak: discretized
-    # coordinates are small integers, so squared distances are exact in
-    # float64 under any summation order — ties are exact in both engines.
-    neigh = knn_join(inst, inst, DISC_K, strategy="numpy", num_instances=n_total)
+    # gemm kernel is safe here even for the rank tiebreak: discretized
+    # coordinates are small integers, so |q|^2 - 2qb + |b|^2 is exact in
+    # float64 (integer products/sums) — identical ranks to the diff
+    # kernel and the SQL fold, at ~10x the kernel throughput.
+    neigh = knn_join(inst, inst, DISC_K, strategy="numpy-gemm", num_instances=n_total)
     # cache the compact pair table — the downstream marginal + joint
     # aggregations both re-derive the explode from it in-core instead
     # of re-running the kNN per branch.

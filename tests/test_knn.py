@@ -78,3 +78,21 @@ def test_knn_query_subset_broadcast_plan(spark, small_vectors):
     queries = df.filter(F.col("id") < 5)
     plan = knn_join(df, queries, 3)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_knn_gemm_matches_diff_kernel_on_integer_grid(spark):
+    """numpy-gemm is bit-exact on integer coordinates (products and sums
+    stay in float64's exact-integer range), including exact-duplicate
+    rows whose distance must clamp to 0, so ranks/distances must equal
+    the diff kernel's verbatim."""
+    rng = np.random.default_rng(11)
+    X = rng.integers(-5, 6, size=(80, 16)).astype(float)
+    X[41] = X[7]  # exact duplicate pair
+    X[55] = X[7]
+    rows = [(i, X[i].tolist()) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    k = 6
+    cols = ["query_id", "rank", "neighbor_id", "distance"]
+    base = knn_join(df, df, k, strategy="numpy").select(*cols).collect()
+    gemm = knn_join(df, df, k, strategy="numpy-gemm").select(*cols).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, gemm))
