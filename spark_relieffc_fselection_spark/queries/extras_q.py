@@ -347,3 +347,36 @@ def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_n").alias("n_pending"),
         F.round(F.col("O_sp").cast("double"), 6).alias("open_price"),
     )
+
+
+@register(
+    "q48_setops",
+    oracle="""
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+    c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+    both_years AS (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96),
+    only_95 AS (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+    SELECT 'both' AS cohort, o_custkey FROM both_years
+    UNION ALL
+    SELECT 'only_1995' AS cohort, o_custkey FROM only_95
+    """,
+    doc="Set operations (SURVEY §2.6 'engine: built-in'): INTERSECT and "
+        "EXCEPT over per-year customer cohorts, tagged and unioned. Spark "
+        "plans both as aggregated joins (semi/anti after distinct) — no "
+        "custom operator needed.",
+)
+def q48_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c95 = (
+        orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    c96 = (
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    both_years = c95.intersect(c96).select(
+        F.lit("both").alias("cohort"), "o_custkey"
+    )
+    only_95 = c95.exceptAll(c96).select(
+        F.lit("only_1995").alias("cohort"), "o_custkey"
+    )
+    return both_years.unionByName(only_95)
