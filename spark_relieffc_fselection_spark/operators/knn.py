@@ -179,10 +179,11 @@ def _candidates_numpy(
         # Running per-partition candidates: keep at most k per query.
         best_d = np.full((nq, k), np.inf)
         best_i = np.full((nq, k), -1, dtype=np.int64)
-        # Chunk so the (Q, B, d) intermediate stays bounded. The diff
-        # cube's (q-b)^2 is the bit-exact default; see docstring for
-        # when the gemm expansion is allowed.
-        chunk = max(1, _MAX_BLOCK_CELLS // max(nq * d, 1))
+        # Chunk so the intermediate stays bounded: the diff cube is
+        # (Q, B, d) cells, but gemm's intermediates (q.n^T and d2) are
+        # only (Q, B) — its chunks can be d times larger, which also
+        # divides the per-chunk top-k merge overhead by d.
+        chunk = max(1, _MAX_BLOCK_CELLS // max(nq * (1 if gemm else d), 1))
         qq = np.einsum("qd,qd->q", mat, mat) if gemm else None
         for pdf in batches:
             n_ids_all = pdf[id_col].to_numpy(dtype=np.int64)
