@@ -248,3 +248,50 @@ def q35_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count("*").alias("n_events"), _dsum6("value").alias("sum_value"))
     )
+
+
+# --- q50: a REAL Structured Streaming query under the oracle gate ----------
+
+_STREAM_DIRS: dict[tuple[str, str], str] = {}
+_SINK_SEQ = [0]
+
+
+@register(
+    "q50_streaming_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming end-to-end under the oracle gate: file-source "
+        "readStream -> watermark -> tumbling window agg -> availableNow "
+        "memory sink. Event-time windows make stream == batch, so the "
+        "batch SQL oracle applies verbatim (streaming/windows.py).",
+)
+def q50_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_tumbling_counts,
+    )
+
+    # File-source streams read DIRECTORIES; stage the single parquet
+    # file into one (memoized per session+sf so reruns don't recopy).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="q50_events_stream_")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        _STREAM_DIRS[key] = d
+    stream = read_events_stream(spark, _STREAM_DIRS[key])
+    _SINK_SEQ[0] += 1
+    return run_to_memory_sink(
+        streaming_tumbling_counts(stream),
+        f"q50_sink_{_SINK_SEQ[0]}",
+        output_mode="complete",
+    )

@@ -63,12 +63,17 @@ def streaming_tumbling_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal accumulation: the engine-wide determinism posture
+            # (micro-batch boundaries must not change the sums)
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("sum_value_dec"),
+        )
         .select(
             F.unix_timestamp("w.start").alias("window_start_s"),
             "event_type",
             "n_events",
-            F.round("sum_value", 6).alias("sum_value"),
+            F.round(F.col("sum_value_dec").cast("double"), 6).alias("sum_value"),
         )
     )
 
