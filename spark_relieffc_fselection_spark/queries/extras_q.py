@@ -380,3 +380,38 @@ def q48_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("only_1995").alias("cohort"), "o_custkey"
     )
     return both_years.unionByName(only_95)
+
+
+@register(
+    "q51_hll_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_orderkey) AS n_exact,
+           (abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+              <= 0.1 * COUNT(DISTINCT l_orderkey)) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="HyperLogLog approximate distinct — the 100 TB cardinality path "
+        "(one pass, bounded sketch memory, no distinct shuffle). The raw "
+        "sketch value is engine-specific, so the oracle gates the ACCURACY "
+        "CONTRACT instead: each engine's own HLL must land within 10% of "
+        "exact (Spark rsd=0.02 ~ 2-3% observed; DuckDB ~2%). n_exact "
+        "value-matches exactly.",
+)
+def q51_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "flag",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.1 * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+    )
