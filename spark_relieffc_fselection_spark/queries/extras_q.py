@@ -17,6 +17,7 @@ from spark_relieffc_fselection_spark.operators.relief import (
     pair_table,
 )
 from spark_relieffc_fselection_spark.queries import localize, register
+from spark_relieffc_fselection_spark.queries.relational import DEC, dsum, r6
 from spark_relieffc_fselection_spark.sources import load_table
 
 DISC_K = 20  # 2 neighbors x 10 classes
@@ -414,4 +415,89 @@ def q51_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.1 * F.col("n_exact")
             ).alias("approx_ok"),
         )
+    )
+
+
+@register(
+    "q52_correlated_subquery",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,18)))
+                      AS DOUBLE), 6) AS small_qty_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    """,
+    doc="Correlated scalar subquery (TPC-H Q17 shape): revenue of lines "
+        "whose quantity is below 20% of that part's average. The oracle "
+        "keeps the correlated form; the Spark plan is the decorrelation "
+        "Catalyst would produce — a per-part aggregate joined back to the "
+        "fact table. Observed plan: both the threshold table and the part "
+        "dim broadcast, so lineitem is scanned once with ZERO join "
+        "shuffles (exchanges only for the avg partial-agg and the final "
+        "brand rollup). Past autoBroadcastJoinThreshold the join falls "
+        "back to shuffle on l_partkey — the same key as the aggregate, so "
+        "the exchange is reused.",
+)
+def q52_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresh = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cutoff")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            r6(dsum("l_extendedprice")).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q53_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           ROUND(CAST(rev AS DOUBLE), 6) AS revenue,
+           ROUND(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS growth
+    FROM monthly
+    """,
+    doc="Time-series rollup + month-over-month growth: date_trunc to "
+        "calendar months, exact decimal revenue, lag over the month "
+        "sequence. The unpartitioned window runs AFTER aggregation when "
+        "the data is a few hundred rows, so the single-partition sort is "
+        "free even at 100 TB — the scale-sensitive part (the groupBy) "
+        "shuffles on the month key with partial aggregation.",
+)
+def q53_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.round(F.col("rev").cast("double"), 6).alias("revenue"),
+        F.round(
+            (F.col("rev") - F.lag("rev").over(w)).cast("double")
+            / F.lag("rev").over(w).cast("double"),
+            6,
+        ).alias("growth"),
     )
