@@ -204,7 +204,14 @@ def _candidates_numpy(
                 merged_i = np.concatenate(
                     [best_i, np.broadcast_to(n_ids, (nq, len(n_ids)))], axis=1
                 )
-                sel = np.argpartition(merged_d, kth=min(k, merged_d.shape[1]) - 1, axis=1)[:, :k]
+                # Deterministic truncation by (distance, neighbor_id):
+                # argpartition alone keeps an ARBITRARY subset among
+                # distances tied at the k boundary, so a tied lower-id
+                # neighbor could be dropped in-partition and never
+                # recovered by the global window rank. lexsort's last
+                # key is primary -> sort by distance, then id.
+                order = np.lexsort((merged_i, merged_d), axis=1)
+                sel = order[:, :k]
                 rows = np.arange(nq)[:, None]
                 best_d = merged_d[rows, sel]
                 best_i = merged_i[rows, sel]

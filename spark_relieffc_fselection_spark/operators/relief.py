@@ -470,26 +470,43 @@ def greedy_select(
     """Greedy relevance-vs-redundancy selection (SURVEY T5).
 
     Driver-side sequential arg-max over a tiny frame, matching
-    selectFeatures (ReliefFRSelector.scala:685-732): score =
-    relevance - accumulated_redundancy / |selected|; ties resolve to
-    the lowest feature index (the reference's scan uses strict '>').
+    selectFeatures (ReliefFRSelector.scala:685-732): each round, the
+    last-selected feature's joint entries update the still-valid
+    features they touch, incrementing a PER-FEATURE update counter
+    (FeatureScore.update, :757-760 — selectedSize is per feature, not
+    global); score = relevance - redundance/selectedSize, falling back
+    to pure relevance while a feature has received no joint entry
+    (FeatureScore.score, :742-747). With a sparse COO — joint entries
+    exist only for colliding pairs inside the topFeatures scope — a
+    feature updated in only some rounds must NOT have its penalty
+    diluted by rounds it sat out. Ties resolve to the lowest feature
+    index (the reference's scan uses strict '>').
     """
     n_feat = len(relevance)
     k = min(num_top_features, n_feat)
     red_acc = np.zeros(n_feat)
-    n_sel = 0
+    upd_cnt = np.zeros(n_feat, dtype=np.int64)
     valid = np.ones(n_feat, dtype=bool)
+    # Pre-index the COO by its first key: the loop below touches only
+    # the last-selected feature's row each round.
+    by_f1: dict[int, list[tuple[int, float]]] = {}
+    for (f1, f2), v in redundancy_coo.items():
+        by_f1.setdefault(f1, []).append((f2, v))
 
     first = int(np.lexsort((np.arange(n_feat), -relevance))[0])
     selected = [first]
     valid[first] = False
     while len(selected) < k:
         last = selected[-1]
-        for (f1, f2), v in redundancy_coo.items():
-            if f1 == last and valid[f2]:
+        for f2, v in by_f1.get(last, ()):
+            if valid[f2]:
                 red_acc[f2] += v
-        n_sel += 1
-        score = np.where(n_sel > 0, relevance - red_acc / n_sel, relevance)
+                upd_cnt[f2] += 1
+        score = np.where(
+            upd_cnt > 0,
+            relevance - red_acc / np.maximum(upd_cnt, 1),
+            relevance,
+        )
         score = np.where(valid, score, -np.inf)
         best = int(np.argmax(score))  # argmax takes the first max -> lowest idx
         if not np.isfinite(score[best]):

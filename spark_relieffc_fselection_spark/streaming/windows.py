@@ -21,39 +21,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-#: Raw schema of events.parquet (ts is TIMESTAMP(NANOS) -> read as long).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of the events table. ``path`` must be a
     DIRECTORY of parquet files (Spark file-stream contract); each file
-    becomes a micro-batch (maxFilesPerTrigger=1)."""
+    becomes a micro-batch (maxFilesPerTrigger=1).
+
+    File streams require a user-supplied schema; sniff it with a batch
+    read (one footer, no data scan) rather than hardcoding the writer's
+    timestamp encoding — testdata has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (surfaces as ``bigint`` under the nanosAsLong
+    legacy flag) and as TIMESTAMP(MICROS) NTZ. Normalize either to a
+    session-tz timestamp, exactly like ``sources.load_table``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    # integer division — double division is lossy for epoch nanos > 2^53
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = {f.name: f.dataType.simpleString() for f in schema}.get("ts")
+    if ts_type == "bigint":
+        # integer division — double division is lossy for epoch nanos > 2^53
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(

@@ -56,3 +56,16 @@ def test_greedy_redundancy_never_selects_first_wrong(rel):
     sel = greedy_select(r, coo, min(3, len(r)))
     # uniform redundancy shifts scores equally -> order still by relevance
     assert sel == std_ranking(r, len(sel))
+
+
+def test_greedy_per_feature_update_count_not_diluted():
+    """A feature penalized by one joint entry keeps its full penalty in
+    later rounds where it receives no update (FeatureScore.selectedSize
+    is per-feature — ADVICE r1: dividing by the global round count
+    diluted the penalty and flipped selection order)."""
+    r = np.array([1.0, 0.5, 0.45, 0.05])
+    coo = {(0, 1): 0.8}
+    # round 1 selects 0 and penalizes 1 (score 0.5-0.8 = -0.3); round 2
+    # selects 2; round 3: feature 1's score must STAY -0.3 (upd_cnt=1),
+    # not dilute to 0.5-0.8/2 = 0.1 > 0.05, so feature 3 wins.
+    assert greedy_select(r, coo, 4) == [0, 2, 3, 1]

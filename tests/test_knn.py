@@ -96,3 +96,24 @@ def test_knn_gemm_matches_diff_kernel_on_integer_grid(spark):
     base = knn_join(df, df, k, strategy="numpy").select(*cols).collect()
     gemm = knn_join(df, df, k, strategy="numpy-gemm").select(*cols).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, gemm))
+
+
+@pytest.mark.parametrize("strategy", ["numpy", "numpy-gemm"])
+def test_knn_boundary_ties_keep_lowest_ids(spark, strategy):
+    """Ties at the k-th distance must resolve to the LOWEST neighbor
+    ids, even when the tied candidates land in the same scan partition
+    (ADVICE r1: argpartition kept an arbitrary tied subset)."""
+    # 40 points all at distance sqrt(2) from the query except id 0
+    # (the query itself) -> every neighbor ties; top-5 must be ids 1..5.
+    rows = [(0, [0.0, 0.0])] + [
+        (i, [1.0, 1.0] if i % 2 else [-1.0, 1.0]) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(rows, "id long, features array<double>").repartition(8)
+    q = spark.createDataFrame([(0, [0.0, 0.0])], "id long, features array<double>")
+    got = (
+        knn_join(df, q, 5, strategy=strategy)
+        .orderBy("rank")
+        .select("neighbor_id")
+        .collect()
+    )
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5]
