@@ -354,3 +354,84 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+    finalize: str = "distributed",
+) -> DataFrame:
+    """Connected components over an undirected pair table — the dedup
+    CLUSTERING step: near-dup pairs (from Jaccard / MinHash-LSH /
+    SimHash) become groups, each with a canonical member (min id).
+
+    Returns ``(doc_id, cluster_id)`` for every node that appears in at
+    least one edge; ``cluster_id`` is the minimum id reachable from the
+    node (so the canonical doc has ``doc_id == cluster_id``).
+
+    Algorithm: min-label propagation. Every node starts labeled with its
+    own id; each round, a node's label becomes ``min(own, neighbors')``.
+    Converges in O(graph diameter) rounds — near-dup graphs are
+    clique-ish and shallow, so 3-5 rounds is typical. Each round is one
+    shuffle-join (labels ⋈ edges, both partitioned by the join key) plus
+    one groupBy-min; AQE handles the skew of a giant component's hub.
+
+    Scale notes (100 TB): label propagation's round count is the
+    diameter, not log(diameter) — for pathological chain-shaped graphs
+    switch to large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), which squares down
+    the diameter per round with the same join-shaped dataflow. Each
+    round here persists its label table and unpersists the previous one,
+    so lineage stays O(1) and a failed round recomputes one join, not
+    the whole history. The convergence check is a cheap count() on
+    labels that changed this round.
+
+    ``finalize='local'`` collapses the result to a LocalRelation and
+    unpersists every iteration cache — for DRIVER-SIZED cluster tables
+    only (near-dup graphs are tiny relative to the corpus); the default
+    keeps the final label table distributed and cached.
+    """
+    # both directions once; self-loops dropped
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    rev = edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    adj = fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct().cache()
+
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        ).cache()
+        n_changed = new_labels.filter(F.col("_changed")).count()
+        old = labels
+        labels = new_labels.select("node", "label")
+        old.unpersist()
+        if n_changed == 0:
+            break
+    adj.unpersist()
+    out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    if finalize == "local":
+        rows = out.collect()
+        labels.unpersist()
+        return edges.sparkSession.createDataFrame(rows, schema=out.schema)
+    return out

@@ -269,3 +269,67 @@ def q23_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(
         docs, max_hamming=SIMHASH_MAXHAM, bits=SIMHASH_BITS, bands=SIMHASH_BANDS
     )
+
+
+# --- connected-components dedup clustering -------------------------------------
+
+_JACCARD_PAIRS_CTE = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingle_hashes GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shingle_hashes a JOIN shingle_hashes b ON a.shh = b.shh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+)
+"""
+
+
+@register(
+    "q54_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_JACCARD_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+    doc="Dedup CLUSTERING: connected components (min-label propagation) "
+        "over the Jaccard near-dup pairs — each group gets a canonical "
+        "member (cluster_id = min reachable doc_id). The oracle computes "
+        "the same closure with a recursive CTE.",
+)
+def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        df_cap=None,
+        shingle_hashes=_shingles(spark, sf_dir),
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, finalize="local")
+    return cc.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+    )

@@ -501,3 +501,67 @@ def q53_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("growth"),
     )
+
+
+@register(
+    "q56_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS — two disjoint single-column granularities "
+        "in ONE scan (Expand + one shuffle), a set not expressible as "
+        "ROLLUP or CUBE; complements q38/q46.",
+)
+def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_q56")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+               COALESCE(l_linestatus, 'ALL') AS status,
+               COUNT(*) AS n_items,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_price
+        FROM lineitem_q56
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "q57_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE doc_id % (CASE WHEN lang = 'en' THEN 4 ELSE 2 END) = 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chars
+    FROM sampled GROUP BY lang
+    """,
+    doc="Stratified sampling (sampleBy semantics) with DETERMINISTIC "
+        "per-stratum modulo predicates — downsample the over-represented "
+        "stratum 2x harder, then per-stratum stats. Seeded-random sampleBy "
+        "is the production form; the modulo form keeps the oracle exact.",
+)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(4)).otherwise(F.lit(2))
+    return (
+        docs.filter(F.col("doc_id") % rate == 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(38,18)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_chars"),
+        )
+    )

@@ -135,3 +135,63 @@ def q30_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q31_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"), ngram_chars=FP_NGRAM)
+
+
+@register(
+    "q55_tfidf_topterms",
+    oracle=f"""
+    WITH normed AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM normed),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf_cnt FROM toks GROUP BY 1, 2),
+    doclen AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+    df AS (SELECT term, COUNT(*) AS df_cnt FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND((tf_cnt / CAST(doc_len AS DOUBLE))
+                   * (ln((n_docs + 1.0) / (df_cnt + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN doclen USING (doc_id) JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rnk AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (smoothed idf = ln((N+1)/(df+1))+1). "
+        "Rank on the ROUNDED score with a term tiebreak so cross-engine "
+        "1-ulp ln() differences cannot flip ranks. Corpus keyword "
+        "extraction — the CountVectorizer/IDF family as pure DataFrame "
+        "aggregation (no fitted vocabulary).",
+)
+def q55_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf_cnt") / F.col("doc_len").cast("double"))
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df_cnt") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

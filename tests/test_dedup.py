@@ -61,3 +61,30 @@ def test_simhash_near_dup_low_hamming(docs):
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs
     assert (0, 3) not in pairs
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, finalize="local").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_direction_invariant(spark):
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    # same graph, edges written high->low: labels must still be the min id
+    edges = spark.createDataFrame([(4, 3), (3, 2), (2, 1)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, finalize="local").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
