@@ -295,3 +295,56 @@ def q50_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q50_sink_{_SINK_SEQ[0]}",
         output_mode="complete",
     )
+
+
+@register(
+    "q58_streaming_sessions",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                          >= {SESSION_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_s,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    doc="Structured Streaming SESSION windows under the oracle gate: "
+        "readStream -> watermark -> session_window (gap-merged stateful "
+        "windows) -> availableNow memory sink. Same lag-gap oracle as the "
+        "batch q34 — stream == batch for event-time sessions.",
+)
+def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_session_agg,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="q50_events_stream_")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        _STREAM_DIRS[key] = d
+    stream = read_events_stream(spark, _STREAM_DIRS[key])
+    _SINK_SEQ[0] += 1
+    return run_to_memory_sink(
+        streaming_session_agg(stream, gap=f"{SESSION_GAP_MIN} minutes"),
+        f"q58_sink_{_SINK_SEQ[0]}",
+        output_mode="complete",
+    )

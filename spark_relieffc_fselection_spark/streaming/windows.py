@@ -75,15 +75,21 @@ def streaming_tumbling_counts(
 def streaming_session_agg(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Per-user session windows (gap-merged) on the stream."""
+    """Per-user session windows (gap-merged) on the stream. Decimal
+    value sum so micro-batch boundaries cannot change the result."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("sum_value_dec"),
+        )
         .select(
             "user_id",
             F.unix_timestamp("first_ts").alias("session_start_s"),
             "n_events",
+            F.round(F.col("sum_value_dec").cast("double"), 6).alias("sum_value"),
         )
     )
 

@@ -59,11 +59,16 @@ def test_streaming_sessions_match_batch(spark, events_stream, events_batch):
         events_batch.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
         )
-        .agg(F.count("*").alias("n_events"), F.min("ts").alias("first_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.round(F.sum(F.col("value").cast("decimal(38,18)")).cast("double"), 6).alias("sum_value"),
+        )
         .select(
             "user_id",
             F.unix_timestamp("first_ts").alias("session_start_s"),
             "n_events",
+            "sum_value",
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
