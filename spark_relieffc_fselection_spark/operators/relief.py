@@ -341,26 +341,27 @@ def joint_counts(
         num_features is not None and num_features <= _JOINT_COMBOS_MAX_FEATURES
     )
     if use_combos:
-        both = _joint_combos(collisions, top_features, continuous)
+        ordered = _joint_combos(collisions, top_features, continuous)
     else:
-        both = _joint_selfjoin(collisions, top_features, continuous)
-    return both.groupBy("f1", "f2").agg(
-        F.sum(F.col("jv").cast(DEC)).cast("double").alias("joint")
+        ordered = _joint_selfjoin(collisions, top_features, continuous)
+    # Aggregate ONE orientation per ordered (a in scope, b) combo, then
+    # mirror the TINY aggregated COO: joint(f1,f2) = agg(f1,f2) +
+    # agg(f2,f1) because each unordered collision contributes the same
+    # jv to both cells. Halves the rows through the expensive decimal
+    # aggregation (the combination explode is the pipeline's widest
+    # stage); decimal addition is associative, so regrouping the sum is
+    # bit-identical to the orientation-exploded plan.
+    agg = ordered.groupBy("f1", "f2").agg(
+        F.sum(F.col("jv").cast(DEC)).alias("j_dec")
     )
-
-
-def _both_orientations(fa, fb, jv) -> list:
-    # one pass emits (f1,f2) and (f2,f1) — vs a union of the swapped
-    # plan, which would execute the whole upstream subtree twice.
-    return [
-        F.explode(
-            F.array(
-                F.struct(fa.alias("f1"), fb.alias("f2")),
-                F.struct(fb.alias("f1"), fa.alias("f2")),
-            )
-        ).alias("o"),
-        jv.alias("jv"),
-    ]
+    mirrored = agg.unionByName(
+        agg.select(
+            F.col("f2").alias("f1"), F.col("f1").alias("f2"), "j_dec"
+        )
+    )
+    return mirrored.groupBy("f1", "f2").agg(
+        F.sum("j_dec").cast("double").alias("joint")
+    )
 
 
 def _joint_combos(
@@ -392,8 +393,8 @@ def _joint_combos(
         .filter(F.col("a.f") != F.col("b.f"))
     )
     jv = ((F.col("a.v") + F.col("b.v")) / 2.0) if continuous else F.col("a.v")
-    return ex.select(*_both_orientations(F.col("a.f"), F.col("b.f"), jv)).select(
-        "o.f1", "o.f2", "jv"
+    return ex.select(
+        F.col("a.f").alias("f1"), F.col("b.f").alias("f2"), jv.alias("jv")
     )
 
 
@@ -412,8 +413,8 @@ def _joint_selfjoin(
         a = a.filter(F.col("fa").isin([int(f) for f in top_features]))
     paired = a.join(b, ["query_id", "neighbor_id"]).filter(F.col("fa") != F.col("fb"))
     jv = ((F.col("va") + F.col("vb")) / 2.0) if continuous else F.col("va")
-    return paired.select(*_both_orientations(F.col("fa"), F.col("fb"), jv)).select(
-        "o.f1", "o.f2", "jv"
+    return paired.select(
+        F.col("fa").alias("f1"), F.col("fb").alias("f2"), jv.alias("jv")
     )
 
 
