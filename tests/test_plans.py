@@ -66,3 +66,28 @@ def test_whole_stage_codegen_active(spark, qs):
     # '*(N)' operator prefixes mark whole-stage-codegen stages in AQE
     # final plans (the literal label only appears in formatted mode)
     assert "*(" in plan
+
+
+def test_grouping_sets_single_expand(spark, qs):
+    """q56: GROUPING SETS plans as ONE Expand + one aggregation pass —
+    not a union of per-granularity scans."""
+    plan = _plan(qs["q56_grouping_sets"](spark, SF))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_tfidf_vocabulary_join_broadcasts(spark, qs):
+    """q55: the document-frequency table (vocabulary-sized, << corpus)
+    must come back as a broadcast, never a shuffled join against the
+    term-frequency table."""
+    plan = _plan(qs["q55_tfidf_topterms"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_filter_pushdown(spark, qs):
+    """q57: the per-stratum modulo predicate is a scan-level filter —
+    no shuffle before sampling."""
+    plan = _plan(qs["q57_stratified_sample"](spark, SF))
+    # filter appears below the aggregation exchange: exactly one
+    # exchange (the groupBy), nothing before the filter
+    assert plan.count("Exchange") <= 2
