@@ -69,20 +69,35 @@ def sparse_knn_join(
     query_ids: DataFrame,
     k: int,
     exclude_self: bool = True,
+    num_corpus: int | None = None,
 ) -> DataFrame:
-    """kNN via inverted-index dot products + the norm expansion.
+    """kNN via inverted-index dot products + the norm expansion —
+    WITHOUT ever materializing the O(|queries| x |corpus|) grid.
 
     ``long_df``: (id, feature_idx, value); ``query_ids``: (id) subset.
-    Returns (query_id, neighbor_id, distance, rank). Dot products only
-    materialize for pairs sharing >=1 active feature; all other pairs
-    get dist^2 = |q|^2 + |n|^2 via the norms grid.
+    Returns (query_id, neighbor_id, distance, rank).
 
-    Scale note: the dot-product join scales with shared nonzeros, but
-    the norms grid is O(|corpus| x |queries|) narrow rows (ids + two
-    doubles — no vectors). That is fine for the bounded query batches
-    fit uses; for an all-vs-all run on a huge corpus, replace the grid
-    with (a) the dot-sharing pairs ranked directly plus (b) a per-query
-    top-k over the globally sorted norm list for no-overlap candidates.
+    Exact candidate set, two parts:
+
+    * **Sharing pairs** — pairs with >= 1 common active feature get the
+      exact distance sqrt(|q|^2 + |n|^2 - 2<q,n>) from the
+      inverted-index join. Cost scales with shared nonzeros.
+    * **No-overlap pairs** — <q,n> = 0, so within a query's no-overlap
+      set the distance sqrt(|q|^2 + |n|^2) ranks by NEIGHBOR NORM
+      ALONE. Hence only the globally smallest-norm rows can matter:
+      take the bottom-M norm list (M adaptive), pair each query with
+      the members it shares no feature with, and that covers every
+      no-overlap pair that could reach the top k. M starts at
+      2(k+1) and doubles until every query sees >= k+1 no-overlap
+      members in the list (one cheap broadcast-sized check per round;
+      the first M suffices unless the smallest-norm rows happen to
+      overlap nearly every query). Any no-overlap row outside the
+      list has norm >= those k+1 covered candidates, so it is
+      dominated and can never enter the top k.
+
+    At 100 TB this replaces the old norms-grid crossJoin (O(Q x N)
+    narrow rows — the sparse path's one quadratic stage) with
+    O(shared nonzeros) join work plus a driver-bounded probe list.
     """
     # id universe comes from `labels`, NOT the long table: an all-zero
     # row has no long-form rows at all but is still a real instance
@@ -104,10 +119,64 @@ def sparse_knn_join(
         )
         .na.fill({"sq_norm": 0.0})
     )
+    q_norms = norms.join(query_ids.select(F.col("id")), "id").select(
+        F.col("id").alias("query_id"), F.col("sq_norm").alias("q_sq")
+    )
     q_long = long_df.join(
         F.broadcast(query_ids.select(F.col("id").alias("query_id"))),
         long_df.id == F.col("query_id"),
     ).select("query_id", "feature_idx", F.col("value").alias("q_val"))
+
+    # ---- no-overlap probe list: adaptively sized bottom-M norms ----
+    # `num_corpus` (when the caller already counted labels) saves a job
+    n_corpus = num_corpus if num_corpus is not None else labels.count()
+    need = k + 1 if exclude_self else k  # self may sit in the list
+    m = min(2 * (k + 1), n_corpus)
+    while True:
+        bottom = norms.orderBy(F.asc("sq_norm"), F.asc("id")).limit(m)
+        # long rows of the listed ids: M * avg-nnz rows — broadcast-sized
+        bottom_long = long_df.join(
+            F.broadcast(bottom.select(F.col("id").alias("neighbor_id"))),
+            long_df.id == F.col("neighbor_id"),
+        ).select("neighbor_id", "feature_idx")
+        # (query, listed-id) pairs that DO share a feature
+        overlap = (
+            q_long.join(F.broadcast(bottom_long), "feature_idx")
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        if m >= n_corpus:
+            break
+        min_free = (
+            q_norms.crossJoin(F.broadcast(bottom.select(F.col("id").alias("neighbor_id"))))
+            .join(overlap, ["query_id", "neighbor_id"], "left_anti")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("free"))
+            .agg(F.min("free"))
+            .first()[0]
+        )
+        if min_free is not None and min_free >= need:
+            break
+        m = min(4 * m, n_corpus)
+    no_overlap = (
+        q_norms.crossJoin(
+            F.broadcast(
+                bottom.select(
+                    F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq")
+                )
+            )
+        )
+        .join(overlap, ["query_id", "neighbor_id"], "left_anti")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.sqrt(F.greatest(F.col("q_sq") + F.col("n_sq"), F.lit(0.0))).alias(
+                "distance"
+            ),
+        )
+    )
+
+    # ---- sharing pairs: exact distance from the inverted index ----
     # queries are a bounded sample (the operator contract): broadcast
     # their long rows so the inverted-index join never shuffles the
     # corpus-side long table.
@@ -121,19 +190,14 @@ def sparse_knn_join(
             .alias("dot")
         )
     )
-    grid = (
-        norms.select(F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq"))
-        .crossJoin(
-            F.broadcast(
-                norms.join(query_ids.select(F.col("id")), "id").select(
-                    F.col("id").alias("query_id"), F.col("sq_norm").alias("q_sq")
-                )
-            )
+    sharing = (
+        dots.join(
+            norms.select(
+                F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq")
+            ),
+            "neighbor_id",
         )
-    )
-    cand = (
-        grid.join(dots, ["query_id", "neighbor_id"], "left")
-        .na.fill({"dot": 0.0})
+        .join(F.broadcast(q_norms), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -144,6 +208,8 @@ def sparse_knn_join(
             ).alias("distance"),
         )
     )
+
+    cand = sharing.unionByName(no_overlap)
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
@@ -244,7 +310,9 @@ def fit_relief_sparse(
         for r in labels.groupBy("label").count().collect()
     }
     k = num_neighbors * len(priors)
-    neigh = sparse_knn_join(long_df, labels, labels.select("id"), k).cache()
+    neigh = sparse_knn_join(
+        long_df, labels, labels.select("id"), k, num_corpus=n_elems
+    ).cache()
     # materialize NOW: both lp and pair_counts consume neigh, and a lazy
     # cache computes the kNN subplan once per consumer concurrently
     n_pairs = neigh.count()

@@ -452,7 +452,9 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-count aggregation — uncached, the whole inverted-index kNN
     # subplan (grid cross-join + rank window) would re-execute per
     # consumer.
-    neigh = sparse_knn_join(long_df, labels, query_ids, SPARSE_K).cache()
+    neigh = sparse_knn_join(
+        long_df, labels, query_ids, SPARSE_K, num_corpus=n_inst
+    ).cache()
     neigh.count()
     lp = sparse_pair_feature_table(long_df, labels, neigh)
     pair_counts = _pair_bin_counts(neigh, labels)
