@@ -70,6 +70,7 @@ def sparse_knn_join(
     k: int,
     exclude_self: bool = True,
     num_corpus: int | None = None,
+    probe: bool | None = None,
 ) -> DataFrame:
     """kNN via inverted-index dot products + the norm expansion —
     WITHOUT ever materializing the O(|queries| x |corpus|) grid.
@@ -127,55 +128,58 @@ def sparse_knn_join(
         long_df.id == F.col("query_id"),
     ).select("query_id", "feature_idx", F.col("value").alias("q_val"))
 
-    # ---- no-overlap probe list: adaptively sized bottom-M norms ----
+    # ---- no-overlap candidates: bottom-M norm probe, grid fallback ----
+    # For a GENUINELY sparse corpus (nnz/row << nFeat — the kddb-style
+    # regime this path exists for), the smallest-norm rows rarely share
+    # features with a query, so a small probe list covers every
+    # no-overlap candidate. For dense-ish data most bottom rows DO
+    # overlap most queries and the probe would have to grow toward the
+    # whole corpus — detect that cheaply and fall back to the
+    # O(Q x |corpus|) norms grid (narrow rows, windowed immediately),
+    # which is the better plan exactly when the data is dense.
+    # The probe artifacts are DRIVER-BOUNDED (bottom list: M rows;
+    # overlap pairs: <= |queries| x M): collect them and feed
+    # LocalRelations back, so the final anti join broadcasts with no
+    # shuffle.
     # `num_corpus` (when the caller already counted labels) saves a job
+    spark = long_df.sparkSession
     n_corpus = num_corpus if num_corpus is not None else labels.count()
     need = k + 1 if exclude_self else k  # self may sit in the list
     m = min(2 * (k + 1), n_corpus)
-    while True:
-        bottom = norms.orderBy(F.asc("sq_norm"), F.asc("id")).limit(m)
-        # long rows of the listed ids: M * avg-nnz rows — broadcast-sized
-        bottom_long = long_df.join(
-            F.broadcast(bottom.select(F.col("id").alias("neighbor_id"))),
-            long_df.id == F.col("neighbor_id"),
-        ).select("neighbor_id", "feature_idx")
+    # ``probe``: None = adaptive (try the probe, fall back on
+    # escalation); False = caller knows the data is dense-ish, go
+    # straight to the grid; True = force the probe (escalate to the
+    # full corpus if needed — never falls back).
+    m_cap = n_corpus if probe else min(n_corpus, 8 * (k + 1))
+    probe_ok = False
+    while probe is not False:
+        bottom_rows = (
+            norms.orderBy(F.asc("sq_norm"), F.asc("id")).limit(m).collect()
+        )
+        bottom_ids = [int(r["id"]) for r in bottom_rows]
+        # long rows of the listed ids: pushed-down isin filter, no join
+        bottom_long = long_df.filter(F.col("id").isin(bottom_ids)).select(
+            F.col("id").alias("neighbor_id"), "feature_idx"
+        )
         # (query, listed-id) pairs that DO share a feature
-        overlap = (
+        overlap_rows = (
             q_long.join(F.broadcast(bottom_long), "feature_idx")
             .select("query_id", "neighbor_id")
             .distinct()
+            .collect()
         )
         if m >= n_corpus:
+            probe_ok = True  # probe degenerated to the full corpus
             break
-        min_free = (
-            q_norms.crossJoin(F.broadcast(bottom.select(F.col("id").alias("neighbor_id"))))
-            .join(overlap, ["query_id", "neighbor_id"], "left_anti")
-            .groupBy("query_id")
-            .agg(F.count("*").alias("free"))
-            .agg(F.min("free"))
-            .first()[0]
-        )
-        if min_free is not None and min_free >= need:
+        per_q: dict = {}
+        for r in overlap_rows:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        if m - max(per_q.values(), default=0) >= need:
+            probe_ok = True
             break
-        m = min(4 * m, n_corpus)
-    no_overlap = (
-        q_norms.crossJoin(
-            F.broadcast(
-                bottom.select(
-                    F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq")
-                )
-            )
-        )
-        .join(overlap, ["query_id", "neighbor_id"], "left_anti")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.sqrt(F.greatest(F.col("q_sq") + F.col("n_sq"), F.lit(0.0))).alias(
-                "distance"
-            ),
-        )
-    )
-
+        if m >= m_cap:
+            break  # dense regime: grid fallback
+        m = min(4 * m, m_cap)
     # ---- sharing pairs: exact distance from the inverted index ----
     # queries are a bounded sample (the operator contract): broadcast
     # their long rows so the inverted-index join never shuffles the
@@ -190,26 +194,66 @@ def sparse_knn_join(
             .alias("dot")
         )
     )
-    sharing = (
-        dots.join(
-            norms.select(
-                F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq")
-            ),
-            "neighbor_id",
+    if probe_ok:
+        bottom_df = spark.createDataFrame(
+            [(int(r["id"]), float(r["sq_norm"])) for r in bottom_rows],
+            "neighbor_id long, n_sq double",
         )
-        .join(F.broadcast(q_norms), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.sqrt(
-                F.greatest(
-                    F.col("q_sq") + F.col("n_sq") - 2.0 * F.col("dot"), F.lit(0.0)
-                )
-            ).alias("distance"),
+        overlap_df = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["neighbor_id"])) for r in overlap_rows],
+            "query_id long, neighbor_id long",
         )
-    )
-
-    cand = sharing.unionByName(no_overlap)
+        no_overlap = (
+            q_norms.crossJoin(F.broadcast(bottom_df))
+            .join(F.broadcast(overlap_df), ["query_id", "neighbor_id"], "left_anti")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.sqrt(F.greatest(F.col("q_sq") + F.col("n_sq"), F.lit(0.0))).alias(
+                    "distance"
+                ),
+            )
+        )
+        sharing = (
+            dots.join(
+                norms.select(
+                    F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq")
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(q_norms), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.sqrt(
+                    F.greatest(
+                        F.col("q_sq") + F.col("n_sq") - 2.0 * F.col("dot"), F.lit(0.0)
+                    )
+                ).alias("distance"),
+            )
+        )
+        cand = sharing.unionByName(no_overlap)
+    else:
+        # Dense regime: the probe would approach the corpus size, so
+        # take the classic narrow norms grid and correct the sharing
+        # pairs' distances with a left join against `dots` — every pair
+        # appears exactly once.
+        grid = norms.select(
+            F.col("id").alias("neighbor_id"), F.col("sq_norm").alias("n_sq")
+        ).crossJoin(F.broadcast(q_norms))
+        cand = (
+            grid.join(dots, ["query_id", "neighbor_id"], "left")
+            .na.fill({"dot": 0.0})
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.sqrt(
+                    F.greatest(
+                        F.col("q_sq") + F.col("n_sq") - 2.0 * F.col("dot"), F.lit(0.0)
+                    )
+                ).alias("distance"),
+            )
+        )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))

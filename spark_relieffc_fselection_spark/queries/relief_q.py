@@ -452,8 +452,10 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-count aggregation — uncached, the whole inverted-index kNN
     # subplan (grid cross-join + rank window) would re-execute per
     # consumer.
+    # probe=False: the |x| > 0.15 sparsifier leaves ~25% density, so
+    # the bottom-norm probe would escalate; go straight to the grid.
     neigh = sparse_knn_join(
-        long_df, labels, query_ids, SPARSE_K, num_corpus=n_inst
+        long_df, labels, query_ids, SPARSE_K, num_corpus=n_inst, probe=False
     ).cache()
     neigh.count()
     lp = sparse_pair_feature_table(long_df, labels, neigh)

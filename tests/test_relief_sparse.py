@@ -86,3 +86,38 @@ def test_fit_relief_sparse_end_to_end(spark, sparse_fixture):
     assert len(res.std_selection) == 3
     assert 0 in res.std_selection  # informative feature found
     assert res.n_instances == len(X)
+
+
+def test_sparse_knn_probe_matches_grid(spark):
+    """The bottom-M probe plan and the grid plan must produce identical
+    neighbor sets — exercised on genuinely sparse data (2 nnz out of
+    50 features per row), where the probe is the intended plan."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.relief_sparse import (
+        sparse_knn_join,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(120):
+        f1, f2 = rng.choice(50, size=2, replace=False)
+        rows.append((i, int(f1), round(float(rng.normal()), 3)))
+        rows.append((i, int(f2), round(float(rng.normal()), 3)))
+    # a few all-zero instances: no long rows, norm 0
+    long_df = spark.createDataFrame(rows, "id long, feature_idx int, value double")
+    labels = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(125)], "id long, label double"
+    )
+    queries = labels.select("id").filter("id % 5 = 0")
+    cols = ["query_id", "neighbor_id", "rank"]
+    a = (
+        sparse_knn_join(long_df, labels, queries, 7, probe=True)
+        .select(*cols).orderBy(*cols).collect()
+    )
+    b = (
+        sparse_knn_join(long_df, labels, queries, 7, probe=False)
+        .select(*cols).orderBy(*cols).collect()
+    )
+    assert a == b
+    assert len(a) > 0
