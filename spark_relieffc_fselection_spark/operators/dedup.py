@@ -356,12 +356,20 @@ def simhash_near_duplicates(
     )
 
 
+#: Edge-count threshold under which connected_components(strategy=
+#: "auto") collects the graph and runs driver-side union-find: a
+#: near-dup graph this small costs more in per-round shuffle latency
+#: than in data volume (4+ rounds x join+agg+count vs one collect).
+_CC_LOCAL_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
     finalize: str = "distributed",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected pair table — the dedup
     CLUSTERING step: near-dup pairs (from Jaccard / MinHash-LSH /
@@ -392,11 +400,47 @@ def connected_components(
     unpersists every iteration cache — for DRIVER-SIZED cluster tables
     only (near-dup graphs are tiny relative to the corpus); the default
     keeps the final label table distributed and cached.
+
+    ``strategy``: "distributed" = always the propagation loop;
+    "local" = collect edges and union-find on the driver (exact same
+    result, one job instead of per-round shuffles); "auto" (default)
+    = local when the edge count is driver-sized, distributed
+    otherwise — the same small-side cutover logic a broadcast join
+    uses, applied to the iteration structure.
     """
     # both directions once; self-loops dropped
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     rev = edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
     adj = fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct().cache()
+
+    if strategy != "distributed":
+        n_edges = adj.count()  # also materializes the cache
+        if strategy == "local" or n_edges <= _CC_LOCAL_MAX_EDGES:
+            pairs = adj.collect()
+            adj.unpersist()
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in pairs:
+                a, b = int(r["a"]), int(r["b"])
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN id so the root IS the cluster id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            rows = [(n, find(n)) for n in sorted(parent)]
+            return edges.sparkSession.createDataFrame(
+                rows, "doc_id long, cluster_id long"
+            )
 
     labels = (
         adj.select(F.col("a").alias("node"))

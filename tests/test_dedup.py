@@ -88,3 +88,22 @@ def test_connected_components_direction_invariant(spark):
         for r in connected_components(edges, finalize="local").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_connected_components_strategies_agree(spark):
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (5, 1)],
+        "id_a long, id_b long",
+    )
+    local = sorted(map(tuple, connected_components(edges, strategy="local").collect()))
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, strategy="distributed", finalize="local"
+            ).collect(),
+        )
+    )
+    assert local == dist
