@@ -57,7 +57,7 @@ def _load_modules() -> None:
     )
     for optional in (
         "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q",
-        "extras_q", "pipeline_q",
+        "extras_q", "pipeline_q", "trainprep_q",
     ):
         try:
             __import__(f"spark_relieffc_fselection_spark.queries.{optional}")

@@ -1,0 +1,210 @@
+"""Training-data PREPARATION queries — the operations that sit between
+a raw crawled corpus and a tokenizer at 100 TB scale: scrubbing,
+sequence packing, benchmark-contamination checks, repetition filters.
+All DataFrame-first over ``documents``, each with a full DuckDB oracle.
+
+Scale notes inline per query; the common theme is that every one is a
+per-row expression pipeline plus at most one aggregation shuffle, and
+the contamination check rides the same memoized shingle table as the
+dedup family (one build per corpus, many consumers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.operators.textstats import STOPWORDS
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.queries.dedup_q import _SHINGLES_CTE, _shingles
+from spark_relieffc_fselection_spark.sources import load_table
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+#: context-length budget (whitespace tokens) for sequence packing
+PACK_BUDGET = 256
+#: deterministic benchmark membership for the contamination check
+BENCH_MOD = 97
+
+_SW = sorted(STOPWORDS["en"])
+_SW_SQL = ", ".join(repr(w) for w in _SW)
+
+
+@register(
+    "q59_stopword_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, list_filter(t, x -> x NOT IN ({_SW_SQL})) AS kt, len(t) AS n_toks
+      FROM toks
+    )
+    SELECT doc_id,
+           n_toks,
+           n_toks - len(kt) AS n_removed,
+           length(array_to_string(kt, ' ')) AS cleaned_chars
+    FROM kept
+    """,
+    doc="Scrubbing pass: drop stopword tokens, report removal counts and "
+        "cleaned length — the shape of every PII/boilerplate scrub (pure "
+        "per-row array expressions, zero shuffle, whole-stage codegen).",
+)
+def q59_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in _SW])
+    t = tokens(F.col("text"))
+    kt = F.filter(t, lambda x: ~F.array_contains(sw, x))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_toks"),
+        (F.size(t) - F.size(kt)).alias("n_removed"),
+        F.length(F.array_join(kt, " ")).alias("cleaned_chars"),
+    )
+
+
+@register(
+    "q60_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_toks FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_toks,
+             CAST(floor((SUM(n_toks) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks)
+                        / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY bin_id
+    """,
+    doc="Sequence packing (concat-then-chunk): documents in id order are "
+        "assigned to fixed token-budget bins by exclusive running token "
+        "count — how pretraining corpora become context-length rows. The "
+        "running sum is one window over integer token counts (exact); "
+        "at scale, pack per source/date partition instead of globally "
+        "(the global ORDER BY is the one serializing construct here).",
+)
+def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / float(PACK_BUDGET)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q61_contamination",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (
+      SELECT DISTINCT shh FROM shingle_hashes WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, shh FROM shingle_hashes WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hit AS (
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM corpus c JOIN bench b ON c.shh = b.shh
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, COALESCE(h.n_shared, 0) AS n_shared,
+           ROUND(COALESCE(h.n_shared, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+             AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+    doc="Benchmark-contamination check: fraction of each corpus document's "
+        "distinct 3-gram shingles that appear anywhere in the held-out "
+        "'benchmark' slice (doc_id % 97 = 0) — the standard n-gram "
+        "decontamination pass. The benchmark shingle set is tiny and "
+        "broadcast; the corpus side streams through one hash join + two "
+        "aggregations on the memoized shingle table.",
+)
+def q61_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .na.fill({"n_shared": 0})
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.col("n_shingles").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "q62_repetition",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    tk AS (
+      SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_toks FROM documents
+    ),
+    uniq AS (SELECT doc_id, COUNT(*) AS n_uniq FROM shingle_hashes GROUP BY doc_id)
+    SELECT t.doc_id,
+           greatest(t.n_toks - 2, 0) AS n_trigrams,
+           COALESCE(u.n_uniq, 0) AS n_unique,
+           ROUND(CASE WHEN t.n_toks - 2 > 0
+                      THEN 1.0 - COALESCE(u.n_uniq, 0) / CAST(t.n_toks - 2 AS DOUBLE)
+                      ELSE 0.0 END, 6) AS repetition_ratio
+    FROM tk t LEFT JOIN uniq u ON t.doc_id = u.doc_id
+    """,
+    doc="Intra-document repetition: 1 - distinct/total trigram ratio — the "
+        "repeated-n-gram quality filter (high ratio = boilerplate/spam). "
+        "Total trigram count is a per-row expression; the distinct count "
+        "rides the memoized shingle table.",
+)
+def q62_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir)
+    toks = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
+    uniq = sh.groupBy("doc_id").agg(F.count("*").alias("n_uniq"))
+    return (
+        toks.join(uniq, "doc_id", "left")
+        .na.fill({"n_uniq": 0})
+        .select(
+            "doc_id",
+            F.greatest(F.col("n_toks") - 2, F.lit(0)).alias("n_trigrams"),
+            F.col("n_uniq").alias("n_unique"),
+            F.round(
+                F.when(
+                    F.col("n_toks") - 2 > 0,
+                    1.0 - F.col("n_uniq") / (F.col("n_toks") - 2).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("repetition_ratio"),
+        )
+    )
