@@ -57,3 +57,40 @@ def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"),
         "content_sha256",
     )
+
+
+FRAME_EVERY = 7
+
+
+@register(
+    "q63_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS asset_id, u.f AS frame_idx
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0,
+                    greatest((n_chars % 91 + 10) - 1, 0), {FRAME_EVERY})) AS f) u
+    WHERE doc_id % 3 = 2
+    """,
+    doc="Video frame-sampling plumbing: every-Nth-frame index expansion "
+        "per video asset (modality-filtered, metadata-driven). n_frames "
+        "is derived deterministically from document length so the frame "
+        "schedule — the Spark-side deliverable around the stubbed "
+        "decoder — is fully oracle-checkable.",
+)
+def q63_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.multimodal import (
+        frame_sample_videos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MODS]), (F.col("doc_id") % 3 + 1).cast("int")
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct((F.col("n_chars") % 91 + 10).cast("int").alias("n_frames")).alias(
+            "meta"
+        ),
+    )
+    return frame_sample_videos(assets, every_n=FRAME_EVERY)
