@@ -90,3 +90,33 @@ def test_partitioned_sink_prunes(spark, tmp_path_factory):
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
     expected = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == expected
+
+
+def test_orc_sink_roundtrip(spark, tmp_path_factory):
+    """ORC source/sink (Spark-native columnar alternative to parquet):
+    a query result written as ORC reads back value-identical. No DuckDB
+    oracle exists for ORC, so this is test-pinned (SURVEY S3/S4 family)."""
+    d = str(tmp_path_factory.mktemp("orc_sink") / "t.orc")
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    src.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter("n_regionkey = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_csv_sink_roundtrip(spark, tmp_path_factory):
+    """CSV sink round-trip with explicit schema on re-read."""
+    d = str(tmp_path_factory.mktemp("csv_sink") / "t.csv")
+    src = load_table(spark, "/root/testdata/sf0.001", "region").select(
+        "r_regionkey", "r_name"
+    )
+    src.write.mode("overwrite").option("header", "true").csv(d)
+    back = read_csv(spark, d, schema="r_regionkey long, r_name string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
