@@ -348,3 +348,51 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q58_sink_{_SINK_SEQ[0]}",
         output_mode="complete",
     )
+
+
+@register(
+    "q64_streaming_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_s,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+           ROUND(v.value, 6) AS view_value
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    doc="Stream-stream watermarked interval join under the oracle gate: "
+        "each click joins same-user views from the preceding 10 minutes; "
+        "watermarks + the bounded time-range condition let both sides "
+        "expire state. Event-time semantics make stream == batch, so the "
+        "batch interval-join SQL is the oracle verbatim.",
+)
+def q64_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_view_click_join,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="q50_events_stream_")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        _STREAM_DIRS[key] = d
+    views = read_events_stream(spark, _STREAM_DIRS[key])
+    clicks = read_events_stream(spark, _STREAM_DIRS[key])
+    _SINK_SEQ[0] += 1
+    return run_to_memory_sink(
+        streaming_view_click_join(views, clicks),
+        f"q64_sink_{_SINK_SEQ[0]}",
+        output_mode="append",
+    )

@@ -151,3 +151,56 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def streaming_view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click joins the views of the SAME
+    user that happened within ``within`` BEFORE it.
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so Spark can expire buffered state on both sides — the
+    canonical watermarked interval-join pattern. State per side is
+    bounded by (watermark horizon + within) x arrival rate.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""
+            v_user = c_user AND
+            c_ts >= v_ts AND
+            c_ts <= v_ts + interval {within}
+            """
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_timestamp("v_ts").alias("view_ts_s"),
+        F.unix_timestamp("c_ts").alias("click_ts_s"),
+        F.round("view_value", 6).alias("view_value"),
+    )
