@@ -260,3 +260,65 @@ def q49_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "q65_embedding_quantization",
+    oracle="""
+    WITH long AS (
+      SELECT vec_id, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+    ),
+    scales AS (
+      SELECT dim, greatest(MAX(abs(x)), 1e-12) / 127.0 AS scale
+      FROM long GROUP BY dim
+    ),
+    quant AS (
+      SELECT vec_id,
+             least(greatest(round(x / scale), -127.0), 127.0) * scale - x AS err
+      FROM long JOIN scales USING (dim)
+    )
+    SELECT vec_id,
+           ROUND(SUM(err * err) / COUNT(*), 9) AS mse,
+           ROUND(MAX(abs(err)), 9) AS max_abs_err
+    FROM quant GROUP BY vec_id
+    """,
+    doc="Embedding compression: symmetric per-dimension int8 scalar "
+        "quantization (scale = max|x|/127, clamp to [-127, 127]) with "
+        "per-vector round-trip MSE and max error — the memory/recall "
+        "tradeoff metric for quantized vector search. Per-dim scales are "
+        "a 64-row aggregate broadcast back as literals; the error pass "
+        "is one map-side zip_with, no second shuffle.",
+)
+def q65_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    scale_rows = (
+        emb.select(F.posexplode("x").alias("dim", "v"))
+        .groupBy("dim")
+        .agg((F.greatest(F.max(F.abs("v")), F.lit(1e-12)) / 127.0).alias("scale"))
+        .collect()
+    )
+    scales = [0.0] * len(scale_rows)
+    for r in scale_rows:
+        scales[int(r["dim"])] = float(r["scale"])
+    scale_arr = F.array(*[F.lit(s) for s in scales])
+    err = F.zip_with(
+        "x",
+        scale_arr,
+        lambda x, s: F.least(F.greatest(F.round(x / s, 0), F.lit(-127.0)), F.lit(127.0))
+        * s
+        - x,
+    )
+    n = F.size("x")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e) / n, 9
+        ).alias("mse"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))), 9
+        ).alias("max_abs_err"),
+    )
