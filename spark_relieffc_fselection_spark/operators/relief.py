@@ -59,14 +59,14 @@ from spark_relieffc_fselection_spark.operators.knn import knn_join
 #: engine's weights reproducible run-to-run (and bit-comparable against
 #: a DuckDB oracle using the same convention).
 #:
-#: Precision 28, not 38: cast(double AS decimal(p,18)) yields the SAME
-#: value for any |x| < 10^(p-18), and every quantity on this path is
-#: O(1)-bounded (RELIEF inputs are contractually standardized — abs
-#: diffs, votes <= 1, value products); meanwhile Spark's sum over
-#: decimal with precision <= 28 runs its unscaled-long fast path
-#: (~2-3x cheaper per row, measured on the bin-stats aggregation).
-#: Money-scale relational sums keep their own (38,18) casts.
-DEC = "decimal(28,18)"
+#: Full (38,18), deliberately: a narrower precision would make
+#: cast(double AS decimal) return NULL for |x| >= 10^(p-18) and the
+#: sums would silently DROP those rows (ANSI off). An interleaved
+#: post-JIT A/B on the bin-stats aggregation showed no measurable
+#: speed difference between (28,18) and (38,18), so the narrow type
+#: bought nothing and carried a silent-overflow hazard for
+#: non-contractual inputs.
+DEC = "decimal(38,18)"
 
 
 def pair_table(
