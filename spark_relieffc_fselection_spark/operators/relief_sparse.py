@@ -403,3 +403,32 @@ def fit_relief_sparse(
         priors=priors,
         redundancy_coo=red_coo,
     )
+
+
+def compress_long(
+    long_df: DataFrame,
+    selected: list[int],
+    reindex: bool = True,
+) -> DataFrame:
+    """Sparse-side model transform: keep only the selected features of a
+    long-form ``(id, feature_idx, value)`` table — the long-form
+    equivalent of the model's vector slice (FeatureSelectionUtils.scala:
+    38-73 / VectorSlicer). ``reindex=True`` renumbers kept features to
+    0..len(selected)-1 in ascending original order (the dense
+    transform's output convention); absent rows stay absent, so an
+    instance with no selected-feature activity simply has no rows.
+
+    One broadcast hash semi-join-shaped filter (isin on a literal list
+    bounded by numTopFeatures) — no shuffle at any corpus size.
+    """
+    sel = sorted(int(f) for f in selected)
+    out = long_df.filter(F.col("feature_idx").isin(sel))
+    if not reindex:
+        return out
+    mapping = F.map_from_arrays(
+        F.array(*[F.lit(f) for f in sel]),
+        F.array(*[F.lit(i) for i in range(len(sel))]),
+    )
+    return out.withColumn(
+        "feature_idx", F.element_at(mapping, F.col("feature_idx")).cast("int")
+    )

@@ -121,3 +121,23 @@ def test_sparse_knn_probe_matches_grid(spark):
     )
     assert a == b
     assert len(a) > 0
+
+
+def test_compress_long_matches_dense_slice(spark):
+    """Long-form transform == dense vector slice on the same data."""
+    from spark_relieffc_fselection_spark.operators.relief_sparse import (
+        compress_long,
+        to_long_form,
+    )
+
+    rows = [(i, [float(i), 0.0, float(i * 2), 3.0, 0.0], 0.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    long_df, _ = to_long_form(df)
+    got = compress_long(long_df, [2, 0]).collect()
+    # kept features renumber ascending: 0 -> 0, 2 -> 1; zero slots absent
+    expect = set()
+    for i in range(6):
+        if i != 0:
+            expect.add((i, 0, float(i)))       # orig f0
+            expect.add((i, 1, float(i * 2)))   # orig f2
+    assert {(r["id"], r["feature_idx"], r["value"]) for r in got} == expect
