@@ -107,3 +107,29 @@ def test_pipeline_integration(spark):
     assert out.select("selectedFeatures").first()[0].toArray().shape == (1,)
     sel = model.stages[-1]
     assert sel.getOrDefault(sel.stdSelection)[0] == 1
+
+
+def test_pipeline_with_string_labels(spark):
+    """StringIndexer -> VectorAssembler -> selector (SURVEY F10/F11):
+    the reference harness's label path (TestHelper.scala:106-113)."""
+    from pyspark.ml.feature import StringIndexer
+
+    rng = np.random.default_rng(9)
+    n = 40
+    f0 = rng.normal(size=n).round(3)
+    f1 = rng.normal(size=n).round(3)
+    rows = [
+        (float(a), float(b), "pos" if b > 0 else "neg") for a, b in zip(f0, f1)
+    ]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, cls string")
+    pipe = Pipeline(stages=[
+        StringIndexer(inputCol="cls", outputCol="label"),
+        VectorAssembler(inputCols=["f0", "f1"], outputCol="features"),
+        ReliefFSelector(numTopFeatures=1, numNeighbors=3, estimationRatio=1.0,
+                        batchSize=1.0, seed=2),
+    ])
+    model = pipe.fit(df)
+    sel = model.stages[-1]
+    # f1 determines the class -> it must be the selected feature
+    assert sel.getOrDefault(sel.stdSelection)[0] == 1
+    assert model.transform(df).select("selectedFeatures").first()[0].toArray().shape == (1,)
