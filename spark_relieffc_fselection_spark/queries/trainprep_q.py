@@ -208,3 +208,166 @@ def q62_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repetition_ratio"),
         )
     )
+
+
+@register(
+    "q66_unigram_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM uni)
+    SELECT t.doc_id,
+           COUNT(*) AS n_toks,
+           ROUND(CAST(SUM(CAST(-log2(u.c / n.total) AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_surprisal
+    FROM toks t JOIN uni u ON t.tok = u.tok, n
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM quality score: per-doc mean token surprisal "
+        "-log2(p(tok)) under the corpus's own unigram distribution — the "
+        "SQL-expressible core of model-based quality filtering (a doc of "
+        "rare tokens scores high, boilerplate scores low). Scale: the "
+        "unigram table is vocab-sized (Zipf: ~millions of rows at 100 TB "
+        "after a min-count prune), so the score join is a broadcast; the "
+        "only corpus-sized shuffle is the token-count groupBy, which "
+        "Catalyst partial-aggregates map-side. Decimal accumulation "
+        "makes the per-doc sum order-invariant.",
+)
+def q66_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.queries.relational import DEC
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = float(uni.agg(F.sum("c")).first()[0])
+    surprisal = -F.log2(F.col("c") / F.lit(total))
+    return (
+        tok.join(F.broadcast(uni), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(surprisal.cast(DEC)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("s").cast("double") / F.col("n_toks"), 6).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
+#: multiplicative-hash constant (Knuth) for the deterministic split
+SPLIT_MULT = 2654435761
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN, SPLIT_VAL = 800, 900  # train < 800 <= val < 900 <= test
+
+
+@register(
+    "q67_deterministic_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             len(string_split({_NORM}, ' ')) AS n_toks,
+             ((doc_id * {SPLIT_MULT}) % 4294967296) % {SPLIT_BUCKETS} AS bucket
+      FROM documents
+    ),
+    labeled AS (
+      SELECT *,
+             CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                  WHEN bucket < {SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           SUM(n_toks) AS n_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           ROUND(COUNT(*) / n.total, 6) AS doc_share
+    FROM labeled, n
+    GROUP BY split, n.total
+    """,
+    doc="Deterministic train/val/test assignment by multiplicative hash "
+        "of doc_id — the reproducible-split primitive every training "
+        "pipeline needs (same doc lands in the same split on every run, "
+        "every cluster size, with zero coordination). Pure integer "
+        "arithmetic, exact in any engine; the per-split rollup is one "
+        "tiny aggregation.",
+)
+def q67_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    bucket = (F.col("doc_id") * SPLIT_MULT) % F.lit(4294967296) % SPLIT_BUCKETS
+    labeled = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.count("*") / F.lit(float(total)), 6).alias("doc_share"),
+    )
+
+
+@register(
+    "q68_domain_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split({_NORM}, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_toks,
+             CAST(COUNT(*) AS DOUBLE) AS n_src
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(LEAST(1.0, (tot.total_toks / tot.n_src) / n_tokens), 6)
+             AS sample_rate,
+           CAST(FLOOR(LEAST(1.0, (tot.total_toks / tot.n_src) / n_tokens)
+                      * n_tokens) AS BIGINT) AS kept_tokens
+    FROM per_src, tot
+    """,
+    doc="Domain-mixing rate calculator: per-source token budgets for a "
+        "uniform target mix — downsample rates for over-represented "
+        "sources (capped at 1.0: never upsample), the planning step of "
+        "every data-mixture recipe. One source-keyed aggregation (tiny "
+        "key space), then pure arithmetic against the 1-row total.",
+)
+def q68_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total_toks"),
+        F.count("*").cast("double").alias("n_src"),
+    )
+    rate = F.least(
+        F.lit(1.0), (F.col("total_toks") / F.col("n_src")) / F.col("n_tokens")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("bigint").alias("kept_tokens"),
+    )
