@@ -91,3 +91,13 @@ def test_stratified_sample_filter_pushdown(spark, qs):
     # filter appears below the aggregation exchange: exactly one
     # exchange (the groupBy), nothing before the filter
     assert plan.count("Exchange") <= 2
+
+
+def test_unigram_score_join_broadcasts(spark, qs):
+    """q66: the vocab-sized unigram table joins the token stream as a
+    broadcast — the corpus-sized side is never shuffled for scoring,
+    and the per-doc aggregation is partial+final."""
+    plan = _plan(qs["q66_unigram_lm_quality"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
