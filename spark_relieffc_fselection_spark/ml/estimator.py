@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.relief import fit_relief
+from spark_relieffc_fselection_spark.operators.relief_sparse import fit_relief_sparse
 
 
 class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
@@ -109,6 +110,17 @@ class ReliefFSelector(
     def _fit(self, dataset: DataFrame) -> "ReliefFSelectorModel":
         input_col = self.getInputCol()
         is_vector = isinstance(dataset.schema[input_col].dataType, VectorUDT)
+        if is_vector:
+            # Sparsity is sniffed from the first row, exactly like the
+            # reference (ReliefFRSelector.scala:210-212). Sparse inputs
+            # take the long/COO dataflow — never densified, which is
+            # what keeps "millions of features" (README.md:11, kddb)
+            # tractable: a dense array row would be nFeat doubles.
+            from pyspark.ml.linalg import SparseVector
+
+            first_row = dataset.select(input_col).first()
+            if first_row is not None and isinstance(first_row[0], SparseVector):
+                return self._fit_sparse(dataset, first_row[0].size)
         feat = (
             vector_to_array(F.col(input_col)).cast("array<double>")
             if is_vector
@@ -140,6 +152,71 @@ class ReliefFSelector(
             knn_strategy=self.getOrDefault(self.knnStrategy),
         )
         prepared.unpersist()
+        return self._make_model(res)
+
+    def _fit_sparse(self, dataset: DataFrame, n_features: int) -> "ReliefFSelectorModel":
+        """Sparse-input fit: unwrap the VectorUDT struct JVM-side
+        (``unwrap_udt`` — no Python round-trip, no densification) into
+        the long/COO form and run the inverted-index dataflow
+        (operators/relief_sparse.py; ReliefFRSelector.scala:483-602
+        semantics with corrected feature indexing, SURVEY §8.1).
+
+        Sampling (estimationRatio) is an id filter applied before the
+        explode. Batching is unnecessary on this path: the only
+        broadcast is the sampled queries' nonzero rows, which the
+        estimationRatio cap already bounds — there is no dense
+        (nFeat+2)-wide batch to guard (the reference's :225-228 guard
+        exists because its batches are dense rows).
+        """
+        u = F.unwrap_udt(F.col(self.getInputCol()))
+        entry = lambda i, v: F.struct(  # noqa: E731
+            i.cast("int").alias("f"), v.alias("v")
+        )
+        entries = (
+            F.when(
+                u.getField("type") == 0,
+                F.zip_with(u.getField("indices"), u.getField("values"), entry),
+            ).otherwise(
+                F.zip_with(
+                    F.sequence(F.lit(0), F.size(u.getField("values")) - 1),
+                    u.getField("values"),
+                    entry,
+                )
+            )
+        )
+        # cache pins the monotonically_increasing_id assignment across
+        # the fit's many actions, exactly like the dense path.
+        base = dataset.select(
+            F.monotonically_increasing_id().alias("id"),
+            entries.alias("__entries"),
+            F.col(self.getLabelCol()).cast("double").alias("label"),
+        ).cache()
+        ratio = float(self.getOrDefault(self.estimationRatio))
+        sample = (
+            base.sample(fraction=ratio, seed=self.getOrDefault(self.seed))
+            if ratio < 1.0
+            else base
+        )
+        labels = sample.select("id", "label")
+        long_df = (
+            sample.select("id", F.explode("__entries").alias("e"))
+            .select("id", F.col("e.f").alias("feature_idx"), F.col("e.v").alias("value"))
+            .filter(F.col("value") != 0.0)
+        )
+        res = fit_relief_sparse(
+            long_df,
+            labels,
+            n_features,
+            num_top_features=self.getOrDefault(self.numTopFeatures),
+            num_neighbors=self.getOrDefault(self.numNeighbors),
+            lower_distance_threshold=self.getOrDefault(self.lowerDistanceThreshold),
+            redundancy_removal=self.getOrDefault(self.redundancyRemoval),
+            discrete_data=self.getOrDefault(self.discreteData),
+        )
+        base.unpersist()
+        return self._make_model(res)
+
+    def _make_model(self, res) -> "ReliefFSelectorModel":
         model = ReliefFSelectorModel(
             stdSelection=[int(i) for i in res.std_selection],
             redundancySelection=[int(i) for i in res.redundancy_selection],

@@ -133,3 +133,31 @@ def test_pipeline_with_string_labels(spark):
     # f1 determines the class -> it must be the selected feature
     assert sel.getOrDefault(sel.stdSelection)[0] == 1
     assert model.transform(df).select("selectedFeatures").first()[0].toArray().shape == (1,)
+
+
+def test_sparse_vector_input_routes_long_form(spark):
+    """SparseVector input takes the inverted-index path (never
+    densified) and must agree with the dense route on the same data."""
+    rng = np.random.default_rng(21)
+    n, d = 60, 10
+    X = rng.normal(loc=3.0, size=(n, d)).round(3)
+    X[rng.random((n, d)) < 0.7] = 0.0
+    y = (X[:, 0] > 0).astype(float)
+    sparse_rows = [(Vectors.sparse(d, {j: X[i, j] for j in range(d) if X[i, j] != 0.0}), float(y[i])) for i in range(n)]
+    dense_rows = [(Vectors.dense(X[i]), float(y[i])) for i in range(n)]
+    sparse_df = spark.createDataFrame(sparse_rows, ["features", "label"])
+    dense_df = spark.createDataFrame(dense_rows, ["features", "label"])
+    params = dict(
+        numTopFeatures=3, numNeighbors=3, estimationRatio=1.0,
+        batchSize=1.0, redundancyRemoval=True, seed=7,
+    )
+    m_sparse = ReliefFSelector(**params).fit(sparse_df)
+    m_dense = ReliefFSelector(**params, knnStrategy="sql").fit(dense_df)
+    assert m_sparse.getOrDefault(m_sparse.stdSelection) == m_dense.getOrDefault(m_dense.stdSelection)
+    rel_s = m_sparse.getOrDefault(m_sparse.relevanceWeights)
+    rel_d = m_dense.getOrDefault(m_dense.relevanceWeights)
+    assert len(rel_s) == d
+    np.testing.assert_allclose(rel_s, rel_d, atol=1e-6)
+    # transform works on the sparse input too (output = sliced vector)
+    out = m_sparse.transform(sparse_df).select("selectedFeatures").first()[0]
+    assert len(out) == 3
