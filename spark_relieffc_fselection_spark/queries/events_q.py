@@ -280,6 +280,31 @@ class _stream_conf:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Stage events.parquet into a directory of ``copies`` identical
+    files (file-source streams read directories; maxFilesPerTrigger=1
+    makes each file one micro-batch, so copies=2 exercises CROSS-batch
+    state: dedup/stateful operators see the same rows again in batch 2).
+    Memoized per (session, sf, copies)."""
+    import os
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, copies)
+    if key not in _STAGED_DIRS:
+        d = tempfile.mkdtemp(prefix=f"events_stream_x{copies}_")
+        for i in range(copies):
+            shutil.copy(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, f"events_{i}.parquet"),
+            )
+        _STAGED_DIRS[key] = d
+    return _STAGED_DIRS[key]
+
+
+_STAGED_DIRS: dict[tuple[str, str, int], str] = {}
+
+
 @register(
     "q50_streaming_tumbling",
     oracle="""
@@ -423,3 +448,118 @@ def q64_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q64_sink_{_SINK_SEQ[0]}",
             output_mode="append",
         )
+
+
+@register(
+    "q69_streaming_sliding",
+    oracle="""
+    WITH exploded AS (
+      SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) AS window_start_s,
+             event_type, value
+      FROM events, LATERAL (SELECT unnest([0, 1800]) AS off) o
+    )
+    SELECT window_start_s, event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_value
+    FROM exploded GROUP BY 1, 2
+    """,
+    doc="Structured Streaming SLIDING windows under the oracle gate: "
+        "readStream -> watermark -> window(1h, 30min slide) per event "
+        "type -> availableNow memory sink. Every event lands in exactly "
+        "two windows; event-time semantics make stream == batch, so the "
+        "q33-style arithmetic oracle applies.",
+)
+def q69_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_sliding_counts,
+    )
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        return run_to_memory_sink(
+            streaming_sliding_counts(stream),
+            f"q69_sink_{_SINK_SEQ[0]}",
+            output_mode="complete",
+        )
+
+
+@register(
+    "q70_streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           ROUND(value, 6) AS value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+    """,
+    doc="Streaming exact-dedup with CROSS-micro-batch state: the stream "
+        "dir holds the events file TWICE (one file per micro-batch), so "
+        "batch 2 re-delivers every row and dropDuplicatesWithinWatermark "
+        "must drop all of them from state — the streaming form of the "
+        "engine's exact-dedup operator (operators/dedup.py), state "
+        "bounded by the watermark horizon.",
+)
+def q70_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir, copies=2))
+    deduped = streaming_dedup(stream, keys=["event_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        return run_to_memory_sink(
+            deduped, f"q70_sink_{_SINK_SEQ[0]}", output_mode="append"
+        )
+
+
+@register(
+    "q71_streaming_user_totals",
+    oracle="""
+    SELECT user_id,
+           2 * COUNT(*) AS n_events,
+           ROUND(CAST(2 * SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState) "
+        "under the oracle gate: running per-user (count, sum) state "
+        "surviving across micro-batches — the doubled stream dir makes "
+        "batch 2 re-deliver every event, so the final state is exactly "
+        "2x the batch aggregate; update-mode sink keeps one row per "
+        "(user, batch), and the final row per user is the verdict.",
+)
+def q71_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        stateful_user_totals,
+    )
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir, copies=2))
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        sink = run_to_memory_sink(
+            stateful_user_totals(stream),
+            f"q71_sink_{_SINK_SEQ[0]}",
+            output_mode="update",
+        )
+    # update mode emits one row per (user, micro-batch); the row with
+    # the highest running count is the final state.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
