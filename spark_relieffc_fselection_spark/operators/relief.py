@@ -594,11 +594,17 @@ def fit_relief(
         F.col(features_col).cast("array<double>").alias("features"),
         F.col(label_col).cast("double").alias("label"),
     )
-    n_elems = instances.count()
-    first = instances.first()
-    n_feat = len(first["features"])
-    prior_rows = instances.groupBy("label").count().collect()
-    priors = {float(r["label"]): r["count"] / n_elems for r in prior_rows}
+    # ONE profiling job: per-class counts (-> priors + total) and a
+    # feature row (-> dimensionality) — vs count() + first() + a
+    # priors collect as three separate scans.
+    label_rows = (
+        instances.groupBy("label")
+        .agg(F.count("*").alias("n"), F.first("features").alias("fx"))
+        .collect()
+    )
+    n_elems = sum(r["n"] for r in label_rows)
+    n_feat = len(label_rows[0]["fx"]) if label_rows else 0
+    priors = {float(r["label"]): r["n"] / n_elems for r in label_rows}
     n_classes = len(priors)
     k = num_neighbors * n_classes
     lower_feat = max(num_top_features, round(lower_feature_threshold * num_top_features))
@@ -620,13 +626,17 @@ def fit_relief(
     total_interactions = 0
 
     for batch in batches:
+        # No emptiness probe: an empty batch flows through as empty
+        # DataFrames everywhere below (empty kNN -> empty pairs ->
+        # empty aggregates -> empty top_rows, which keeps the previous
+        # ranking) — one fewer job per batch.
         batch = batch.cache()
-        if batch.limit(1).count() == 0:
-            continue
         neigh = knn_join(
             batch, batch, k,
             id_col="id", features_col="features",
             exclude_self=exclude_self, strategy=knn_strategy,
+            # partition-sizing estimate only — saves a count() job
+            num_instances=max(1, sampled_size // n_batches),
         )
         # Cache the COMPACT pair table (nFeat times smaller than the
         # exploded long form) and materialize it eagerly: a lazy cache
@@ -678,14 +688,17 @@ def fit_relief(
             marginals.append(m_b)
             joints.append(j_b)
 
-        # batch top-N (min-max normalized) steers the next batch's
-        # joint-stat scope (ReliefFRSelector.scala:281-283).
-        stats = w.agg(F.min("relevance").alias("mn"), F.max("relevance").alias("mx")).first()
-        wn = w.select(
-            "feature_idx",
-            minmax_norm(F.col("relevance"), F.lit(stats["mn"]), F.lit(stats["mx"])).alias("nrel"),
+        # batch top-N steers the next batch's joint-stat scope
+        # (ReliefFRSelector.scala:281-283). The reference min-max
+        # normalizes before takeOrdered (:281, 328-332), but min-max is
+        # strictly monotone (order-preserving), so ranking the RAW
+        # relevance selects the identical feature set with one fewer
+        # min/max job per batch.
+        top_rows = (
+            w.orderBy(F.desc("relevance"), F.asc("feature_idx"))
+            .limit(lower_feat)
+            .collect()
         )
-        top_rows = wn.orderBy(F.desc("nrel"), F.asc("feature_idx")).limit(lower_feat).collect()
         if top_rows:
             # empty batches keep the previous ranking — the reference
             # only replaces topFeatures when results are non-empty

@@ -371,3 +371,48 @@ def q68_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.floor(rate * F.col("n_tokens")).cast("bigint").alias("kept_tokens"),
     )
+
+
+@register(
+    "q72_relief_fit_rankings",
+    doc="FLAGSHIP end-to-end: the full ReliefFSelector.fit dataflow — "
+        "seeded sample -> randomSplit batches -> per-batch kNN + "
+        "weighting + collision stats with the topFeatures feedback loop "
+        "-> cross-batch merge -> MI redundancy -> greedy selection "
+        "(ReliefFRSelector.scala:199-325). The greedy arg-max loop is "
+        "inherently sequential (driver numpy over an nFeat-row frame), "
+        "so this entry has NO SQL oracle: the driver records the weaker "
+        "rows-only check, while the pipeline's every aggregation stage "
+        "is hash-gated piecewise by q13-q17/q44.",
+)
+def q72_relief_fit_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+    from spark_relieffc_fselection_spark.queries.relief_q import _embeddings
+
+    inst = _embeddings(spark, sf_dir)
+    res = fit_relief(
+        inst,
+        num_top_features=10,
+        num_neighbors=3,
+        estimation_ratio=0.25,
+        batch_size=0.5,          # 2 batches: exercises the topFeatures feedback
+        redundancy_removal=True,
+        discrete_data=False,
+        seed=42,
+        knn_strategy="numpy",
+    )
+    rows = [
+        (
+            i + 1,
+            int(s),
+            round(float(res.relevance[s]), 6),
+            int(r),
+            round(float(res.relevance[r]), 6),
+        )
+        for i, (s, r) in enumerate(zip(res.std_selection, res.redundancy_selection))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, std_feature int, std_relevance double, "
+        "redundancy_feature int, redundancy_relevance double",
+    )
