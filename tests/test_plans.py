@@ -101,3 +101,59 @@ def test_unigram_score_join_broadcasts(spark, qs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sparse_unwrap_is_pure_catalyst(spark):
+    """The estimator's SparseVector -> long-form conversion must stay
+    JVM-side: no Python evaluation node anywhere in the plan (a row
+    UDF here would put every nonzero of a 30M-feature corpus through
+    pickle)."""
+    from pyspark.ml.linalg import Vectors
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(Vectors.sparse(5, {1: 2.0, 3: 4.0}),), (Vectors.dense([1, 0, 2, 0, 3]),)],
+        ["features"],
+    )
+    u = F.unwrap_udt(F.col("features"))
+    entry = lambda i, v: F.struct(i.cast("int").alias("f"), v.alias("v"))  # noqa: E731
+    entries = F.when(
+        u.getField("type") == 0,
+        F.zip_with(u.getField("indices"), u.getField("values"), entry),
+    ).otherwise(
+        F.zip_with(
+            F.sequence(F.lit(0), F.size(u.getField("values")) - 1),
+            u.getField("values"),
+            entry,
+        )
+    )
+    long_df = (
+        df.select(F.explode(entries).alias("e"))
+        .select(F.col("e.f").alias("feature_idx"), F.col("e.v").alias("value"))
+        .filter(F.col("value") != 0.0)
+    )
+    plan = _plan(long_df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    rows = {(r["feature_idx"], r["value"]) for r in long_df.collect()}
+    assert rows == {(1, 2.0), (3, 4.0), (0, 1.0), (2, 2.0), (4, 3.0)}
+
+
+def test_streaming_dedup_is_watermark_bounded(spark):
+    """streaming_dedup must plan the state-bounded dedup variant
+    (DeduplicateWithinWatermark), not the unbounded dropDuplicates —
+    unbounded dedup state grows with stream length."""
+    from spark_relieffc_fselection_spark.streaming.windows import streaming_dedup
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "value AS event_id",
+            "timestamp AS ts",
+            "value % 10 AS user_id",
+            "CAST(value AS DOUBLE) AS value",
+        )
+    )
+    plan = streaming_dedup(stream, keys=["event_id"])._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
+    assert "EventTimeWatermark" in plan
