@@ -78,7 +78,10 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
     )
     knnStrategy = Param(
         Params._dummy(), "knnStrategy",
-        "'sql' (pure DataFrame) or 'numpy' (Arrow blockwise kernel).",
+        "'sql' (pure DataFrame), 'numpy' (Arrow blockwise kernel), "
+        "'numpy-gemm' (BLAS expansion — exact for integer/discretized "
+        "coordinates), or 'lsh' (approximate multi-table sign-LSH "
+        "candidate pruning for very large corpora).",
         typeConverter=TypeConverters.toString,
     )
 
