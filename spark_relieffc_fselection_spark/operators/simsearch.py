@@ -142,14 +142,28 @@ def lsh_bucketed_topk(
 def _with_table_buckets(
     df: DataFrame, vec_col_name: str, n_bits: int, n_tables: int
 ) -> DataFrame:
-    """Explode each row to one row per LSH table with its sign bucket."""
+    """Explode each row to one row per LSH table with its sign bucket.
+
+    Coordinates wrap modulo the vector length, so any dimensionality is
+    legal (Spark 4 runs ANSI mode by default, where a plain
+    ``element_at`` past the end of the array *throws* rather than
+    returning null). For ``dim >= n_bits * n_tables`` the wrap is the
+    identity — bucket values are unchanged. Below that, tables whose
+    coordinate window aliases an earlier table yield duplicate
+    candidate pairs, which the downstream ``distinct()`` absorbs; the
+    ``try_element_at`` guards the remaining zero-length-array edge
+    (null coordinate -> bit 0, the pre-ANSI graceful degradation).
+    """
+    v = F.col(vec_col_name)
+    dim = F.greatest(F.size(v), F.lit(1))
     tables = []
     for t in range(n_tables):
         acc = F.lit(0).cast("bigint")
         for i in range(n_bits):
             coord = t * n_bits + i
+            idx = (F.pmod(F.lit(coord), dim) + F.lit(1)).cast("int")
             acc = acc + F.when(
-                F.element_at(F.col(vec_col_name), coord + 1) > 0.0,
+                F.try_element_at(v, idx) > 0.0,
                 F.lit(1 << i).cast("bigint"),
             ).otherwise(F.lit(0).cast("bigint"))
         tables.append(F.struct(F.lit(t).alias("table"), acc.alias("bucket")))
@@ -239,6 +253,68 @@ def ivf_topk(
     )
 
 
+def lsh_near_duplicates(
+    corpus: DataFrame,
+    threshold: float,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup: the 100 TB default for
+    ``all_pairs_cosine``-style dedup.
+
+    Shape: sign-LSH bucket the corpus (deterministic, no RNG), SELF-JOIN
+    on (table, bucket) so only same-bucket pairs are ever formed,
+    distinct the candidate pairs across tables, then exact cosine
+    verify. Candidate volume is ~ n_tables * n^2 / 2^n_bits instead of
+    n^2, the join is a plain shuffle hash join on small keys (nothing is
+    collected or broadcast — contrast the brute-force strategies below),
+    and near-identical vectors agree on coordinate signs with high
+    probability, which is exactly the near-dup regime. Recall is
+    governed by (n_bits, n_tables): grow n_bits with corpus size to keep
+    buckets bounded, grow n_tables to recover recall.
+
+    Deterministic end to end, hence exactly SQL-oracle-able (the oracle
+    re-derives the same buckets).
+    """
+    c = _prep_normed(corpus, id_col, vec_col, "id", "vec", "nrm")
+    b = _with_table_buckets(c, "vec", n_bits, n_tables)
+    a_side = b.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+        "table",
+        "bucket",
+    )
+    b_side = b.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        a_side.join(b_side, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.when(F.col("na") * F.col("nb") == 0.0, F.lit(0.0))
+            .otherwise(
+                dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            )
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def all_pairs_cosine(
     corpus: DataFrame,
     threshold: float,
@@ -248,14 +324,20 @@ def all_pairs_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
-    Brute-force form for bounded corpora; at scale pre-bucket with
-    sign_lsh / IVF and run this within buckets.
+    EXACT all-pairs — bounded corpora only (both brute-force strategies
+    materialize the corpus driver-side or as a broadcast); the scale
+    path is ``strategy='lsh'`` -> :func:`lsh_near_duplicates`, which
+    never leaves the executors.
 
     'numpy': broadcast the corpus as a normalized matrix and compute
     each partition's block-vs-all dot products as one matmul — ~30x the
     per-pair SQL expression. 'sql' keeps everything in Catalyst
     (norms still precomputed once, not per pair).
     """
+    if strategy == "lsh":
+        return lsh_near_duplicates(
+            corpus, threshold, id_col=id_col, vec_col=vec_col
+        )
     c = _prep(corpus, id_col, vec_col, "id", "vec")
     if strategy == "numpy":
         return _all_pairs_cosine_numpy(c, threshold)

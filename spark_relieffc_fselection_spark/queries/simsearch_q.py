@@ -11,10 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.simsearch import (
-    all_pairs_cosine,
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    lsh_near_duplicates,
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
@@ -23,6 +23,19 @@ TOPK = 10
 LSH_BITS, LSH_TABLES = 4, 4
 IVF_STRIDE, IVF_PROBE = 50, 4
 NEARDUP_COS = 0.35  # corpus max pairwise cosine is ~0.51; 0.35 = ~99.9th pct
+NEARDUP_BITS, NEARDUP_TABLES = 4, 8  # near-dup LSH pre-bucket (operator default)
+
+
+def _bucketed_sql(n_bits: int, n_tables: int) -> str:
+    """DuckDB CTE body re-deriving sign-LSH table buckets over `normed`."""
+    bits = " + ".join(
+        f"(CASE WHEN v[t.tbl * {n_bits} + {i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return (
+        f"SELECT id, t.tbl AS tbl, {bits} AS bucket FROM normed, "
+        f"LATERAL (SELECT unnest(generate_series(0, {n_tables - 1})) AS tbl) t"
+    )
 def QUERY_PRED_SPARK():
     # deferred: building a Column requires an active SparkContext,
     # and queries() may be enumerated before any session exists
@@ -177,18 +190,34 @@ def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_embedding_neardup",
     oracle=f"""
     WITH {_INST},
+    bucketed AS ({_bucketed_sql(NEARDUP_BITS, NEARDUP_TABLES)}),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bucketed a JOIN bucketed b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.id < b.id
+    ),
     pairs AS (
-      SELECT a.id AS id_a, b.id AS id_b, {_COSINE} AS cosine
-      FROM normed a JOIN normed b ON a.id < b.id
+      SELECT c.id_a, c.id_b, {_COSINE} AS cosine
+      FROM cands c
+      JOIN normed a ON a.id = c.id_a
+      JOIN normed b ON b.id = c.id_b
     )
     SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
     FROM pairs WHERE cosine >= {NEARDUP_COS}
     """,
-    doc="Embedding-cosine near-duplicate pairs (dedup by vector similarity)",
+    doc="Embedding-cosine near-duplicate pairs via deterministic sign-LSH "
+        "pre-buckets + exact in-bucket verify — the 100 TB shape (bucketed "
+        "self-join, nothing collected or broadcast). Brute-force exact "
+        "all-pairs remains available as all_pairs_cosine(strategy="
+        "'numpy'|'sql') for bounded corpora.",
 )
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return all_pairs_cosine(emb, threshold=NEARDUP_COS)
+    return lsh_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=NEARDUP_COS,
+        n_bits=NEARDUP_BITS,
+        n_tables=NEARDUP_TABLES,
+    )
 
 
 @register(

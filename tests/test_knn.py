@@ -147,5 +147,29 @@ def test_lsh_strategy_subset_with_exact_distances(spark):
         assert abs(dist - full[pair]) < 1e-9
     recall = len(set(ex) & set(ap)) / len(ex)
     assert recall >= 0.7, recall  # deterministic fixture; floor is safe
-    # and it actually pruned: candidates < half the corpus per query
-    assert len(ap) <= len(ex)
+    # and it actually pruned: the candidate set (pre-rank) must be well
+    # below the n_queries x n exhaustive grid
+    from spark_relieffc_fselection_spark.operators.knn import _candidates_lsh
+
+    n_cand = _candidates_lsh(df, queries, "id", "features", "query_id").count()
+    n_queries = queries.count()
+    assert n_cand < 0.5 * n_queries * n, (n_cand, n_queries * n)
+
+
+def test_lsh_strategy_small_dims_no_ansi_crash(spark):
+    """strategy='lsh' must work when dim < n_bits * n_tables: bucket
+    coordinates wrap modulo the vector length instead of reading past
+    the array end (ANSI element_at throws INVALID_ARRAY_INDEX, ADVICE
+    r2). Distances on surfaced pairs stay exact."""
+    rng = np.random.default_rng(3)
+    n, d = 120, 6  # well below the 32 coordinates 8 tables x 4 bits read
+    X = rng.normal(size=(n, d)).round(3)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "id long, features array<double>"
+    )
+    queries = df.filter(F.col("id") % 30 == 0)
+    rows = knn_join(df, queries, 5, strategy="lsh").collect()
+    assert rows  # produced candidates, no INVALID_ARRAY_INDEX crash
+    for r in rows:
+        d_exact = np.sqrt(((X[r["query_id"]] - X[r["neighbor_id"]]) ** 2).sum())
+        assert abs(r["distance"] - d_exact) < 1e-9

@@ -7,6 +7,7 @@ from spark_relieffc_fselection_spark.operators.simsearch import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    lsh_near_duplicates,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -70,3 +71,36 @@ def test_all_pairs_cosine_symmetric_bounds(emb):
     pairs = all_pairs_cosine(emb.limit(100), threshold=0.0).collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in pairs)
+
+
+def test_lsh_near_duplicates_subset_of_exact_with_exact_cosines(emb):
+    """The bucketed near-dup must return a SUBSET of the exact all-pairs
+    result (it can only miss pairs, never invent or mis-score them)."""
+    corpus = emb.limit(150)
+    t = 0.2
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in all_pairs_cosine(corpus, threshold=t, strategy="sql").collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_near_duplicates(corpus, threshold=t).collect()
+    }
+    assert bucketed  # fixture has pairs above the threshold
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert abs(cos - exact[pair]) < 1e-9
+
+
+def test_lsh_near_duplicates_no_driver_collect(emb):
+    """Plan pin (VERDICT r2 #1): the bucketed near-dup never
+    materializes the corpus driver-side — building the plan triggers no
+    Spark job, and the physical plan has no Python/mapInPandas stage
+    (pure Catalyst: bucket join + exact verify)."""
+    tracker = emb.sparkSession.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = lsh_near_duplicates(emb, threshold=0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no collect() during plan construction
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
