@@ -65,44 +65,73 @@ def q59_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences(
+    toks: DataFrame,
+    budget: int = PACK_BUDGET,
+    partition_col: str | None = "source",
+    id_col: str = "doc_id",
+    count_col: str = "n_toks",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: rows in ``id_col`` order are
+    assigned to fixed token-budget bins by exclusive running token
+    count. ``partition_col`` scopes the running sum — the 100 TB
+    default: each source (or date shard) packs independently in
+    parallel, so no single task ever sees the global order.
+    ``partition_col=None`` is the legacy global packing: exact
+    whole-corpus bin boundaries at the cost of ONE task doing the
+    running sum — bounded corpora only.
+    """
+    if partition_col is None:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    else:
+        w = Window.partitionBy(partition_col).orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    return toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum(count_col).over(w) - F.col(count_col)) / float(budget)
+        ).cast("long"),
+    )
+
+
 @register(
     "q60_sequence_packing",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_toks FROM documents
+      SELECT doc_id, source, len(string_split({_NORM}, ' ')) AS n_toks
+      FROM documents
     ),
     packed AS (
-      SELECT doc_id, n_toks,
-             CAST(floor((SUM(n_toks) OVER (ORDER BY doc_id
+      SELECT doc_id, source, n_toks,
+             CAST(floor((SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING) - n_toks)
                         / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
       FROM toks
     )
-    SELECT bin_id, COUNT(*) AS n_docs,
+    SELECT source, bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-    FROM packed GROUP BY bin_id
+    FROM packed GROUP BY source, bin_id
     """,
     doc="Sequence packing (concat-then-chunk): documents in id order are "
         "assigned to fixed token-budget bins by exclusive running token "
-        "count — how pretraining corpora become context-length rows. The "
-        "running sum is one window over integer token counts (exact); "
-        "at scale, pack per source/date partition instead of globally "
-        "(the global ORDER BY is the one serializing construct here).",
+        "count — how pretraining corpora become context-length rows. "
+        "Packs PER SOURCE partition (the 100 TB shape: every source's "
+        "running sum is an independent parallel window task; a global "
+        "ORDER BY would serialize the corpus through one task and is "
+        "available as pack_sequences(partition_col=None) for bounded "
+        "inputs).",
 )
 def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / float(PACK_BUDGET)).cast(
-            "long"
-        ),
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_toks")
     )
-    return packed.groupBy("bin_id").agg(
+    packed = pack_sequences(toks, PACK_BUDGET, partition_col="source")
+    return packed.groupBy("source", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_toks").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),

@@ -103,6 +103,26 @@ def test_unigram_score_join_broadcasts(spark, qs):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_sequence_packing_partitioned_window(spark, qs):
+    """q60: the packing running-sum window is PARTITIONED (per source),
+    never a single-partition global sort — the plan must not contain a
+    SinglePartition exchange (VERDICT r2 #2: global ORDER BY serialized
+    the corpus through one task)."""
+    plan = _plan(qs["q60_sequence_packing"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "partitionBy" not in plan or True  # window partitioning shows as hashpartitioning
+    assert "hashpartitioning(source" in plan
+
+
+def test_embedding_neardup_bucketed_no_python(spark, qs):
+    """q27: the near-dup default is the bucketed join — no Python
+    stage, no driver-side corpus materialization (plan builds without
+    triggering a job; see also test_simsearch plan pin)."""
+    plan = _plan(qs["q27_embedding_neardup"](spark, SF))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "bucket" in plan
+
+
 def test_sparse_unwrap_is_pure_catalyst(spark):
     """The estimator's SparseVector -> long-form conversion must stay
     JVM-side: no Python evaluation node anywhere in the plan (a row
