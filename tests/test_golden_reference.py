@@ -1,0 +1,151 @@
+"""Semantic-fidelity validation on the REFERENCE'S OWN datasets.
+
+The reference suite (ReliefSelectorSuite.scala:25-55) asserts exact
+selections on test_lung_s3.csv / test_colon_s3.csv, and ships the 29
+KAIS synthetic ground-truth corpora (DatasetsKAIS/, Bolon-Canedo et al.
+KAIS 34(3)) whose informative features are known by construction.
+
+Exact-golden parity is intentionally NOT asserted (SURVEY §8.3: the
+reference's goldens are partition-locked — batch membership comes from
+randomSplit over JVM partitions, so no reimplementation can reproduce
+them bit-for-bit). What IS asserted:
+
+* lung/colon — high top-10 overlap with the published goldens, and
+  agreement on the #1 feature. Random top-10-of-325 (resp. 2000)
+  overlap expectation is ~0.3 (resp. ~0.05), so floors of 5 and 6 are
+  far outside chance.
+* KAIS XOR100 / Corral / Parity3+3 — the constructed informative
+  features land in the top-k, verified against the datasets' generative
+  definitions (checked programmatically in this repo: XOR100's class is
+  f4 XOR f6; Corral's is (f0&f1)|(f2&f3) with f4 irrelevant and f5 75%-
+  correlated; Parity3+3's is parity(f0,f1,f2) with f3,f4,f5 exact
+  copies and f6..f11 irrelevant).
+
+These fits are deterministic in THIS engine (de-randomized thresholds,
+decimal sums, total tie-breaks — SURVEY §8.3), so the KAIS assertions
+are exact, not statistical.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+
+from spark_relieffc_fselection_spark.operators.relief import fit_relief
+
+DATA = Path("/root/reference/src/test/resources/data")
+KAIS = DATA / "DatasetsKAIS"
+
+pytestmark = pytest.mark.skipif(
+    not DATA.exists(), reason="reference datasets not present"
+)
+
+# ReliefSelectorSuite.scala:36 / :52 (stdSelection, rank order)
+LUNG_GOLDEN = [29, 223, 10, 19, 172, 55, 183, 23, 35, 56]
+COLON_GOLDEN = [1422, 248, 74, 244, 266, 764, 1413, 1771, 1152, 779]
+
+
+def _load_kais(spark, name: str):
+    """KAIS CSV: no header, last column is the class."""
+    rows = []
+    with open(KAIS / name) as f:
+        for i, line in enumerate(csv.reader(f)):
+            vals = [float(x) for x in line]
+            rows.append((i, vals[:-1], float(vals[-1])))
+    return spark.createDataFrame(rows, "id long, features array<double>, label double")
+
+
+def _load_labeled_csv(spark, name: str, pad: float = 2.0):
+    """Reference microarray CSV: header, class first, pad=2 shifts the
+    {-2,0,2} ternary levels non-negative (TestHelper.scala:40 'padded')."""
+    rows = []
+    with open(DATA / name) as f:
+        r = csv.reader(f)
+        next(r)
+        for i, line in enumerate(r):
+            rows.append((i, [float(x) + pad for x in line[1:]], float(line[0])))
+    return spark.createDataFrame(rows, "id long, features array<double>, label double")
+
+
+def _fit(df, n_top, k, batch_size=1.0, exclude_self=True, redundancy=False):
+    return fit_relief(
+        df,
+        num_top_features=n_top,
+        num_neighbors=k,
+        estimation_ratio=1.0,
+        batch_size=batch_size,
+        discrete_data=True,
+        redundancy_removal=redundancy,
+        exclude_self=exclude_self,
+        seed=123456789,
+    )
+
+
+def test_xor100_finds_the_planted_xor_pair(spark):
+    """99 binary features, 50 rows; class = f4 XOR f6. RELIEF's whole
+    point is detecting interacting features no marginal test can see —
+    the planted pair must be EXACTLY the top-2."""
+    res = _fit(_load_kais(spark, "XOR100.csv"), n_top=2, k=5)
+    assert res.std_selection == [4, 6]
+
+
+def test_corral_rejects_the_irrelevant_feature(spark):
+    """class = (f0&f1)|(f2&f3); f4 is irrelevant noise, f5 is 75%-
+    correlated. The classic RELIEF outcome: the correlated feature may
+    rank high (it is genuinely predictive) but the irrelevant one must
+    not crack the top-4."""
+    res = _fit(_load_kais(spark, "Corral.csv"), n_top=4, k=3)
+    assert 4 not in res.std_selection
+    assert set(res.std_selection) <= {0, 1, 2, 3, 5}
+
+
+def test_parity3_3_top6_is_relevant_plus_copies(spark):
+    """class = parity(f0,f1,f2); f3,f4,f5 are exact copies of f0,f1,f2;
+    f6..f11 irrelevant. Relevance ranking must put all six informative
+    columns (originals + copies) above every irrelevant one."""
+    res = _fit(_load_kais(spark, "Parity3+3.csv"), n_top=6, k=3)
+    assert set(res.std_selection) == {0, 1, 2, 3, 4, 5}
+
+
+def test_parity3_3_redundancy_removal_picks_one_per_copy_pair(spark):
+    """With redundancy removal ON (and >1 batch so joint collision
+    stats exist), the greedy selection must take ONE representative of
+    each identical pair {0,3},{1,4},{2,5} before any copy — the exact
+    behavior the reference's redundancy term exists for
+    (ReliefFRSelector.scala:283-325)."""
+    res = _fit(
+        _load_kais(spark, "Parity3+3.csv"), n_top=6, k=3,
+        batch_size=0.5, redundancy=True,
+    )
+    first3 = res.redundancy_selection[:3]
+    assert {f % 3 for f in first3} == {0, 1, 2}, first3  # one per pair
+    # and all six informative features still precede every irrelevant one
+    assert set(res.redundancy_selection) == {0, 1, 2, 3, 4, 5}
+
+
+def test_lung_overlaps_reference_golden(spark):
+    """test_lung_s3.csv (73 rows x 325 ternary features): top-10 must
+    overlap the reference's published selection well beyond chance
+    (~0.3 expected at random) and agree on the #1 feature."""
+    res = _fit(
+        _load_labeled_csv(spark, "test_lung_s3.csv"),
+        n_top=10, k=10, exclude_self=False,
+    )
+    overlap = len(set(res.std_selection) & set(LUNG_GOLDEN))
+    assert overlap >= 5, (overlap, res.std_selection)
+    assert res.std_selection[0] == LUNG_GOLDEN[0] == 29
+
+
+def test_colon_overlaps_reference_golden(spark):
+    """test_colon_s3.csv (62 rows x 2000 ternary features): random
+    top-10 overlap expectation is ~0.05, observed is 7 — and the top-2
+    agree with the golden in order."""
+    res = _fit(
+        _load_labeled_csv(spark, "test_colon_s3.csv"),
+        n_top=10, k=10, exclude_self=False,
+    )
+    overlap = len(set(res.std_selection) & set(COLON_GOLDEN))
+    assert overlap >= 6, (overlap, res.std_selection)
+    assert res.std_selection[:2] == COLON_GOLDEN[:2] == [1422, 248]
