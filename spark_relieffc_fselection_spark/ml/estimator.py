@@ -306,6 +306,38 @@ class ReliefFSelectorModel(
             "redundancy_feature int, redundancy_relevance double",
         )
 
+    def _ml_attrs(self, dataset: DataFrame, input_col: str, indices: list[int]) -> dict:
+        """AttributeGroup-compatible `ml_attr` metadata for the output
+        vector (mirrors prepOutputField, ReliefFRSelector.scala:831-840,
+        minus its defect: the reference always filters by stdSelection
+        even when transform slices by redundancySelection + truncation —
+        here the attrs describe the selection actually applied).
+
+        Input attributes (e.g. the names VectorAssembler wrote) are
+        propagated per selected feature with re-based indices, so
+        downstream name-aware stages (VectorSlicer(names=...), RFormula,
+        explainers) keep working; absent input attrs degrade to unnamed
+        numeric attributes, like the reference's defaultAttr fill."""
+        in_meta = dataset.schema[input_col].metadata or {}
+        in_attrs = in_meta.get("ml_attr", {}).get("attrs", {})
+        by_idx: dict[int, dict] = {}
+        for kind, attrs in in_attrs.items():
+            for a in attrs:
+                if "idx" in a:
+                    by_idx[int(a["idx"])] = (kind, a)
+        out_attrs: dict[str, list[dict]] = {}
+        for pos, orig in enumerate(indices):
+            kind, a = by_idx.get(orig, ("numeric", {}))
+            entry = {**{k: v for k, v in a.items() if k != "idx"}, "idx": pos}
+            out_attrs.setdefault(kind, []).append(entry)
+        return {
+            "ml_attr": {"attrs": out_attrs, "num_attrs": len(indices)},
+            # provenance extras (this engine's addition)
+            "selected_features": indices,
+            "num_original_features": len(self.getOrDefault(self.relevanceWeights))
+            or None,
+        }
+
     def _transform(self, dataset: DataFrame) -> DataFrame:
         input_col = self.getInputCol()
         output_col = self.getOutputCol()
@@ -320,6 +352,5 @@ class ReliefFSelectorModel(
         # FeatureSelectionUtils.scala:38-73) with no Python UDF.
         sliced = F.array(*[arr.getItem(i) for i in indices])
         out = array_to_vector(sliced) if is_vector else sliced
-        meta = {"selected_features": indices, "num_original_features": len(
-            self.getOrDefault(self.relevanceWeights)) or None}
+        meta = self._ml_attrs(dataset, input_col, indices)
         return dataset.withColumn(output_col, out.alias(output_col, metadata=meta))

@@ -109,6 +109,53 @@ def test_pipeline_integration(spark):
     assert sel.getOrDefault(sel.stdSelection)[0] == 1
 
 
+def test_transform_writes_ml_attribute_group(spark):
+    """The output vector column carries AttributeGroup-compatible
+    `ml_attr` metadata with the INPUT attribute names propagated and
+    re-based (prepOutputField parity, ReliefFRSelector.scala:831-840 —
+    minus its stdSelection-always defect), so downstream name-aware
+    spark.ml stages read it. Verified end-to-end with a
+    VectorSlicer(names=...) consuming the selector's output."""
+    from pyspark.ml.feature import VectorSlicer
+
+    rng = np.random.default_rng(5)
+    n = 50
+    cols = {f"f{i}": rng.normal(size=n).round(3) for i in range(4)}
+    cols["label"] = (cols["f1"] > 0).astype(float)
+    rows = [tuple(float(v) for v in row) for row in zip(*cols.values())]
+    df = spark.createDataFrame(rows, list(cols))
+    assembled = VectorAssembler(
+        inputCols=[f"f{i}" for i in range(4)], outputCol="features"
+    ).transform(df)
+    model = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=3, estimationRatio=1.0,
+        batchSize=1.0, seed=1,
+    ).fit(assembled)
+    out = model.transform(assembled)
+    meta = out.schema["selectedFeatures"].metadata
+    attrs = meta["ml_attr"]["attrs"]["numeric"]
+    sel = model.selected_indices()
+    assert meta["ml_attr"]["num_attrs"] == len(sel) == 2
+    assert [a["idx"] for a in attrs] == [0, 1]  # re-based positions
+    assert [a["name"] for a in attrs] == [f"f{i}" for i in sel]  # input names kept
+    # a name-aware downstream stage resolves those attrs
+    sliced = VectorSlicer(
+        inputCol="selectedFeatures", outputCol="byname", names=[f"f{sel[0]}"]
+    ).transform(out)
+    row = sliced.first()
+    assert row["byname"].toArray().tolist() == [row["selectedFeatures"][0]]
+
+
+def test_transform_attrs_without_input_names_default_numeric(fitted, vec_df):
+    """No input attrs (plain dense vectors): output still carries an
+    unnamed numeric AttributeGroup sized to the selection, like the
+    reference's NumericAttribute.defaultAttr fill."""
+    meta = fitted.transform(vec_df).schema["selectedFeatures"].metadata
+    assert meta["ml_attr"]["num_attrs"] == 2
+    assert len(meta["ml_attr"]["attrs"]["numeric"]) == 2
+    assert meta["selected_features"] == fitted.selected_indices()
+
+
 def test_pipeline_with_string_labels(spark):
     """StringIndexer -> VectorAssembler -> selector (SURVEY F10/F11):
     the reference harness's label path (TestHelper.scala:106-113)."""

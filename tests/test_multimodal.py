@@ -3,13 +3,31 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.multimodal import (
+    _HAS_PIL,
     FEATURE_DIM,
+    _stub_decode,
+    decode_asset,
     extract_features,
     frame_sample_videos,
+    probe_asset_meta,
+    probe_assets,
     resize_images,
     synthetic_assets,
 )
 from spark_relieffc_fselection_spark.operators.simsearch import brute_force_topk
+
+
+def _make_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +66,68 @@ def test_resize_filters_to_images(assets):
     n_images = assets.filter("modality = 'image'").count()
     assert len(out) == n_images
     assert all(r["width"] == 64 and r["height"] == 64 for r in out)
+
+
+def test_real_wav_decode_pools_actual_samples():
+    """PCM WAV decodes through stdlib wave (no optional dep): the
+    feature is the per-bin mean of the true samples, not the stub."""
+    samples = np.repeat((np.arange(FEATURE_DIM) * 1000).astype(np.int16), 10)
+    wav = _make_wav(samples)
+    feat = decode_asset(wav, "audio", {})
+    expected = (np.arange(FEATURE_DIM) * 1000 / 32768.0).astype(np.float32)
+    assert np.allclose(feat, expected, atol=1e-6)
+    assert not np.allclose(feat, _stub_decode(wav)[:FEATURE_DIM])
+
+
+def test_undecodable_bytes_fall_back_to_stub_deterministically():
+    junk = b"definitely not a RIFF container"
+    a = decode_asset(junk, "audio", {})
+    b = decode_asset(junk, "audio", {})
+    assert np.allclose(a, _stub_decode(junk)[: len(a)])
+    assert np.array_equal(a, b)
+
+
+def test_probe_asset_meta_reads_real_wav_header():
+    wav = _make_wav(np.zeros(4000, np.int16), framerate=8000)
+    meta = probe_asset_meta(wav, "audio")
+    assert meta["sample_rate"] == 8000
+    assert abs(meta["duration_s"] - 0.5) < 1e-9
+
+
+def test_probe_assets_dataframe(spark):
+    """Arrow-batched probe: real WAV rows yield decoded metadata, junk
+    rows yield nulls — the corrupt-asset flagging path."""
+    wav = _make_wav(np.zeros(1600, np.int16), framerate=16000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), None),
+         (2, "audio", bytearray(b"junk"), None),
+         (3, "video", bytearray(b"junk"), None)],
+        "asset_id long, modality string, content binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int, format:string>",
+    )
+    rows = {r["asset_id"]: r for r in probe_assets(df).collect()}
+    assert rows[1]["decoded_sample_rate"] == 16000
+    assert abs(rows[1]["decoded_duration_s"] - 0.1) < 1e-9
+    assert rows[2]["decoded_sample_rate"] is None
+    assert rows[3]["decoded_width"] is None
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this container")
+def test_real_image_decode_reads_actual_pixels():
+    import io
+
+    from PIL import Image
+
+    im = Image.new("L", (4, 4))
+    im.putdata(list(range(0, 256, 16)))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    feat = decode_asset(png, "image", {})
+    expected = (np.arange(0, 256, 16, dtype=np.float32) - 127.5) / 127.5
+    assert np.allclose(feat, expected, atol=1e-6)
+    m = probe_asset_meta(png, "image")
+    assert (m["width"], m["height"]) == (4, 4)
 
 
 def test_frame_sampling(assets):
