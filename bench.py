@@ -92,15 +92,25 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Full-precision per-query detail goes to a sidecar file; the
+    # printed line stays compact (short qNN keys, 2-decimal values) so
+    # the driver's bounded tail capture never truncates the JSON
+    # (BENCH_r02.json came back "parsed": null for exactly that reason).
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
+        json.dumps({"sf": sf, "total": total, "queries": timings}, indent=1)
+    )
+    compact = {name.split("_")[0]: round(t, 2) for name, t in timings.items()}
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": compact,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

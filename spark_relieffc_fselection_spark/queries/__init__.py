@@ -39,14 +39,56 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+#: Names promoted to the FRONT of the queries() iteration order. The
+#: driver's correctness gate checks only the first 50 entries, so each
+#: round the least-recently-driver-validated queries (the ones the cap
+#: skipped last round) plus anything new or semantically changed this
+#: round go first; long-green queries rotate to the back. Every query
+#: keeps its oracle either way — this only chooses which 50 the DRIVER
+#: re-verifies this round (the rest stay covered by
+#: scripts/compare_oracle.py).
+_PRIORITY: tuple[str, ...] = (
+    # changed or new in round 3
+    "q27_embedding_neardup",
+    "q60_sequence_packing",
+    "q73_knn_lsh_recall",
+    # skipped by the 50-entry cap in round 2
+    "q37_relief_discrete_collisions",
+    "q38_rollup",
+    "q39_distinct_agg",
+    "q40_percentiles",
+    "q41_corpus_curation",
+    "q45_analytic_windows",
+    "q46_cube",
+    "q47_pivot",
+    "q48_setops",
+    "q51_hll_distinct",
+    "q52_correlated_subquery",
+    "q53_mom_growth",
+    "q56_grouping_sets",
+    "q57_stratified_sample",
+    "q59_stopword_scrub",
+    "q61_contamination",
+    "q62_repetition",
+    "q66_unigram_lm_quality",
+    "q67_deterministic_split",
+    "q68_domain_mix",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _load_modules()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    out = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    out.update({n: s for n, s in REGISTRY.items() if n not in out})
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _load_modules()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {n: s.oracle for n, s in _ordered().items() if s.oracle is not None}
 
 
 def _load_modules() -> None:

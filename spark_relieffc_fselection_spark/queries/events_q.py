@@ -11,6 +11,9 @@ engines with no timezone formatting drift.
 
 from __future__ import annotations
 
+import atexit as _atexit
+import threading as _threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -252,7 +255,6 @@ def q35_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q50: a REAL Structured Streaming query under the oracle gate ----------
 
-_STREAM_DIRS: dict[tuple[str, str], str] = {}
 _SINK_SEQ = [0]
 
 #: Streaming state-store partition count. A streaming query creates
@@ -285,24 +287,38 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
     files (file-source streams read directories; maxFilesPerTrigger=1
     makes each file one micro-batch, so copies=2 exercises CROSS-batch
     state: dedup/stateful operators see the same rows again in batch 2).
-    Memoized per (session, sf, copies)."""
+    Memoized per (session, sf, copies); every staged dir is removed at
+    interpreter exit, and the memo is lock-guarded so concurrent query
+    runners can't race the mkdtemp+copy (ADVICE r2)."""
     import os
     import shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir, copies)
-    if key not in _STAGED_DIRS:
-        d = tempfile.mkdtemp(prefix=f"events_stream_x{copies}_")
-        for i in range(copies):
-            shutil.copy(
-                os.path.join(sf_dir, "events.parquet"),
-                os.path.join(d, f"events_{i}.parquet"),
-            )
-        _STAGED_DIRS[key] = d
+    with _STAGED_LOCK:
+        if key not in _STAGED_DIRS:
+            d = tempfile.mkdtemp(prefix=f"events_stream_x{copies}_")
+            for i in range(copies):
+                shutil.copy(
+                    os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(d, f"events_{i}.parquet"),
+                )
+            _STAGED_DIRS[key] = d
     return _STAGED_DIRS[key]
 
 
 _STAGED_DIRS: dict[tuple[str, str, int], str] = {}
+_STAGED_LOCK = _threading.Lock()
+
+
+@_atexit.register
+def _cleanup_staged_dirs() -> None:
+    import shutil
+
+    with _STAGED_LOCK:
+        for d in _STAGED_DIRS.values():
+            shutil.rmtree(d, ignore_errors=True)
+        _STAGED_DIRS.clear()
 
 
 @register(
@@ -320,24 +336,15 @@ _STAGED_DIRS: dict[tuple[str, str, int], str] = {}
         "batch SQL oracle applies verbatim (streaming/windows.py).",
 )
 def q50_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from spark_relieffc_fselection_spark.streaming.windows import (
         read_events_stream,
         run_to_memory_sink,
         streaming_tumbling_counts,
     )
 
-    # File-source streams read DIRECTORIES; stage the single parquet
-    # file into one (memoized per session+sf so reruns don't recopy).
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="q50_events_stream_")
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-        _STREAM_DIRS[key] = d
-    stream = read_events_stream(spark, _STREAM_DIRS[key])
+    # File-source streams read DIRECTORIES (staging memoized per
+    # session+sf, removed at exit — _staged_events_dir).
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
     _SINK_SEQ[0] += 1
     with _stream_conf(spark):
         return run_to_memory_sink(
@@ -376,22 +383,13 @@ def q50_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch q34 — stream == batch for event-time sessions.",
 )
 def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from spark_relieffc_fselection_spark.streaming.windows import (
         read_events_stream,
         run_to_memory_sink,
         streaming_session_agg,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="q50_events_stream_")
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-        _STREAM_DIRS[key] = d
-    stream = read_events_stream(spark, _STREAM_DIRS[key])
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
     _SINK_SEQ[0] += 1
     with _stream_conf(spark):
         return run_to_memory_sink(
@@ -424,23 +422,15 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch interval-join SQL is the oracle verbatim.",
 )
 def q64_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from spark_relieffc_fselection_spark.streaming.windows import (
         read_events_stream,
         run_to_memory_sink,
         streaming_view_click_join,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="q50_events_stream_")
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
-        _STREAM_DIRS[key] = d
-    views = read_events_stream(spark, _STREAM_DIRS[key])
-    clicks = read_events_stream(spark, _STREAM_DIRS[key])
+    staged = _staged_events_dir(spark, sf_dir)
+    views = read_events_stream(spark, staged)
+    clicks = read_events_stream(spark, staged)
     _SINK_SEQ[0] += 1
     with _stream_conf(spark):
         return run_to_memory_sink(

@@ -118,7 +118,12 @@ def streaming_session_agg(
     )
 
 
-_STATE_SCHEMA = "n long, total double"
+#: the running total is carried as an exact decimal STRING, not a
+#: float64: float accumulation is order-sensitive, so micro-batch
+#: boundaries could change the 6-decimal output — every other
+#: streaming aggregate in this module sums decimal(38,18) for the same
+#: reason (ADVICE r2).
+_STATE_SCHEMA = "n long, total string"
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 
 
@@ -128,14 +133,28 @@ def _user_totals_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Running per-user totals — the custom stateful operator pattern
-    (applyInPandasWithState): state survives across micro-batches."""
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+    (applyInPandasWithState): state survives across micro-batches.
+
+    Each float64 value converts to Decimal EXACTLY; sums run at 50
+    significant digits (above Spark's own decimal(38,18) accumulators),
+    so batch-boundary/order effects sit ~40 digits below the 6-decimal
+    emit rounding — results are invisible to micro-batch splits."""
+    from decimal import Decimal, localcontext
+
+    if state.exists:
+        n, total_s = state.get
+        total = Decimal(total_s)
+    else:
+        n, total = 0, Decimal(0)
+    with localcontext() as ctx:
+        ctx.prec = 50
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                total += Decimal(float(v))
+    state.update((n, str(total)))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [float(round(total, 6))]}
     )
 
 
