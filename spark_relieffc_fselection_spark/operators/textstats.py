@@ -35,6 +35,48 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 PUNCT_CLASS = r"[.,!?;:'\"()\-]"
 
 
+#: PII patterns (RE2/Java-portable subset: no backrefs/lookaround, so
+#: the same pattern strings run in Spark, DuckDB, and most scrubbers).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[PII]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII/compliance scrub: per-document match counts per pattern
+    class plus the scrubbed text (every match replaced, applied in
+    deterministic ``patterns`` key order so engines agree byte-for-
+    byte). Pure per-row regexp expressions — zero shuffle, whole-stage
+    codegen, the standard pre-tokenizer compliance pass at any scale.
+
+    Output: (doc_id, n_<class>..., scrubbed_text, scrubbed_chars).
+    """
+    patterns = patterns if patterns is not None else PII_PATTERNS
+    cols = [F.col(id_col).alias("doc_id")]
+    scrubbed = F.col(text_col)
+    for name, pat in patterns.items():
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return docs.select(
+        *cols,
+        scrubbed.alias("scrubbed_text"),
+        F.length(scrubbed).alias("scrubbed_chars"),
+    )
+
+
 def token_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -52,6 +52,11 @@ _PRIORITY: tuple[str, ...] = (
     "q27_embedding_neardup",
     "q60_sequence_packing",
     "q73_knn_lsh_recall",
+    "q74_kmeans_step",
+    "q75_oov_rate",
+    "q76_length_histogram",
+    "q77_streaming_enrichment",
+    "q78_random_projection",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

@@ -355,6 +355,40 @@ def q50_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q77_streaming_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-STATIC join under the oracle gate: the event stream is "
+        "enriched against the (batch) customer dimension per micro-batch "
+        "— broadcast, stateless, no join state or watermark — then "
+        "aggregated per (segment, type) in complete mode. The realtime-"
+        "enrichment counterpart of the stream-stream interval join (q64); "
+        "the batch join SQL is the oracle verbatim.",
+)
+def q77_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_enriched_totals,
+    )
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    dim = load_table(spark, sf_dir, "customer")
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        return run_to_memory_sink(
+            streaming_enriched_totals(stream, dim),
+            f"q77_sink_{_SINK_SEQ[0]}",
+            output_mode="complete",
+        )
+
+
+@register(
     "q58_streaming_sessions",
     oracle=f"""
     WITH ordered AS (

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from spark_relieffc_fselection_spark.operators.simsearch import (
     brute_force_topk,
     ivf_topk,
+    kmeans_lloyd_step,
     lsh_bucketed_topk,
     lsh_near_duplicates,
+    random_projection,
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
@@ -288,6 +290,72 @@ def q49_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(TOPK)), 6
             ).alias("recall"),
         )
+    )
+
+
+@register(
+    "q74_kmeans_step",
+    oracle=f"""
+    WITH {_INST},
+    centroids AS (
+      SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM normed
+      WHERE id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT id AS vid, list_id FROM (
+        SELECT a.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                 (CASE WHEN a.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*c.cv[i]))
+                            / (a.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed a, centroids c
+      ) WHERE rn = 1
+    ),
+    long AS (
+      SELECT assign.list_id, u.i - 1 AS dim, n.v[u.i] AS x
+      FROM normed n JOIN assign ON assign.vid = n.id,
+           LATERAL (SELECT unnest(generate_series(1, len(n.v))) AS i) u
+    )
+    SELECT list_id, dim,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE), 6)
+             AS value,
+           COUNT(*) AS n_members
+    FROM long GROUP BY list_id, dim
+    """,
+    doc="One distributed Lloyd (k-means) iteration over the embedding "
+        "corpus — the training step behind a real IVF index: broadcast "
+        "centroid assignment, then a partial+final mean per (list, dim) "
+        "with decimal accumulation. Iterative clustering as repeated "
+        "calls of the same two-job plan.",
+)
+def q74_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd_step(
+        load_table(spark, sf_dir, "embeddings"), centroid_stride=IVF_STRIDE
+    )
+
+
+RP_OUT_DIM = 16
+
+
+@register(
+    "q78_random_projection",
+    oracle=f"""
+    SELECT vec_id AS id, j.j AS out_dim_idx,
+           ROUND(list_sum(list_transform(generate_series(1, len(v)),
+                 i -> v[i] * (1.0 - 2.0 * (((i-1)*1009 + j.j*9176 + ((i-1)*j.j) % 7) % 2)))), 6)
+             AS value
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         LATERAL (SELECT unnest(generate_series(0, {RP_OUT_DIM - 1})) AS j) j
+    """,
+    doc="Deterministic Johnson-Lindenstrauss sign projection 64 -> 16 "
+        "dims: the dimensionality-reduction front end for ANN/clustering "
+        "(distance-preserving, shrinks every downstream kernel 4x). The "
+        "+-1 matrix is arithmetic in (i, j) — no RNG, no driver matrix, "
+        "zero shuffle, exactly oracle-reproducible.",
+)
+def q78_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dim=RP_OUT_DIM
     )
 
 

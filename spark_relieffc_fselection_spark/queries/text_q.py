@@ -8,6 +8,7 @@ differ (regexp_extract_all vs regexp_count etc.).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.textstats import (
     STOPWORDS,
@@ -135,6 +136,48 @@ def q30_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q31_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"), ngram_chars=FP_NGRAM)
+
+
+#: token-count histogram bucket width
+LEN_BUCKET = 16
+
+
+@register(
+    "q76_length_histogram",
+    oracle=f"""
+    WITH normed AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+    lens AS (
+      SELECT doc_id, len(string_split(norm, ' ')) AS n_toks FROM normed
+    )
+    SELECT CAST(floor(n_toks / {LEN_BUCKET}.0) AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks
+    FROM lens GROUP BY 1
+    """,
+    doc="Document-length histogram (token-count buckets of width 16): "
+        "the corpus-shape profile every packing/curriculum decision "
+        "reads. One per-row expression + one partial+final aggregation "
+        "over at most a few hundred buckets — scale-free.",
+)
+def q76_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    return (
+        lens.groupBy(
+            F.floor(F.col("n_toks") / float(LEN_BUCKET)).cast("bigint").alias("len_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
+    )
 
 
 @register(

@@ -139,6 +139,69 @@ def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: top-V corpus vocabulary for the OOV-rate check
+VOCAB_SIZE = 50
+
+
+@register(
+    "q75_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    freq AS (SELECT tok, COUNT(*) AS c FROM nz GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok ASC LIMIT {VOCAB_SIZE}),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS n_in
+      FROM nz GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks,
+           CAST(n_toks - n_in AS BIGINT) AS n_oov,
+           ROUND((n_toks - n_in) / CAST(n_toks AS DOUBLE), 6) AS oov_rate
+    FROM per
+    """,
+    doc="Out-of-vocabulary rate against the corpus top-V vocabulary — "
+        "the tokenizer-prep coverage metric (how much of each document "
+        "a V-token vocab can express). Vocabulary = one partial+final "
+        "count + deterministic top-V (count desc, token asc), broadcast "
+        "back; the per-doc pass is one aggregation. At 100 TB the vocab "
+        "stays tiny however large the corpus — the only full-data "
+        "shuffle is the token-count combine.",
+)
+def q75_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    nz = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        nz.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        nz.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("n_toks") - F.col("n_in")).cast("bigint").alias("n_oov"),
+            F.round(
+                (F.col("n_toks") - F.col("n_in")) / F.col("n_toks").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
 @register(
     "q61_contamination",
     oracle=f"""

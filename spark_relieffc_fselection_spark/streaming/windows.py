@@ -72,6 +72,36 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_enriched_totals(
+    events: DataFrame, dim: DataFrame, dim_key: str = "c_custkey"
+) -> DataFrame:
+    """Stream-STATIC join enrichment: each micro-batch of the event
+    stream joins the (batch) dimension — the canonical realtime
+    enrichment pattern. The static side is broadcast per micro-batch
+    (stateless: no watermark or join state, unlike stream-stream),
+    then a running per-(segment, type) aggregate in complete mode.
+    Decimal sums keep micro-batch boundaries invisible."""
+    enriched = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return (
+        enriched.groupBy(
+            F.col("c_mktsegment").alias("mktsegment"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("sum_value_dec"),
+        )
+        .select(
+            "mktsegment",
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value_dec").cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
 def streaming_sliding_counts(
     events: DataFrame,
     window: str = "1 hour",

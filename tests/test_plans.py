@@ -114,12 +114,13 @@ def test_sequence_packing_partitioned_window(spark, qs):
     assert "hashpartitioning(source" in plan
 
 
-def test_embedding_neardup_bucketed_no_python(spark, qs):
-    """q27: the near-dup default is the bucketed join — no Python
-    stage, no driver-side corpus materialization (plan builds without
-    triggering a job; see also test_simsearch plan pin)."""
+def test_embedding_neardup_bucketed_no_collect(spark, qs):
+    """q27: the near-dup default is bucket-distributed — the Arrow
+    kernel runs per (table, bucket) group (FlatMapGroupsInPandas after
+    a bucket-keyed exchange), never a driver-side corpus collect (plan
+    builds without triggering a job; see also test_simsearch pins)."""
     plan = _plan(qs["q27_embedding_neardup"](spark, SF))
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert "bucket" in plan
 
 

@@ -95,12 +95,28 @@ def test_lsh_near_duplicates_subset_of_exact_with_exact_cosines(emb):
 def test_lsh_near_duplicates_no_driver_collect(emb):
     """Plan pin (VERDICT r2 #1): the bucketed near-dup never
     materializes the corpus driver-side — building the plan triggers no
-    Spark job, and the physical plan has no Python/mapInPandas stage
-    (pure Catalyst: bucket join + exact verify)."""
+    Spark job. The default kernel is the per-bucket Arrow group matmul
+    (FlatMapGroupsInPandas, distributed by (table, bucket)); the 'sql'
+    kernel stays pure Catalyst with no Python stage at all."""
     tracker = emb.sparkSession.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
     df = lsh_near_duplicates(emb, threshold=0.3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before  # no collect() during plan construction
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # bucket-keyed, not driver-side
+    sql_plan = (
+        lsh_near_duplicates(emb, threshold=0.3, kernel="sql")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in sql_plan and "Pandas" not in sql_plan
+
+
+def test_lsh_near_duplicates_kernels_agree(emb):
+    """The Arrow bucket kernel and the Catalyst fold must produce the
+    identical pair set and 6-decimal cosines (the oracle gate rides on
+    this equivalence)."""
+    corpus = emb.limit(200)
+    a = sorted(map(tuple, lsh_near_duplicates(corpus, 0.2, kernel="numpy").collect()))
+    b = sorted(map(tuple, lsh_near_duplicates(corpus, 0.2, kernel="sql").collect()))
+    assert a == b and a

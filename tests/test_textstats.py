@@ -3,6 +3,7 @@ import pytest
 from spark_relieffc_fselection_spark.operators.textstats import (
     fingerprints,
     language_id,
+    pii_scrub,
     quality_scores,
     token_stats,
 )
@@ -50,6 +51,31 @@ def test_quality_scores_ordering(docs):
     assert q[0]["stopword_ratio"] > 0.2
     assert q[7]["digit_ratio"] > 0.1
     assert 0.0 <= q[6]["quality_score"] <= 1.0
+
+
+def test_pii_scrub_counts_and_replaces(spark):
+    rows = [
+        (0, "mail me at jane.doe+spam@example.co.uk or visit https://ex.am/p?q=1 now"),
+        (1, "call +1 (415) 555-0199 tomorrow; server at 10.0.0.254 is down"),
+        (2, "totally clean text with no identifiers at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_url"] == 1
+    assert out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[2]["n_email"] == out[2]["n_url"] == out[2]["n_phone"] == 0
+    assert "jane.doe" not in out[0]["scrubbed_text"]
+    assert "https://" not in out[0]["scrubbed_text"]
+    assert "10.0.0.254" not in out[1]["scrubbed_text"]
+    assert "[PII]" in out[0]["scrubbed_text"]
+    assert out[2]["scrubbed_text"] == rows[2][1]
+    assert out[2]["scrubbed_chars"] == len(rows[2][1])
+
+
+def test_pii_scrub_plan_is_pure_catalyst(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Pandas" not in plan
 
 
 def test_fingerprints_stability(docs, spark):
