@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 TPCH_TABLES = (
@@ -74,6 +75,38 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_labeled_csv(
+    spark: SparkSession,
+    path: str,
+    label_col: str | None = None,
+    label_position: str = "first",
+    feature_cols: Sequence[str] | None = None,
+    pad: float = 0.0,
+    header: bool = True,
+) -> DataFrame:
+    """Labeled-dataset CSV ingest: the reference harness's path
+    (TestHelper.scala:35-74 readCSVData -> VectorAssembler -> padded
+    features) as ONE distributed read returning ``(features
+    array<double>, label double)`` — feed it straight to
+    ``ReliefFSelector`` (which attaches its own row ids, SURVEY P2) or
+    ``fit_relief``.
+
+    ``label_col`` names the class column; otherwise ``label_position``
+    picks ``'first'`` (microarray convention: test_lung_s3.csv) or
+    ``'last'`` (KAIS synthetic convention, DatasetsKAIS/readme).
+    ``pad`` shifts every feature value (the reference's `padded`
+    argument for negative discrete levels)."""
+    df = read_csv(spark, path, header=header)
+    if label_col is None:
+        label_col = df.columns[0] if label_position == "first" else df.columns[-1]
+    if feature_cols is None:
+        feature_cols = [c for c in df.columns if c != label_col]
+    feats = F.array(*[F.col(c).cast("double") + F.lit(pad) for c in feature_cols])
+    return df.select(
+        feats.alias("features"), F.col(label_col).cast("double").alias("label")
+    )
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:

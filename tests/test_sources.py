@@ -120,3 +120,41 @@ def test_csv_sink_roundtrip(spark, tmp_path_factory):
     src.write.mode("overwrite").option("header", "true").csv(d)
     back = read_csv(spark, d, schema="r_regionkey long, r_name string")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_read_labeled_csv_reference_conventions(spark):
+    """read_labeled_csv ingests both reference dataset layouts — class-
+    first microarray CSV (with pad) and class-last KAIS CSV — and feeds
+    the estimator directly (end-to-end: XOR100's planted feature 4 must
+    top the selection)."""
+    import pytest as _pytest
+    from pathlib import Path
+
+    from spark_relieffc_fselection_spark.sources import read_labeled_csv
+
+    data = Path("/root/reference/src/test/resources/data")
+    if not data.exists():
+        _pytest.skip("reference datasets not present")
+
+    lung = read_labeled_csv(
+        spark, str(data / "test_lung_s3.csv"), label_position="first", pad=2.0
+    )
+    row = lung.first()
+    assert len(row["features"]) == 325
+    assert min(min(r["features"]) for r in lung.collect()) >= 0.0  # padded
+
+    xor = read_labeled_csv(
+        spark,
+        str(data / "DatasetsKAIS" / "XOR100.csv"),
+        label_position="last",
+        header=False,
+    )
+    assert len(xor.first()["features"]) == 99
+
+    from spark_relieffc_fselection_spark.ml import ReliefFSelector
+
+    model = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=5, estimationRatio=1.0, batchSize=1.0,
+        discreteData=True, seed=1,
+    ).fit(xor)
+    assert 4 in model.getOrDefault(model.stdSelection)
