@@ -109,6 +109,22 @@ def read_labeled_csv(
     )
 
 
+def read_libsvm(
+    spark: SparkSession, path: str, num_features: int | None = None
+) -> DataFrame:
+    """LibSVM scan -> (label double, features SparseVector) — the format
+    of the reference's flagship sparse workloads (kddb, 20M x 30M,
+    README.md:18). Pass ``num_features`` in production: without it the
+    source runs an extra pass to determine dimensionality. The sparse
+    vectors feed ``ReliefFSelector`` directly (the estimator routes
+    SparseVector input through the inverted-index path — never
+    densified)."""
+    reader = spark.read.format("libsvm")
+    if num_features is not None:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """Raw text scan (S2 fallback, TestHelper.scala:138-152)."""
     return spark.read.text(path)

@@ -158,3 +158,35 @@ def test_read_labeled_csv_reference_conventions(spark):
         discreteData=True, seed=1,
     ).fit(xor)
     assert 4 in model.getOrDefault(model.stdSelection)
+
+
+def test_read_libsvm_feeds_sparse_estimator(spark, tmp_path_factory):
+    """LibSVM ingest (the reference's kddb-scale format) produces
+    SparseVectors that route through the estimator's inverted-index
+    path end-to-end."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.ml import ReliefFSelector
+    from spark_relieffc_fselection_spark.sources import read_libsvm
+
+    rng = np.random.default_rng(17)
+    d = 12
+    path = tmp_path_factory.mktemp("libsvm") / "part.txt"
+    lines = []
+    for i in range(60):
+        informative = rng.integers(0, 2)
+        label = informative
+        feats = {3: float(informative * 2 + 1)}  # feature idx 3 decides
+        for j in rng.choice(d, size=4, replace=False):
+            feats.setdefault(int(j), float(rng.integers(1, 4)))
+        kv = " ".join(f"{k + 1}:{v}" for k, v in sorted(feats.items()))
+        lines.append(f"{label} {kv}")
+    path.write_text("\n".join(lines))
+
+    df = read_libsvm(spark, str(path), num_features=d)
+    assert df.schema["features"].dataType.typeName() == "vectorudt"
+    model = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=3, estimationRatio=1.0, batchSize=1.0,
+        discreteData=True, seed=3,
+    ).fit(df)
+    assert 3 in model.getOrDefault(model.stdSelection)
