@@ -109,6 +109,56 @@ def test_pipeline_integration(spark):
     assert sel.getOrDefault(sel.stdSelection)[0] == 1
 
 
+def test_param_defaults_match_reference():
+    """Every algorithm param ships the REFERENCE's default
+    (ReliefFRSelector.scala:88-164 setDefault calls) so a user porting
+    code gets identical behavior without touching params."""
+    est = ReliefFSelector()
+    get = est.getOrDefault
+    assert get(est.numTopFeatures) == 10
+    assert get(est.numNeighbors) == 10
+    assert get(est.estimationRatio) == 0.25
+    assert get(est.batchSize) == 0.25
+    assert get(est.lowerFeatureThreshold) == 3.0
+    assert get(est.lowerDistanceThreshold) == 0.8
+    assert get(est.redundancyRemoval) is False
+    assert get(est.discreteData) is False
+    assert get(est.inputCol) == "features"
+    assert get(est.outputCol) == "selectedFeatures"
+
+
+def test_full_pipeline_persistence_roundtrip(spark, tmp_path):
+    """A whole spark.ml Pipeline(VectorAssembler -> selector) and its
+    fitted PipelineModel survive save/load — the deployment path users
+    actually persist (stage-level DefaultParams IO composing under
+    Pipeline IO)."""
+    from pyspark.ml import Pipeline, PipelineModel
+
+    rng = np.random.default_rng(21)
+    n = 40
+    cols = {f"f{i}": rng.normal(size=n).round(3) for i in range(3)}
+    cols["label"] = (cols["f0"] > 0).astype(float)
+    rows = [tuple(float(v) for v in row) for row in zip(*cols.values())]
+    df = spark.createDataFrame(rows, list(cols))
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=["f0", "f1", "f2"], outputCol="features"),
+        ReliefFSelector(numTopFeatures=1, numNeighbors=3, estimationRatio=1.0,
+                        batchSize=1.0, seed=4),
+    ])
+    p_path = str(tmp_path / "pipe")
+    pipe.write().overwrite().save(p_path)
+    pipe2 = Pipeline.load(p_path)
+    model = pipe2.fit(df)
+    m_path = str(tmp_path / "pipe_model")
+    model.write().overwrite().save(m_path)
+    loaded = PipelineModel.load(m_path)
+    a = model.transform(df).select("selectedFeatures").collect()
+    b = loaded.transform(df).select("selectedFeatures").collect()
+    assert a == b
+    sel = loaded.stages[-1]
+    assert sel.getOrDefault(sel.stdSelection)[0] == 0  # f0 drives the label
+
+
 def test_transform_writes_ml_attribute_group(spark):
     """The output vector column carries AttributeGroup-compatible
     `ml_attr` metadata with the INPUT attribute names propagated and
