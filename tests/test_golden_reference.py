@@ -125,6 +125,23 @@ def test_parity3_3_redundancy_removal_picks_one_per_copy_pair(spark):
     assert set(res.redundancy_selection) == {0, 1, 2, 3, 4, 5}
 
 
+def test_monk3_finds_the_rule_attributes(spark):
+    """Monk-3: class = (a5=3 AND a4=1) OR (a5!=4 AND a2!=3), 5% label
+    noise by design (rule matches 95% of this file). The top-3 must be
+    exactly the rule's attributes {a2, a4, a5} = indices {1, 3, 4}."""
+    res = _fit(_load_kais(spark, "Monk3.csv"), n_top=3, k=3)
+    assert set(res.std_selection) == {1, 3, 4}
+
+
+def test_led25_top7_is_the_seven_segments(spark):
+    """LED-25 (noiseless): 10-class digit display; the first 7 features
+    are the LED segments and fully determine the class (verified
+    programmatically on this file), the other 17 are noise. Top-7 must
+    be exactly the segments."""
+    res = _fit(_load_kais(spark, "Led25n0.csv"), n_top=7, k=3)
+    assert set(res.std_selection) == {0, 1, 2, 3, 4, 5, 6}
+
+
 def test_lung_overlaps_reference_golden(spark):
     """test_lung_s3.csv (73 rows x 325 ternary features): top-10 must
     overlap the reference's published selection well beyond chance
