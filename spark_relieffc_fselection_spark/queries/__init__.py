@@ -57,6 +57,10 @@ _PRIORITY: tuple[str, ...] = (
     "q76_length_histogram",
     "q77_streaming_enrichment",
     "q78_random_projection",
+    "q79_shuffle_shards",
+    "q80_hash_uniform_sample",
+    "q81_incremental_dedup",
+    "q82_filter_funnel",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

@@ -333,3 +333,85 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )
+
+
+# --- incremental (cross-batch) dedup -------------------------------------------
+
+#: deterministic batch membership: ~20% of docs form the "new crawl".
+#: Hash-based (md5 of doc_id), NOT doc_id modulo: the synthetic corpus
+#: assigns source = doc_id mod 20, so a modulo split would collapse the
+#: batch onto 4 sources; the hash split is independent of every column.
+INCR_MOD, INCR_NEW = 10, 8  # hash bucket >= 8 -> new batch
+_INCR_BUCKET = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 5))::BIGINT % {m})"
+
+
+@register(
+    "q81_incremental_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source, {_H64.format(x=_NORM)} AS h,
+             {_INCR_BUCKET.format(m=INCR_MOD)} AS bk
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT h FROM hashed WHERE bk < {INCR_NEW}),
+    batch AS (SELECT * FROM hashed WHERE bk >= {INCR_NEW}),
+    first_in_batch AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h),
+    labeled AS (
+      SELECT b.source,
+             CASE WHEN e.h IS NOT NULL THEN 'dup_of_existing'
+                  WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                  ELSE 'new_unique' END AS status
+      FROM batch b
+      LEFT JOIN existing e ON b.h = e.h
+      JOIN first_in_batch f ON b.h = f.h
+    )
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM labeled GROUP BY source, status
+    """,
+    doc="INCREMENTAL dedup — the daily-crawl shape: a new batch of "
+        "documents is deduped against the fingerprint store of the "
+        "already-ingested corpus (dup_of_existing), then within itself "
+        "(dup_in_batch, min-doc_id canonical), and only new_unique rows "
+        "ship onward. At 100 TB the fingerprint store is a "
+        "bucketed-by-hash table, so the anti-join is co-partitioned "
+        "with NO shuffle of the store; the batch side (small) shuffles "
+        "once. Here: one hash per row, one distinct over the store "
+        "side, one left join + within-batch min.",
+)
+def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import (
+        md5_hash64,
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 5), 16, 10
+        ).cast("bigint")
+        % INCR_MOD
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        md5_hash64(normalize_text(F.col("text"))).alias("h"),
+        bucket.alias("bk"),
+    )
+    is_new = F.col("bk") >= INCR_NEW
+    existing = (
+        hashed.filter(~is_new).select("h").distinct().withColumn("seen", F.lit(1))
+    )
+    batch = hashed.filter(is_new)
+    first = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    labeled = (
+        batch.join(existing, "h", "left")
+        .join(first, "h")
+        .select(
+            "source",
+            F.when(F.col("seen").isNotNull(), "dup_of_existing")
+            .when(F.col("doc_id") != F.col("first_id"), "dup_in_batch")
+            .otherwise("new_unique")
+            .alias("status"),
+        )
+    )
+    return labeled.groupBy("source", "status").agg(F.count("*").alias("n_docs"))

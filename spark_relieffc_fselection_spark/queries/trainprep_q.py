@@ -465,6 +465,181 @@ def q68_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shard count for the epoch-shuffle layout
+N_SHARDS = 16
+
+
+@register(
+    "q79_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+               % {N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(sort_key) AS first_key, MAX(sort_key) AS last_key
+    FROM keyed GROUP BY shard
+    """,
+    doc="Epoch-shuffle layout: every doc gets a deterministic "
+        "pseudo-random sort key (md5 of its id) and a shard (key "
+        "prefix mod N). The 100 TB write is partitionBy(shard) + "
+        "sortWithinPartitions(sort_key) — a uniform global permutation "
+        "with NO global sort: each shard is an independent task and a "
+        "training reader streams shards in key order. This query audits "
+        "the layout: per-shard doc/char balance plus key ranges "
+        "(uniform hashing => near-equal shards, no skewed reader).",
+)
+def q79_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sort_key = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(sort_key, 1, 2), 16, 10).cast("bigint") % N_SHARDS
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            sort_key.alias("sort_key"),
+            shard.alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("sort_key").alias("first_key"),
+            F.max("sort_key").alias("last_key"),
+        )
+    )
+
+
+#: 24-bit hash-uniform domain for exact-rate sampling
+U24 = 16777216
+
+
+@register(
+    "q80_hash_uniform_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 6))::BIGINT AS u,
+             0.2 + 0.8 * (CAST(substr(source, 4) AS INT) % 5) / 4.0 AS rate
+      FROM documents
+    )
+    SELECT source,
+           ROUND(ANY_VALUE(rate), 6) AS target_rate,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN u < rate * {U24} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN u < rate * {U24} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM rated GROUP BY source
+    """,
+    doc="Hash-uniform Bernoulli sampling with per-source rates: keep doc "
+        "iff hash(doc_id)/2^24 < rate(source). Unlike modulo sampling "
+        "(q57) this works on ARBITRARY keys (URLs, uuids) and composes: "
+        "a rate-r sample of a rate-s sample is a rate-min(r,s) sample "
+        "of the corpus, because the kept set is a prefix of the hash "
+        "order — the property that makes re-mixing cheap at 100 TB "
+        "(changing a source's rate touches only the delta slice, no "
+        "reshuffle). Per-row arithmetic + one tiny rollup.",
+)
+def q80_hash_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 4, 6), 16, 10
+    ).cast("bigint")
+    rate = 0.2 + 0.8 * (F.substring("source", 4, 10).cast("int") % 5) / 4.0
+    kept = F.col("u") < F.col("rate") * U24
+    return (
+        docs.select("source", "n_chars", u.alias("u"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.round(F.any_value("rate"), 6).alias("target_rate"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+#: q82 funnel thresholds
+FUNNEL_MIN_CHARS = 150
+FUNNEL_MIN_TOKS = 25
+FUNNEL_LANGS = ("de", "en", "es", "fr")
+
+
+@register(
+    "q82_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT n_chars >= {FUNNEL_MIN_CHARS} AS f1,
+             n_chars >= {FUNNEL_MIN_CHARS}
+               AND lang IN {FUNNEL_LANGS!r} AS f2,
+             n_chars >= {FUNNEL_MIN_CHARS}
+               AND lang IN {FUNNEL_LANGS!r}
+               AND len(string_split({_NORM}, ' ')) >= {FUNNEL_MIN_TOKS} AS f3
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*) AS s0,
+             SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
+             SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS s2,
+             SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS s3
+      FROM flags
+    )
+    SELECT stage, stage_name, n_surviving,
+           ROUND(n_surviving / CAST(s0 AS DOUBLE), 6) AS survival_rate
+    FROM (
+      SELECT 0 AS stage, 'input' AS stage_name, s0 AS n_surviving, s0 FROM agg
+      UNION ALL SELECT 1, 'min_chars', s1, s0 FROM agg
+      UNION ALL SELECT 2, 'lang_supported', s2, s0 FROM agg
+      UNION ALL SELECT 3, 'min_tokens', s3, s0 FROM agg
+    )
+    """,
+    doc="Quality-filter funnel: cumulative survival counts through the "
+        "staged document filters (length -> language -> token floor) — "
+        "the observability view every curation pipeline ships (where do "
+        "docs die, and would reordering stages save compute). ONE corpus "
+        "scan computing all stage flags as conditional sums (no "
+        "per-stage passes), then a 4-row unpivot.",
+)
+def q82_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    f1 = F.col("n_chars") >= FUNNEL_MIN_CHARS
+    f2 = f1 & F.col("lang").isin(*FUNNEL_LANGS)
+    f3 = f2 & (F.size(tokens(F.col("text"))) >= FUNNEL_MIN_TOKS)
+    agg = docs.agg(
+        F.count("*").alias("s0"),
+        F.sum(f1.cast("long")).alias("s1"),
+        F.sum(f2.cast("long")).alias("s2"),
+        F.sum(f3.cast("long")).alias("s3"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(4, 0, 'input', s0, 1, 'min_chars', s1, "
+            "2, 'lang_supported', s2, 3, 'min_tokens', s3) "
+            "AS (stage, stage_name, n_surviving)"
+        ),
+        "s0",
+    )
+    return stages.select(
+        "stage",
+        "stage_name",
+        "n_surviving",
+        F.round(F.col("n_surviving") / F.col("s0").cast("double"), 6).alias(
+            "survival_rate"
+        ),
+    )
+
+
 @register(
     "q72_relief_fit_rankings",
     doc="FLAGSHIP end-to-end: the full ReliefFSelector.fit dataflow — "
