@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q80_hash_uniform_sample",
     "q81_incremental_dedup",
     "q82_filter_funnel",
+    "q83_pii_scrub",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

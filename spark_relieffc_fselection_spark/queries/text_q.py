@@ -238,3 +238,111 @@ def q55_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# --- PII scrub (q83) -----------------------------------------------------------
+#
+# The synthetic corpus contains no PII, so the scrub is exercised on
+# text with DETERMINISTIC synthetic PII injected in-flight (derived
+# from doc_id alone — both engines inject byte-identical suffixes).
+# This keeps the operator oracle-gated end-to-end: counts AND the
+# scrubbed text are value-hashed.
+
+_PII_INJECT_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          WHEN doc_id % 3 = 1
+          THEN ' see https://example.org/p/' || CAST(doc_id AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+               || '.' || CAST(doc_id % 250 AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call +1 555 000 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END
+"""
+
+
+@register(
+    "q83_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+           len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_url,
+           len(regexp_extract_all(text,
+               '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]')) AS n_phone,
+           len(regexp_extract_all(text,
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                 'https?://[^\\s]+', '[PII]', 'g'),
+               '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '[PII]', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+             '[PII]', 'g') AS scrubbed_text,
+           length(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                 'https?://[^\\s]+', '[PII]', 'g'),
+               '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '[PII]', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+             '[PII]', 'g')) AS scrubbed_chars
+    FROM injected
+    """,
+    doc="PII/compliance scrub (operators.textstats.pii_scrub) made "
+        "oracle-gated: deterministic synthetic emails/urls/ips/phones "
+        "are appended in-flight (doc_id arithmetic, byte-identical in "
+        "both engines), then per-class match counts and the fully "
+        "scrubbed text are hash-compared. Pure per-row Catalyst regexps "
+        "in pattern-key order — zero shuffle, the standard "
+        "pre-tokenizer compliance pass at any scale.",
+)
+def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.textstats import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    suffix_email_url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" see https://example.org/p/"), did),
+        )
+        .otherwise(F.lit(""))
+    )
+    suffix_ip = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 250).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    suffix_phone = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call +1 555 000 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), suffix_email_url, suffix_ip, suffix_phone
+        ).alias("text"),
+    )
+    return pii_scrub(injected)

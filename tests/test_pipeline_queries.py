@@ -1,0 +1,108 @@
+"""Semantic invariants for the round-3 pipeline queries (q79-q83).
+
+The oracle gate already hash-verifies values against DuckDB; these
+tests pin the PROPERTIES each operator promises — partition/coverage
+invariants the hash can't articulate on its own.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+from spark_relieffc_fselection_spark.queries.dedup_q import (
+    q81_incremental_dedup,
+)
+from spark_relieffc_fselection_spark.queries.text_q import q83_pii_scrub
+from spark_relieffc_fselection_spark.queries.trainprep_q import (
+    N_SHARDS,
+    q79_shuffle_shards,
+    q80_hash_uniform_sample,
+    q82_filter_funnel,
+)
+from spark_relieffc_fselection_spark.operators.textstats import PII_PATTERNS
+from spark_relieffc_fselection_spark.sources import load_table
+
+
+def test_shuffle_shards_cover_corpus(spark):
+    docs_n = load_table(spark, SF_DIR, "documents").count()
+    rows = q79_shuffle_shards(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == docs_n
+    assert all(0 <= r["shard"] < N_SHARDS for r in rows)
+    # md5 keys are 32-char lowercase hex and ordered within each shard
+    for r in rows:
+        assert len(r["first_key"]) == 32 and r["first_key"] <= r["last_key"]
+
+
+def test_hash_uniform_sample_rates_and_bounds(spark):
+    rows = q80_hash_uniform_sample(spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        assert 0.2 <= r["target_rate"] <= 1.0
+    # sources with target_rate 1.0 keep everything (u < 1.0 * 2^24 always)
+    full = [r for r in rows if r["target_rate"] == 1.0]
+    assert full and all(r["n_kept"] == r["n_total"] for r in full)
+
+
+def test_hash_uniform_sample_is_nested(spark):
+    """A lower-rate sample is a subset of a higher-rate one (the
+    composability property the docstring promises): the kept set is a
+    hash-order prefix, so dropping the rate only removes docs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 4, 6), 16, 10
+    ).cast("bigint")
+    with_u = docs.select("doc_id", u.alias("u"))
+    lo = {r["doc_id"] for r in with_u.filter(F.col("u") < 0.3 * 16777216).collect()}
+    hi = {r["doc_id"] for r in with_u.filter(F.col("u") < 0.7 * 16777216).collect()}
+    assert lo and lo < hi
+
+
+def test_incremental_dedup_partitions_batch(spark):
+    from spark_relieffc_fselection_spark.queries.dedup_q import (
+        INCR_MOD,
+        INCR_NEW,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 5), 16, 10
+        ).cast("bigint")
+        % INCR_MOD
+    )
+    batch_n = docs.filter(bucket >= INCR_NEW).count()
+    rows = q81_incremental_dedup(spark, SF_DIR).collect()
+    # statuses partition the batch exactly
+    assert sum(r["n_docs"] for r in rows) == batch_n
+    statuses = {r["status"] for r in rows}
+    assert "new_unique" in statuses
+    assert statuses <= {"new_unique", "dup_of_existing", "dup_in_batch"}
+
+
+def test_filter_funnel_monotone(spark):
+    rows = {r["stage"]: r for r in q82_filter_funnel(spark, SF_DIR).collect()}
+    assert list(rows) == [0, 1, 2, 3] or set(rows) == {0, 1, 2, 3}
+    surv = [rows[i]["n_surviving"] for i in range(4)]
+    assert surv[0] >= surv[1] >= surv[2] >= surv[3]
+    assert rows[0]["survival_rate"] == 1.0
+
+
+def test_pii_scrub_removes_every_match(spark):
+    out = q83_pii_scrub(spark, SF_DIR)
+    # injected PII is present in the counts...
+    tot = out.agg(
+        *[F.sum(f"n_{k}").alias(k) for k in ("email", "url", "phone", "ipv4")]
+    ).first()
+    assert all(tot[k] > 0 for k in ("email", "url", "phone", "ipv4"))
+    # ...and absent from the scrubbed text, for every pattern class
+    leftovers = out.select(
+        *[
+            F.sum(
+                F.size(F.regexp_extract_all("scrubbed_text", F.lit(pat), 0))
+            ).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    ).first()
+    assert all(leftovers[name] == 0 for name in PII_PATTERNS)
