@@ -158,3 +158,53 @@ def write_partitioned_parquet(
     than pruning saves.
     """
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_epoch_shuffle(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Epoch-shuffle sink: materialize a deterministic global
+    permutation of ``df`` WITHOUT a global sort (the q79 layout).
+
+    Each row gets ``sort_key = md5(key_col)`` and
+    ``shard = prefix(sort_key) mod n_shards``; the write is
+    ``repartition(shard) + sortWithinPartitions(sort_key)`` under
+    ``partitionBy(shard)``. A training reader that streams shards
+    0..n-1, each file in stored (ascending-key) order, observes a
+    uniform pseudo-random document order — and every shard is an
+    independent write task, so the layout costs ONE narrow shuffle at
+    any corpus size where a global ``orderBy`` would funnel 100 TB
+    through a single range-sort stage.
+
+    Deterministic: same keys => same permutation, any cluster size.
+    """
+    from pyspark.sql import functions as F
+
+    sort_key = F.md5(F.col(key_col).cast("string"))
+    shard = F.conv(F.substring(sort_key, 1, 4), 16, 10).cast("bigint") % n_shards
+    (
+        df.withColumn("sort_key", sort_key)
+        .withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        # (shard, sort_key), not sort_key alone: the dynamic-partition
+        # writer re-sorts each task by its partition columns when rows
+        # aren't already clustered by them, and that re-sort is not
+        # stable — leading with shard satisfies the writer's required
+        # ordering so the key order inside each file survives.
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_epoch_shuffle(spark: SparkSession, path: str) -> DataFrame:
+    """Read an epoch-shuffle layout back in permutation order: shards
+    ascending, keys ascending within each shard. The sort here is
+    per-partition metadata order, not a cluster-wide shuffle — files
+    are already stored sorted."""
+    return spark.read.parquet(path).sortWithinPartitions("shard", "sort_key")

@@ -190,3 +190,38 @@ def test_read_libsvm_feeds_sparse_estimator(spark, tmp_path_factory):
         discreteData=True, seed=3,
     ).fit(df)
     assert 3 in model.getOrDefault(model.stdSelection)
+
+
+def test_epoch_shuffle_roundtrip(spark, tmp_path):
+    from spark_relieffc_fselection_spark.sources import (
+        load_table,
+        read_epoch_shuffle,
+        write_epoch_shuffle,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shuffled")
+    write_epoch_shuffle(docs.select("doc_id", "n_chars"), out, "doc_id", n_shards=8)
+
+    back = read_epoch_shuffle(spark, out)
+    # lossless: every doc exactly once
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    # layout: hive shard dirs exist, and within each shard the stored
+    # row order is ascending sort_key (the reader relies on file order)
+    import os
+
+    shards = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert 1 < len(shards) <= 8
+    for d in shards:
+        rows = spark.read.parquet(os.path.join(out, d)).collect()
+        keys = [r["sort_key"] for r in rows]
+        assert keys == sorted(keys)
+    # determinism: same keys -> same permutation
+    out2 = str(tmp_path / "shuffled2")
+    write_epoch_shuffle(docs.select("doc_id", "n_chars"), out2, "doc_id", n_shards=8)
+    a = [r["doc_id"] for r in read_epoch_shuffle(spark, out).collect()]
+    b = [r["doc_id"] for r in read_epoch_shuffle(spark, out2).collect()]
+    assert a == b
