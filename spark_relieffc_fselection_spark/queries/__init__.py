@@ -62,6 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "q81_incremental_dedup",
     "q82_filter_funnel",
     "q83_pii_scrub",
+    "q84_canonical_selection",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

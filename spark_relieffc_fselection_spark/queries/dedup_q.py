@@ -415,3 +415,75 @@ def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return labeled.groupBy("source", "status").agg(F.count("*").alias("n_docs"))
+
+
+# --- canonical selection (q84) -------------------------------------------------
+
+
+@register(
+    "q84_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_JACCARD_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    all_lab AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id ASC) = 1
+             AS is_canonical
+    FROM all_lab
+    """,
+    doc="Canonical selection — the KEEP decision that finishes every "
+        "dedup pass: each near-dup cluster (q54's connected components; "
+        "singletons are their own cluster) keeps exactly one member, the "
+        "longest document with min-doc_id tiebreak, and the rest are "
+        "marked for drop. Per-doc verdicts, so downstream is one filter. "
+        "Scale: the window partitions by cluster_id — clusters are "
+        "near-dup groups, inherently small, so no skewed partition; the "
+        "left join against the cluster labels is the only corpus-sized "
+        "shuffle.",
+)
+def q84_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similar_pairs(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        df_cap=None,
+        shingle_hashes=_shingles(spark, sf_dir),
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, finalize="local")
+    all_lab = (
+        docs.select("doc_id", "n_chars")
+        .join(cc.select("doc_id", "cluster_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return all_lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.row_number().over(rk) == 1).alias("is_canonical"),
+    )
