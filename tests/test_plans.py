@@ -178,3 +178,30 @@ def test_streaming_dedup_is_watermark_bounded(spark):
     plan = streaming_dedup(stream, keys=["event_id"])._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan
     assert "EventTimeWatermark" in plan
+
+
+def test_hash_sample_prunes_text_column(spark, qs):
+    """q80: the sampler never needs document text — column pruning must
+    keep the (huge) text column out of the parquet scan."""
+    plan = _plan(qs["q80_hash_uniform_sample"](spark, SF))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema
+    assert "n_chars" in read_schema
+
+
+def test_shuffle_shards_no_global_sort(spark, qs):
+    """q79: the epoch-shuffle audit is a hash aggregation — no
+    rangepartitioning (global sort) anywhere in the plan."""
+    plan = _plan(qs["q79_shuffle_shards"](spark, SF))
+    assert "rangepartitioning" not in plan.lower()
+    # partial+final combine (SortAggregate here: string min/max buffers
+    # aren't hash-aggregable), never a single-stage global aggregate
+    assert "partial_count" in plan
+
+
+def test_canonical_selection_no_cartesian(spark, qs):
+    """q84: cluster labeling + keep-verdict windows stay key-partitioned
+    — no cartesian product, no single-partition window exchange."""
+    plan = _plan(qs["q84_canonical_selection"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
