@@ -63,6 +63,8 @@ _PRIORITY: tuple[str, ...] = (
     "q82_filter_funnel",
     "q83_pii_scrub",
     "q84_canonical_selection",
+    "q85_token_truncation",
+    "q86_source_interleave",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

@@ -683,3 +683,87 @@ def q72_relief_fit_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, std_feature int, std_relevance double, "
         "redundancy_feature int, redundancy_relevance double",
     )
+
+
+#: context-length budget for the truncation pass
+TRUNC_TOKS = 64
+
+
+@register(
+    "q85_token_truncation",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_toks,
+           least(len(t), {TRUNC_TOKS}) AS n_kept,
+           len(t) > {TRUNC_TOKS} AS was_truncated,
+           length(array_to_string(t[1:{TRUNC_TOKS}], ' ')) AS trunc_chars
+    FROM toks
+    """,
+    doc="Context-length truncation: cap every document at a fixed token "
+        "budget (keep the prefix), reporting kept counts and truncated "
+        "length — the guard that bounds per-row cost for every "
+        "downstream tokenizer/embedder stage. Pure per-row array "
+        "expressions, zero shuffle; at 100 TB this runs fused into the "
+        "scan (whole-stage codegen).",
+)
+def q85_token_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_toks"),
+        F.least(F.size(t), F.lit(TRUNC_TOKS)).alias("n_kept"),
+        (F.size(t) > TRUNC_TOKS).alias("was_truncated"),
+        F.length(F.array_join(F.slice(t, 1, TRUNC_TOKS), " ")).alias(
+            "trunc_chars"
+        ),
+    )
+
+
+#: number of sources in the synthetic corpus (src0..src19)
+N_SOURCES = 20
+
+
+@register(
+    "q86_source_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) AS source_idx,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((rk - 1) * {N_SOURCES} + source_idx AS BIGINT) AS position
+    FROM ranked
+    """,
+    doc="Source-interleave schedule: a deterministic global training "
+        "order that round-robins the sources — doc k of source s lands "
+        "at position k*n_sources + s, so every window of n_sources "
+        "consecutive positions sees each source at most once (the "
+        "mixture stays locally uniform, no source runs). Per-source "
+        "hash-ordered windows run in parallel (no global sort); the "
+        "position is pure arithmetic on the per-source rank.",
+)
+def q86_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        (
+            (F.row_number().over(w) - 1) * N_SOURCES
+            + F.substring("source", 4, 10).cast("int")
+        )
+        .cast("bigint")
+        .alias("position"),
+    )
