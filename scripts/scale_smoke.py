@@ -1,0 +1,120 @@
+"""Measured-scaling smoke: run representative operators on 1x and Kx
+copies of the sf0.1 tables and print the wall-time ratio per operator.
+
+The point is evidence, not proof: a bucketed/bounded operator should
+scale near-linearly in rows (ratio ~= K on a fixed-size box), while a
+quadratic all-pairs kernel shows ~K^2 growth — which is exactly why
+the LSH/IVF tiers exist. Results are recorded in SCALE.md.
+
+Usage: python scripts/scale_smoke.py [K] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def replicate(df: DataFrame, k: int, id_col: str, offset: int) -> DataFrame:
+    """K disjoint copies with shifted ids (distinct rows, same
+    distributions) — a cheap stand-in for a K-times-larger corpus."""
+    out = df
+    for i in range(1, k):
+        out = out.unionAll(df.withColumn(id_col, F.col(id_col) + i * offset))
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from spark_relieffc_fselection_spark import get_spark
+    from spark_relieffc_fselection_spark.functions.text import (
+        md5_hash64,
+        normalize_text,
+    )
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from spark_relieffc_fselection_spark.operators.knn import knn_join
+    from spark_relieffc_fselection_spark.operators.textstats import token_stats
+
+    spark = get_spark(app_name="scale-smoke")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    inst = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    n_inst = inst.count()
+
+    def bench(label: str, build):
+        build(1).count()  # untimed: codegen + python-worker warmup
+        times = {}
+        for kk in (1, k):
+            times[kk] = min(
+                _timed(build, kk), _timed(build, kk)
+            )  # min of 2: shrug off scheduler noise
+        ratio = times[k] / times[1]
+        print(
+            f"{label}: 1x={times[1]:.2f}s {k}x={times[k]:.2f}s "
+            f"ratio={ratio:.1f} (linear would be ~{float(k):.0f})"
+        )
+
+    def _timed(build, kk: int) -> float:
+        t0 = time.time()
+        build(kk).count()
+        return time.time() - t0
+
+    def docs_k(kk: int) -> DataFrame:
+        return replicate(docs, kk, "doc_id", n_docs)
+
+    def inst_k(kk: int) -> DataFrame:
+        return replicate(inst, kk, "id", n_inst)
+
+    # scan-bound: per-row expressions only
+    bench("token_stats (scan-bound)", lambda kk: token_stats(docs_k(kk)))
+
+    # shuffle-bound: one narrow hash + groupBy
+    bench(
+        "exact_dedup (shuffle-bound)",
+        lambda kk: docs_k(kk)
+        .select(md5_hash64(normalize_text(F.col("text"))).alias("h"))
+        .groupBy("h")
+        .count(),
+    )
+
+    # bucket-bound: banded minhash LSH (candidates, not all pairs)
+    bench(
+        "minhash_lsh_neardup (bucket-bound)",
+        lambda kk: minhash_near_duplicates(docs_k(kk), threshold=0.8),
+    )
+
+    # quadratic exact kernel vs sub-linear LSH tier, same query load
+    def knn_exact(kk: int) -> DataFrame:
+        d = inst_k(kk)
+        q = d.filter(F.col("id") % 4 == 0)
+        return knn_join(d, q, 10, strategy="numpy", num_instances=n_inst * kk)
+
+    def knn_lsh(kk: int) -> DataFrame:
+        d = inst_k(kk)
+        q = d.filter(F.col("id") % 4 == 0)
+        return knn_join(d, q, 10, strategy="lsh")
+
+    bench("knn exact (quadratic: Q and N both grow)", knn_exact)
+    bench("knn lsh (bucketed tier)", knn_lsh)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

