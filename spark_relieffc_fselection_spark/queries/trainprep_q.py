@@ -767,3 +767,63 @@ def q86_source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("position"),
     )
+
+
+#: mixture temperature (p^T renormalized) and token budget for q87
+MIX_TEMPERATURE = 0.7
+MIX_BUDGET_TOKENS = 100_000
+
+
+@register(
+    "q87_temperature_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM per_src),
+    p AS (
+      SELECT source, n_tokens,
+             pow(n_tokens / tot.total, {MIX_TEMPERATURE}) AS pt
+      FROM per_src, tot
+    ),
+    z AS (SELECT CAST(SUM(pt) AS DOUBLE) AS z FROM p)
+    SELECT source, n_tokens,
+           ROUND(pt / z.z, 6) AS mix_share,
+           CAST(FLOOR({MIX_BUDGET_TOKENS} * pt / z.z) AS BIGINT)
+             AS budget_tokens,
+           ROUND({MIX_BUDGET_TOKENS} * (pt / z.z) / n_tokens, 6) AS epochs
+    FROM p, z
+    """,
+    doc="Temperature-based mixture weights: source sampling shares "
+        "proportional to (token share)^T renormalized — T<1 flattens "
+        "the mix toward rare sources, the standard multinomial "
+        "temperature recipe for pretraining corpora. Reports each "
+        "source's share of a fixed token budget and the implied epoch "
+        "count (how many passes over that source the budget buys). One "
+        "source-keyed aggregation; everything after is arithmetic on a "
+        "source-cardinality frame — free at any corpus size.",
+)
+def q87_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("total"))
+    p = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("total"), MIX_TEMPERATURE).alias("pt"),
+    )
+    z = p.agg(F.sum("pt").cast("double").alias("z"))
+    share = F.col("pt") / F.col("z")
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("mix_share"),
+        F.floor(MIX_BUDGET_TOKENS * share).cast("bigint").alias("budget_tokens"),
+        F.round(MIX_BUDGET_TOKENS * share / F.col("n_tokens"), 6).alias("epochs"),
+    )
