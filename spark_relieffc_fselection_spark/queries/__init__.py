@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "q85_token_truncation",
     "q86_source_interleave",
     "q87_temperature_mix",
+    "q88_embedding_drift",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

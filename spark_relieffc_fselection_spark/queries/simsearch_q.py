@@ -419,3 +419,96 @@ def q65_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))), 9
         ).alias("max_abs_err"),
     )
+
+
+# --- embedding drift monitor (q88) ---------------------------------------------
+
+
+@register(
+    "q88_embedding_drift",
+    oracle=f"""
+    WITH {_INST},
+    centroids AS (
+      SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM normed
+      WHERE id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT id AS vid, list_id FROM (
+        SELECT a.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                 (CASE WHEN a.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*c.cv[i]))
+                            / (a.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed a, centroids c
+      ) WHERE rn = 1
+    ),
+    cohort AS (
+      SELECT vid, list_id,
+             (('0x' || substr(md5(CAST(vid AS VARCHAR)), 3, 4))::BIGINT % 2) = 0
+               AS is_ref
+      FROM assign
+    ),
+    shares AS (
+      SELECT list_id,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_new
+      FROM cohort GROUP BY list_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+             CAST(SUM(n_new) AS DOUBLE) AS t_new
+      FROM shares
+    )
+    SELECT list_id,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_new AS BIGINT) AS n_new,
+           ROUND(n_ref / tot.t_ref, 6) AS share_ref,
+           ROUND(n_new / tot.t_new, 6) AS share_new,
+           ROUND(ABS(n_ref / tot.t_ref - n_new / tot.t_new), 6) AS drift
+    FROM shares, tot
+    """,
+    doc="Embedding distribution-drift monitor: the corpus splits into a "
+        "deterministic 'reference' and 'new' cohort (hash of vec_id — "
+        "standing in for yesterday-vs-today batches), every vector is "
+        "assigned to its IVF list, and each list reports its share in "
+        "both cohorts plus the absolute share gap — the per-region "
+        "signal behind embedding-model / data drift alarms (sum of "
+        "drift/2 = total variation distance). Rides the exact IVF "
+        "assignment machinery of q26: one broadcast of stride "
+        "centroids, one corpus pass, then list-cardinality arithmetic.",
+)
+def q88_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.simsearch import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assign = ivf_assignments(emb, IVF_STRIDE)
+    is_ref = (
+        F.conv(
+            F.substring(F.md5(F.col("vid").cast("string")), 3, 4), 16, 10
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    shares = (
+        assign.select("vid", "list_id", is_ref.alias("is_ref"))
+        .groupBy("list_id")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_new"),
+        )
+    )
+    tot = shares.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_new").cast("double").alias("t_new"),
+    )
+    return shares.crossJoin(F.broadcast(tot)).select(
+        "list_id",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.round(F.col("n_ref") / F.col("t_ref"), 6).alias("share_ref"),
+        F.round(F.col("n_new") / F.col("t_new"), 6).alias("share_new"),
+        F.round(
+            F.abs(F.col("n_ref") / F.col("t_ref") - F.col("n_new") / F.col("t_new")),
+            6,
+        ).alias("drift"),
+    )
