@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "q86_source_interleave",
     "q87_temperature_mix",
     "q88_embedding_drift",
+    "q89_streaming_outer_join",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

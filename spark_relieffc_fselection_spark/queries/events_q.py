@@ -587,3 +587,63 @@ def q71_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+#: q89 cutoff: views newer than this many seconds before the stream's
+#: max event time get no outer verdict before availableNow termination
+#: (watermark 30 min + within 10 min, with margin) and are excluded
+#: from BOTH engines.
+OUTER_CUTOFF_S = 2 * 3600
+
+
+@register(
+    "q89_streaming_outer_join",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT MAX(ts) - INTERVAL {OUTER_CUTOFF_S} SECOND AS c FROM events
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           COALESCE(c.event_id, -1) AS click_id,
+           CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_s,
+           COALESCE(CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS click_ts_s,
+           c.event_id IS NOT NULL AS converted
+    FROM events v
+    LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view'
+      AND v.ts <= (SELECT c FROM cutoff)
+    """,
+    doc="Stream-stream LEFT OUTER interval join under the oracle gate — "
+        "the 'views that did NOT convert' stream, the semantics an inner "
+        "join can't express. Null verdicts emit only when the watermark "
+        "passes view_ts + within, so views inside the final horizon hold "
+        "state that availableNow termination discards: both engines "
+        "restrict to views older than a fixed cutoff below that horizon, "
+        "making stream == batch exact. State stays watermark-bounded.",
+)
+def q89_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.sources import load_table
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_view_click_outer,
+    )
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    cutoff_s = int(max_ts.timestamp()) - OUTER_CUTOFF_S
+
+    staged = _staged_events_dir(spark, sf_dir)
+    views = read_events_stream(spark, staged)
+    clicks = read_events_stream(spark, staged)
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        out = run_to_memory_sink(
+            streaming_view_click_outer(views, clicks),
+            f"q89_sink_{_SINK_SEQ[0]}",
+            output_mode="append",
+        )
+    return out.filter(F.col("view_ts_s") <= cutoff_s)

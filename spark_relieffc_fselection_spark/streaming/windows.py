@@ -277,3 +277,63 @@ def streaming_view_click_join(
         F.unix_timestamp("c_ts").alias("click_ts_s"),
         F.round("view_value", 6).alias("view_value"),
     )
+
+
+def streaming_view_click_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view emits — joined to the
+    same-user clicks within ``within`` AFTER it, or null-extended once
+    the watermark proves no such click can still arrive.
+
+    The outer side is the semantics inner joins can't give: "views that
+    did NOT convert" as a stream. Null-extended rows emit only when the
+    watermark passes ``view ts + within`` — so with availableNow
+    termination, views inside the final (watermark + within) horizon
+    never get their verdict (state is discarded at stop). Callers that
+    compare against a batch oracle must therefore restrict to views
+    older than a cutoff below that horizon; q89 does exactly that.
+    State per side stays bounded by (watermark + within) x arrival
+    rate, same as the inner join.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"""
+            v_user = c_user AND
+            c_ts >= v_ts AND
+            c_ts <= v_ts + interval {within}
+            """
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.unix_timestamp("v_ts").alias("view_ts_s"),
+        F.coalesce(F.unix_timestamp("c_ts"), F.lit(-1)).alias("click_ts_s"),
+        (F.col("click_id").isNotNull()).alias("converted"),
+    )

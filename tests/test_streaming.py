@@ -104,3 +104,22 @@ def test_stateful_user_totals(spark, events_stream, events_batch):
     for k in e:
         assert g[k][0] == e[k][0]
         assert abs(g[k][1] - e[k][1]) < 1e-4
+
+
+def test_streaming_outer_join_emits_unconverted_views(spark):
+    """q89's outer rows are the point: views with no click within the
+    interval must appear with the -1 sentinel, and every converted row
+    must satisfy the interval bound."""
+    from spark_relieffc_fselection_spark.queries.events_q import (
+        q89_streaming_outer_join,
+    )
+
+    rows = q89_streaming_outer_join(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    unconverted = [r for r in rows if not r["converted"]]
+    converted = [r for r in rows if r["converted"]]
+    assert unconverted, "outer side never fired"
+    assert all(r["click_id"] == -1 and r["click_ts_s"] == -1 for r in unconverted)
+    assert all(
+        0 <= r["click_ts_s"] - r["view_ts_s"] <= 600 for r in converted
+    )
