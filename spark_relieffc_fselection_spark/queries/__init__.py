@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "q87_temperature_mix",
     "q88_embedding_drift",
     "q89_streaming_outer_join",
+    "q90_deletion_propagation",
     # skipped by the 50-entry cap in round 2
     "q37_relief_discrete_collisions",
     "q38_rollup",

@@ -647,3 +647,81 @@ def q89_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="append",
         )
     return out.filter(F.col("view_ts_s") <= cutoff_s)
+
+
+#: deterministic deletion-request sets for q90 (hash-derived: stands in
+#: for the day's GDPR requests; independent of any data column)
+DEL_USER_MOD = 19
+DEL_DOC_MOD = 23
+
+
+@register(
+    "q90_deletion_propagation",
+    oracle=f"""
+    WITH del_users AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 6))::BIGINT
+            % {DEL_USER_MOD} = 0
+    ),
+    del_docs AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 6))::BIGINT
+            % {DEL_DOC_MOD} = 0
+    ),
+    ev AS (
+      SELECT COUNT(*) AS n_before,
+             SUM(CASE WHEN user_id IN (SELECT user_id FROM del_users)
+                      THEN 1 ELSE 0 END) AS n_removed
+      FROM events
+    ),
+    dc AS (
+      SELECT COUNT(*) AS n_before,
+             SUM(CASE WHEN doc_id IN (SELECT doc_id FROM del_docs)
+                      THEN 1 ELSE 0 END) AS n_removed
+      FROM documents
+    )
+    SELECT 'events_by_user' AS scope, n_before,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_before - n_removed AS BIGINT) AS n_after
+    FROM ev
+    UNION ALL
+    SELECT 'documents_by_id', n_before,
+           CAST(n_removed AS BIGINT), CAST(n_before - n_removed AS BIGINT)
+    FROM dc
+    """,
+    doc="Deletion propagation (right-to-be-forgotten): a hash-derived "
+        "request set of user_ids anti-joins the events stream and a "
+        "doc_id set anti-joins the corpus; the audit reports rows "
+        "before/removed/after per scope. The 100 TB shape: the request "
+        "set is tiny and BROADCAST, so each table scrubs in one narrow "
+        "anti-join pass with no shuffle of the big side — same plan "
+        "family as q08's anti-join, applied as a compliance cascade "
+        "across every table keyed by the subject.",
+)
+def q90_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.sources import load_table
+
+    def _del_set(df, col, mod):
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 5, 6), 16, 10
+        ).cast("bigint")
+        return df.filter(h % mod == 0).select(col).distinct()
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    del_users = _del_set(events, "user_id", DEL_USER_MOD)
+    del_docs = _del_set(docs, "doc_id", DEL_DOC_MOD)
+
+    def _audit(df, del_df, key, scope):
+        kept = df.join(F.broadcast(del_df), key, "left_anti")
+        n_before = df.count()
+        n_after = kept.count()
+        return (scope, n_before, n_before - n_after, n_after)
+
+    rows = [
+        _audit(events, del_users, "user_id", "events_by_user"),
+        _audit(docs, del_docs, "doc_id", "documents_by_id"),
+    ]
+    return spark.createDataFrame(
+        rows, "scope string, n_before long, n_removed long, n_after long"
+    )
