@@ -166,3 +166,19 @@ def test_colon_overlaps_reference_golden(spark):
     overlap = len(set(res.std_selection) & set(COLON_GOLDEN))
     assert overlap >= 6, (overlap, res.std_selection)
     assert res.std_selection[:2] == COLON_GOLDEN[:2] == [1422, 248]
+
+
+def test_led100_finds_every_insample_informative_segment(spark):
+    """LED-100 (noiseless): the 7-segment display plus 92 extra noise
+    features. In THIS 50-row sample (verified programmatically), f5 is
+    nearly constant (47 ones / 3 zeros) and not needed to determine the
+    class — so the honest ground truth is the six segments that carry
+    in-sample signal, {0,1,2,3,4,6}. All six must make the top-7
+    despite 14x more distractors than Led25; f5 legitimately may not.
+
+    (Corral-100 is deliberately NOT pinned: at 32 rows x 99 features
+    neighbor distances are noise-dominated and RELIEF's own literature
+    reports failure there — asserting any particular outcome would pin
+    noise, not semantics.)"""
+    res = _fit(_load_kais(spark, "Led100n0.csv"), n_top=7, k=3)
+    assert {0, 1, 2, 3, 4, 6} <= set(res.std_selection)
