@@ -408,10 +408,31 @@ def connected_components(
     otherwise — the same small-side cutover logic a broadcast join
     uses, applied to the iteration structure.
     """
-    # both directions once; self-loops dropped
-    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    rev = edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    adj = fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct().cache()
+    # Both directions in ONE pass over the edge list: a self-union
+    # (fwd.unionByName(rev)) embeds the caller's edge subplan twice in
+    # the physical plan, and Spark executes both branches — callers
+    # hand us un-cached candidate pipelines (LSH bucket join + verify),
+    # so that would run the whole near-dup discovery twice. Exploding
+    # the two orientations from each edge row keeps the expensive
+    # subtree unique. Self-loops dropped.
+    adj = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
 
     if strategy != "distributed":
         n_edges = adj.count()  # also materializes the cache

@@ -352,6 +352,110 @@ def joint_counts(
         ordered = _joint_combos(collisions, top_features, continuous)
     else:
         ordered = _joint_selfjoin(collisions, top_features, continuous)
+    return _mirror_and_sum(ordered, continuous)
+
+
+def joint_counts_from_pairs(
+    pairs: DataFrame,
+    top_features: list[int] | None,
+    continuous: bool,
+    lower_distance_threshold: float,
+    num_features: int,
+) -> DataFrame:
+    """:func:`joint_counts` computed straight from a compact
+    :func:`pair_table` frame (``q_features`` / ``n_features`` arrays).
+
+    Decimal-identical to ``joint_counts(collision_table(explode_pairs(
+    pairs), ...), ...)`` — the per-element distance (``abs(q - n)``),
+    collision test (``fdist <= threshold``), and vote expressions are
+    the same IEEE operations, and the aggregation tail is shared — but
+    the physical plan is far cheaper: the generic path explodes the
+    pair table to per-feature rows only to ``collect_list`` them back
+    into per-pair arrays (a full shuffle plus an ObjectHashAggregate
+    build), while the pair rows ALREADY hold both vectors. Here the
+    per-pair collision array is one narrow higher-order-function
+    projection — no exchange at all before the final tiny
+    (f1, f2)-keyed aggregation.
+    """
+    if top_features is not None and len(top_features) == 0:
+        spark = pairs.sparkSession
+        return spark.createDataFrame([], "f1 int, f2 int, joint double")
+    threshold = 6.0 * (1.0 - lower_distance_threshold) if continuous else 0.0
+    # (f, d) per colliding slot; d kept through the filter so the
+    # collision predicate compares the SAME double the generic path
+    # filters on (deriving it back from the vote would re-round).
+    fd = F.filter(
+        F.transform(
+            F.zip_with("q_features", "n_features", lambda x, y: F.abs(x - y)),
+            lambda d, i: F.struct(i.alias("f"), d.alias("d")),
+        ),
+        lambda s: s["d"] <= F.lit(threshold),
+    )
+    if continuous:
+        fv = F.transform(
+            fd,
+            lambda s: F.struct(
+                s["f"].alias("f"),
+                (
+                    F.lit(1.0) - F.least(F.lit(6.0), s["d"]) / F.lit(6.0)
+                ).alias("v"),
+            ),
+        )
+    else:
+        fv = F.transform(fd, lambda s: s["f"])
+    arrays = pairs.select(fv.alias("fv"))
+    get_f = (lambda s: s["f"]) if continuous else (lambda s: s)
+    if top_features is not None:
+        top_lit = F.array(*[F.lit(int(f)) for f in top_features])
+        left = F.filter("fv", lambda s: F.array_contains(top_lit, get_f(s)))
+    else:
+        left = F.col("fv")
+    if num_features <= _JOINT_COMBOS_MAX_FEATURES:
+        ex = (
+            arrays.select(F.explode(left).alias("a"), "fv")
+            .select("a", F.explode("fv").alias("b"))
+            .filter(get_f(F.col("a")) != get_f(F.col("b")))
+        )
+        if continuous:
+            jv = (F.col("a.v") + F.col("b.v")) / 2.0
+            ordered = ex.select(
+                F.col("a.f").alias("f1"), F.col("b.f").alias("f2"), jv.alias("jv")
+            )
+        else:
+            ordered = ex.select(
+                F.col("a").alias("f1"), F.col("b").alias("f2"), F.lit(1.0).alias("jv")
+            )
+        return _mirror_and_sum(ordered, continuous)
+    # Wide feature spaces: per-pair combination arrays would not be
+    # memory-bounded — explode back to long collision rows and take the
+    # O(1)-memory self-join plan.
+    long_coll = pairs.select(
+        "query_id", "neighbor_id", fv.alias("fv")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.explode("fv").alias("e"),
+    )
+    if continuous:
+        long_coll = long_coll.select(
+            "query_id",
+            "neighbor_id",
+            F.col("e.f").alias("feature_idx"),
+            F.col("e.v").alias("vote"),
+        )
+    else:
+        long_coll = long_coll.select(
+            "query_id",
+            "neighbor_id",
+            F.col("e").alias("feature_idx"),
+            F.lit(1.0).alias("vote"),
+        )
+    return _mirror_and_sum(
+        _joint_selfjoin(long_coll, top_features, continuous), continuous
+    )
+
+
+def _mirror_and_sum(ordered: DataFrame, continuous: bool) -> DataFrame:
     # Aggregate ONE orientation per ordered (a in scope, b) combo, then
     # mirror the TINY aggregated COO: joint(f1,f2) = agg(f1,f2) +
     # agg(f2,f1) because each unordered collision contributes the same
@@ -371,11 +475,25 @@ def joint_counts(
         agg = ordered.groupBy("f1", "f2").agg(
             F.count("*").cast(DEC).alias("j_part")
         )
-    mirrored = agg.unionByName(
-        agg.select(
-            F.col("f2").alias("f1"), F.col("f1").alias("f2"), "j_part"
-        )
-    )
+    # Mirror in ONE pass over the aggregated rows: a self-union
+    # (agg.unionByName(agg.select(...))) would embed the un-cached agg
+    # subplan TWICE in the physical plan, and Spark executes both
+    # branches — the combination explode (this pipeline's single widest
+    # stage) would run twice per batch. Exploding both orientations
+    # from each aggregated row keeps the expensive subtree unique;
+    # the per-row array covers 2 tiny structs, nothing corpus-sized.
+    mirrored = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("f1"), F.col("f2"), F.col("j_part")),
+                F.struct(
+                    F.col("f2").alias("f1"),
+                    F.col("f1").alias("f2"),
+                    F.col("j_part"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.f1", "e.f2", "e.j_part")
     return mirrored.groupBy("f1", "f2").agg(
         F.sum("j_part").cast("double").alias("joint")
     )
@@ -676,12 +794,15 @@ def fit_relief(
         batch_weights.append(w)
 
         if redundancy_removal:
-            coll = collision_table(long_pairs, not discrete_data, lower_distance_threshold)
             m_b = bins.groupBy("feature_idx").agg(
                 F.sum("vote_sum").cast("double").alias("marginal")
             ).cache()
-            j_b = joint_counts(
-                coll, top_features, not discrete_data, num_features=n_feat
+            # joint stats straight from the cached compact pair table —
+            # no explode-then-collect_list round trip (decimal-identical,
+            # see joint_counts_from_pairs)
+            j_b = joint_counts_from_pairs(
+                pairs, top_features, not discrete_data,
+                lower_distance_threshold, n_feat,
             ).cache()
             # materialize before pairs is unpersisted below
             m_b.count(), j_b.count()

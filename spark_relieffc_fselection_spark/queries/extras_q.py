@@ -12,7 +12,7 @@ from spark_relieffc_fselection_spark.operators.knn import knn_join
 from spark_relieffc_fselection_spark.operators.relief import (
     collision_table,
     explode_pairs,
-    joint_counts,
+    joint_counts_from_pairs,
     marginal_counts,
     pair_table,
 )
@@ -143,7 +143,12 @@ def q37_relief_discrete_collisions(spark: SparkSession, sf_dir: str) -> DataFram
     # cached partitions and duplicate the kNN + explode work.
     coll.count()
     marg = coll.groupBy("feature_idx").agg(F.count("*").alias("n_collisions"))
-    joint = joint_counts(coll, DISC_TOP, continuous=False, num_features=emb_dim)
+    # joint straight from the cached compact pair table (decimal-
+    # identical; skips the explode -> collect_list regroup)
+    joint = joint_counts_from_pairs(
+        pairs, DISC_TOP, continuous=False,
+        lower_distance_threshold=0.8, num_features=emb_dim,
+    )
     per_f = joint.groupBy(F.col("f1").alias("feature_idx")).agg(
         F.round(
             F.sum(F.col("joint").cast("decimal(38,18)")).cast("double"), 6

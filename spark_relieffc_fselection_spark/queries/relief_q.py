@@ -19,10 +19,9 @@ from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.knn import knn_join
 from spark_relieffc_fselection_spark.operators.relief import (
-    collision_table,
     explode_pairs,
     feature_bin_stats,
-    joint_counts,
+    joint_counts_from_pairs,
     pair_table,
     per_feature_stats,
     relevance_weights,
@@ -147,13 +146,21 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
         # multi-hundred-MB cache per sf_dir otherwise piles GC
         # pressure onto every later query in the session.
         bins = feature_bin_stats(lp, continuous=True, lower_distance_threshold=0.8)
-        coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
         # localize, not cache: the memoized results live for the whole
         # session, and every retained cache entry slows later queries'
         # cache lookups by its (huge) plan size. LocalRelations don't.
         perfeat = localize(per_feature_stats(bins, priors))
         _mark("perfeat")
-        joint = localize(joint_counts(coll, JOINT_TOP, continuous=True, num_features=dim))
+        # joint stats straight from the cached compact pair table — the
+        # generic joint_counts would explode to long rows only to
+        # collect_list them back per pair (decimal-identical result,
+        # see joint_counts_from_pairs)
+        joint = localize(
+            joint_counts_from_pairs(
+                pairs, JOINT_TOP, continuous=True,
+                lower_distance_threshold=0.8, num_features=dim,
+            )
+        )
         _mark("joint")
         pairs.unpersist()
         _PIPE_CACHE[key] = {"perfeat": perfeat, "joint": joint}
