@@ -363,6 +363,38 @@ def simhash_near_duplicates(
 _CC_LOCAL_MAX_EDGES = 2_000_000
 
 
+def bidirectional_edges(
+    edges: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """Undirected edge list -> distinct ``(a, b)`` adjacency with both
+    orientations, self-loops dropped — in ONE pass over the edge rows.
+
+    A self-union (``fwd.unionByName(rev)``) would embed the caller's
+    edge subplan TWICE in the physical plan, and Spark executes both
+    branches — callers hand in un-cached candidate pipelines (LSH
+    bucket join + exact verify), so that shape runs the whole near-dup
+    discovery twice. Exploding the two orientations from each edge row
+    keeps the expensive subtree unique (pinned by tests/test_plans.py).
+    """
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -408,31 +440,7 @@ def connected_components(
     otherwise — the same small-side cutover logic a broadcast join
     uses, applied to the iteration structure.
     """
-    # Both directions in ONE pass over the edge list: a self-union
-    # (fwd.unionByName(rev)) embeds the caller's edge subplan twice in
-    # the physical plan, and Spark executes both branches — callers
-    # hand us un-cached candidate pipelines (LSH bucket join + verify),
-    # so that would run the whole near-dup discovery twice. Exploding
-    # the two orientations from each edge row keeps the expensive
-    # subtree unique. Self-loops dropped.
-    adj = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-                    ),
-                    F.struct(
-                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .cache()
-    )
+    adj = bidirectional_edges(edges, src_col, dst_col).cache()
 
     if strategy != "distributed":
         n_edges = adj.count()  # also materializes the cache

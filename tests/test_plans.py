@@ -205,3 +205,55 @@ def test_canonical_selection_no_cartesian(spark, qs):
     plan = _plan(qs["q84_canonical_selection"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_joint_from_pairs_single_execution_no_regroup(spark):
+    """joint_counts_from_pairs: the per-pair collision arrays come
+    straight from the pair table — the plan must contain NO
+    collect_list regroup (ObjectHashAggregate) and exactly one
+    combination explode chain: 2 Generates for the combos plus 1 for
+    the orientation mirror. A self-union regression would double the
+    Generate count (the widest stage would execute twice)."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.relief import (
+        joint_counts_from_pairs,
+    )
+
+    pairs = spark.range(40).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") + 100).alias("neighbor_id"),
+        F.array(*[F.rand(seed=1 + i) for i in range(8)]).alias("q_features"),
+        F.array(*[F.rand(seed=50 + i) for i in range(8)]).alias("n_features"),
+    )
+    joint = joint_counts_from_pairs(
+        pairs, [0, 1, 2], continuous=True,
+        lower_distance_threshold=0.8, num_features=8,
+    )
+    plan = joint._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan  # no collect_list round trip
+    assert plan.count("Generate") == 3  # left explode + fv explode + mirror
+
+
+def test_bidirectional_edges_single_pass(spark):
+    """connected_components' adjacency build must embed the caller's
+    edge subplan ONCE: both orientations come from one explode, never
+    a self-union that executes the candidate pipeline twice."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bidirectional_edges,
+    )
+
+    # a distinctive, explode-bearing edge source: its Generate must
+    # appear exactly once in the adjacency plan
+    edges = (
+        spark.range(30)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"), "id")
+        .select(F.col("id").alias("id_a"), (F.col("id") + F.col("k")).alias("id_b"))
+    )
+    adj = bidirectional_edges(edges)
+    plan = adj._jdf.queryExecution().executedPlan().toString()
+    # one Generate from the edge source, one from the orientation explode
+    assert plan.count("Generate") == 2
+    assert plan.count("Range (0, 30") == 1  # the source scan appears once
