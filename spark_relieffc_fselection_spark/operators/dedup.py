@@ -226,12 +226,25 @@ def lsh_candidate_pairs(
         )
         .select("doc_id", "band", md5_hash64(F.col("band_key")).alias("bucket"))
     )
-    a = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
-    b = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
+    # Within-bucket pairs via ONE grouped pass, not a self-join: a
+    # self-join would embed the un-cached signature pipeline twice in
+    # the plan and Spark executes both branches. The member list per
+    # bucket is the linear object (the pair set is quadratic in either
+    # plan shape); upstream df_cap / stop-shingle guards keep buckets
+    # bounded. Repartition before the explode: the grouped rows are
+    # tiny in bytes and AQE would coalesce them onto a few cores,
+    # serializing the pair generation.
+    par = signatures.sparkSession.sparkContext.defaultParallelism
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .repartition(par, "band", "bucket")
+    )
     return (
-        a.join(b, ["band", "bucket"])
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -341,12 +354,31 @@ def simhash_near_duplicates(
         "band_val",
         F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}"),
     )
-    a = banded.select("band", "band_val", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = banded.select("band", "band_val", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    # Within-bucket pairs via ONE grouped pass, not a self-join: a
+    # self-join would embed the un-cached signature computation
+    # (tokenize -> distinct -> per-bit votes, the pipeline's expensive
+    # part) twice in the plan and Spark executes both branches. Same
+    # shape as lsh_candidate_pairs; member lists are the linear object,
+    # pairs are quadratic under either plan.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    buckets = (
+        banded.groupBy("band", "band_val")
+        .agg(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("simhash"))).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+        .repartition(par, "band", "band_val")
+    )
     cands = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
         .distinct()
     )
     return (

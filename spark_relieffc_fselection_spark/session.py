@@ -62,7 +62,20 @@ def get_spark(
     # Measured on the full 58-query bench at sf0.1: G1 81-106 s total
     # with 4x per-query swings; ParallelGC 63-71 s with far lower
     # variance. Override via SPARK_GRAFT_JAVA_OPTS.
-    gc_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
+    #
+    # MetaspaceSize raised (GC-log-driven): Janino emits one class per
+    # codegen'd stage, and every default-threshold metaspace step
+    # triggers a FULL GC — 10 of them in one warmed fit run at sf0.1;
+    # pre-sizing removes all of them (10 -> 0). Heap geometry stays
+    # ADAPTIVE on purpose: a fixed young gen + -Xms/AlwaysPreTouch won
+    # the isolated fit (max young pause 1141 ms -> 48 ms, 14.5s ->
+    # 10.2s) but LOST the full 90-query bench in 3/3 back-to-back runs
+    # (118s adaptive vs 138-202s fixed) — the long session's cached
+    # blocks and Tungsten execution pages live in the old gen, and a
+    # pinned 5/12 young gen starves it; ParallelGC's adaptive resizing
+    # makes the right call per phase.
+    default_opts = "-XX:+UseParallelGC -XX:MetaspaceSize=512m"
+    gc_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS", default_opts)
     if gc_opts:
         builder = builder.config("spark.driver.extraJavaOptions", gc_opts)
     for k, v in (extra_conf or {}).items():
