@@ -48,7 +48,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
 _PRIORITY: tuple[str, ...] = (
-    # changed or new in round 3
+    # plan-changed late in round 3 (single-execution fixes: joint
+    # stats from the pair table, CC adjacency, LSH/SimHash bucket
+    # pairs) — the riskiest diffs, validated first
+    "q14_relief_relevance",
+    "q15_relief_topk",
+    "q16_collision_marginal",
+    "q17_collision_joint",
+    "q19_dedup_jaccard",
+    "q20_minhash_signatures",
+    "q21_minhash_lsh_neardup",
+    "q22_simhash_signatures",
+    "q23_simhash_neardup",
+    "q37_relief_discrete_collisions",
+    "q41_corpus_curation",
+    "q44_sparse_relief_relevance",
+    "q54_dedup_clusters",
+    "q84_canonical_selection",
+    "q72_relief_fit_rankings",
+    # new or changed earlier in round 3, not yet driver-validated
     "q27_embedding_neardup",
     "q60_sequence_packing",
     "q73_knn_lsh_recall",
@@ -62,19 +80,16 @@ _PRIORITY: tuple[str, ...] = (
     "q81_incremental_dedup",
     "q82_filter_funnel",
     "q83_pii_scrub",
-    "q84_canonical_selection",
     "q85_token_truncation",
     "q86_source_interleave",
     "q87_temperature_mix",
     "q88_embedding_drift",
     "q89_streaming_outer_join",
     "q90_deletion_propagation",
-    # skipped by the 50-entry cap in round 2
-    "q37_relief_discrete_collisions",
+    # skipped by the 50-entry cap in round 2, still rotating through
     "q38_rollup",
     "q39_distinct_agg",
     "q40_percentiles",
-    "q41_corpus_curation",
     "q45_analytic_windows",
     "q46_cube",
     "q47_pivot",
@@ -87,9 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "q59_stopword_scrub",
     "q61_contamination",
     "q62_repetition",
-    "q66_unigram_lm_quality",
-    "q67_deterministic_split",
-    "q68_domain_mix",
 )
 
 
