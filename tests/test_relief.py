@@ -166,3 +166,58 @@ def test_feature_bin_stats_matches_separate_aggregations(spark, labeled):
         for r in coll.groupBy("feature_idx").agg(F.count("*").alias("n")).collect()
     }
     assert c_fused == c_sep
+
+
+def test_joint_from_pairs_identical_to_generic_path(spark, labeled):
+    """joint_counts_from_pairs must be EXACTLY equal (not approximately)
+    to joint_counts over collision_table(explode_pairs(...)): same IEEE
+    expressions, same decimal aggregation tail, so the faster plan is a
+    pure physical substitution. Checked continuous and discrete, with
+    and without a top-feature scope."""
+    from spark_relieffc_fselection_spark.operators.relief import (
+        joint_counts_from_pairs,
+    )
+
+    df, X, y = labeled
+    k = 3 * len(np.unique(y))
+    neigh = knn_join(df, df, k)
+    from spark_relieffc_fselection_spark.operators.relief import pair_table
+
+    pairs = pair_table(df, neigh).cache()
+    from spark_relieffc_fselection_spark.operators.relief import explode_pairs
+
+    lp = explode_pairs(pairs)
+    for continuous, ldt in ((True, 0.8), (True, 0.95), (False, 0.8)):
+        for top in (None, [0, 2, 4]):
+            coll = collision_table(
+                lp, continuous=continuous, lower_distance_threshold=ldt
+            )
+            generic = {
+                (r["f1"], r["f2"]): r["joint"]
+                for r in joint_counts(
+                    coll, top, continuous=continuous, num_features=X.shape[1]
+                ).collect()
+            }
+            fast = {
+                (r["f1"], r["f2"]): r["joint"]
+                for r in joint_counts_from_pairs(
+                    pairs, top, continuous=continuous,
+                    lower_distance_threshold=ldt, num_features=X.shape[1],
+                ).collect()
+            }
+            assert generic == fast, (continuous, ldt, top)
+    # and the wide-feature (self-join) physical fallback agrees too
+    coll = collision_table(lp, continuous=True, lower_distance_threshold=0.8)
+    generic = {
+        (r["f1"], r["f2"]): r["joint"]
+        for r in joint_counts(coll, [0, 1], continuous=True, num_features=10**6).collect()
+    }
+    fast = {
+        (r["f1"], r["f2"]): r["joint"]
+        for r in joint_counts_from_pairs(
+            pairs, [0, 1], continuous=True,
+            lower_distance_threshold=0.8, num_features=10**6,
+        ).collect()
+    }
+    assert generic == fast
+    pairs.unpersist()
