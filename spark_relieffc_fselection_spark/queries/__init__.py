@@ -48,6 +48,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
 _PRIORITY: tuple[str, ...] = (
+    # new this round
+    "q91_doc_chunking",
     # plan-changed late in round 3 (single-execution fixes: joint
     # stats from the pair table, CC adjacency, LSH/SimHash bucket
     # pairs) — the riskiest diffs, validated first

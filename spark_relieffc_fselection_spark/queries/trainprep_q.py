@@ -725,6 +725,70 @@ def q85_token_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunking window (tokens) and stride — stride < window gives the
+#: overlapping context windows most tokenizer pipelines feed
+CHUNK_TOKS = 48
+CHUNK_STRIDE = 32
+
+
+@register(
+    "q91_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, (len(t) - 1) // {CHUNK_STRIDE}))
+               AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * {CHUNK_STRIDE} + 1 AS start_tok,
+           len(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                 least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKS}, len(t))])
+             AS n_toks,
+           md5(array_to_string(
+                 t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                   least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKS}, len(t))],
+                 ' ')) AS chunk_hash
+    FROM ch
+    """,
+    doc="Document chunking: split every document into overlapping "
+        f"fixed-size token windows ({CHUNK_TOKS} tokens, stride "
+        f"{CHUNK_STRIDE}) — the pre-tokenization step that turns a "
+        "ragged corpus into uniform training sequences while the "
+        "overlap preserves cross-boundary context. Emits per-chunk "
+        "offsets and a content hash (chunk-level dedup key). Pure "
+        "per-row explode — no shuffle, parallelism is per-document, "
+        "and at 100 TB it fuses into the scan like q85's truncation; "
+        "chunk fan-out is bounded by doc length / stride.",
+)
+def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr(f"sequence(0, (size(t) - 1) div {CHUNK_STRIDE})")
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKS
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * CHUNK_STRIDE + 1).alias("start_tok"),
+        F.size(chunk).alias("n_toks"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
 #: number of sources in the synthetic corpus (src0..src19)
 N_SOURCES = 20
 
