@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _PRIORITY: tuple[str, ...] = (
     # new this round
     "q91_doc_chunking",
+    "q92_boilerplate_detection",
     # plan-changed late in round 3 (single-execution fixes: joint
     # stats from the pair table, CC adjacency, LSH/SimHash bucket
     # pairs) — the riskiest diffs, validated first

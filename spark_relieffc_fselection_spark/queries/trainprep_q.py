@@ -789,6 +789,73 @@ def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: a chunk seen in at least this many distinct documents is boilerplate
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "q92_boilerplate_detection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, (len(t) - 1) // {CHUNK_STRIDE}))
+               AS chunk_idx
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                     least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKS}, len(t))],
+                   ' ')) AS chunk_hash
+      FROM ch
+    ),
+    freq AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs FROM hashed
+      GROUP BY chunk_hash
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE f.n_docs >= {BOILER_MIN_DOCS})
+             AS n_boiler,
+           ROUND(COUNT(*) FILTER (WHERE f.n_docs >= {BOILER_MIN_DOCS})
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+    FROM hashed h JOIN freq f USING (chunk_hash)
+    GROUP BY h.doc_id
+    """,
+    doc="Boilerplate detection: chunk every document (q91's windows), "
+        "count how many distinct documents share each chunk hash, and "
+        "flag chunks appearing in >= "
+        f"{BOILER_MIN_DOCS} docs as boilerplate (headers, footers, "
+        "license blocks — the passages repeated verbatim across a "
+        "crawl). Emits the per-document boilerplate fraction, the "
+        "standard signal for stripping or down-weighting. Scale: two "
+        "hash-keyed aggregations + one hash join on chunk_hash — "
+        "map-side combine collapses each partition's repeats before "
+        "either shuffle, and nothing is quadratic in corpus size.",
+)
+def q92_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = q91_doc_chunking(spark, sf_dir).select("doc_id", "chunk_hash")
+    freq = hashed.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    is_boiler = (F.col("n_docs") >= BOILER_MIN_DOCS).cast("long")
+    return (
+        hashed.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(is_boiler).alias("n_boiler"),
+            F.round(
+                F.sum(is_boiler) / F.count("*").cast("double"), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 #: number of sources in the synthetic corpus (src0..src19)
 N_SOURCES = 20
 
