@@ -113,6 +113,35 @@ def main() -> None:
     bench("knn exact (quadratic: Q and N both grow)", knn_exact)
     bench("knn lsh (bucketed tier)", knn_lsh)
 
+    # the full fit: estimationRatio fixed, so the sample grows with the
+    # corpus and the within-batch kNN grid is the quadratic term; the
+    # lsh strategy is the tier that bounds it
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+
+    def fit_timed(strategy: str, kk: int) -> float:
+        t0 = time.time()
+        fit_relief(
+            inst_k(kk),
+            num_top_features=10,
+            num_neighbors=3,
+            estimation_ratio=0.25,
+            batch_size=0.5,
+            redundancy_removal=True,
+            discrete_data=False,
+            seed=42,
+            knn_strategy=strategy,
+        )
+        return time.time() - t0
+
+    for strategy in ("numpy", "lsh"):
+        fit_timed(strategy, 1)  # warm
+        t1 = min(fit_timed(strategy, 1), fit_timed(strategy, 1))
+        tk = min(fit_timed(strategy, k), fit_timed(strategy, k))
+        print(
+            f"relief fit (knn_strategy={strategy}): 1x={t1:.2f}s "
+            f"{k}x={tk:.2f}s ratio={tk / t1:.1f} (linear would be ~{float(k):.0f})"
+        )
+
     spark.stop()
 
 
