@@ -216,21 +216,23 @@ def q55_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = float(docs.count())
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # ONE tokenize pass: doc length and document frequency are windows
+    # over the compact (doc_id, term, tf_cnt) table — deriving them as
+    # separate aggregates of the un-cached token explode would embed
+    # (and execute) the tokenize subplan three times. doc_len =
+    # sum(tf_cnt) per doc; df_cnt = rows per term (tf has exactly one
+    # row per document containing the term).
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df_cnt"))
-    scored = (
-        tf.join(doclen, "doc_id")
-        .join(df, "term")
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                (F.col("tf_cnt") / F.col("doc_len").cast("double"))
-                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df_cnt") + 1.0)) + 1.0),
-                6,
-            ).alias("tfidf"),
-        )
+    doc_len = F.sum("tf_cnt").over(Window.partitionBy("doc_id"))
+    df_cnt = F.count("*").over(Window.partitionBy("term"))
+    scored = tf.select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("tf_cnt") / doc_len.cast("double"))
+            * (F.log((F.lit(n_docs) + 1.0) / (df_cnt + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

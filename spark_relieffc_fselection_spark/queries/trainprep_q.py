@@ -838,19 +838,28 @@ BOILER_MIN_DOCS = 3
         "either shuffle, and nothing is quadratic in corpus size.",
 )
 def q92_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pass over the chunk explode: grouping to (chunk_hash, doc_id)
+    # first makes the cross-document frequency a plain window count —
+    # joining the explode against an aggregate of itself would embed
+    # the (un-cached) chunking subplan twice and execute both branches.
     hashed = q91_doc_chunking(spark, sf_dir).select("doc_id", "chunk_hash")
-    freq = hashed.groupBy("chunk_hash").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    per_doc_chunk = hashed.groupBy("chunk_hash", "doc_id").agg(
+        F.count("*").alias("n_occ")
     )
-    is_boiler = (F.col("n_docs") >= BOILER_MIN_DOCS).cast("long")
+    n_docs = F.count("*").over(Window.partitionBy("chunk_hash"))
+    boiler_occ = F.when(n_docs >= BOILER_MIN_DOCS, F.col("n_occ")).otherwise(
+        F.lit(0)
+    )
     return (
-        hashed.join(freq, "chunk_hash")
+        per_doc_chunk.select(
+            "doc_id", F.col("n_occ"), boiler_occ.alias("boiler_occ")
+        )
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(is_boiler).alias("n_boiler"),
+            F.sum("n_occ").alias("n_chunks"),
+            F.sum("boiler_occ").alias("n_boiler"),
             F.round(
-                F.sum(is_boiler) / F.count("*").cast("double"), 6
+                F.sum("boiler_occ") / F.sum("n_occ").cast("double"), 6
             ).alias("boiler_frac"),
         )
     )
