@@ -198,3 +198,45 @@ def test_led25_degrades_gracefully_under_label_noise(spark):
         assert hits[name] >= floor, (name, res.std_selection)
     # and the curve is monotone non-increasing in noise
     assert hits["Led25n0.csv"] >= hits["Led25n6.csv"] >= hits["Led25n20.csv"]
+
+
+def test_sd1_continuous_signal_block_separates_from_noise(spark):
+    """SD1 (KAIS): 75 samples x 4020 genes, 3 classes; the first 20
+    features are the relevant block (two internally redundant groups
+    of 10), the other 4000 are N(0,1) noise. The source study itself
+    reports ReliefF does NOT rank the block top-10 at this sample
+    size — 4000 noise dims swamp the neighborhood metric — so this is
+    a CHARACTERIZATION, not a recovery test: the engine must
+    reproduce the method's actual (documented) behavior. What RELIEF
+    does deliver here, and what we pin: every relevant feature scores
+    above the 85th percentile of the noise relevance distribution,
+    and the whole block ranks within the top ~7% of 4020 features.
+    Continuous path, standardized input (the engine's contract)."""
+    import numpy as np
+
+    rows = []
+    with open(KAIS / "SD1.csv") as f:
+        for i, line in enumerate(csv.reader(f)):
+            vals = [float(x) for x in line]
+            rows.append((i, vals[:-1], float(vals[-1])))
+    X = np.array([r[1] for r in rows])
+    Xs = (X - X.mean(axis=0)) / np.where(X.std(axis=0) == 0, 1.0, X.std(axis=0))
+    df = spark.createDataFrame(
+        [(r[0], Xs[i].tolist(), r[2]) for i, r in enumerate(rows)],
+        "id long, features array<double>, label double",
+    )
+    res = fit_relief(
+        df,
+        num_top_features=10,
+        num_neighbors=2,
+        estimation_ratio=1.0,
+        batch_size=1.0,
+        discrete_data=False,
+        redundancy_removal=False,
+        seed=123456789,
+    )
+    r = res.relevance
+    sig, noise = r[:20], r[20:]
+    assert sig.min() > np.percentile(noise, 85)
+    worst_rank = max(int((r > s).sum()) for s in sig)
+    assert worst_rank < 280, worst_rank  # all 20 inside the top ~7%
