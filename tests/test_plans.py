@@ -76,12 +76,15 @@ def test_grouping_sets_single_expand(spark, qs):
     assert "Union" not in plan
 
 
-def test_tfidf_vocabulary_join_broadcasts(spark, qs):
-    """q55: the document-frequency table (vocabulary-sized, << corpus)
-    must come back as a broadcast, never a shuffled join against the
-    term-frequency table."""
+def test_tfidf_single_tokenize_no_joins(spark, qs):
+    """q55: doc length and document frequency are windows over the
+    compact tf table — ONE tokenize pass, no joins at all (the prior
+    shape joined separate aggregates of the un-cached token explode,
+    embedding the tokenizer three times)."""
     plan = _plan(qs["q55_tfidf_topterms"](spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1  # the single token explode
+    assert plan.count("Window") >= 2  # doc_len/df_cnt windows + rank
 
 
 def test_stratified_sample_filter_pushdown(spark, qs):
