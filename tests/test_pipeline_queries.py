@@ -106,3 +106,38 @@ def test_pii_scrub_removes_every_match(spark):
         ]
     ).first()
     assert all(leftovers[name] == 0 for name in PII_PATTERNS)
+
+
+def test_doc_chunking_invariants(spark):
+    """q91 structural invariants per document: chunk indices are
+    0..(n-1)//stride contiguous, starts advance by exactly the stride,
+    every chunk holds 1..window tokens, only the last chunk may be
+    short, and the last chunk ends exactly at the document's final
+    token (full coverage, no over-read)."""
+    from spark_relieffc_fselection_spark.queries.trainprep_q import (
+        CHUNK_STRIDE,
+        CHUNK_TOKS,
+        q85_token_truncation,
+        q91_doc_chunking,
+    )
+
+    chunks = q91_doc_chunking(spark, SF_DIR).collect()
+    n_toks = {
+        r["doc_id"]: r["n_toks"]
+        for r in q85_token_truncation(spark, SF_DIR).collect()
+    }
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_toks)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = n_toks[doc_id]
+        assert [r["chunk_idx"] for r in rows] == list(range((n - 1) // CHUNK_STRIDE + 1))
+        for r in rows:
+            assert r["start_tok"] == r["chunk_idx"] * CHUNK_STRIDE + 1
+            assert 1 <= r["n_toks"] <= CHUNK_TOKS
+        for r in rows[:-1]:
+            assert r["n_toks"] == min(CHUNK_TOKS, n - r["start_tok"] + 1)
+        last = rows[-1]
+        assert last["start_tok"] + last["n_toks"] - 1 == n
