@@ -527,9 +527,15 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_df, labels = to_long_form(sparse)
     long_df, labels = long_df.cache(), labels.cache()
     query_ids = labels.select("id").filter(F.col("id") % SPARSE_QUERY_MOD == 0)
-    # ONE job for the priors (sum of label counts == total). It also
-    # fills the long/labels caches before the kNN job reads them.
+    # ONE job for the priors (sum of label counts == total); it fills
+    # the LABELS cache. The long cache needs its own materialization:
+    # the priors job never touches long_df, and the kNN job consumes it
+    # from four concurrent subplans (dots' both sides, norms, probe) —
+    # racing consumers each recompute unfilled cached partitions, so
+    # without this the sparsify+explode ran 4x (caught by the
+    # duplicate-subtree plan scan).
     label_rows = labels.groupBy("label").agg(F.count("*").alias("n")).collect()
+    long_df.count()
     n_inst = sum(r["n"] for r in label_rows)
     priors = {float(r["label"]): r["n"] / n_inst for r in label_rows}
     # Cache + materialize the tiny neighbor table: it feeds the pair
