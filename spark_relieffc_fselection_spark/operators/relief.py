@@ -376,6 +376,11 @@ def joint_counts_from_pairs(
     per-pair collision array is one narrow higher-order-function
     projection — no exchange at all before the final tiny
     (f1, f2)-keyed aggregation.
+
+    Because there is no exchange, the combination explode inherits
+    ``pairs``' partitioning verbatim — pass a frame spread across
+    cores (every internal caller feeds a ``repartition``-ed cache); a
+    single-partition input would serialize the widest stage.
     """
     if top_features is not None and len(top_features) == 0:
         spark = pairs.sparkSession
