@@ -725,6 +725,11 @@ def fit_relief(
         .agg(F.count("*").alias("n"), F.first("features").alias("fx"))
         .collect()
     )
+    if not label_rows:
+        raise ValueError(
+            "fit_relief requires a non-empty dataset "
+            "(the reference would NPE on head(); we fail with intent)"
+        )
     n_elems = sum(r["n"] for r in label_rows)
     n_feat = len(label_rows[0]["fx"]) if label_rows else 0
     priors = {float(r["label"]): r["n"] / n_elems for r in label_rows}

@@ -221,3 +221,12 @@ def test_joint_from_pairs_identical_to_generic_path(spark, labeled):
     }
     assert generic == fast
     pairs.unpersist()
+
+
+def test_fit_relief_empty_input_raises_clearly(spark):
+    """An empty dataset must fail with an explicit ValueError, not a
+    numpy zero-size-reduction traceback (the reference NPEs on its
+    head() sniff, ReliefFRSelector.scala:210)."""
+    empty = spark.createDataFrame([], "id long, features array<double>, label double")
+    with pytest.raises(ValueError, match="non-empty"):
+        fit_relief(empty, num_top_features=3, num_neighbors=2)
