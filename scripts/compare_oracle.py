@@ -29,6 +29,33 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def strict_cells(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Driver-like value view: stringify every cell WITHOUT coercing
+    oracle dtypes onto Spark dtypes, columns sorted by name, rows
+    sorted. Catches cross-engine typing drift (e.g. DuckDB HUGEINT
+    surfacing as float64 "345.0" vs Spark bigint "345" — the q82 r3
+    driver red) that the coerced comparison above hides.
+    """
+    import decimal
+
+    import numpy as np
+
+    def cell(v):
+        if isinstance(v, (bool, np.bool_)):
+            return str(bool(v))
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (float, np.floating, decimal.Decimal)):
+            return repr(float(v))  # Decimal('0.120000') == float 0.12
+        return str(v)
+
+    cols = sorted(df.columns)
+    rows = []
+    for tup in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(cell(v) for v in tup))
+    return sorted(rows)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,6 +100,10 @@ def main() -> int:
                     status.append(f"\n  spark:\n{ex}\n  duck:\n{ey}")
             except Exception as ex:  # dtype coercion failure == schema drift
                 status.append(f"DTYPE {ex}")
+            if not status and strict_cells(sdf) != strict_cells(odf):
+                sa, sb = strict_cells(sdf), strict_cells(odf)
+                diff = next((i, x, y) for i, (x, y) in enumerate(zip(sa, sb)) if x != y)
+                status.append(f"STRICT-HASH (typing drift) first diff row {diff}")
         if status:
             failures.append(name)
             print(f"{name}: FAIL {' '.join(status)}")

@@ -48,63 +48,64 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
 _PRIORITY: tuple[str, ...] = (
-    # new this round
-    "q91_doc_chunking",
-    "q92_boilerplate_detection",
-    # plan-changed late in round 3 (single-execution fixes: joint
-    # stats from the pair table, CC adjacency, LSH/SimHash bucket
-    # pairs) — the riskiest diffs, validated first
-    "q14_relief_relevance",
-    "q15_relief_topk",
-    "q16_collision_marginal",
-    "q17_collision_joint",
-    "q19_dedup_jaccard",
-    "q20_minhash_signatures",
-    "q21_minhash_lsh_neardup",
-    "q22_simhash_signatures",
-    "q23_simhash_neardup",
-    "q37_relief_discrete_collisions",
-    "q41_corpus_curation",
-    "q44_sparse_relief_relevance",
-    "q54_dedup_clusters",
-    "q84_canonical_selection",
-    "q72_relief_fit_rankings",
-    # new or changed earlier in round 3, not yet driver-validated
-    "q27_embedding_neardup",
-    "q60_sequence_packing",
-    "q73_knn_lsh_recall",
-    "q74_kmeans_step",
-    "q75_oov_rate",
-    "q76_length_histogram",
-    "q77_streaming_enrichment",
-    "q78_random_projection",
-    "q79_shuffle_shards",
-    "q80_hash_uniform_sample",
-    "q81_incremental_dedup",
-    "q82_filter_funnel",
-    "q83_pii_scrub",
-    "q85_token_truncation",
-    "q86_source_interleave",
-    "q87_temperature_mix",
-    "q88_embedding_drift",
-    "q89_streaming_outer_join",
-    "q90_deletion_propagation",
-    # skipped by the 50-entry cap in round 2, still rotating through
-    "q38_rollup",
-    "q39_distinct_agg",
-    "q40_percentiles",
-    "q45_analytic_windows",
-    "q46_cube",
-    "q47_pivot",
-    "q48_setops",
-    "q51_hll_distinct",
-    "q52_correlated_subquery",
-    "q53_mom_growth",
-    "q56_grouping_sets",
-    "q57_stratified_sample",
-    "q59_stopword_scrub",
-    "q61_contamination",
+    # round 4: never driver-gated in ANY round (r1-r3 caps skipped
+    # them every time — VERDICT r3 item #2); these four go first so a
+    # registry growth can never push them out again
     "q62_repetition",
+    "q66_unigram_lm_quality",
+    "q67_deterministic_split",
+    "q68_domain_mix",
+    # fixed this round: oracle HUGEINT->BIGINT cast (r3's only red)
+    "q82_filter_funnel",
+    # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
+    # connected-components large-star/small-star strategy
+    "q21_minhash_lsh_neardup",
+    "q23_simhash_neardup",
+    "q54_dedup_clusters",
+    # core sentinels — always in the window
+    "q14_relief_relevance",
+    "q72_relief_fit_rankings",
+    # ANN family under r3 bench investigation — keep driver-gated
+    "q26_ann_ivf",
+    "q49_ann_recall",
+    # least-recently driver-validated (last green in r2); the r3
+    # window covered everything else, so these rotate back in
+    "q01_pruned_scan",
+    "q02_groupby_agg",
+    "q03_join_revenue_by_nation",
+    "q04_window_topk",
+    "q05_global_topk",
+    "q06_union_distinct",
+    "q07_semijoin",
+    "q08_antijoin",
+    "q09_minmax_norm",
+    "q10_label_priors",
+    "q11_mod_sample_agg",
+    "q12_mutual_information",
+    "q13_knn_join",
+    "q18_dedup_exact",
+    "q24_ann_bruteforce",
+    "q25_ann_lsh",
+    "q28_token_stats",
+    "q29_quality_scores",
+    "q30_language_id",
+    "q31_fingerprints",
+    "q32_tumbling_window",
+    "q33_sliding_window",
+    "q34_session_window",
+    "q35_json_extract",
+    "q36_multimodal_features",
+    "q42_asof_join",
+    "q43_range_join",
+    "q50_streaming_tumbling",
+    "q55_tfidf_topterms",
+    "q58_streaming_sessions",
+    "q63_frame_sample",
+    "q64_streaming_interval_join",
+    "q65_embedding_quantization",
+    "q69_streaming_sliding",
+    "q70_streaming_dedup",
+    "q71_streaming_user_totals",
 )
 
 

@@ -587,10 +587,13 @@ FUNNEL_LANGS = ("de", "en", "es", "fr")
       FROM documents
     ),
     agg AS (
+      -- CAST AS BIGINT: DuckDB SUM over ints yields HUGEINT, which
+      -- reaches the cross-engine compare as float ("345.0" vs Spark's
+      -- bigint "345") and breaks the value hash (same fix as q80).
       SELECT COUNT(*) AS s0,
-             SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
-             SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS s2,
-             SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS s3
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3
       FROM flags
     )
     SELECT stage, stage_name, n_surviving,
