@@ -38,6 +38,41 @@ from spark_relieffc_fselection_spark.functions.text import (
 #: Jaccard inverted index (stop-shingle skew guard).
 DEFAULT_DF_CAP = 1000
 
+#: LSH/SimHash buckets with more members than this are dropped before
+#: pair generation. A degenerate hot bucket (e.g. millions of byte-
+#: identical docs landing in one (band, bucket)) would otherwise
+#: generate its O(n^2) pairs inside a single task. Docs in a dropped
+#: bucket can still pair through their OTHER bands; byte-identical
+#: corpora belong to exact_duplicate_groups first anyway.
+DEFAULT_MAX_BUCKET_MEMBERS = 10_000
+
+#: Monotonic suffix so each capped-bucket observe() metric name is
+#: unique within a query plan (Spark rejects duplicate observation
+#: names in one plan, e.g. a pipeline composing MinHash + SimHash).
+_obs_counter = 0
+
+
+def _capped_buckets(grouped: DataFrame, arr_col: str, max_members: int) -> DataFrame:
+    """Filter bucket rows whose member array exceeds ``max_members``,
+    attaching an ``observe()`` metric (``*_dropped_buckets`` /
+    ``*_dropped_members``) so drops are visible in the Spark UI and
+    QueryExecution listeners at zero extra-job cost.
+
+    The collect_list buffer itself is still O(bucket) in memory — the
+    cap bounds the quadratic pair blow-up, while upstream guards
+    (df_cap stop-shingles, exact-dedup-first) bound the linear buffer.
+    """
+    global _obs_counter
+    _obs_counter += 1
+    too_big = F.size(arr_col) > max_members
+    return grouped.observe(
+        f"bucket_cap_{_obs_counter}",
+        F.sum(F.when(too_big, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(too_big, F.size(arr_col)).otherwise(0)).alias(
+            "dropped_members"
+        ),
+    ).filter(~too_big)
+
 
 def exact_duplicate_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -201,13 +236,18 @@ def minhash_signatures_from_hashes(sh: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """Banded LSH: docs sharing any full band of their signature.
 
     bucket = hash of the band's ordered minhash values; candidates are
     pairs within a bucket. Output (id_a, id_b) distinct, id_a < id_b.
-    The shuffle is per-(band, bucket) — never all-pairs.
+    The shuffle is per-(band, bucket) — never all-pairs; buckets above
+    ``max_bucket_members`` are dropped (observed, see _capped_buckets)
+    rather than exploding O(n^2) pairs in one task.
     """
     banded = (
         signatures.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
@@ -235,12 +275,13 @@ def lsh_candidate_pairs(
     # tiny in bytes and AQE would coalesce them onto a few cores,
     # serializing the pair generation.
     par = signatures.sparkSession.sparkContext.defaultParallelism
-    buckets = (
+    buckets = _capped_buckets(
         banded.groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .repartition(par, "band", "bucket")
-    )
+        .filter(F.size("ids") > 1),
+        "ids",
+        max_bucket_members,
+    ).repartition(par, "band", "bucket")
     return (
         buckets.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -258,6 +299,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_hashes: DataFrame | None = None,
+    max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: bucket -> candidates -> verify
     with true Jaccard (only candidates pay the verification join).
@@ -275,7 +317,7 @@ def minhash_near_duplicates(
         sh.count()  # fill once — concurrent consumer stages race otherwise
 
     sigs = minhash_signatures_from_hashes(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_members)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
@@ -340,9 +382,12 @@ def simhash_near_duplicates(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """SimHash near-dups: band the fingerprint (pigeonhole: hamming <=
-    bands-1 implies an equal band), join per band, verify hamming."""
+    bands-1 implies an equal band), join per band, verify hamming.
+    Buckets above ``max_bucket_members`` are dropped (observed) rather
+    than exploding O(n^2) pairs in one task — see _capped_buckets."""
     sigs = simhash_signatures(docs, bits, text_col, id_col)
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
@@ -361,14 +406,15 @@ def simhash_near_duplicates(
     # shape as lsh_candidate_pairs; member lists are the linear object,
     # pairs are quadratic under either plan.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    buckets = (
+    buckets = _capped_buckets(
         banded.groupBy("band", "band_val")
         .agg(
             F.collect_list(F.struct(F.col("doc_id"), F.col("simhash"))).alias("ms")
         )
-        .filter(F.size("ms") > 1)
-        .repartition(par, "band", "band_val")
-    )
+        .filter(F.size("ms") > 1),
+        "ms",
+        max_bucket_members,
+    ).repartition(par, "band", "band_val")
     cands = (
         buckets.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))

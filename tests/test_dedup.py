@@ -107,3 +107,46 @@ def test_connected_components_strategies_agree(spark):
         )
     )
     assert local == dist
+
+
+def test_bucket_cap_drops_hot_bucket(spark):
+    """ADVICE r3: a degenerate hot bucket (many byte-identical docs)
+    must not explode O(n^2) pairs — buckets above max_bucket_members
+    are dropped; docs can still pair through other (uncapped) bands."""
+    hot = [(i, BASE) for i in range(40)]           # 40 identical docs
+    cold = [(100, NEAR), (101, NEAR)]              # small near-dup pair
+    docs40 = spark.createDataFrame(hot + cold, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs40, threshold=0.3, num_hashes=16, bands=8,
+            max_bucket_members=10,
+        ).collect()
+    }
+    # the 40-doc clique (780 pairs) is gone, the 2-doc bucket survives
+    assert (100, 101) in capped
+    assert not any(a < 100 for a, _ in capped)
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            docs40, threshold=0.3, num_hashes=16, bands=8,
+        ).collect()
+    }
+    # C(40,2) clique + cold pair + 40x2 clique-to-NEAR cross pairs
+    assert len(uncapped) == 780 + 1 + 80
+
+
+def test_simhash_bucket_cap_drops_hot_bucket(spark):
+    hot = [(i, BASE) for i in range(30)]
+    cold = [(100, NEAR), (101, NEAR)]
+    docs30 = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_duplicates(
+            docs30, max_hamming=10, bits=60, bands=4, max_bucket_members=8
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(a < 100 for a, _ in capped)
