@@ -83,24 +83,83 @@ def main() -> None:
         # with a clean CacheManager.
         spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name, fn in all_queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    # Family-shared caches are built HERE as named line items, not
+    # inside whichever family member happens to run first — r3's
+    # registry reorder shifted the shingle-cache build from q21 to q19
+    # and made both look regressed/improved when the family total was
+    # flat. Timing them explicitly keeps every per-query number a
+    # per-query cost.
+    shared_setup: dict[str, float] = {}
 
-    total = round(sum(timings.values()), 3)
-    # Full-precision per-query detail goes to a sidecar file; the
-    # printed line stays compact (short qNN keys, 2-decimal values) so
-    # the driver's bounded tail capture never truncates the JSON
-    # (BENCH_r02.json came back "parsed": null for exactly that reason).
+    def _setup(label: str, thunk) -> None:
+        t0 = time.time()
+        try:
+            thunk()
+            shared_setup[label] = round(time.time() - t0, 3)
+        except Exception as exc:  # setup must never fail the bench
+            print(f"# shared_setup {label} failed: {exc}", file=sys.stderr)
+
+    from spark_relieffc_fselection_spark.queries import dedup_q, relief_q
+
+    _setup("shingle_cache", lambda: dedup_q._shingles(spark, sf_dir))
+    _setup("relief_pipe", lambda: relief_q._pipe(spark, sf_dir))
+
+    # Per-query medians over n>=3 FULL-SUITE passes (not back-to-back
+    # reps of one query): suite-level repetition both stabilizes the
+    # median and exposes session-state/ordering effects — a query that
+    # is slow only on pass 1 is paying someone else's one-time cost,
+    # not its own plan. A wall-clock budget bounds the extra passes on
+    # a noisy host; pass 1 always completes.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    bench_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+    bench_t0 = time.time()
+    rep_times: dict[str, list[float]] = {n: [] for n in all_queries()}
+    for rep in range(reps):
+        if rep > 0 and time.time() - bench_t0 > bench_budget:
+            print(f"# bench budget spent after pass {rep}", file=sys.stderr)
+            break
+        for name, fn in all_queries().items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            rep_times[name].append(dt)
+            if rep == 0:
+                print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {name: round(_median(ts), 3) for name, ts in rep_times.items()}
+    setup_total = round(sum(shared_setup.values()), 3)
+    total = round(sum(timings.values()) + setup_total, 3)
+    # Full-precision per-query detail (every rep + spread) goes to a
+    # sidecar file; the printed line stays compact (short qNN keys,
+    # 2-decimal values) so the driver's bounded tail capture never
+    # truncates the JSON (BENCH_r02.json came back "parsed": null for
+    # exactly that reason).
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
-        json.dumps({"sf": sf, "total": total, "queries": timings}, indent=1)
+        json.dumps(
+            {
+                "sf": sf,
+                "total": total,
+                "reps": {n: ts for n, ts in rep_times.items()},
+                "queries": timings,
+                "shared_setup": shared_setup,
+                "spread": {
+                    n: round(max(ts) - min(ts), 3)
+                    for n, ts in rep_times.items()
+                    if ts
+                },
+            },
+            indent=1,
+        )
     )
     compact = {name.split("_")[0]: round(t, 2) for name, t in timings.items()}
+    compact["setup"] = round(setup_total, 2)
     print(
         json.dumps(
             {
@@ -108,6 +167,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": compact,
+                "shared_setup": {k: round(v, 2) for k, v in shared_setup.items()},
                 "sf": sf,
             },
             separators=(",", ":"),

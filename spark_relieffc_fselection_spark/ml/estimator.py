@@ -72,8 +72,11 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
     )
     discreteData = Param(
         Params._dummy(), "discreteData",
-        "All-discrete features; continuous data must be standardized "
-        "(reference :154-164).",
+        "All-discrete features (integer codes stored as doubles, "
+        "reference :154-164); continuous raw data can be prepared with "
+        "ml.discretizer.quantile_discretize (the engine's stand-in for "
+        "the reference's spark-MDLP-discretization companion, "
+        "pom.xml:30-35). Continuous data must be standardized.",
         typeConverter=TypeConverters.toBoolean,
     )
     knnStrategy = Param(

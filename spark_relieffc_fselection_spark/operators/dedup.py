@@ -473,6 +473,101 @@ def bidirectional_edges(
     )
 
 
+def _cc_two_phase_star(adj: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges in O(log diameter) rounds vs label propagation's
+    O(diameter), the escape hatch for chain-shaped near-dup graphs.
+
+    ``adj`` is the symmetric distinct (a, b) adjacency. Each round:
+
+      * large-star: every node u connects its LARGER neighbors to
+        m = min(neighborhood(u) + {u}) — one groupBy-min + one join.
+      * small-star: on the resulting larger->smaller directed edges,
+        every node u connects its smaller neighbors AND itself to the
+        minimum of that set — same join shape.
+
+    Both phases emit via a single explode (never a self-union, which
+    would execute the upstream subtree twice — same rationale as
+    bidirectional_edges). Fixpoint reached when the edge multiset
+    checksum (count + sum of xxhash64) repeats; at fixpoint each
+    component is a star rooted at its minimum id.
+
+    Each round ends in ``localCheckpoint`` — TRUE lineage truncation,
+    not cache: the round body references its input four times (mins +
+    join, twice per phase), so the LOGICAL plan quadruples per round
+    and hits exponential planning cost by round ~8 even though every
+    physical round reads the previous round's materialized data. A
+    cache only shortcuts execution; checkpointing is what keeps the
+    plan O(1) across iterations (the standard iterative-graph pattern;
+    executor loss mid-loop costs a rerun, not correctness).
+    Returns ``(labels, star_final)``: the (doc_id, cluster_id) result
+    (roots included) and the checkpointed star table backing it.
+    """
+    # Seed: orient symmetric adjacency larger -> smaller.
+    star = adj.filter(F.col("a") > F.col("b")).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star needs full neighborhoods: re-symmetrize via
+        # explode (one pass over the cached directed edges).
+        sym = bidirectional_edges(star, "a", "b")
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on the directed output (b < a by construction):
+        # every node links its smaller neighbors and itself to the min.
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()  # eager: materializes AND truncates lineage
+        )
+        # decimal sum: long xxhash64 values overflow bigint SUM under
+        # ANSI mode; decimal(38,0) absorbs any edge count.
+        sig = small.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        star = small  # prior round's checkpoint RDD is GC-reclaimed
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixpoint: stars rooted at component minima. groupBy-min guards
+    # the (max_iter exhausted before fixpoint) case.
+    members = star.groupBy("a").agg(F.min("b").alias("cluster_id"))
+    roots = (
+        star.select(F.col("b").alias("a"))
+        .distinct()
+        .join(star.select("a").distinct(), "a", "left_anti")
+        .withColumn("cluster_id", F.col("a"))
+    )
+    out = members.unionByName(roots).select(
+        F.col("a").alias("doc_id"), "cluster_id"
+    )
+    # star is a checkpoint, not a cache entry — it frees itself when
+    # the DataFrame is garbage collected; returned so callers can pin
+    # its lifetime while ``out`` is being consumed.
+    return out, star
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
@@ -498,13 +593,15 @@ def connected_components(
 
     Scale notes (100 TB): label propagation's round count is the
     diameter, not log(diameter) — for pathological chain-shaped graphs
-    switch to large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14), which squares down
-    the diameter per round with the same join-shaped dataflow. Each
-    round here persists its label table and unpersists the previous one,
-    so lineage stays O(1) and a failed round recomputes one join, not
-    the whole history. The convergence check is a cheap count() on
-    labels that changed this round.
+    use ``strategy="star"`` (large-star/small-star, Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    contracts toward component minima in O(log d) rounds with the same
+    join-shaped dataflow (_cc_two_phase_star). Each round here
+    localCheckpoints its label table — true lineage truncation, so
+    BOTH the physical work and the logical plan stay O(1) per round
+    (a cache alone leaves the logical plan doubling every round). The
+    convergence check is a cheap count() on labels that changed this
+    round.
 
     ``finalize='local'`` collapses the result to a LocalRelation and
     unpersists every iteration cache — for DRIVER-SIZED cluster tables
@@ -513,12 +610,25 @@ def connected_components(
 
     ``strategy``: "distributed" = always the propagation loop;
     "local" = collect edges and union-find on the driver (exact same
-    result, one job instead of per-round shuffles); "auto" (default)
-    = local when the edge count is driver-sized, distributed
-    otherwise — the same small-side cutover logic a broadcast join
-    uses, applied to the iteration structure.
+    result, one job instead of per-round shuffles); "star" =
+    large-star/small-star (_cc_two_phase_star) — O(log diameter)
+    rounds, the right loop for chain-shaped graphs whose diameter
+    exceeds any sane max_iter; "auto" (default) = local when the edge
+    count is driver-sized, distributed otherwise — the same small-side
+    cutover logic a broadcast join uses, applied to the iteration
+    structure.
     """
     adj = bidirectional_edges(edges, src_col, dst_col).cache()
+
+    if strategy == "star":
+        adj.count()
+        out, _star = _cc_two_phase_star(adj, max_iter)
+        adj.unpersist()
+        if finalize == "local":
+            rows = out.collect()
+            del _star  # checkpoint RDD reclaimed once unreferenced
+            return edges.sparkSession.createDataFrame(rows, schema=out.schema)
+        return out
 
     if strategy != "distributed":
         n_edges = adj.count()  # also materializes the cache
@@ -549,13 +659,20 @@ def connected_components(
                 rows, "doc_id long, cluster_id long"
             )
 
+    # localCheckpoint, not cache, per round: the round body references
+    # ``labels`` twice (neighbor-min join + the left join), so under a
+    # cache the LOGICAL plan would still double every round —
+    # exponential planning cost past ~15 rounds even though each
+    # physical round reads materialized data. Checkpointing truncates
+    # lineage, keeping the plan O(1) across iterations (same fix as
+    # _cc_two_phase_star; prior rounds' checkpoint RDDs are reclaimed
+    # when unreferenced).
     labels = (
         adj.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
-    labels.count()
 
     for _ in range(max_iter):
         nbr_min = (
@@ -572,17 +689,14 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-        ).cache()
+        ).localCheckpoint()
         n_changed = new_labels.filter(F.col("_changed")).count()
-        old = labels
         labels = new_labels.select("node", "label")
-        old.unpersist()
         if n_changed == 0:
             break
     adj.unpersist()
     out = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     if finalize == "local":
         rows = out.collect()
-        labels.unpersist()
         return edges.sparkSession.createDataFrame(rows, schema=out.schema)
     return out

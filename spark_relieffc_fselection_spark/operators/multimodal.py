@@ -112,14 +112,128 @@ def _stub_decode(content: bytes) -> np.ndarray:
     return (arr.astype(np.float32) - 127.5) / 127.5
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_meta(content: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR, or None if not a PNG."""
+    import struct
+
+    if not content.startswith(_PNG_SIG) or len(content) < 24:
+        return None
+    if content[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", content[16:24])
+    return w, h
+
+
+def png_decode_gray(content: bytes) -> np.ndarray | None:
+    """Minimal pure-stdlib PNG decoder -> float32 grayscale HxW array.
+
+    Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 4 (gray+
+    alpha) / 6 (RGBA), no interlace — the overwhelmingly common PNG
+    shapes. Returns None for anything else (caller falls back).
+    RGB -> luma via ITU-R 601 (299/587/114), alpha ignored.
+
+    This is the PRIMARY png codec even when Pillow is installed: a
+    stdlib decode is bit-identical across codec-equipped and
+    codec-less deployments, which keeps multimodal features
+    reproducible wherever the pipeline runs. Filters 0/1/2 (none/
+    sub/up — what encoders emit for synthetic and screenshot-like
+    content) are vectorized; 3/4 (average/Paeth) fall back to per-
+    pixel loops, fine for thumbnail-scale assets.
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        return None
+    pos, width, interlace, idat = 8, None, 0, bytearray()
+    bitdepth = colortype = height = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
+    if width is None or bitdepth != 8 or interlace != 0 or channels is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride, bpp = width * channels, channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int64)
+        p += stride + 1
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            cur = line.reshape(width, bpp).cumsum(axis=0).reshape(stride) & 255
+        elif f == 2:  # Up
+            cur = (line + prev) & 255
+        elif f == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 255
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, channels).astype(np.float32)
+    if colortype in (0, 4):  # gray / gray+alpha
+        return px[:, :, 0]
+    return (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) / 1000.0
+
+
+def _pool_4x4(gray: np.ndarray) -> np.ndarray:
+    """Box-mean a HxW grayscale array down to 4x4 (deterministic,
+    codec-independent — unlike resampling-filter resizes)."""
+    rows = np.array_split(gray, 4, axis=0)
+    return np.array(
+        [[c.mean() for c in np.array_split(r, 4, axis=1)] for r in rows],
+        dtype=np.float32,
+    )
+
+
 def _decode_image(content: bytes) -> np.ndarray:
-    """Real image decode (requires Pillow): grayscale, resize to a
-    4x4 thumbnail, scale pixels to [-1, 1] -> FEATURE_DIM floats."""
+    """Real image decode: stdlib PNG codec first (always available,
+    bit-identical everywhere), Pillow for other formats when
+    installed. Grayscale -> 4x4 box-pooled thumbnail -> [-1, 1]."""
     import io
 
-    with _PILImage.open(io.BytesIO(content)) as im:
-        small = im.convert("L").resize((4, 4))
-        px = np.asarray(small, dtype=np.float32).reshape(-1)[:FEATURE_DIM]
+    gray = png_decode_gray(content)
+    if gray is None:
+        if not _HAS_PIL:
+            raise ValueError("undecodable image payload without Pillow")
+        with _PILImage.open(io.BytesIO(content)) as im:
+            gray = np.asarray(im.convert("L"), dtype=np.float32)
+    px = _pool_4x4(gray).reshape(-1)[:FEATURE_DIM]
     return (px - 127.5) / 127.5
 
 
@@ -157,7 +271,8 @@ def decode_asset(content: bytes, modality: str, meta: dict) -> np.ndarray:
     """Decode one asset to a FEATURE_DIM float32 signal.
 
     REAL decode wherever a codec exists — stdlib ``wave`` for PCM WAV
-    audio (always), Pillow for images and libsndfile for other audio
+    audio and the stdlib PNG codec for images (both always available),
+    Pillow for other image formats and libsndfile for other audio
     when installed — with the deterministic sha256 stub as the fallback
     for absent codecs, undecodable bytes, and video (ffmpeg/av is never
     assumed). The fallback is what keeps the synthetic oracle-gated
@@ -165,7 +280,7 @@ def decode_asset(content: bytes, modality: str, meta: dict) -> np.ndarray:
     codec-equipped and codec-less deployments.
     """
     try:
-        if modality == "image" and _HAS_PIL:
+        if modality == "image":
             out = _decode_image(content)
         elif modality == "audio":
             out = _decode_audio(content)
@@ -188,9 +303,13 @@ def probe_asset_meta(content: bytes, modality: str) -> dict:
 
     out = {"width": None, "height": None, "sample_rate": None, "duration_s": None}
     try:
-        if modality == "image" and _HAS_PIL:
-            with _PILImage.open(io.BytesIO(content)) as im:
-                out["width"], out["height"] = im.size
+        if modality == "image":
+            wh = png_meta(content)
+            if wh is not None:
+                out["width"], out["height"] = wh
+            elif _HAS_PIL:
+                with _PILImage.open(io.BytesIO(content)) as im:
+                    out["width"], out["height"] = im.size
         elif modality == "audio":
             with _wave.open(io.BytesIO(content)) as w:
                 out["sample_rate"] = w.getframerate()

@@ -57,6 +57,8 @@ _PRIORITY: tuple[str, ...] = (
     "q68_domain_mix",
     # fixed this round: oracle HUGEINT->BIGINT cast (r3's only red)
     "q82_filter_funnel",
+    # new this round: discretization front end
+    "q93_quantile_discretize",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",

@@ -559,3 +559,56 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_df.unpersist()
     labels.unpersist()
     return out
+
+
+# --- Discretization front end (ml/discretizer.py) ---------------------------
+
+DISC_BINS = 4
+
+
+@register(
+    "q93_quantile_discretize",
+    oracle=f"""
+    WITH {_INST},
+    long AS (
+      SELECT id, u.i - 1 AS feature, f[u.i] AS val
+      FROM inst,
+           LATERAL (SELECT unnest(generate_series(1, len(f))) AS i) u
+    ),
+    edges AS (
+      SELECT feature,
+             list_sort(list_distinct(
+               quantile_cont(val, [0.25, 0.5, 0.75]))) AS es
+      FROM long GROUP BY feature
+    )
+    SELECT l.feature,
+           CAST(len(list_filter(e.es, x -> l.val > x)) AS INT) AS bin,
+           COUNT(*) AS n_values
+    FROM long l JOIN edges e USING (feature)
+    GROUP BY l.feature, bin
+    """,
+    doc="Quantile discretization audit: fit per-feature exact quartile "
+        "edges (ml/discretizer.fit_quantile_edges — the engine's "
+        "stand-in for the reference's spark-MDLP-discretization "
+        "companion, pom.xml:30-35), bin every value with the pure-"
+        "Catalyst literal-edge transform, report per-(feature, bin) "
+        "population. Scale: the fit shuffles one percentile sketch per "
+        "feature (approx method at 100 TB), the transform is per-row "
+        "array arithmetic with zero shuffle.",
+)
+def q93_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.ml.discretizer import (
+        apply_bin_edges,
+        fit_quantile_edges,
+    )
+
+    inst = _embeddings(spark, sf_dir)
+    edges = fit_quantile_edges(
+        inst, num_bins=DISC_BINS, features_col="features", method="exact"
+    )
+    binned = apply_bin_edges(inst, edges, features_col="features")
+    return (
+        binned.select(F.posexplode("features").alias("feature", "bin"))
+        .groupBy("feature", F.col("bin").cast("int").alias("bin"))
+        .agg(F.count("*").alias("n_values"))
+    )

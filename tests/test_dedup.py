@@ -150,3 +150,55 @@ def test_simhash_bucket_cap_drops_hot_bucket(spark):
     }
     assert (100, 101) in capped
     assert not any(a < 100 for a, _ in capped)
+
+
+def test_star_cc_long_path_converges_in_log_rounds(spark):
+    """VERDICT r3 #7: large-star/small-star must solve a path graph
+    whose diameter (199) vastly exceeds the round budget (12 ~
+    O(log2 199) + slack) — label propagation would need ~199 rounds —
+    and agree with driver union-find exactly."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    rng = random.Random(3)
+    ids = list(range(1000, 1200))
+    rng.shuffle(ids)  # ids not monotone along the path
+    path = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    extra = [(7, 8), (8, 9), (50, 51)]  # small side components
+    edges = spark.createDataFrame(path + extra, "id_a long, id_b long")
+
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, strategy="star", max_iter=12, finalize="local"
+        ).collect()
+    }
+    truth = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, strategy="local").collect()
+    }
+    assert star == truth
+    assert star[ids[0]] == 1000  # whole path labeled by its min id
+    assert star[9] == 7 and star[51] == 50
+
+
+def test_star_cc_agrees_on_mixed_graph(spark):
+    from spark_relieffc_fselection_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (5, 1)],
+        "id_a long, id_b long",
+    )
+    star = sorted(
+        map(
+            tuple,
+            connected_components(
+                edges, strategy="star", finalize="local"
+            ).collect(),
+        )
+    )
+    local = sorted(
+        map(tuple, connected_components(edges, strategy="local").collect())
+    )
+    assert star == local

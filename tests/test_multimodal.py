@@ -3,12 +3,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.multimodal import (
-    _HAS_PIL,
     FEATURE_DIM,
     _stub_decode,
     decode_asset,
     extract_features,
     frame_sample_videos,
+    png_decode_gray,
+    png_meta,
     probe_asset_meta,
     probe_assets,
     resize_images,
@@ -112,22 +113,104 @@ def test_probe_assets_dataframe(spark):
     assert rows[3]["decoded_width"] is None
 
 
-@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this container")
+def _make_png(pixels: np.ndarray, colortype: int, filters: list[int]) -> bytes:
+    """Encode HxWxC uint8 pixels as a PNG, FORWARD-filtering each row
+    with the given per-row filter type (0 none / 1 sub / 2 up / 3 avg /
+    4 paeth) — so the decoder's un-filtering of every type is what the
+    round-trip asserts."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    px = pixels.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * c, np.int64)
+    for y, f in zip(range(h), filters):
+        line = px[y].reshape(-1)
+        if f == 0:
+            filt = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, np.int64), line[:-c]])
+            filt = (line - left) & 255
+        elif f == 2:
+            filt = (line - prev) & 255
+        elif f == 3:
+            left = np.concatenate([np.zeros(c, np.int64), line[:-c]])
+            filt = (line - ((left + prev) >> 1)) & 255
+        else:  # paeth
+            left = np.concatenate([np.zeros(c, np.int64), line[:-c]])
+            upleft = np.concatenate([np.zeros(c, np.int64), prev[:-c]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (line - pred) & 255
+        raw.append(f)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def test_real_image_decode_reads_actual_pixels():
-    import io
-
-    from PIL import Image
-
-    im = Image.new("L", (4, 4))
-    im.putdata(list(range(0, 256, 16)))
-    buf = io.BytesIO()
-    im.save(buf, format="PNG")
-    png = buf.getvalue()
+    """The stdlib PNG codec (no Pillow in this container) must recover
+    the actual pixel values — the 4x4 gray image pools to itself."""
+    pix = np.arange(0, 256, 16, dtype=np.uint8).reshape(4, 4, 1)
+    png = _make_png(pix, colortype=0, filters=[0, 1, 2, 4])
     feat = decode_asset(png, "image", {})
     expected = (np.arange(0, 256, 16, dtype=np.float32) - 127.5) / 127.5
     assert np.allclose(feat, expected, atol=1e-6)
     m = probe_asset_meta(png, "image")
     assert (m["width"], m["height"]) == (4, 4)
+
+
+def test_png_decoder_all_filters_rgb_roundtrip():
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [0, 3, 3, 3, 3],
+                    [0, 4, 4, 4, 4], [0, 1, 2, 3, 4]):
+        png = _make_png(pix, colortype=2, filters=list(filters))
+        gray = png_decode_gray(png)
+        assert gray is not None and gray.shape == (5, 6)
+        p = pix.astype(np.float32)
+        luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) / 1000.0
+        assert np.allclose(gray, luma, atol=1e-4), f"filters={filters}"
+    assert png_meta(png) == (6, 5)
+
+
+def test_png_decoder_rgba_and_gray_alpha():
+    rng = np.random.default_rng(11)
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    gray = png_decode_gray(_make_png(rgba, colortype=6, filters=[0, 1, 4]))
+    p = rgba.astype(np.float32)
+    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) / 1000.0
+    assert np.allclose(gray, luma, atol=1e-4)
+    ga = rng.integers(0, 256, size=(3, 3, 2), dtype=np.uint8)
+    out = png_decode_gray(_make_png(ga, colortype=4, filters=[2, 3, 4]))
+    assert np.allclose(out, ga[:, :, 0].astype(np.float32))
+
+
+def test_png_decoder_rejects_non_png():
+    assert png_decode_gray(b"not a png at all") is None
+    assert png_meta(b"junk") is None
+    # undecodable image payload -> deterministic stub, never a crash
+    feat = decode_asset(b"junk", "image", {})
+    assert np.allclose(feat, _stub_decode(b"junk")[:FEATURE_DIM])
 
 
 def test_frame_sampling(assets):
