@@ -700,3 +700,165 @@ def connected_components(
         rows = out.collect()
         return edges.sparkSession.createDataFrame(rows, schema=out.schema)
     return out
+
+
+# --- Exact-substring (k-token run) dedup --------------------------------------
+#
+# Positional run sharing (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): two docs are substring-dups if
+# they share a run of >= k consecutive tokens — a stricter, position-
+# aware signal than set-based shingle Jaccard (a doc quoting one long
+# passage shares a run without sharing most of its shingle set).
+
+#: k-grams appearing in more than this many docs are dropped from the
+#: substring index (boilerplate guard, same rule as DEFAULT_DF_CAP).
+DEFAULT_KGRAM_DF_CAP = 1000
+
+
+def kgram_position_hashes(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, gram_hash, n_tokens): every k-token gram of the
+    normalized text, hashed; ``pos`` is the 1-based start position.
+
+    Pure per-row Catalyst (token split + ``transform`` over a position
+    sequence + posexplode) — the corpus is scanned once with ZERO
+    shuffle; docs shorter than k tokens emit nothing.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # sequence(1, stop) DESCENDS when stop < 1 (emitting index 0), so
+    # docs shorter than k tokens take the explicit empty branch.
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: md5_hash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n.alias("n_tokens"),
+            F.posexplode(grams).alias("off", "gram_hash"),
+        )
+        .select("doc_id", (F.col("off") + 1).alias("pos"), "gram_hash", "n_tokens")
+    )
+
+
+def shared_kgram_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    df_cap: int = DEFAULT_KGRAM_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Doc pairs sharing at least one exact k-token run:
+    (id_a, id_b, n_shared_grams, a_start, a_end, b_start, b_end)
+    where [start, end] bound the shared material's token positions in
+    each doc (end = last gram start + k - 1).
+
+    Inverted index on int64 gram hashes — the join's fan-out is
+    sum(df^2) per gram, bounded by ``df_cap`` (grams above the cap are
+    boilerplate: headers, licenses, templates — exactly what you do
+    NOT want to dedup on). Pass a cached ``gram_hashes``
+    (kgram_position_hashes output) to share the corpus scan with
+    substring_contamination.
+    """
+    if gram_hashes is not None:
+        g = gram_hashes
+    else:
+        # cache locally: the table feeds both join sides (different
+        # projections, ReuseExchange won't unify) plus the df guard —
+        # uncached, the tokenize+gram scan would run three times.
+        g = kgram_position_hashes(docs, k, text_col, id_col).cache()
+        g.count()
+    dg = g.select("doc_id", "pos", "gram_hash")
+    if df_cap is not None:
+        freq = (
+            dg.groupBy("gram_hash")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") <= df_cap)
+        )
+        dg = dg.join(freq.select("gram_hash"), "gram_hash")
+    a = dg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("pos").alias("pos_a"),
+        "gram_hash",
+    )
+    b = dg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("pos").alias("pos_b"),
+        "gram_hash",
+    )
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("gram_hash").alias("n_shared_grams"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + (k - 1)).alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_b") + (k - 1)).alias("b_end"),
+        )
+    )
+
+
+def substring_contamination(
+    docs: DataFrame,
+    k: int = 20,
+    df_cap: int = DEFAULT_KGRAM_DF_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc fraction of tokens covered by k-token runs shared with
+    ANY other doc — the Lee et al. dedup metric driving span removal:
+    (doc_id, n_tokens, n_covered, coverage).
+
+    Shared grams come from one groupBy on the gram index (count > 1,
+    df_cap bounded); each shared gram start covers positions
+    [pos, pos+k-1], union'd exactly by exploding the position range
+    and counting distinct covered positions per doc (positions per doc
+    are bounded by doc length, never corpus-sized).
+    """
+    if gram_hashes is not None:
+        g = gram_hashes
+    else:
+        g = kgram_position_hashes(docs, k, text_col, id_col).cache()
+        g.count()
+    freq = (
+        g.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(
+            (F.col("df") > 1)
+            & ((F.col("df") <= df_cap) if df_cap is not None else F.lit(True))
+        )
+    )
+    covered = (
+        g.join(freq.select("gram_hash"), "gram_hash")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("cov_pos"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tokens").alias("n_tokens"),
+            F.countDistinct("cov_pos").alias("n_covered"),
+        )
+    )
+    return covered.select(
+        "doc_id",
+        "n_tokens",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_tokens"), 6).alias("coverage"),
+    )

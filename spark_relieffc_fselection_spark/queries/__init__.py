@@ -57,8 +57,10 @@ _PRIORITY: tuple[str, ...] = (
     "q68_domain_mix",
     # fixed this round: oracle HUGEINT->BIGINT cast (r3's only red)
     "q82_filter_funnel",
-    # new this round: discretization front end
+    # new this round: discretization front end, substring dedup
     "q93_quantile_discretize",
+    "q94_substring_dedup",
+    "q95_substring_contamination",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",
@@ -106,8 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "q64_streaming_interval_join",
     "q65_embedding_quantization",
     "q69_streaming_sliding",
-    "q70_streaming_dedup",
-    "q71_streaming_user_totals",
+    # (q70/q71 rotate out this round — r2-green and stable — to keep
+    # the 50-entry driver window closed over everything above)
 )
 
 

@@ -496,3 +496,113 @@ def q84_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.row_number().over(rk) == 1).alias("is_canonical"),
     )
+
+
+# --- Exact-substring (k-token run) dedup (Lee et al. 2022) -------------------
+
+KGRAM_K = 15
+
+#: The two substring queries share one (doc_id, pos, gram_hash,
+#: n_tokens) table — memoized per (session, sf_dir) like _SHINGLE_CACHE
+#: so the tokenize+gram scan runs once per corpus.
+_KGRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        kgram_position_hashes,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KGRAM_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        g = kgram_position_hashes(docs, KGRAM_K).cache()
+        g.count()
+        _KGRAM_CACHE[key] = g
+    return _KGRAM_CACHE[key]
+
+
+_KGRAMS_CTE = f"""
+ktoks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+),
+kgrams AS (
+  SELECT doc_id, u.i AS pos, len(t) AS n_tokens,
+         {_H64.format(x=f"array_to_string(list_slice(t, u.i, u.i + {KGRAM_K - 1}), ' ')")} AS gh
+  FROM ktoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {KGRAM_K - 1}, 0))) AS i) u
+)
+"""
+
+
+@register(
+    "q94_substring_dedup",
+    oracle=f"""
+    WITH {_KGRAMS_CTE},
+    capped AS (
+      SELECT gh FROM kgrams GROUP BY gh HAVING COUNT(DISTINCT doc_id) <= 1000
+    ),
+    dg AS (SELECT doc_id, pos, gh FROM kgrams WHERE gh IN (SELECT gh FROM capped))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(DISTINCT a.gh) AS n_shared_grams,
+           MIN(a.pos) AS a_start, MAX(a.pos) + {KGRAM_K - 1} AS a_end,
+           MIN(b.pos) AS b_start, MAX(b.pos) + {KGRAM_K - 1} AS b_end
+    FROM dg a JOIN dg b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    """,
+    doc="Exact-substring dedup (Lee et al. 2022): doc pairs sharing a "
+        f"run of >= {KGRAM_K} consecutive tokens, with the shared "
+        "material's position bounds in each doc. Positional run "
+        "sharing catches long verbatim quotes that set-based Jaccard "
+        "dilutes away. ONE zero-shuffle corpus scan emits rolling gram "
+        "hashes (per-row transform over the token array); the "
+        "inverted-index join is bounded by the boilerplate df-cap.",
+)
+def q94_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        shared_kgram_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_kgram_pairs(
+        docs, k=KGRAM_K, gram_hashes=_kgrams(spark, sf_dir)
+    )
+
+
+@register(
+    "q95_substring_contamination",
+    oracle=f"""
+    WITH {_KGRAMS_CTE},
+    freq AS (
+      SELECT gh FROM kgrams GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(DISTINCT doc_id) <= 1000
+    ),
+    cov AS (
+      SELECT g.doc_id, g.n_tokens, v.p
+      FROM kgrams g,
+           LATERAL (SELECT unnest(generate_series(g.pos, g.pos + {KGRAM_K - 1})) AS p) v
+      WHERE g.gh IN (SELECT gh FROM freq)
+    )
+    SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+           COUNT(DISTINCT p) AS n_covered,
+           ROUND(COUNT(DISTINCT p) / CAST(ANY_VALUE(n_tokens) AS DOUBLE), 6)
+             AS coverage
+    FROM cov GROUP BY doc_id
+    """,
+    doc="Per-doc contaminated-span fraction: how much of each document "
+        f"is covered by >= {KGRAM_K}-token runs shared with ANY other "
+        "doc — the Lee et al. metric that drives span-level (not "
+        "doc-level) dedup decisions. Shared grams from one groupBy on "
+        "the memoized gram table; covered positions union'd exactly by "
+        "exploding [pos, pos+k-1] per shared gram (bounded by doc "
+        "length, never corpus-sized).",
+)
+def q95_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        substring_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_contamination(
+        docs, k=KGRAM_K, gram_hashes=_kgrams(spark, sf_dir)
+    )

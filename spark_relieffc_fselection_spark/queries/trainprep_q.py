@@ -378,7 +378,9 @@ SPLIT_TRAIN, SPLIT_VAL = 800, 900  # train < 800 <= val < 900 <= test
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_toks) AS n_tokens,
+           -- CAST: DuckDB SUM over ints is HUGEINT -> float in the
+           -- compare layer ("2894.0" vs Spark bigint "2894")
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
            COUNT(DISTINCT source) AS n_sources,
            ROUND(COUNT(*) / n.total, 6) AS doc_share
     FROM labeled, n
@@ -420,7 +422,7 @@ def q67_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             SUM(len(string_split({_NORM}, ' '))) AS n_tokens
+             CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (

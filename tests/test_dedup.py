@@ -202,3 +202,57 @@ def test_star_cc_agrees_on_mixed_graph(spark):
         map(tuple, connected_components(edges, strategy="local").collect())
     )
     assert star == local
+
+
+def test_substring_dedup_finds_shared_run(spark):
+    """Exact-substring dedup: docs sharing a >=k-token run pair up
+    with correct position bounds; set-similar-but-run-free docs don't."""
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        shared_kgram_pairs,
+        substring_contamination,
+    )
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {run} outro"),
+            (2, f"{run} completely different tail here now"),
+            # same vocabulary as doc 1, shuffled: set-similar, no run
+            (3, "echo delta charlie alpha golf foxtrot bravo hotel two one intro outro"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in shared_kgram_pairs(docs, k=8).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    p = pairs[(1, 2)]
+    assert p["n_shared_grams"] == 1
+    # doc 1: run starts at token 4 -> span [4, 11]; doc 2: [1, 8]
+    assert (p["a_start"], p["a_end"]) == (4, 11)
+    assert (p["b_start"], p["b_end"]) == (1, 8)
+
+    cov = {
+        r["doc_id"]: r for r in substring_contamination(docs, k=8).collect()
+    }
+    assert set(cov) == {1, 2}
+    assert cov[1]["n_covered"] == 8 and cov[1]["n_tokens"] == 12
+    assert cov[2]["n_covered"] == 8
+    assert abs(cov[1]["coverage"] - 8 / 12) < 1e-6
+
+
+def test_substring_dedup_df_cap_drops_boilerplate(spark):
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        shared_kgram_pairs,
+    )
+
+    boiler = "standard license header text repeated in every single document verbatim"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} body{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # cap below the boilerplate df: no pairs survive
+    assert shared_kgram_pairs(docs, k=10, df_cap=5).count() == 0
+    # cap off: all C(6,2) pairs share the header run
+    assert shared_kgram_pairs(docs, k=10, df_cap=None).count() == 15
