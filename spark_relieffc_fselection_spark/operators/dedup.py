@@ -728,8 +728,14 @@ def kgram_position_hashes(
     sequence + posexplode) — the corpus is scanned once with ZERO
     shuffle; docs shorter than k tokens emit nothing.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # Materialize the token array as a COLUMN before the lambda: the
+    # per-position slice would otherwise re-evaluate the regex+split
+    # expression for every gram (O(n^2) regex work per doc — same trap
+    # word_shingles documents; measured ~15x on the emission stage).
+    tk = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    t, n = F.col("t"), F.size(F.col("t"))
     # sequence(1, stop) DESCENDS when stop < 1 (emitting index 0), so
     # docs shorter than k tokens take the explicit empty branch.
     starts = F.when(
@@ -737,17 +743,13 @@ def kgram_position_hashes(
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         starts,
-        lambda i: md5_hash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        lambda i: md5_hash64(F.concat_ws(" ", F.slice(t, i, k))),
     )
-    return (
-        ensure_parallelism(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            n.alias("n_tokens"),
-            F.posexplode(grams).alias("off", "gram_hash"),
-        )
-        .select("doc_id", (F.col("off") + 1).alias("pos"), "gram_hash", "n_tokens")
-    )
+    return tk.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.posexplode(grams).alias("off", "gram_hash"),
+    ).select("doc_id", (F.col("off") + 1).alias("pos"), "gram_hash", "n_tokens")
 
 
 def shared_kgram_pairs(

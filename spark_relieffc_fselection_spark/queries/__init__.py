@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "q93_quantile_discretize",
     "q94_substring_dedup",
     "q95_substring_contamination",
+    "q96_bigram_lm_quality",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",

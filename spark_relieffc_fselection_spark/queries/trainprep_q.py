@@ -353,6 +353,91 @@ def q66_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q96_bigram_lm_quality",
+    oracle=f"""
+    WITH btoks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM btoks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) u
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c_ab) AS DOUBLE) AS c_a FROM cnt GROUP BY w1),
+    p AS (
+      SELECT cnt.w1, cnt.w2, cnt.c_ab / ctx.c_a AS p
+      FROM cnt JOIN ctx USING (w1)
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(-log2(p.p) AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cond_surprisal
+    FROM bi b JOIN p ON b.w1 = p.w1 AND b.w2 = p.w2
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram-LM quality score: per-doc mean conditional surprisal "
+        "-log2(p(w2|w1)) under the corpus's own bigram distribution — "
+        "the next step up from q66's unigram model (repetitive "
+        "templated text scores near zero even when its unigrams are "
+        "rare; fluent prose scores by transition novelty). Bigram "
+        "emission is the same zero-shuffle per-row transform as the "
+        "substring kgrams; c_ab and c_a are WINDOW counts over the "
+        "bigram stream (two narrow shuffles, the stream appears once "
+        "in the plan — no count-table join, no broadcast). Decimal "
+        "accumulation keeps per-doc sums order-invariant. At 100 TB "
+        "swap the w1-window for a pruned count-table broadcast if w1 "
+        "skew (stopword contexts) concentrates a window partition.",
+)
+def q96_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.queries.relational import DEC
+
+    docs = load_table(spark, sf_dir, "documents")
+    # token array as a COLUMN before the lambda (see word_shingles:
+    # captured expressions re-evaluate per element_at call)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    t, n = F.col("t"), F.size(F.col("t"))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = tk.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    # Window counts, NOT a count-table join: the bigram stream then
+    # appears exactly ONCE in the plan (a cnt/ctx/p join DAG would
+    # embed the un-cached tokenize+explode subtree on both sides —
+    # measured 17s vs 2s at sf0.1). c_a partitions by w1 only; its
+    # count covers all continuations of w1 = the oracle's SUM(c_ab).
+    w_ab = Window.partitionBy("w1", "w2")
+    w_a = Window.partitionBy("w1")
+    surprisal = -F.log2(
+        F.count("*").over(w_ab) / F.count("*").over(w_a).cast("double")
+    )
+    return (
+        bi.withColumn("surp", surprisal)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("surp").cast(DEC)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6).alias(
+                "mean_cond_surprisal"
+            ),
+        )
+    )
+
+
 #: multiplicative-hash constant (Knuth) for the deterministic split
 SPLIT_MULT = 2654435761
 SPLIT_BUCKETS = 1000

@@ -260,3 +260,35 @@ def test_bidirectional_edges_single_pass(spark):
     # one Generate from the edge source, one from the orientation explode
     assert plan.count("Generate") == 2
     assert plan.count("Range (0, 30") == 1  # the source scan appears once
+
+
+def test_kgram_emission_zero_shuffle(spark):
+    """Substring dedup's gram emission (q94/q95 input) is ONE per-row
+    pass: token split + transform + posexplode, no Exchange and no
+    Python eval anywhere before the index aggregations."""
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        kgram_position_hashes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(kgram_position_hashes(docs, k=15))
+    # ensure_parallelism's round-robin spread of a tiny file is the
+    # ONLY permitted exchange — never a hash/range (data) shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_discretizer_binning_zero_shuffle(spark):
+    """q93's transform side: literal-edge binning is per-row Catalyst
+    (no Exchange, no Python) — the only shuffle in the fit path is the
+    percentile sketch aggregation."""
+    from spark_relieffc_fselection_spark.ml.discretizer import apply_bin_edges
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .selectExpr("cast(embedding as array<double>) as features")
+    )
+    plan = _plan(apply_bin_edges(emb, [[0.0, 0.5]] * 64))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
