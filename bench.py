@@ -102,6 +102,7 @@ def main() -> None:
     from spark_relieffc_fselection_spark.queries import dedup_q, relief_q
 
     _setup("shingle_cache", lambda: dedup_q._shingles(spark, sf_dir))
+    _setup("kgram_cache", lambda: dedup_q._kgrams(spark, sf_dir))
     _setup("relief_pipe", lambda: relief_q._pipe(spark, sf_dir))
 
     # Per-query medians over n>=3 FULL-SUITE passes (not back-to-back
