@@ -238,3 +238,78 @@ def fingerprints(
             F.length("norm") < ngram_chars, md5_hash64(F.col("norm"))
         ).otherwise(F.array_min(gram_hashes)).alias("min_gram_fp"),
     )
+
+
+def budget_select_by_score(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    weight_col: str = "n_toks",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Keep rows in descending (score, then ascending id) order while
+    the running sum of ``weight_col`` stays within ``budget`` — the
+    token-budgeted corpus-selection primitive ("take the best docs
+    until N tokens"), EXACTLY equal to a global-sort cumsum filter but
+    with no global sort:
+
+      1. bucket rows by approximate score quantiles (per-row bucket =
+         count of edges below the score; value-based, so equal scores
+         share a bucket and bucket order is consistent with score
+         order);
+      2. one tiny aggregation -> per-bucket weight sums (n_buckets
+         rows, collected);
+      3. the driver's cumsum over that histogram finds the boundary
+         bucket: better buckets are kept whole, worse dropped whole;
+      4. only the boundary bucket (budget-epsilon sized by
+         construction) pays a running-sum window against the residual
+         budget.
+
+    The quantile edges are internal routing only — any edge set yields
+    the same kept rows — so the approximate sketch never affects the
+    result. Rows keep their input columns.
+    """
+    s, wcol = F.col(score_col), F.col(weight_col)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    probs_sql = ",".join(repr(p) for p in probs)
+    edge_rows = scored.agg(
+        F.expr(f"percentile_approx({score_col}, array({probs_sql}), 1000)")
+    ).first()[0]
+    edges = sorted({float(e) for e in (edge_rows or []) if e is not None})
+    edges_lit = F.array(*[F.lit(e) for e in edges]) if edges else F.array().cast("array<double>")
+    bucketed = scored.withColumn(
+        "_bkt", F.size(F.filter(edges_lit, lambda e: s > e))
+    )
+    hist = {
+        r["_bkt"]: r["w"]
+        for r in bucketed.groupBy("_bkt").agg(F.sum(wcol).alias("w")).collect()
+    }
+    remaining = budget
+    keep_whole, boundary = [], None
+    for b in sorted(hist, reverse=True):  # high bucket = high scores
+        if hist[b] <= remaining:
+            keep_whole.append(b)
+            remaining -= hist[b]
+        else:
+            boundary = b
+            break
+    out_cols = [c for c in scored.columns]
+    whole = bucketed.filter(F.col("_bkt").isin(keep_whole)) if keep_whole else None
+    if boundary is not None:
+        w = (
+            Window.partitionBy("_bkt")
+            .orderBy(F.desc(score_col), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        edge_kept = (
+            bucketed.filter(F.col("_bkt") == boundary)
+            .withColumn("_cum", F.sum(wcol).over(w))
+            .filter(F.col("_cum") <= remaining)
+        )
+        whole = edge_kept if whole is None else whole.unionByName(
+            edge_kept, allowMissingColumns=True
+        )
+    if whole is None:
+        return scored.limit(0)
+    return whole.select(*out_cols)

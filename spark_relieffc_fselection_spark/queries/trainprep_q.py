@@ -1057,3 +1057,72 @@ def q87_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(MIX_BUDGET_TOKENS * share).cast("bigint").alias("budget_tokens"),
         F.round(MIX_BUDGET_TOKENS * share / F.col("n_tokens"), 6).alias("epochs"),
     )
+
+
+#: q97: budget = this share of total corpus tokens (integer arithmetic
+#: so both engines compute the identical bigint budget)
+BUDGET_NUM, BUDGET_DEN = 3, 10
+
+
+@register(
+    "q97_token_budget_selection",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             len(list_distinct(string_split({_NORM}, ' '))) AS n_uniq,
+             len(string_split({_NORM}, ' ')) AS n_toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_uniq / CAST(n_toks AS DOUBLE) AS score, n_toks
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_toks) AS BIGINT) * {BUDGET_NUM} // {BUDGET_DEN} AS budget
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *, SUM(n_toks) OVER (ORDER BY score DESC, doc_id ASC) AS cum
+      FROM scored
+    )
+    SELECT doc_id, ROUND(score, 6) AS score, CAST(n_toks AS BIGINT) AS n_toks
+    FROM ranked, tot WHERE cum <= tot.budget
+    """,
+    doc="Token-budgeted corpus selection: keep the highest-quality docs "
+        "(lexical-diversity score = distinct/total tokens) in global "
+        "(score desc, doc_id) order until 30% of corpus tokens are "
+        "spent — 'train on the best N tokens', the curation step after "
+        "scoring. The oracle is a global-sort cumsum; the engine gets "
+        "the EXACT same set with no global sort (budget_select_by_"
+        "score): approx-quantile buckets route rows, a collected "
+        "n_buckets-row histogram finds the boundary bucket on the "
+        "driver, whole buckets keep/drop for free, and only the "
+        "budget-epsilon boundary bucket pays a running-sum window. At "
+        "100 TB the sort a naive cumsum needs is the single most "
+        "expensive shuffle that exists; this plan replaces it with one "
+        "narrow aggregation.",
+)
+def q97_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        budget_select_by_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(t)) / F.size(t).cast("double")).alias("score"),
+        F.size(t).cast("bigint").alias("n_toks"),
+    ).cache()
+    total = scored.agg(F.sum("n_toks")).first()[0]
+    budget = int(total) * BUDGET_NUM // BUDGET_DEN
+    kept = budget_select_by_score(scored, budget)
+    out = kept.select(
+        "doc_id", F.round("score", 6).alias("score"), "n_toks"
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    res = localize(out)
+    scored.unpersist()
+    return res

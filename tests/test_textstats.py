@@ -88,3 +88,35 @@ def test_fingerprints_stability(docs, spark):
     assert fp_e["content_fp"] != fp[0]["content_fp"]  # whole-hash changes
     assert fp_e["min_gram_fp"] == fp[0]["min_gram_fp"]  # min-gram robust to tail edit
     assert fp[6]["content_fp"] == fp[6]["min_gram_fp"]  # short doc fallback
+
+
+def test_budget_select_matches_global_cumsum(spark):
+    """budget_select_by_score must equal the global-sort cumsum filter
+    exactly — including score ties broken by id — while never sorting
+    globally (only the boundary bucket pays a window)."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        budget_select_by_score,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, rng.choice([0.1, 0.25, 0.5, 0.5, 0.9]), rng.randint(1, 50))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_toks long")
+
+    def oracle(budget):
+        cum, kept = 0, set()
+        for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if cum + w > budget:
+                break
+            cum += w
+            kept.add(i)
+        return kept
+
+    for budget in (0, 1, 137, 1500, 10**9):
+        got = {
+            r["doc_id"]
+            for r in budget_select_by_score(df, budget, n_buckets=8).collect()
+        }
+        assert got == oracle(budget), budget
