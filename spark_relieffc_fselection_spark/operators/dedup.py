@@ -355,6 +355,13 @@ def simhash_signatures(
         .distinct()
         .select("doc_id", md5_hash64(F.col("tok")).alias("hv"))
     )
+    # Explode to (doc, bit) vote rows + two groupBys. Looks like it
+    # shuffles n_tokens x bits rows, but partial aggregation combines
+    # map-side, so the exchange carries <= docs x bits tiny rows per
+    # partition regardless of token volume. The tempting alternative —
+    # `bits` conditional SUM aggregates in one groupBy — was measured
+    # 2x SLOWER at sf0.1 (1.8s vs 0.96s): 60 wide per-row aggregate
+    # updates lose to the narrow codegen'd explode pipeline.
     j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
     bit_votes = (
         tok.select("doc_id", "hv", j)
