@@ -272,10 +272,15 @@ def budget_select_by_score(
     """
     s, wcol = F.col(score_col), F.col(weight_col)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    probs_sql = ",".join(repr(p) for p in probs)
-    edge_rows = scored.agg(
-        F.expr(f"percentile_approx({score_col}, array({probs_sql}), 1000)")
-    ).first()[0]
+    if probs:
+        edge_rows = scored.agg(
+            F.expr(
+                f"percentile_approx({score_col}, "
+                f"array({','.join(repr(p) for p in probs)}), 1000)"
+            )
+        ).first()[0]
+    else:  # n_buckets=1: single bucket, the window does all the work
+        edge_rows = []
     edges = sorted({float(e) for e in (edge_rows or []) if e is not None})
     edges_lit = F.array(*[F.lit(e) for e in edges]) if edges else F.array().cast("array<double>")
     bucketed = scored.withColumn(

@@ -115,8 +115,13 @@ def test_budget_select_matches_global_cumsum(spark):
         return kept
 
     for budget in (0, 1, 137, 1500, 10**9):
-        got = {
-            r["doc_id"]
-            for r in budget_select_by_score(df, budget, n_buckets=8).collect()
-        }
-        assert got == oracle(budget), budget
+        expect = oracle(budget)
+        # bucket count is internal routing only — any value, same rows
+        for n_buckets in (1, 8, 200):
+            got = {
+                r["doc_id"]
+                for r in budget_select_by_score(
+                    df, budget, n_buckets=n_buckets
+                ).collect()
+            }
+            assert got == expect, (budget, n_buckets)
