@@ -545,3 +545,89 @@ def _all_pairs_cosine_numpy(c: DataFrame, threshold: float) -> DataFrame:
             )
 
     return c.mapInPandas(scan, schema="id_a long, id_b long, cosine double")
+
+
+# --- IVF index persistence (ANN serving path) ---------------------------------
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: normalized vectors partitioned
+    by ``list_id`` (``<path>/lists``) plus the tiny centroid table
+    (``<path>/centroids``).
+
+    ``partitionBy(list_id)`` is the load-bearing choice: each inverted
+    list becomes its own directory, so a probe that needs n_probe lists
+    reads n_probe/n_lists of the index — DIRECTORY-level pruning the
+    file index applies before a single row is read. Norms are computed
+    once at build time and stored (parquet round-trips doubles
+    bit-exactly), so serving never re-folds the vectors.
+    """
+    centroids, assign = ivf_assignments(corpus, centroid_stride, id_col, vec_col)
+    indexed = _prep_normed(corpus, id_col, vec_col, "vid", "vec", "nrm").join(
+        assign, "vid"
+    )
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_read(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve ANN from a persisted IVF index: rank centroids per query
+    (broadcast of the tiny centroid table), collect the union of
+    probed ``list_id``s (bounded by n_probe x |queries|), and read
+    ONLY those partitions — the literal ``isin`` predicate prunes at
+    the file index, so the scan's PartitionFilters (not a post-scan
+    filter) bound I/O. Returns (query_id, neighbor_id, cosine, rank),
+    identical to ``ivf_topk`` on the same corpus/parameters.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "q_nrm",
+            "centroid_id",
+            _cos("q_vec", "c_vec", "q_nrm", "c_nrm").alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "q_nrm", F.col("centroid_id").alias("list_id"))
+    ).cache()
+    lids = sorted(r["list_id"] for r in probes.select("list_id").distinct().collect())
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("list_id").isin(lids))
+        .select("list_id", F.col("vid").alias("neighbor_id"),
+                F.col("vec").alias("n_vec"), F.col("nrm").alias("n_nrm"))
+    )
+    pairs = lists.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out = (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            _cos("q_vec", "n_vec", "q_nrm", "n_nrm").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return out

@@ -120,3 +120,52 @@ def test_lsh_near_duplicates_kernels_agree(emb):
     a = sorted(map(tuple, lsh_near_duplicates(corpus, 0.2, kernel="numpy").collect()))
     b = sorted(map(tuple, lsh_near_duplicates(corpus, 0.2, kernel="sql").collect()))
     assert a == b and a
+
+
+def test_ivf_index_persist_probe_matches_online(spark, tmp_path):
+    """write_ivf_index + ivf_probe_read must serve results identical
+    to the online ivf_topk, while the probe scan PRUNES partitions
+    (directory-level, before any row is read)."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        ivf_probe_read,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 250 = 0")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, centroid_stride=25)
+
+    online = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, queries, k=5, centroid_stride=25, n_probe=2)
+            .select("query_id", "neighbor_id", "rank")
+            .collect(),
+        )
+    )
+    served_df = ivf_probe_read(spark, path, queries, k=5, n_probe=2)
+    served = sorted(
+        map(tuple, served_df.select("query_id", "neighbor_id", "rank").collect())
+    )
+    assert served == online and len(served) > 0
+
+    # pruning: the probed list_ids must reach the scan as
+    # PartitionFilters (applied at the file index, BEFORE any row is
+    # read) and must be a strict subset of the index's lists.
+    # (inputFiles() snapshots the file index pre-pruning, so the plan
+    # text is the authoritative check.)
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "list_id IN" in pf[1][:300] or "list_id#" in pf[1][:300]
+    n_lists = (
+        spark.read.parquet(f"{path}/lists").select("list_id").distinct().count()
+    )
+    import re
+
+    lids = {
+        int(x) for x in re.findall(r"(\d+)", pf[1][: pf[1].index("]")])
+    }
+    assert 0 < len(lids) < n_lists
