@@ -256,3 +256,72 @@ def test_substring_dedup_df_cap_drops_boilerplate(spark):
     assert shared_kgram_pairs(docs, k=10, df_cap=5).count() == 0
     # cap off: all C(6,2) pairs share the header run
     assert shared_kgram_pairs(docs, k=10, df_cap=None).count() == 15
+
+
+@pytest.mark.parametrize("seed", [2, 17])
+def test_substring_ops_match_bruteforce(spark, seed):
+    """Randomized property check: shared_kgram_pairs and
+    substring_contamination vs a direct python oracle on a small-vocab
+    corpus (lots of accidental k-gram collisions by construction)."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        shared_kgram_pairs,
+        substring_contamination,
+    )
+
+    k, rng = 4, random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs_py = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+
+    grams = {
+        i: {
+            p + 1: " ".join(t[p : p + k])
+            for p in range(max(len(t) - k + 1, 0))
+        }
+        for i, t in docs_py.items()
+    }
+    exp_pairs = {}
+    for a in docs_py:
+        for b in docs_py:
+            if a >= b:
+                continue
+            shared_a = {p: g for p, g in grams[a].items() if g in set(grams[b].values())}
+            shared_b = {p: g for p, g in grams[b].items() if g in set(grams[a].values())}
+            if shared_a:
+                exp_pairs[(a, b)] = (
+                    len(set(shared_a.values())),
+                    min(shared_a), max(shared_a) + k - 1,
+                    min(shared_b), max(shared_b) + k - 1,
+                )
+    got_pairs = {
+        (r["id_a"], r["id_b"]): (
+            r["n_shared_grams"], r["a_start"], r["a_end"], r["b_start"], r["b_end"]
+        )
+        for r in shared_kgram_pairs(df, k=k, df_cap=None).collect()
+    }
+    assert got_pairs == exp_pairs
+
+    exp_cov = {}
+    all_gram_docs = {}
+    for i, gs in grams.items():
+        for g in set(gs.values()):
+            all_gram_docs.setdefault(g, set()).add(i)
+    for i, gs in grams.items():
+        covered = set()
+        for p, g in gs.items():
+            if len(all_gram_docs[g]) > 1:
+                covered.update(range(p, p + k))
+        if covered:
+            exp_cov[i] = (len(docs_py[i]), len(covered))
+    got_cov = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"])
+        for r in substring_contamination(df, k=k, df_cap=None).collect()
+    }
+    assert got_cov == exp_cov
