@@ -208,3 +208,26 @@ def read_epoch_shuffle(spark: SparkSession, path: str) -> DataFrame:
     per-partition metadata order, not a cluster-wide shuffle — files
     are already stored sorted."""
     return spark.read.parquet(path).sortWithinPartitions("shard", "sort_key")
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    approx_rows: int | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Parquet sink that controls OUTPUT FILE COUNT — the small-file
+    guard every 100 TB pipeline needs: a filter-heavy stage upstream
+    leaves thousands of near-empty partitions, and writing them 1:1
+    floods the table with KB-sized files that tax every later file
+    listing and scan. One repartition to ceil(rows / target) files.
+
+    ``approx_rows`` (when the caller already knows it) skips the
+    count job. Round-robin repartition (no keys) gives uniform file
+    sizes regardless of upstream skew. Returns the file count used.
+    """
+    n = approx_rows if approx_rows is not None else df.count()
+    n_files = max(1, -(-n // max(1, target_rows_per_file)))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -225,3 +225,19 @@ def test_epoch_shuffle_roundtrip(spark, tmp_path):
     a = [r["doc_id"] for r in read_epoch_shuffle(spark, out).collect()]
     b = [r["doc_id"] for r in read_epoch_shuffle(spark, out2).collect()]
     assert a == b
+
+
+def test_write_sized_parquet_controls_file_count(spark, tmp_path):
+    from spark_relieffc_fselection_spark.sources import write_sized_parquet
+
+    df = spark.range(1000).repartition(64)  # 64 near-empty partitions
+    out = str(tmp_path / "sized")
+    n_files = write_sized_parquet(df, out, target_rows_per_file=300)
+    assert n_files == 4
+    import glob
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.rdd.getNumPartitions() <= 8  # read compact, not 64-way
