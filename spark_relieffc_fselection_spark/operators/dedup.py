@@ -871,3 +871,104 @@ def substring_contamination(
         "n_covered",
         F.round(F.col("n_covered") / F.col("n_tokens"), 6).alias("coverage"),
     )
+
+
+# --- Content-defined chunking (CDC) --------------------------------------------
+
+#: 1-in-this-many gram positions becomes a chunk boundary (expected
+#: chunk length in tokens); power of two like every CDC divisor.
+DEFAULT_CDC_DIVISOR = 16
+#: gram width for the boundary rolling hash
+CDC_GRAM = 3
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = DEFAULT_CDC_DIVISOR,
+    gram: int = CDC_GRAM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: split each document where the rolling
+    ``gram``-token hash ≡ 0 (mod ``divisor``) — boundaries follow the
+    CONTENT, so inserting a sentence shifts at most the chunks it
+    touches while every other chunk keeps its hash (the property that
+    makes chunk-level dedup robust to edits, unlike fixed-size
+    chunking where one insertion re-keys every later chunk; Rabin/CDC
+    as in LBFS and every dedup store since).
+
+    Returns ``(doc_id, chunk_idx, start_pos, n_chunk_tokens,
+    chunk_hash)`` — one row per chunk, ``chunk_hash`` over the
+    space-joined chunk tokens. Everything is per-row Catalyst array
+    math (token split evaluated ONCE per row — see word_shingles on
+    lambda capture): boundary flags -> running boundary count per
+    position (transform over an index sequence reading a let-bound
+    flags array) -> segment grouping, zero shuffle before any
+    downstream aggregation.
+    """
+    tk = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    t = F.col("t")
+    n = F.size(t)
+    # boundary AFTER position p (1-based) iff hash of gram starting at
+    # p ≡ 0 mod divisor; docs shorter than gram have no boundaries.
+    starts = F.when(
+        n >= gram, F.sequence(F.lit(1), n - (gram - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    bpos = F.filter(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("p"),
+                (
+                    F.pmod(md5_hash64(F.concat_ws(" ", F.slice(t, i, gram))), divisor)
+                    == 0
+                ).alias("b"),
+            ),
+        ),
+        lambda s: s["b"],
+    )
+    # segment id per token position = count of boundaries at positions
+    # < pos (boundary at p ends the chunk containing p). Let-bind the
+    # (tiny) boundary-position array, then one pass over positions.
+    seg = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda p: F.size(F.filter(F.col("_bp"), lambda b: b < p)),
+    )
+    with_seg = tk.withColumn(
+        "_bp", F.transform(bpos, lambda s: s["p"])
+    ).withColumn("_seg", seg)
+    # chunk rows: for each distinct segment id, slice its token span.
+    # Segment ids are 0..n_boundaries (consecutive), so chunks =
+    # transform over 0..size(_bp): start = (boundary[k-1]) + 1,
+    # end = boundary[k] (or n for the tail chunk).
+    nb = F.size(F.col("_bp"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), nb),
+        lambda k: F.struct(
+            k.alias("chunk_idx"),
+            F.when(k == 0, F.lit(1))
+            .otherwise(F.element_at(F.col("_bp"), k) + 1)
+            .alias("start"),
+            F.when(k == nb, n)
+            .otherwise(F.element_at(F.col("_bp"), k + F.lit(1)))
+            .alias("end"),
+        ),
+    )
+    return (
+        with_seg.withColumn("_c", F.explode(chunks))
+        .filter(F.col("_c.end") >= F.col("_c.start"))  # drop empty tail
+        .select(
+            "doc_id",
+            F.col("_c.chunk_idx").alias("chunk_idx"),
+            F.col("_c.start").alias("start_pos"),
+            (F.col("_c.end") - F.col("_c.start") + 1).alias("n_chunk_tokens"),
+            md5_hash64(
+                F.concat_ws(
+                    " ",
+                    F.slice(t, F.col("_c.start"), F.col("_c.end") - F.col("_c.start") + 1),
+                )
+            ).alias("chunk_hash"),
+        )
+    )

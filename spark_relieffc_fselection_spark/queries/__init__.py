@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "q95_substring_contamination",
     "q96_bigram_lm_quality",
     "q97_token_budget_selection",
+    "q98_cdc_chunking",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",
@@ -108,7 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "q58_streaming_sessions",
     "q63_frame_sample",
     "q64_streaming_interval_join",
-    "q65_embedding_quantization",
     # (q69/q70/q71 rotate out this round — r2-green and stable — to
     # keep the 50-entry driver window closed over everything above)
 )

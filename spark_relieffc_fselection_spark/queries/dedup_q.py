@@ -606,3 +606,54 @@ def q95_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_contamination(
         docs, k=KGRAM_K, gram_hashes=_kgrams(spark, sf_dir)
     )
+
+
+# --- Content-defined chunking (q98) -------------------------------------------
+
+CDC_DIV = 16
+CDC_G = 3
+
+
+@register(
+    "q98_cdc_chunking",
+    oracle=f"""
+    WITH ctoks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    bnd AS (
+      SELECT doc_id, t,
+             list_filter(
+               list_transform(
+                 generate_series(1, greatest(len(t) - {CDC_G - 1}, 0)),
+                 i -> CASE WHEN {_H64.format(x=f"array_to_string(list_slice(t, i, i + {CDC_G - 1}), ' ')")}
+                             % {CDC_DIV} = 0
+                      THEN i END),
+               x -> x IS NOT NULL) AS bp
+      FROM ctoks
+    ),
+    chunks AS (
+      SELECT doc_id, t, u.k AS chunk_idx,
+             CASE WHEN u.k = 0 THEN 1 ELSE bp[u.k] + 1 END AS start_pos,
+             CASE WHEN u.k = len(bp) THEN len(t) ELSE bp[u.k + 1] END AS end_pos
+      FROM bnd, LATERAL (SELECT unnest(generate_series(0, len(bp))) AS k) u
+    )
+    SELECT doc_id, chunk_idx, start_pos,
+           end_pos - start_pos + 1 AS n_chunk_tokens,
+           {_H64.format(x="array_to_string(list_slice(t, start_pos, end_pos), ' ')")} AS chunk_hash
+    FROM chunks WHERE end_pos >= start_pos
+    """,
+    doc="Content-defined chunking (Rabin/CDC as in LBFS and every dedup "
+        "store since): chunk boundaries fall where the rolling "
+        f"{CDC_G}-token hash is 0 mod {CDC_DIV}, so boundaries follow "
+        "the CONTENT — inserting a sentence re-keys only the chunks it "
+        "touches, while fixed-size chunking (q91) re-keys everything "
+        "after the edit. Chunk hashes feed chunk-level exact dedup "
+        "across shifted/edited near-duplicates. Entirely per-row "
+        "Catalyst array math (one token split per row, let-bound "
+        "boundary array), zero shuffle.",
+)
+def q98_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, divisor=CDC_DIV, gram=CDC_G)

@@ -325,3 +325,33 @@ def test_substring_ops_match_bruteforce(spark, seed):
         for r in substring_contamination(df, k=k, df_cap=None).collect()
     }
     assert got_cov == exp_cov
+
+
+def test_cdc_chunking_shift_robust(spark):
+    """The CDC property: inserting a sentence mid-document re-keys only
+    the chunks around the edit — most chunk hashes survive, which is
+    what makes chunk-level dedup catch shifted near-duplicates that
+    fixed-size chunking misses."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(41)
+    base = [rng.choice("abcdefgh") + str(rng.randint(0, 9)) for _ in range(400)]
+    edited = base[:200] + ["xx1", "yy2", "zz3"] + base[200:]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, divisor=8, gram=3).collect()
+    h = {1: set(), 2: set()}
+    tok_counts = {1: 0, 2: 0}
+    for r in rows:
+        h[r["doc_id"]].add(r["chunk_hash"])
+        tok_counts[r["doc_id"]] += r["n_chunk_tokens"]
+    # chunks tile the docs exactly
+    assert tok_counts == {1: 400, 2: 403}
+    # most chunks survive the insertion
+    shared = len(h[1] & h[2])
+    assert shared / len(h[1]) > 0.7, (shared, len(h[1]))
+    # and the docs do differ somewhere
+    assert h[1] != h[2]
