@@ -283,9 +283,16 @@ def budget_select_by_score(
         edge_rows = []
     edges = sorted({float(e) for e in (edge_rows or []) if e is not None})
     edges_lit = F.array(*[F.lit(e) for e in edges]) if edges else F.array().cast("array<double>")
+    # localCheckpoint: the result is built from TWO branches of this
+    # frame (whole buckets + boundary window), so an un-materialized
+    # plan would execute the caller's scoring subtree twice per
+    # action, while a cache() would leave a live entry taxing every
+    # later query's cache lookup. The checkpoint is distributed (the
+    # kept set is corpus-sized at a 30% budget — never driver-sized),
+    # lineage-free, and reclaimed when the returned frame is dropped.
     bucketed = scored.withColumn(
         "_bkt", F.size(F.filter(edges_lit, lambda e: s > e))
-    )
+    ).localCheckpoint()
     hist = {
         r["_bkt"]: r["w"]
         for r in bucketed.groupBy("_bkt").agg(F.sum(wcol).alias("w")).collect()

@@ -1117,12 +1117,12 @@ def q97_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     total = scored.agg(F.sum("n_toks")).first()[0]
     budget = int(total) * BUDGET_NUM // BUDGET_DEN
+    # budget_select_by_score localCheckpoints internally, so the
+    # returned frame is independent of `scored` — unpersist now, and
+    # the kept set stays DISTRIBUTED (it's ~30% of the corpus, never
+    # a localize candidate).
     kept = budget_select_by_score(scored, budget)
-    out = kept.select(
+    scored.unpersist()
+    return kept.select(
         "doc_id", F.round("score", 6).alias("score"), "n_toks"
     )
-    from spark_relieffc_fselection_spark.queries import localize
-
-    res = localize(out)
-    scored.unpersist()
-    return res
