@@ -166,6 +166,8 @@ def png_decode_gray(content: bytes) -> np.ndarray | None:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(colortype)
     if width is None or bitdepth != 8 or interlace != 0 or channels is None:
         return None
+    if width == 0 or height == 0:  # degenerate: pooling would yield NaNs
+        return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:

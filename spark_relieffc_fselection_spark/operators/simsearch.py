@@ -609,8 +609,14 @@ def ivf_probe_read(
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "q_vec", "q_nrm", F.col("centroid_id").alias("list_id"))
-    ).cache()
-    lids = sorted(r["list_id"] for r in probes.select("list_id").distinct().collect())
+    )
+    # Localize, not cache: the probe table is serving-batch-sized
+    # (|queries| x n_probe) and feeds both the list_id collection and
+    # the broadcast join — a LocalRelation costs no cache entry and
+    # no second computation of the centroid-ranking window.
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(probe_rows, schema=probes.schema)
+    lids = sorted({r["list_id"] for r in probe_rows})
     lists = (
         spark.read.parquet(f"{path}/lists")
         .filter(F.col("list_id").isin(lids))
