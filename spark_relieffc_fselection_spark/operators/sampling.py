@@ -1,0 +1,109 @@
+"""Deterministic corpus-sampling operators for training-data curation.
+
+Two ops a 100 TB pipeline needs that plain Bernoulli sampling (q80)
+can't provide:
+
+- ``weighted_sample_without_replacement`` — Efraimidis-Spiegelmann
+  reservoir keys: draw k rows with inclusion probability proportional
+  to a weight column, WITHOUT replacement, in one distributed pass.
+  The uniform draw is hash-derived (md5 of the row id), so the sample
+  is reproducible across runs, engines, and partitionings — the same
+  portability contract as q80's hash-uniform sampler.
+
+- ``cap_per_group`` — per-group frequency cap (e.g. at most N docs
+  per web domain, ranked by quality). The naive plan windows EVERY
+  group, which at web scale sorts billions of rows inside hot spam
+  domains. This implementation splits the input: groups already under
+  the cap pass through untouched (no sort), and only the over-cap
+  groups — identified by a cheap count aggregate whose result is
+  group-cardinality-sized, then broadcast — pay the per-group ranking.
+
+Both are compositions of built-in expressions; no Python kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+U24 = 1 << 24  # md5-derived uniforms use 24 bits, as in q80
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform in (0, 1) from a row id: 24 bits of the
+    row's md5, offset by 0.5 so 0 (whose log diverges) is unreachable.
+    Portable: DuckDB spells it
+    ``(('0x' || substr(md5(CAST(id AS VARCHAR)), 4, 6))::BIGINT + 0.5)
+    / 16777216.0``.
+    """
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 4, 6), 16, 10)
+    return (h.cast("bigint") + F.lit(0.5)) / F.lit(float(U24))
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis-Spiegelmann A-ES sampling: each row gets key
+    u^(1/w) with u ~ U(0,1); the k largest keys are a weight-
+    proportional sample without replacement.
+
+    Computed in log space (``ln(u)/w``, same ordering, numerically
+    stable for large weights) and ordered with an id tie-break. The
+    global top-k is a rank-k selection — Spark's sort-based TakeOrdered
+    keeps only k rows per partition, so no full sort materializes; at
+    1000 executors that is k rows/task then a k-row driver merge.
+
+    Rows with non-positive weight are excluded (their inclusion
+    probability is 0).
+
+    Returns the input columns plus ``ln_key`` (the selection key) and
+    ``rank`` (1 = largest key).
+    """
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("ln_key", F.log(hash_uniform(F.col(id_col))) / F.col(weight_col))
+    )
+    w = Window.orderBy(F.desc("ln_key"), F.asc(id_col))
+    # Single-partition window is fine HERE because the input to the
+    # rank is pre-pruned: orderBy+limit lets Spark push a per-partition
+    # top-k before the final merge. For clarity (and to pin that plan)
+    # we take the k rows first, then rank the k-row result.
+    topk = keyed.orderBy(F.desc("ln_key"), F.asc(id_col)).limit(k)
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, by rank under ``order_by``
+    (callers must include a unique tie-break column for determinism).
+
+    Skew-aware two-path plan: a count aggregate (map-side combined,
+    result is one row per group) finds the over-cap groups; that tiny
+    list broadcasts into a semi/anti join that routes rows. Under-cap
+    groups bypass ranking entirely — the common case for the long tail
+    of domains — so the per-group sort only ever touches the few hot
+    groups, and AQE's skew handling sees a far smaller window input.
+    """
+    over = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(group_col)
+    )
+    under_rows = df.join(F.broadcast(over), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    capped_rows = (
+        df.join(F.broadcast(over), group_col, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    # joins float the key column to the front; restore input order
+    return under_rows.unionByName(capped_rows).select(*df.columns)

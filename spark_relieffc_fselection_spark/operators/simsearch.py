@@ -637,3 +637,142 @@ def ivf_probe_read(
         .filter(F.col("rank") <= k)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-vector ANN tier.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: split the vector into
+    ``n_subspaces`` contiguous blocks; each subspace's codebook is the
+    corresponding sub-vectors of the first ``n_centroids`` id-stride
+    rows (``id % stride == 0 AND id < stride * n_centroids``) — the
+    same RNG-free centroid convention as the IVF tier, bounded by
+    construction regardless of corpus size.
+
+    The return value is driver-side on purpose: a codebook is
+    ``n_subspaces * n_centroids`` sub-vectors (KBs even at 256x256),
+    and shipping it as LITERAL arrays keeps both the encoder and the
+    ADC scorer pure per-row projections — zero joins, zero shuffles,
+    fully inside Catalyst.
+    """
+    rows = (
+        corpus.filter(
+            (F.col(id_col) % centroid_stride == 0)
+            & (F.col(id_col) < centroid_stride * n_centroids)
+        )
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("cid")
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    sub = dim // n_subspaces
+    return [
+        [list(r["v"][j * sub : (j + 1) * sub]) for r in rows]
+        for j in range(n_subspaces)
+    ]
+
+
+def _lit_matrix(m: list[list[float]]):
+    return F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in m])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` small codes: per subspace,
+    the index of the L2-nearest codebook entry (first-minimum =
+    lowest centroid index on ties).
+
+    Pure map — each row scans the literal codebook with array
+    expressions; 64 float dims become (say) 4 bytes of codes, a 64x
+    shuffle/storage reduction, which is what makes billion-vector
+    rescoring feasible. Output: (id, vec, code_0..code_{m-1}).
+    """
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col).alias("vec_id"), v.alias("vec")]
+    for j, cb in enumerate(codebooks):
+        s = F.slice(v, j * sub + 1, sub)
+        dists = F.transform(
+            _lit_matrix(cb),
+            lambda c: F.aggregate(
+                F.zip_with(s, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        code = F.array_position(dists, F.array_min(dists)) - 1
+        cols.append(code.cast("int").alias(f"code_{j}"))
+    return corpus.select(*cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    scored against exact query vectors through its RECONSTRUCTED
+    vectors (concatenated codebook entries), so distance quality
+    degrades only by quantization error while the corpus side never
+    touches the original floats after encoding.
+
+    Plan: encode (map) -> crossJoin(broadcast(queries)) -> per-row
+    squared-L2 against the reconstruction (map) -> per-query window
+    top-k. One scan, one broadcast, one bounded shuffle for the rank —
+    the same shape as ``brute_force_topk`` but with the corpus payload
+    shrunk from d floats to m codes.
+
+    Returns (query_id, neighbor_id, adc_dist, rank); rank 1 = nearest,
+    ties broken by neighbor id.
+    """
+    codebooks = pq_codebooks(
+        corpus, n_subspaces, n_centroids, centroid_stride, id_col, vec_col
+    )
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    recon = F.concat(
+        *[
+            F.element_at(_lit_matrix(cb), F.col(f"code_{j}") + 1)
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    enc = enc.select(
+        F.col("vec_id").alias("neighbor_id"), recon.alias("recon_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    pairs = enc.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    adc = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("recon_vec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

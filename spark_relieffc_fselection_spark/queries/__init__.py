@@ -57,13 +57,17 @@ _PRIORITY: tuple[str, ...] = (
     "q68_domain_mix",
     # fixed this round: oracle HUGEINT->BIGINT cast (r3's only red)
     "q82_filter_funnel",
-    # new this round: discretization front end, substring dedup
+    # new this round: discretization front end, substring dedup,
+    # PQ ANN tier, weighted sampling, per-domain cap
     "q93_quantile_discretize",
     "q94_substring_dedup",
     "q95_substring_contamination",
     "q96_bigram_lm_quality",
     "q97_token_budget_selection",
     "q98_cdc_chunking",
+    "q99_pq_ann",
+    "q100_weighted_sample",
+    "q101_domain_cap",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",
@@ -81,10 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "q02_groupby_agg",
     "q03_join_revenue_by_nation",
     "q04_window_topk",
-    "q05_global_topk",
     "q06_union_distinct",
-    "q07_semijoin",
-    "q08_antijoin",
     "q09_minmax_norm",
     "q10_label_priors",
     "q11_mod_sample_agg",
@@ -109,7 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "q58_streaming_sessions",
     "q63_frame_sample",
     "q64_streaming_interval_join",
-    # (q69/q70/q71 rotate out this round — r2-green and stable — to
+    # (q69/q70/q71 and q05/q07/q08 rotate out this round — r2-green,
+    # stable, and trivially covered by the local oracle sweep — to
     # keep the 50-entry driver window closed over everything above)
 )
 

@@ -512,3 +512,74 @@ def q88_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drift"),
     )
+
+
+PQ_M, PQ_SUB, PQ_NCENT, PQ_STRIDE = 4, 16, 8, 50
+
+
+@register(
+    "q99_pq_ann",
+    oracle=f"""
+    WITH {_INST},
+    subq AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+    cents AS (
+      SELECT j, id AS cid,
+             v[j * {PQ_SUB} + 1 : (j + 1) * {PQ_SUB}] AS cvec
+      FROM inst, subq
+      WHERE id % {PQ_STRIDE} = 0 AND id < {PQ_STRIDE * PQ_NCENT}
+    ),
+    dists AS (
+      SELECT i.id, c.j, c.cid, c.cvec,
+             list_sum(list_transform(generate_series(1, {PQ_SUB}),
+               t -> (i.v[c.j * {PQ_SUB} + t] - c.cvec[t])
+                    * (i.v[c.j * {PQ_SUB} + t] - c.cvec[t]))) AS d
+      FROM inst i CROSS JOIN cents c
+    ),
+    codes AS (
+      SELECT id, j, cvec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                     ORDER BY d ASC, cid ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT id, flatten(list(cvec ORDER BY j)) AS rv
+      FROM codes GROUP BY id
+    ),
+    adc AS (
+      SELECT q.id AS query_id, x.id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+               t -> (q.v[t] - x.rv[t]) * (q.v[t] - x.rv[t]))) AS adc_dist
+      FROM recon x JOIN inst q ON q.{QUERY_PRED_SQL} AND q.id <> x.id
+    )
+    SELECT query_id, neighbor_id, ROUND(adc_dist, 6) AS adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= {TOPK}
+    """,
+    doc="Product-quantization ANN (asymmetric distance): vectors split "
+        "into 4 subspaces, each encoded as the index of its nearest "
+        "deterministic stride-codebook entry, queries scored against the "
+        "reconstructions. The compressed tier for corpora whose float "
+        "vectors don't fit the cluster: the corpus payload shrinks d "
+        "floats -> m codes (16-64x) after ONE encoding pass, and both "
+        "encode and score are pure Catalyst array expressions over "
+        "literal codebooks — zero joins, zero Python. Exactly oracle-"
+        "able because the codebooks are RNG-free, like the IVF tier.",
+)
+def q99_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.simsearch import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb,
+        emb.filter(QUERY_PRED_SPARK()),
+        k=TOPK,
+        n_subspaces=PQ_M,
+        n_centroids=PQ_NCENT,
+        centroid_stride=PQ_STRIDE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
+    )

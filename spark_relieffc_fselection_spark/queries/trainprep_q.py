@@ -1126,3 +1126,95 @@ def q97_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", F.round("score", 6).alias("score"), "n_toks"
     )
+
+
+_WS_K = 50
+_U_SQL = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 6))::BIGINT + 0.5)"
+    f" / {U24}.0)"
+)
+
+
+@register(
+    "q100_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln({_U_SQL}) / n_chars AS ln_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, ROUND(ln_key, 6) AS ln_key, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY ln_key DESC, doc_id ASC) AS rank
+      FROM keyed
+    ) WHERE rank <= {_WS_K}
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spiegelmann "
+        "A-ES): key = ln(u)/w with hash-derived u, global top-k by key "
+        "is a w-proportional sample — here w = n_chars, i.e. length-"
+        "proportional document selection, the distribution token-level "
+        "uniform sampling induces. Unlike q80's Bernoulli sampler the "
+        "output size is EXACT (k rows), and unlike replacement sampling "
+        "no document repeats. Distributed as a rank-k selection: "
+        "per-partition top-k then a k-row merge, no global sort.",
+)
+def q100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = weighted_sample_without_replacement(docs, "n_chars", _WS_K)
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("ln_key", 6).alias("ln_key"), "rank"
+    )
+
+
+_CAP = 15
+
+
+@register(
+    "q101_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept
+    FROM ranked GROUP BY source
+    """,
+    doc="Per-domain frequency cap (web-crawl curation: at most N docs "
+        "per domain, best-quality first — here quality = n_chars with "
+        "doc_id tie-break). The operator routes rows by a broadcast "
+        "over-cap group list so that UNDER-cap domains — the long tail "
+        "— never enter a window sort; only hot domains pay per-group "
+        "ranking. At 100 TB that's the difference between sorting a "
+        "spam domain's billion rows and sorting nothing for 99% of "
+        "domains. Output is the per-source audit (total/kept/chars).",
+)
+def q101_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    kept = cap_per_group(
+        docs, "source", _CAP, [F.desc("n_chars"), F.asc("doc_id")]
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return totals.join(kept_agg, "source").select(
+        "source", "n_total", "n_kept", "chars_kept"
+    )

@@ -169,3 +169,84 @@ def test_ivf_index_persist_probe_matches_online(spark, tmp_path):
         int(x) for x in re.findall(r"(\d+)", pf[1][: pf[1].index("]")])
     }
     assert 0 < len(lids) < n_lists
+
+
+def test_pq_topk_matches_numpy_reconstruction(emb, queries):
+    """PQ ADC top-k must equal a numpy re-derivation: stride codebooks,
+    first-minimum codes, squared-L2 against reconstructions."""
+    from spark_relieffc_fselection_spark.operators.simsearch import pq_topk
+
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    m, nc, stride = 4, 8, 50
+    sub = V.shape[1] // m
+    C = V[(ids % stride == 0) & (ids < stride * nc)]
+    recon = np.zeros_like(V)
+    for j in range(m):
+        sl = slice(j * sub, (j + 1) * sub)
+        d = ((V[:, None, sl] - C[None, :, sl]) ** 2).sum(-1)
+        recon[:, sl] = C[d.argmin(1)][:, sl]  # argmin = lowest index on ties
+    exp = set()
+    for qi in ids[ids % 50 == 0]:
+        qv = V[ids == qi][0]
+        dist = ((qv[None, :] - recon) ** 2).sum(1)
+        mask = ids != qi
+        cand = sorted(zip(dist[mask], ids[mask]))
+        exp |= {(int(qi), int(n), r) for r, (_, n) in enumerate(cand[:5], 1)}
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq_topk(emb, queries, k=5, n_centroids=nc,
+                         centroid_stride=stride).collect()
+    }
+    assert got == exp
+
+
+def test_pq_recall_improves_with_codebook_size(emb, queries):
+    """More centroids -> finer quantization -> recall@10 vs exact
+    should not degrade (and the tiny codebook must stay above chance)."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    # exact squared-L2 neighbors == cosine ranks only for normalized
+    # vectors, so compare within PQ: recall vs the exact-L2 ranking.
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    exact = {}
+    for qi in ids[ids % 50 == 0]:
+        qv = V[ids == qi][0]
+        dist = ((qv[None, :] - V) ** 2).sum(1)
+        mask = ids != qi
+        exact[int(qi)] = {int(n) for _, n in sorted(zip(dist[mask], ids[mask]))[:10]}
+
+    def recall(nc):
+        got = _topk_sets(
+            pq_topk(emb, queries, k=10, n_centroids=nc, centroid_stride=7).collect()
+        )
+        hits = sum(len(got[q] & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r_small, r_big = recall(4), recall(32)
+    assert r_big >= r_small
+    # synthetic embeddings are near-isotropic (worst case for PQ);
+    # chance recall@10 is 10/499 ~ 0.02 — require 5x chance
+    assert r_big > 0.1
+
+
+def test_pq_encode_plan_is_scan_only(emb):
+    """Encoding must be a pure projection over the scan: no Exchange,
+    no Join — the property that lets it run as one map stage at 100 TB."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cbs = pq_codebooks(emb)
+    plan = pq_encode(emb, cbs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
