@@ -729,6 +729,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    strategy: str = "recon",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
     scored against exact query vectors through its RECONSTRUCTED
@@ -742,27 +743,145 @@ def pq_topk(
     the same shape as ``brute_force_topk`` but with the corpus payload
     shrunk from d floats to m codes.
 
+    ``strategy='lut'`` is the production ADC trick: each query
+    precomputes its per-subspace distance table (n_subspaces x
+    n_centroids doubles, materialized ONCE in the broadcast relation),
+    and the per-pair score collapses to m table lookups + m adds
+    instead of d multiplies — a ~(d/m)x FLOP cut on the corpus-sized
+    hot loop. Per-subspace partial distances are summed in subspace
+    order, which can differ from the recon strategy's element-order
+    fold by float rounding in the last ulp; rankings agree except on
+    exact ADC ties, so the ORACLE-paired query pins 'recon' and the
+    equivalence is pytest-pinned instead.
+
     Returns (query_id, neighbor_id, adc_dist, rank); rank 1 = nearest,
     ties broken by neighbor id.
     """
+    if strategy not in ("recon", "lut"):
+        raise ValueError(f"unknown pq_topk strategy: {strategy!r}")
     codebooks = pq_codebooks(
         corpus, n_subspaces, n_centroids, centroid_stride, id_col, vec_col
     )
     enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    sub = len(codebooks[0][0])
+    q_vec = F.col(vec_col).cast("array<double>")
+    if strategy == "recon":
+        recon = F.concat(
+            *[
+                F.element_at(_lit_matrix(cb), F.col(f"code_{j}") + 1)
+                for j, cb in enumerate(codebooks)
+            ]
+        )
+        enc = enc.select(
+            F.col("vec_id").alias("neighbor_id"), recon.alias("recon_vec")
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), q_vec.alias("q_vec")
+        )
+        pairs = enc.crossJoin(F.broadcast(q))
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"), F.col("recon_vec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        # Per-query LUT: lut_j[c] = ||q_sub_j - codebook_j[c]||^2,
+        # computed on the (tiny) query side so the broadcast ships
+        # materialized tables, never the formula.
+        lut_cols = [F.col(id_col).alias("query_id")]
+        for j, cb in enumerate(codebooks):
+            s = F.slice(q_vec, j * sub + 1, sub)
+            lut_cols.append(
+                F.transform(
+                    _lit_matrix(cb),
+                    lambda c: F.aggregate(
+                        F.zip_with(s, c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ).alias(f"lut_{j}")
+            )
+        q = queries.select(*lut_cols)
+        enc = enc.select(
+            F.col("vec_id").alias("neighbor_id"),
+            *[F.col(f"code_{j}") for j in range(len(codebooks))],
+        )
+        pairs = enc.crossJoin(F.broadcast(q))
+        adc = None
+        for j in range(len(codebooks)):
+            term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+            adc = term if adc is None else adc + term
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    ivf_stride: int = 50,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    pq_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN shape (FAISS IVFPQ).
+    IVF bounds WHICH rows are scored (each query touches only its
+    n_probe inverted lists, ~n_probe/n_lists of the corpus) and PQ
+    bounds WHAT is scored (m codes instead of d floats), so scan cost
+    and memory shrink independently.
+
+    Plan: one corpus pass computes both the IVF assignment (broadcast
+    stride-centroid argmax) and the PQ reconstruction (literal-codebook
+    map); queries rank centroids against the same broadcast; the
+    probe table joins candidates by ``list_id`` (broadcast,
+    |queries| x n_probe rows); ADC + per-query window top-k. At scale
+    the lists are the bucketing key (see ``write_ivf_index``) and the
+    probe join prunes partitions before any distance math.
+
+    Returns (query_id, neighbor_id, adc_dist, rank).
+    """
+    centroids, assign = ivf_assignments(corpus, ivf_stride, id_col, vec_col)
+    codebooks = pq_codebooks(
+        corpus, n_subspaces, n_centroids, pq_stride, id_col, vec_col
+    )
     recon = F.concat(
         *[
             F.element_at(_lit_matrix(cb), F.col(f"code_{j}") + 1)
             for j, cb in enumerate(codebooks)
         ]
     )
-    enc = enc.select(
-        F.col("vec_id").alias("neighbor_id"), recon.alias("recon_vec")
+    enc = (
+        pq_encode(corpus, codebooks, id_col, vec_col)
+        .select(F.col("vec_id").alias("neighbor_id"), recon.alias("recon_vec"))
+        .join(assign.withColumnRenamed("vid", "neighbor_id"), "neighbor_id")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            _cos("q_vec", "c_vec", "q_nrm", "c_nrm").alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("list_id"))
     )
-    pairs = enc.crossJoin(F.broadcast(q))
+    pairs = enc.join(F.broadcast(probes), "list_id")
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     adc = F.aggregate(

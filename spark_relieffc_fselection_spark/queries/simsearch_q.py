@@ -583,3 +583,100 @@ def q99_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
     )
+
+
+@register(
+    "q102_ivfpq_ann",
+    oracle=f"""
+    WITH {_INST},
+    icents AS (
+      SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM normed
+      WHERE id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT id AS vid, list_id FROM (
+        SELECT a.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                 (CASE WHEN a.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*c.cv[i]))
+                            / (a.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed a, icents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, list_id FROM (
+        SELECT q.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+                 (CASE WHEN q.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*c.cv[i]))
+                            / (q.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed q, icents c
+        WHERE q.{QUERY_PRED_SQL}
+      ) WHERE rn <= {IVF_PROBE}
+    ),
+    subq AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+    pqcents AS (
+      SELECT j, id AS cid,
+             v[j * {PQ_SUB} + 1 : (j + 1) * {PQ_SUB}] AS cvec
+      FROM inst, subq
+      WHERE id % {PQ_STRIDE} = 0 AND id < {PQ_STRIDE * PQ_NCENT}
+    ),
+    pqdists AS (
+      SELECT i.id, c.j, c.cid, c.cvec,
+             list_sum(list_transform(generate_series(1, {PQ_SUB}),
+               t -> (i.v[c.j * {PQ_SUB} + t] - c.cvec[t])
+                    * (i.v[c.j * {PQ_SUB} + t] - c.cvec[t]))) AS d
+      FROM inst i CROSS JOIN pqcents c
+    ),
+    codes AS (
+      SELECT id, j, cvec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id, j
+                                     ORDER BY d ASC, cid ASC) AS rn
+        FROM pqdists
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT id, flatten(list(cvec ORDER BY j)) AS rv
+      FROM codes GROUP BY id
+    ),
+    adc AS (
+      SELECT p.query_id, x.id AS neighbor_id,
+             list_sum(list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+               t -> (q.v[t] - x.rv[t]) * (q.v[t] - x.rv[t]))) AS adc_dist
+      FROM recon x
+      JOIN assign ON assign.vid = x.id
+      JOIN probes p ON p.list_id = assign.list_id
+      JOIN inst q ON q.id = p.query_id AND x.id <> q.id
+    )
+    SELECT query_id, neighbor_id, ROUND(adc_dist, 6) AS adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= {TOPK}
+    """,
+    doc="IVF-PQ composed ANN (the FAISS-IVFPQ production shape): IVF "
+        "probing bounds WHICH rows each query scores (n_probe inverted "
+        "lists, partition-prunable at scale) while PQ bounds WHAT is "
+        "scored (m codes + reconstruction instead of d floats). One "
+        "corpus pass computes assignment and codes together; both "
+        "reductions compose multiplicatively, which is why this is the "
+        "default shape for billion-vector serving. Deterministic "
+        "centroids/codebooks keep it exactly oracle-able.",
+)
+def q102_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.simsearch import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        emb,
+        emb.filter(QUERY_PRED_SPARK()),
+        k=TOPK,
+        n_probe=IVF_PROBE,
+        ivf_stride=IVF_STRIDE,
+        n_subspaces=PQ_M,
+        n_centroids=PQ_NCENT,
+        pq_stride=PQ_STRIDE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
+    )

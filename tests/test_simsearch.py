@@ -250,3 +250,75 @@ def test_pq_encode_plan_is_scan_only(emb):
     plan = pq_encode(emb, cbs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pq_lut_strategy_matches_recon(emb, queries):
+    """The LUT scoring path (per-subspace table lookups) must produce
+    the same ranking as the recon path; distances may differ by float
+    association only."""
+    from spark_relieffc_fselection_spark.operators.simsearch import pq_topk
+
+    a = pq_topk(emb, queries, k=10, strategy="recon").collect()
+    b = pq_topk(emb, queries, k=10, strategy="lut").collect()
+    ka = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in a)
+    kb = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in b)
+    assert ka == kb
+    da = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in a}
+    db = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in b}
+    for key, v in da.items():
+        assert abs(v - db[key]) < 1e-9 * max(1.0, abs(v))
+
+
+def test_pq_topk_rejects_unknown_strategy(emb, queries):
+    from spark_relieffc_fselection_spark.operators.simsearch import pq_topk
+
+    with pytest.raises(ValueError):
+        pq_topk(emb, queries, strategy="nope")
+
+
+def test_ivfpq_matches_numpy_composition(emb, queries):
+    """IVF-PQ = (numpy IVF candidate restriction) o (numpy PQ ADC)."""
+    from spark_relieffc_fselection_spark.operators.simsearch import ivfpq_topk
+
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    m, nc, pq_stride, ivf_stride, n_probe, k = 4, 8, 50, 50, 4, 5
+    sub = V.shape[1] // m
+
+    # PQ reconstruction (first-minimum codes, stride codebook)
+    C = V[(ids % pq_stride == 0) & (ids < pq_stride * nc)]
+    recon = np.zeros_like(V)
+    for j in range(m):
+        sl = slice(j * sub, (j + 1) * sub)
+        d = ((V[:, None, sl] - C[None, :, sl]) ** 2).sum(-1)
+        recon[:, sl] = C[d.argmin(1)][:, sl]
+
+    # IVF assignment by cosine to ALL stride centroids (lowest id ties)
+    cids = ids[ids % ivf_stride == 0]
+    CV = V[ids % ivf_stride == 0]
+    nrm = np.linalg.norm(V, axis=1)
+    cnrm = np.linalg.norm(CV, axis=1)
+    with np.errstate(invalid="ignore"):
+        cos = np.where(
+            (nrm[:, None] * cnrm[None, :]) == 0,
+            0.0,
+            (V @ CV.T) / (nrm[:, None] * cnrm[None, :]),
+        )
+    assign = cids[cos.argmax(1)]  # argmax = lowest index on ties
+
+    exp = set()
+    for qi in ids[ids % 50 == 0]:
+        qrow = np.flatnonzero(ids == qi)[0]
+        probed = cids[np.argsort(-cos[qrow], kind="stable")[:n_probe]]
+        cand = np.isin(assign, probed) & (ids != qi)
+        dist = ((V[qrow][None, :] - recon[cand]) ** 2).sum(1)
+        ranked = sorted(zip(dist, ids[cand]))
+        exp |= {(int(qi), int(n), r) for r, (_, n) in enumerate(ranked[:k], 1)}
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivfpq_topk(emb, queries, k=k, n_probe=n_probe).collect()
+    }
+    assert got == exp
