@@ -895,3 +895,133 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    ivf_stride: int = 50,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    pq_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index: per-row PQ codes partitioned by
+    IVF ``list_id`` (``<path>/lists``), the centroid table
+    (``<path>/centroids``), and the codebooks (``<path>/codebooks``,
+    one row per (subspace, centroid_index)).
+
+    The stored lists carry ONLY (id, code_0..code_{m-1}) — m small
+    ints per vector. That is the 100 TB contract: the float corpus is
+    read exactly once (at build), and every probe afterwards reads a
+    directory-pruned subset of a codes-only table 16-64x smaller than
+    the raw vectors.
+    """
+    centroids, assign = ivf_assignments(corpus, ivf_stride, id_col, vec_col)
+    codebooks = pq_codebooks(
+        corpus, n_subspaces, n_centroids, pq_stride, id_col, vec_col
+    )
+    enc = pq_encode(corpus, codebooks, id_col, vec_col).drop("vec")
+    (
+        enc.join(assign.withColumnRenamed("vid", "vec_id"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    cb_rows = [
+        (j, c, codebooks[j][c])
+        for j in range(len(codebooks))
+        for c in range(len(codebooks[j]))
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, centroid int, vec array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_probe_read(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Serve ANN from a persisted IVF-PQ index: rank centroids per
+    query (broadcast), read ONLY the probed list partitions
+    (directory-level pruning, like ``ivf_probe_read``), and score via
+    per-query LUTs built from the stored codebooks — the serving path
+    never touches a full-precision corpus vector.
+
+    Returns (query_id, neighbor_id, adc_dist, rank), identical to
+    ``ivfpq_topk`` up to float association of the LUT sum (rankings
+    agree; see ``pq_topk`` strategy notes).
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    n_sub = 1 + max(r["subspace"] for r in cb_rows)
+    codebooks = [
+        [list(r["vec"]) for r in sorted(
+            (r for r in cb_rows if r["subspace"] == j),
+            key=lambda r: r["centroid"],
+        )]
+        for j in range(n_sub)
+    ]
+    sub = len(codebooks[0][0])
+    q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    lut_cols = ["query_id"]
+    for j, cb in enumerate(codebooks):
+        s = F.slice(F.col("q_vec"), j * sub + 1, sub)
+        lut_cols.append(
+            F.transform(
+                _lit_matrix(cb),
+                lambda c: F.aggregate(
+                    F.zip_with(s, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ).alias(f"lut_{j}")
+        )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            _cos("q_vec", "c_vec", "q_nrm", "c_nrm").alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(*lut_cols, F.col("centroid_id").alias("list_id"))
+    )
+    # Localize (serving-batch-sized), exactly like ivf_probe_read.
+    probe_rows = probes.collect()
+    probes = spark.createDataFrame(probe_rows, schema=probes.schema)
+    lids = sorted({r["list_id"] for r in probe_rows})
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("list_id").isin(lids))
+        .select(
+            "list_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[F.col(f"code_{j}") for j in range(n_sub)],
+        )
+    )
+    pairs = lists.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    adc = None
+    for j in range(n_sub):
+        term = F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}") + 1)
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

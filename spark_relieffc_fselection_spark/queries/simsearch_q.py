@@ -572,6 +572,11 @@ def q99_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.operators.simsearch import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # 'lut' is the production scorer (m lookups/pair; measured 1.8x
+    # faster warmed at sf0.1 — the fold cost it removes grows with d);
+    # it differs from the oracle's element-order recon fold only in
+    # float association (equivalence pinned in test_simsearch), and the
+    # 6-decimal round absorbs the last-ulp delta.
     out = pq_topk(
         emb,
         emb.filter(QUERY_PRED_SPARK()),
@@ -579,6 +584,7 @@ def q99_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_subspaces=PQ_M,
         n_centroids=PQ_NCENT,
         centroid_stride=PQ_STRIDE,
+        strategy="lut",
     )
     return out.select(
         "query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"

@@ -322,3 +322,44 @@ def test_ivfpq_matches_numpy_composition(emb, queries):
         for r in ivfpq_topk(emb, queries, k=k, n_probe=n_probe).collect()
     }
     assert got == exp
+
+
+def test_ivfpq_index_persist_probe_matches_online(spark, tmp_path):
+    """write_ivfpq_index + ivfpq_probe_read must serve the same ranking
+    as the online ivfpq_topk (ADC sums differ only by float
+    association), while scanning only probed list partitions of a
+    codes-only table."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        ivfpq_probe_read,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 250 = 0")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, ivf_stride=25)
+
+    online = sorted(
+        map(
+            tuple,
+            ivfpq_topk(emb, queries, k=5, n_probe=2, ivf_stride=25)
+            .select("query_id", "neighbor_id", "rank")
+            .collect(),
+        )
+    )
+    served_df = ivfpq_probe_read(spark, path, queries, k=5, n_probe=2)
+    served = sorted(
+        map(tuple, served_df.select("query_id", "neighbor_id", "rank").collect())
+    )
+    assert served == online and len(served) > 0
+
+    # stored lists carry codes only (no float vectors)...
+    lists_schema = spark.read.parquet(f"{path}/lists").schema
+    assert "vec" not in [f.name for f in lists_schema]
+    assert any(f.name.startswith("code_") for f in lists_schema)
+    # ...and the probe scan partition-prunes on list_id
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "list_id" in pf[1][:300]
