@@ -113,6 +113,51 @@ def main() -> None:
     bench("knn exact (quadratic: Q and N both grow)", knn_exact)
     bench("knn lsh (bucketed tier)", knn_lsh)
 
+    # PQ family: fixed query load, corpus grows -> expect ~linear for
+    # encode+score (the whole point of the compressed tier), with the
+    # IVF-PQ probe scanning only ~n_probe/n_lists of the growth
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb_queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def emb_k(kk: int) -> DataFrame:
+        return replicate(emb, kk, "vec_id", n_inst)
+
+    _cbs = pq_codebooks(emb)
+    bench("pq_encode (scan-bound)", lambda kk: pq_encode(emb_k(kk), _cbs))
+    bench(
+        "pq_topk lut (corpus grows, queries fixed)",
+        lambda kk: pq_topk(emb_k(kk), emb_queries, k=10, strategy="lut"),
+    )
+    bench(
+        "ivfpq_topk (probe-bounded)",
+        lambda kk: ivfpq_topk(emb_k(kk), emb_queries, k=10),
+    )
+
+    # sampling family: ES top-k is a per-partition rank-k + k-row
+    # merge (~linear scan, constant merge); the cap routes by a
+    # broadcast over-cap list (shuffle-bound on hot groups only)
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        cap_per_group,
+        weighted_sample_without_replacement,
+    )
+
+    bench(
+        "weighted_sample (rank-k, no global sort)",
+        lambda kk: weighted_sample_without_replacement(docs_k(kk), "n_chars", 50),
+    )
+    bench(
+        "cap_per_group (skew-routed)",
+        lambda kk: cap_per_group(
+            docs_k(kk), "source", 15, [F.desc("n_chars"), F.asc("doc_id")]
+        ),
+    )
+
     # the full fit: estimationRatio fixed, so the sample grows with the
     # corpus and the within-batch kNN grid is the quadratic term; the
     # lsh strategy is the tier that bounds it

@@ -107,3 +107,34 @@ def cap_per_group(
     )
     # joins float the key column to the front; restore input order
     return under_rows.unionByName(capped_rows).select(*df.columns)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stratified A-ES: an independent weight-proportional sample
+    without replacement of size ``k_per_group`` inside EVERY group
+    (short groups return whole). The per-group exact-k guarantee is
+    what the global sampler can't give a mixture recipe: "5 docs per
+    domain, length-weighted" needs rank-k within strata.
+
+    One window over the group key; at scale the rank input can first
+    be thinned with ``cap_per_group``-style routing if single groups
+    are huge, but unlike the global sampler the sort here is already
+    group-local (never a single-partition bottleneck).
+    """
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(
+            "ln_key", F.log(hash_uniform(F.col(id_col))) / F.col(weight_col)
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("ln_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_group)
+    )

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "q100_weighted_sample",
     "q101_domain_cap",
     "q102_ivfpq_ann",
+    "q103_stratified_weighted_sample",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",
@@ -85,7 +86,6 @@ _PRIORITY: tuple[str, ...] = (
     "q01_pruned_scan",
     "q02_groupby_agg",
     "q03_join_revenue_by_nation",
-    "q06_union_distinct",
     "q09_minmax_norm",
     "q10_label_priors",
     "q11_mod_sample_agg",
@@ -110,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "q58_streaming_sessions",
     "q63_frame_sample",
     "q64_streaming_interval_join",
-    # (q69/q70/q71 and q04/q05/q07/q08 rotate out this round —
+    # (q69/q70/q71 and q04/q05/q06/q07/q08 rotate out this round —
     # r2-green, stable, and trivially covered by the local oracle
     # sweep — keeping the 50-entry driver window closed over
     # everything above)

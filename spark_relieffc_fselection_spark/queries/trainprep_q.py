@@ -1218,3 +1218,43 @@ def q101_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(kept_agg, "source").select(
         "source", "n_total", "n_kept", "chars_kept"
     )
+
+
+_WSG_K = 5
+
+
+@register(
+    "q103_stratified_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln({_U_SQL}) / n_chars AS ln_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, ROUND(ln_key, 6) AS ln_key, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY ln_key DESC, doc_id ASC) AS rank
+      FROM keyed
+    ) WHERE rank <= {_WSG_K}
+    """,
+    doc="Stratified weighted sampling: an independent Efraimidis-"
+        "Spiegelmann length-weighted sample of exactly k docs inside "
+        "EVERY source — the 'n docs per domain, quality-weighted' "
+        "primitive mixture recipes need. Same hash-reproducible keys "
+        "as q100 but ranked within strata, so the sort is group-local "
+        "(one shuffle by source, never a single-partition rank).",
+)
+def q103_stratified_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = weighted_sample_per_group(docs, "source", "n_chars", _WSG_K)
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("ln_key", 6).alias("ln_key"), "rank"
+    )

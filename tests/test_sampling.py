@@ -104,3 +104,37 @@ def test_cap_per_group_routes_only_hot_groups(spark):
         by_g.setdefault(r["g"], []).append(r["v"])
     assert sorted(by_g["hot"]) == list(range(7))  # lowest-v first
     assert sum(len(v) for g, v in by_g.items() if g != "hot") == 30
+
+
+def test_weighted_sample_per_group_exact_k_and_oracle(spark, docs):
+    import hashlib
+    import math
+
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    k = 4
+    got = weighted_sample_per_group(docs, "source", "n_chars", k)
+    rows = got.collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append((r["rank"], r["doc_id"]))
+    # exact k per group (groups with >= k eligible rows)
+    counts = {
+        r["source"]: r["count"]
+        for r in docs.filter("n_chars > 0").groupBy("source").count().collect()
+    }
+    for g, members in per_group.items():
+        assert len(members) == min(k, counts[g])
+        assert sorted(r for r, _ in members) == list(range(1, len(members) + 1))
+    # Python re-derivation of the keys selects the same members
+    exp = {}
+    for r in docs.filter("n_chars > 0").collect():
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[3:9], 16)
+        key = math.log((h + 0.5) / (1 << 24)) / r["n_chars"]
+        exp.setdefault(r["source"], []).append((-key, r["doc_id"]))
+    for g, members in exp.items():
+        members.sort()
+        want = [(i + 1, doc) for i, (_, doc) in enumerate(members[:k])]
+        assert sorted(per_group[g]) == want, g
