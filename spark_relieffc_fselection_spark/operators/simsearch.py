@@ -897,6 +897,30 @@ def ivfpq_topk(
     )
 
 
+def _centroid_assign_expr(cent_rows, vec_colname: str = "vec"):
+    """Nearest-centroid ``list_id`` as a pure literal expression over a
+    row's vector column: same cosine fold order and zero-norm handling
+    as ``ivf_assignments`` (bit-identical sims), ties to the lowest
+    centroid_id via first-maximum over the id-sorted literal array.
+    ``cent_rows`` must be sorted by centroid_id and carry
+    (centroid_id, c_vec, c_nrm)."""
+    v = F.col(vec_colname)
+    nrm = l2_norm(v)
+    sims = F.array(
+        *[
+            F.when(nrm * F.lit(float(r["c_nrm"])) == 0.0, F.lit(0.0)).otherwise(
+                dot_product(v, F.array(*[F.lit(float(x)) for x in r["c_vec"]]))
+                / (nrm * F.lit(float(r["c_nrm"])))
+            )
+            for r in cent_rows
+        ]
+    )
+    cid_lits = F.array(*[F.lit(int(r["centroid_id"])) for r in cent_rows])
+    return F.element_at(
+        cid_lits, F.array_position(sims, F.array_max(sims)).cast("int")
+    )
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -917,14 +941,23 @@ def write_ivfpq_index(
     read exactly once (at build), and every probe afterwards reads a
     directory-pruned subset of a codes-only table 16-64x smaller than
     the raw vectors.
+
+    Codes AND list assignment are computed in one joinless projection:
+    the centroid table is literal-bound (it is bounded by the same
+    serving contract that broadcasts it on every probe), which both
+    keeps the build a single map stage and sidesteps a Catalyst
+    self-join attribute-dedup failure on corpora with union/withColumn
+    lineage (lambda-bound attributes inside the PQ expressions).
     """
-    centroids, assign = ivf_assignments(corpus, ivf_stride, id_col, vec_col)
+    centroids, _ = ivf_assignments(corpus, ivf_stride, id_col, vec_col)
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     codebooks = pq_codebooks(
         corpus, n_subspaces, n_centroids, pq_stride, id_col, vec_col
     )
-    enc = pq_encode(corpus, codebooks, id_col, vec_col).drop("vec")
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
     (
-        enc.join(assign.withColumnRenamed("vid", "vec_id"), "vec_id")
+        enc.withColumn("list_id", _centroid_assign_expr(cent_rows))
+        .drop("vec")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
@@ -1024,4 +1057,49 @@ def ivfpq_probe_read(
         pairs.select("query_id", "neighbor_id", adc.alias("adc_dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_index_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add a batch to a persisted IVF-PQ index: encode
+    with the STORED codebooks, assign against the STORED centroids,
+    and append only the new rows' list partitions.
+
+    This is the ingest path a growing corpus needs — the existing
+    index is never re-read or re-written (parquet append touches only
+    the affected list_id directories), and the whole batch transform
+    is ONE projection: codes and list assignment both come from
+    literal tables (the centroid table is bounded by the same
+    serving contract that broadcasts it on every probe), so there is
+    no join at all — the same zero-shuffle shape as ``pq_encode``.
+    Centroids/codebooks stay frozen (standard IVF-PQ practice:
+    retrain/rebuild only on drift — q88's monitor is the trigger
+    signal).
+    """
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    n_sub = 1 + max(r["subspace"] for r in cb_rows)
+    codebooks = [
+        [list(r["vec"]) for r in sorted(
+            (r for r in cb_rows if r["subspace"] == j),
+            key=lambda r: r["centroid"],
+        )]
+        for j in range(n_sub)
+    ]
+    enc = pq_encode(batch, codebooks, id_col, vec_col)
+    (
+        enc.withColumn("list_id", _centroid_assign_expr(cent_rows))
+        .drop("vec")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
     )

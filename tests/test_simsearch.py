@@ -363,3 +363,52 @@ def test_ivfpq_index_persist_probe_matches_online(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)
     assert len(pf) == 2, plan
     assert "list_id" in pf[1][:300]
+
+
+def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
+    """Building on half the corpus then appending the rest must serve
+    the same results as one full build, provided the deterministic
+    centroid/codebook rows live in the first half (they do: ids < 400
+    at stride 50 x 8 centroids, and the split keeps low ids first)."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        ivfpq_index_append,
+        ivfpq_probe_read,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lo = emb.filter("vec_id < 400")
+    # the appended batch gets ids = 7 (mod 50) — never a stride-25
+    # centroid or stride-50 codebook row — so the deterministic
+    # centroid/codebook sets are identical whether the index is built
+    # in one shot or built-then-appended
+    hi = emb.filter("vec_id >= 400").withColumn(
+        "vec_id", F.col("vec_id") * 50 + 7
+    )
+    assert hi.count() > 0
+    corpus = lo.unionByName(hi)
+    queries = corpus.filter("vec_id % 250 = 0")
+
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    write_ivfpq_index(corpus, full_path, ivf_stride=25)
+    write_ivfpq_index(lo, incr_path, ivf_stride=25)
+    ivfpq_index_append(spark, incr_path, hi)
+
+    full = sorted(
+        map(
+            tuple,
+            ivfpq_probe_read(spark, full_path, queries, k=5, n_probe=2)
+            .select("query_id", "neighbor_id", "rank")
+            .collect(),
+        )
+    )
+    incr = sorted(
+        map(
+            tuple,
+            ivfpq_probe_read(spark, incr_path, queries, k=5, n_probe=2)
+            .select("query_id", "neighbor_id", "rank")
+            .collect(),
+        )
+    )
+    assert incr == full and len(incr) > 0
