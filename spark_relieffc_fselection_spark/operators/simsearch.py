@@ -843,12 +843,15 @@ def ivfpq_topk(
     and memory shrink independently.
 
     Plan: one corpus pass computes both the IVF assignment (broadcast
-    stride-centroid argmax) and the PQ reconstruction (literal-codebook
-    map); queries rank centroids against the same broadcast; the
-    probe table joins candidates by ``list_id`` (broadcast,
-    |queries| x n_probe rows); ADC + per-query window top-k. At scale
-    the lists are the bucketing key (see ``write_ivf_index``) and the
-    probe join prunes partitions before any distance math.
+    stride-centroid argmax, whole-stage-codegen cosine — NOT the
+    literal-bound assignment of the build path, which was measured 3x
+    slower online once the centroid table grows past ~dozens of rows)
+    and the PQ reconstruction (literal-codebook map); queries rank
+    centroids against the same broadcast; the probe table joins
+    candidates by ``list_id`` (broadcast, |queries| x n_probe rows);
+    ADC + per-query window top-k. At scale the lists are the
+    bucketing key (see ``write_ivfpq_index``) and the probe join
+    prunes partitions before any distance math.
 
     Returns (query_id, neighbor_id, adc_dist, rank).
     """
@@ -903,7 +906,16 @@ def _centroid_assign_expr(cent_rows, vec_colname: str = "vec"):
     as ``ivf_assignments`` (bit-identical sims), ties to the lowest
     centroid_id via first-maximum over the id-sorted literal array.
     ``cent_rows`` must be sorted by centroid_id and carry
-    (centroid_id, c_vec, c_nrm)."""
+    (centroid_id, c_vec, c_nrm).
+
+    Trade: O(n_centroids * d) INTERPRETED work per row (array folds sit
+    outside codegen) vs the crossJoin+window assignment's codegen
+    cosine + shuffle. Right for the build/ingest path, where joinless
+    robustness matters (the enc-join-assign self-join crashes Catalyst
+    on union/withColumn lineage) and the pass is one-shot; measured 3x
+    slower than the crossJoin plan for repeated ONLINE queries once
+    the centroid table passes ~dozens of rows, so ``ivfpq_topk`` does
+    not use it."""
     v = F.col(vec_colname)
     nrm = l2_norm(v)
     sims = F.array(
