@@ -292,3 +292,39 @@ def test_discretizer_binning_zero_shuffle(spark):
     plan = _plan(apply_bin_edges(emb, [[0.0, 0.5]] * 64))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, qs):
+    """q100: the global rank-k selection must plan as
+    TakeOrderedAndProject (k rows per partition + k-row merge), never
+    a full global Sort of the corpus."""
+    plan = _plan(qs["q100_weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort allowed is the k-row window's local sort
+    assert plan.count("Sort ") <= 1, plan
+
+
+def test_domain_cap_broadcast_routing_no_smj(spark, qs):
+    """q101: the over-cap group list routes rows via broadcast
+    semi/anti joins; nothing sort-merge-joins, and the audit join is
+    broadcast too."""
+    plan = _plan(qs["q101_domain_cap"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_pq_ann_lut_no_python_no_smj(spark, qs):
+    """q99: the PQ serve path is pure Catalyst — broadcast the query
+    LUTs, scan the corpus once, no Python stage, no sort-merge join."""
+    plan = _plan(qs["q99_pq_ann"](spark, SF))
+    assert "Python" not in plan and "Pandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin(broadcast(luts))
+
+
+def test_ivfpq_probe_joins_broadcast(spark, qs):
+    """q102: candidate selection joins the broadcast probe table; the
+    corpus is never shuffled for the probe join."""
+    plan = _plan(qs["q102_ivfpq_ann"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
