@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "q101_domain_cap",
     "q102_ivfpq_ann",
     "q103_stratified_weighted_sample",
+    "q104_streaming_list_drift",
     # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
     # connected-components large-star/small-star strategy
     "q21_minhash_lsh_neardup",
@@ -105,15 +106,15 @@ _PRIORITY: tuple[str, ...] = (
     "q36_multimodal_features",
     "q42_asof_join",
     "q43_range_join",
-    "q50_streaming_tumbling",
     "q55_tfidf_topterms",
     "q58_streaming_sessions",
     "q63_frame_sample",
     "q64_streaming_interval_join",
-    # (q69/q70/q71 and q04/q05/q06/q07/q08 rotate out this round —
-    # r2-green, stable, and trivially covered by the local oracle
+    # (q69/q70/q71, q04/q05/q06/q07/q08, and q50 rotate out this
+    # round — r1/r2-green, stable, and covered by the local oracle
     # sweep — keeping the 50-entry driver window closed over
-    # everything above)
+    # everything above; q104 keeps streaming represented in the
+    # window)
 )
 
 

@@ -282,32 +282,38 @@ class _stream_conf:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
-def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
-    """Stage events.parquet into a directory of ``copies`` identical
+def _staged_table_dir(
+    spark: SparkSession, sf_dir: str, table: str, copies: int = 1
+) -> str:
+    """Stage ``<table>.parquet`` into a directory of ``copies`` identical
     files (file-source streams read directories; maxFilesPerTrigger=1
     makes each file one micro-batch, so copies=2 exercises CROSS-batch
     state: dedup/stateful operators see the same rows again in batch 2).
-    Memoized per (session, sf, copies); every staged dir is removed at
-    interpreter exit, and the memo is lock-guarded so concurrent query
-    runners can't race the mkdtemp+copy (ADVICE r2)."""
+    Memoized per (session, sf, table, copies); every staged dir is
+    removed at interpreter exit, and the memo is lock-guarded so
+    concurrent query runners can't race the mkdtemp+copy (ADVICE r2)."""
     import os
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir, copies)
+    key = (spark.sparkContext.applicationId, sf_dir, table, copies)
     with _STAGED_LOCK:
         if key not in _STAGED_DIRS:
-            d = tempfile.mkdtemp(prefix=f"events_stream_x{copies}_")
+            d = tempfile.mkdtemp(prefix=f"{table}_stream_x{copies}_")
             for i in range(copies):
                 shutil.copy(
-                    os.path.join(sf_dir, "events.parquet"),
-                    os.path.join(d, f"events_{i}.parquet"),
+                    os.path.join(sf_dir, f"{table}.parquet"),
+                    os.path.join(d, f"{table}_{i}.parquet"),
                 )
             _STAGED_DIRS[key] = d
     return _STAGED_DIRS[key]
 
 
-_STAGED_DIRS: dict[tuple[str, str, int], str] = {}
+def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    return _staged_table_dir(spark, sf_dir, "events", copies)
+
+
+_STAGED_DIRS: dict[tuple[str, str, str, int], str] = {}
 _STAGED_LOCK = _threading.Lock()
 
 

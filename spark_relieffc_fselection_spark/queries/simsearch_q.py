@@ -686,3 +686,68 @@ def q102_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
     )
+
+
+@register(
+    "q104_streaming_list_drift",
+    oracle=f"""
+    WITH {_INST},
+    icents AS (
+      SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM normed
+      WHERE id % {IVF_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT id AS vid, list_id FROM (
+        SELECT a.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                 (CASE WHEN a.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*c.cv[i]))
+                            / (a.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed a, icents c
+      ) WHERE rn = 1
+    )
+    SELECT list_id, COUNT(*) AS n_vectors FROM assign GROUP BY list_id
+    """,
+    doc="STREAMING inverted-list occupancy: incoming embeddings are "
+        "assigned to their nearest IVF centroid per micro-batch and the "
+        "per-list counts accumulate in complete mode — the realtime "
+        "drift trigger for index rebuilds (batch counterpart: q88). "
+        "Assignment is the per-row literal-centroid expression (no "
+        "window, no join — the ONLY shapes streaming allows here), "
+        "bit-identical to the batch crossJoin argmax, so the batch "
+        "assignment SQL is the oracle verbatim. At scale this rides "
+        "any vector firehose: stateless map + one streaming aggregate "
+        "whose state is n_lists rows.",
+)
+def q104_streaming_list_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        _centroid_assign_expr,
+        ivf_assignments,
+    )
+    from spark_relieffc_fselection_spark.queries.events_q import (
+        _SINK_SEQ,
+        _staged_table_dir,
+        _stream_conf,
+    )
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_parquet_stream,
+        run_to_memory_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = ivf_assignments(emb, IVF_STRIDE)
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    stream = read_parquet_stream(
+        spark, _staged_table_dir(spark, sf_dir, "embeddings")
+    )
+    assigned = stream.select(
+        F.col("embedding").cast("array<double>").alias("vec")
+    ).select(_centroid_assign_expr(cent_rows).alias("list_id"))
+    agg = assigned.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        return run_to_memory_sink(
+            agg, f"q104_sink_{_SINK_SEQ[0]}", output_mode="complete"
+        )

@@ -50,6 +50,13 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw
 
 
+#: Generic file-source parquet stream: schema-sniffed, one file per
+#: micro-batch. ``read_events_stream``'s ts normalization is a no-op
+#: for tables without a ``ts`` column, so it IS the generic reader —
+#: this name exists so non-events callers don't look events-specific.
+read_parquet_stream = read_events_stream
+
+
 def streaming_tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
