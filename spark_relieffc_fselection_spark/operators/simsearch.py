@@ -912,25 +912,36 @@ def _centroid_assign_expr(cent_rows, vec_colname: str = "vec"):
     outside codegen) vs the crossJoin+window assignment's codegen
     cosine + shuffle. Right for the build/ingest path, where joinless
     robustness matters (the enc-join-assign self-join crashes Catalyst
-    on union/withColumn lineage) and the pass is one-shot; measured 3x
-    slower than the crossJoin plan for repeated ONLINE queries once
-    the centroid table passes ~dozens of rows, so ``ivfpq_topk`` does
-    not use it."""
+    on union/withColumn lineage), and for streaming, where windows and
+    joins aren't available per-row; the ONLINE batch path
+    (``ivfpq_topk``) uses the crossJoin plan instead (measured 3x
+    faster there once the centroid table passes ~dozens of rows).
+
+    Shape matters: ONE ``zip_with`` lambda over a single 2D literal
+    (not n_centroids separate fold expressions — that version built
+    MB-scale plans that streaming re-optimized per micro-batch), and
+    the row norm is LET-BOUND via the transform(array(..)) idiom so it
+    folds once per row, not once per centroid."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["c_vec"]]) for r in cent_rows]
+    )
+    cnrms = F.array(*[F.lit(float(r["c_nrm"])) for r in cent_rows])
+    cids = F.array(*[F.lit(int(r["centroid_id"])) for r in cent_rows])
     v = F.col(vec_colname)
-    nrm = l2_norm(v)
-    sims = F.array(
-        *[
-            F.when(nrm * F.lit(float(r["c_nrm"])) == 0.0, F.lit(0.0)).otherwise(
-                dot_product(v, F.array(*[F.lit(float(x)) for x in r["c_vec"]]))
-                / (nrm * F.lit(float(r["c_nrm"])))
-            )
-            for r in cent_rows
-        ]
-    )
-    cid_lits = F.array(*[F.lit(int(r["centroid_id"])) for r in cent_rows])
-    return F.element_at(
-        cid_lits, F.array_position(sims, F.array_max(sims)).cast("int")
-    )
+
+    def pick(nrm):
+        sims = F.zip_with(
+            cmat,
+            cnrms,
+            lambda c, n: F.when(nrm * n == 0.0, F.lit(0.0)).otherwise(
+                dot_product(v, c) / (nrm * n)
+            ),
+        )
+        return F.element_at(
+            cids, F.array_position(sims, F.array_max(sims)).cast("int")
+        )
+
+    return F.element_at(F.transform(F.array(l2_norm(v)), pick), 1)
 
 
 def write_ivfpq_index(
