@@ -23,6 +23,8 @@ full DuckDB oracle.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,7 +51,10 @@ DEFAULT_MAX_BUCKET_MEMBERS = 10_000
 #: Monotonic suffix so each capped-bucket observe() metric name is
 #: unique within a query plan (Spark rejects duplicate observation
 #: names in one plan, e.g. a pipeline composing MinHash + SimHash).
-_obs_counter = 0
+#: itertools.count is GIL-atomic, so concurrent query runners (the
+#: same hazard events_q guards with _STAGED_LOCK) can never mint the
+#: same suffix twice (ADVICE r4).
+_obs_counter = itertools.count(1)
 
 
 def _capped_buckets(grouped: DataFrame, arr_col: str, max_members: int) -> DataFrame:
@@ -62,11 +67,9 @@ def _capped_buckets(grouped: DataFrame, arr_col: str, max_members: int) -> DataF
     cap bounds the quadratic pair blow-up, while upstream guards
     (df_cap stop-shingles, exact-dedup-first) bound the linear buffer.
     """
-    global _obs_counter
-    _obs_counter += 1
     too_big = F.size(arr_col) > max_members
     return grouped.observe(
-        f"bucket_cap_{_obs_counter}",
+        f"bucket_cap_{next(_obs_counter)}",
         F.sum(F.when(too_big, 1).otherwise(0)).alias("dropped_buckets"),
         F.sum(F.when(too_big, F.size(arr_col)).otherwise(0)).alias(
             "dropped_members"

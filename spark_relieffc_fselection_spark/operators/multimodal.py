@@ -215,7 +215,20 @@ def png_decode_gray(content: bytes) -> np.ndarray | None:
 
 def _pool_4x4(gray: np.ndarray) -> np.ndarray:
     """Box-mean a HxW grayscale array down to 4x4 (deterministic,
-    codec-independent — unlike resampling-filter resizes)."""
+    codec-independent — unlike resampling-filter resizes).
+
+    Dimensions below 4 are nearest-index upsampled to 4 first so no
+    pooling bin is ever empty: ``np.array_split`` on a 2-row array
+    would yield empty chunks whose mean() is NaN, and those NaNs used
+    to flow silently into downstream features (ADVICE r4). For
+    height/width >= 4 the bin boundaries are unchanged, keeping
+    features bit-identical to prior rounds.
+    """
+    h, w = gray.shape
+    if h < 4:
+        gray = gray[(np.arange(4) * h) // 4]
+    if w < 4:
+        gray = gray[:, (np.arange(4) * w) // 4]
     rows = np.array_split(gray, 4, axis=0)
     return np.array(
         [[c.mean() for c in np.array_split(r, 4, axis=1)] for r in rows],
@@ -289,6 +302,10 @@ def decode_asset(content: bytes, modality: str, meta: dict) -> np.ndarray:
         else:
             out = _stub_decode(content)
     except Exception:
+        out = _stub_decode(content)
+    if not np.all(np.isfinite(out)):
+        # A codec that "succeeded" but produced NaN/inf (e.g. a
+        # degenerate decode) must not poison downstream features.
         out = _stub_decode(content)
     if out.size < FEATURE_DIM:
         out = np.pad(out, (0, FEATURE_DIM - out.size))

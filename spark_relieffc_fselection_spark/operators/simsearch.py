@@ -463,14 +463,16 @@ def all_pairs_cosine(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    strategy: str = "numpy",
+    strategy: str = "lsh",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
-    EXACT all-pairs — bounded corpora only (both brute-force strategies
-    materialize the corpus driver-side or as a broadcast); the scale
-    path is ``strategy='lsh'`` -> :func:`lsh_near_duplicates`, which
-    never leaves the executors.
+    The DEFAULT is the scale-safe tier: ``strategy='lsh'`` ->
+    :func:`lsh_near_duplicates` — bucketed candidate generation that
+    never leaves the executors (approximate: recall < 1 for pairs no
+    hyperplane band agrees on). The EXACT tiers are opt-in and
+    bounded-corpora only, because both materialize the corpus
+    driver-side or as a broadcast (VERDICT r4 item #3):
 
     'numpy': broadcast the corpus as a normalized matrix and compute
     each partition's block-vs-all dot products as one matmul — ~30x the
@@ -674,7 +676,21 @@ def pq_codebooks(
         .orderBy("cid")
         .collect()
     )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"pq_codebooks: corpus has only {len(rows)} rows matching the "
+            f"id-stride centroid convention (id % {centroid_stride} == 0, "
+            f"id < {centroid_stride * n_centroids}); need {n_centroids}. "
+            "Lower centroid_stride/n_centroids or re-key the corpus."
+        )
     dim = len(rows[0]["v"])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"pq_codebooks: vector dim {dim} is not divisible by "
+            f"n_subspaces={n_subspaces}; trailing dims would be silently "
+            "dropped from codes and ADC reconstruction would null-pad "
+            "against full-length query vectors."
+        )
     sub = dim // n_subspaces
     return [
         [list(r["v"][j * sub : (j + 1) * sub]) for r in rows]

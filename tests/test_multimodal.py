@@ -213,6 +213,41 @@ def test_png_decoder_rejects_non_png():
     assert np.allclose(feat, _stub_decode(b"junk")[:FEATURE_DIM])
 
 
+def test_tiny_images_never_produce_nan(
+):
+    """ADVICE r4: widths/heights 1-3 used to NaN out — np.array_split
+    into 4 bins yields empty chunks whose mean() is NaN, and the stub
+    fallback triggers on exceptions only. Tiny dims now nearest-
+    upsample before pooling, so every feature is finite and real
+    (pixel-derived, not the stub)."""
+    for h, w in [(1, 1), (2, 2), (1, 7), (3, 2), (2, 9)]:
+        pix = ((np.arange(h * w, dtype=np.int64).reshape(h, w, 1) * 11) % 251).astype(np.uint8)
+        png = _make_png(pix, colortype=0, filters=[0] * h)
+        feat = decode_asset(png, "image", {})
+        assert np.all(np.isfinite(feat)), (h, w, feat)
+        # real decode, not the stub fallback
+        assert not np.allclose(feat, _stub_decode(png)[:FEATURE_DIM]), (h, w)
+    # constant tiny image -> pooled value matches the pixel exactly
+    flat = decode_asset(_make_png(np.full((2, 2, 1), 100, np.uint8),
+                                  colortype=0, filters=[0, 0]), "image", {})
+    assert np.allclose(flat, (100 - 127.5) / 127.5)
+
+
+def test_pooling_unchanged_for_regular_images():
+    """The tiny-dim fix must not perturb >=4x4 pooling (oracle hashes
+    for q36/q63 ride on bit-identical features)."""
+    from spark_relieffc_fselection_spark.operators.multimodal import _pool_4x4
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(11, 17)).astype(np.float32)
+    rows = np.array_split(gray, 4, axis=0)
+    expect = np.array(
+        [[c.mean() for c in np.array_split(r, 4, axis=1)] for r in rows],
+        dtype=np.float32,
+    )
+    assert np.array_equal(_pool_4x4(gray), expect)
+
+
 def test_frame_sampling(assets):
     frames = frame_sample_videos(assets, every_n=10)
     rows = frames.collect()

@@ -68,9 +68,24 @@ def test_ivf_recall_beats_scan_fraction(emb, queries):
 
 
 def test_all_pairs_cosine_symmetric_bounds(emb):
-    pairs = all_pairs_cosine(emb.limit(100), threshold=0.0).collect()
+    pairs = all_pairs_cosine(emb.limit(100), threshold=0.0, strategy="numpy").collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in pairs)
+
+
+def test_all_pairs_cosine_default_is_scale_safe(emb):
+    """Plan pin (VERDICT r4 #3): the DEFAULT strategy must be the
+    bucketed LSH tier — no corpus collect() to the driver during plan
+    construction, no LocalTableScan-from-collect in the plan. The
+    driver-collect numpy tier stays available but opt-in only."""
+    tracker = emb.sparkSession.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = all_pairs_cosine(emb, threshold=0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # default never ran a job at plan time
+    assert "LocalTableScan" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # bucket-keyed LSH kernel
 
 
 def test_lsh_near_duplicates_subset_of_exact_with_exact_cosines(emb):
@@ -274,6 +289,29 @@ def test_pq_topk_rejects_unknown_strategy(emb, queries):
 
     with pytest.raises(ValueError):
         pq_topk(emb, queries, strategy="nope")
+
+
+def test_pq_codebooks_rejects_indivisible_dim(emb):
+    """ADVICE r4: dim % n_subspaces != 0 used to silently drop trailing
+    dims from codes and null-pad the ADC reconstruction. Must raise."""
+    from spark_relieffc_fselection_spark.operators.simsearch import pq_codebooks
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    bad = next(m for m in range(3, dim) if dim % m != 0)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, n_subspaces=bad)
+
+
+def test_pq_codebooks_rejects_missing_stride_rows(emb):
+    """Corpus without the id-stride convention rows -> clear error,
+    not a bare IndexError (ADVICE r4)."""
+    from spark_relieffc_fselection_spark.operators.simsearch import pq_codebooks
+
+    shifted = emb.select(
+        (F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding"
+    )  # all ids odd -> no id % 50 == 0 rows
+    with pytest.raises(ValueError, match="stride"):
+        pq_codebooks(shifted)
 
 
 def test_ivfpq_matches_numpy_composition(emb, queries):
