@@ -33,8 +33,10 @@ instead — the fit side needs no change.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_DEC = "decimal(38,18)"
 
 
 def fit_quantile_edges(
@@ -104,6 +106,183 @@ def apply_bin_edges(
         ).cast("double"),
     )
     return df.withColumn(output_col, binned)
+
+
+def fit_mdlp_edges(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    max_depth: int = 8,
+) -> list[list[float]]:
+    """Fayyad-Irani MDLP (entropy-based, supervised) cut points per
+    feature — the discretization the reference contracts out to
+    sramirez:spark-MDLP-discretization (pom.xml:30-35) as the front end
+    for ``discreteData=True``.
+
+    Level-synchronous distributed recursion: intervals at the same
+    depth across ALL features are evaluated in one Spark pass, so the
+    driver loop runs ``max_depth`` jobs total, not one per (feature,
+    interval).
+
+    Per level:
+
+    1. Assign every (feature, value) to its current interval with a
+       pure-Catalyst literal-cuts expression (the ``apply_bin_edges``
+       trick) — zero shuffle.
+    2. One window pass over the dense (feature, value, label) count
+       grid yields within-interval cumulative and total class counts.
+    3. One aggregation per candidate midpoint computes the class-
+       entropy sufficient statistics (entropy terms are decimal-summed
+       so cross-engine/shuffle-order float drift can't flip argmax
+       ties), then a window rank picks each interval's best-gain cut
+       and the Fayyad-Irani MDL criterion accepts or prunes it:
+
+           gain > (log2(N-1) + delta) / N,
+           delta = log2(3^k - 2) - (k*H(S) - k1*H(S1) - k2*H(S2))
+
+    4. Accepted cuts (one per surviving interval — tiny) come back to
+       the driver and parameterize the next level's literal.
+
+    Candidates are ALL midpoints between consecutive distinct values in
+    the interval; Fayyad's boundary-point theorem makes the restriction
+    to class-boundary midpoints an optimization, not a semantic change,
+    and evaluating every midpoint keeps the dataflow oracle-expressible.
+
+    The only corpus-sized shuffle is the initial (feature, value,
+    label) histogram; every later pass runs over that compacted grid
+    (``distinct values x classes`` rows, localCheckpointed once). At
+    100 TB, bound the grid by pre-quantizing near-unique continuous
+    features (e.g. to ~10k quantile-sketch candidates per feature,
+    the same cap the reference MDLP library applies) before calling.
+
+    Returns ``edges[feature_idx] -> [cut1 < cut2 < ...]`` for
+    :func:`apply_bin_edges`.
+    """
+    first = df.select(features_col).first()
+    if first is None:
+        return []
+    dim = len(first[0])
+    spark = df.sparkSession
+
+    long = df.select(
+        F.col(label_col).cast("double").alias("lbl"),
+        F.posexplode(F.col(features_col).cast("array<double>")).alias(
+            "feature", "val"
+        ),
+    )
+    hist = long.groupBy("feature", "val", "lbl").agg(F.count("*").alias("c"))
+    labels = sorted(
+        r["lbl"]
+        for r in df.select(F.col(label_col).cast("double").alias("lbl"))
+        .distinct()
+        .collect()
+    )
+    labels_df = F.broadcast(
+        spark.createDataFrame([(float(l),) for l in labels], "lbl double")
+    )
+    # Dense (feature, value) x label grid: the window cumsum below needs
+    # every class's cumulative count at every candidate, including
+    # classes absent at that value. localCheckpoint once — each level
+    # re-reads it without re-aggregating the corpus or growing the plan.
+    grid = (
+        hist.select("feature", "val")
+        .distinct()
+        .crossJoin(labels_df)
+        .join(hist, ["feature", "val", "lbl"], "left")
+        .select("feature", "val", "lbl", F.coalesce("c", F.lit(0)).alias("c"))
+        .localCheckpoint()
+    )
+
+    def _term(n):
+        d = n.cast("double")
+        return F.when(n > 0, d * F.log2(d)).otherwise(F.lit(0.0)).cast(_DEC)
+
+    def _nz(n):
+        return F.when(n > 0, 1).otherwise(0)
+
+    cuts: list[list[float]] = [[] for _ in range(dim)]
+    for _depth in range(max_depth):
+        cuts_lit = F.array(
+            *[F.array(*[F.lit(float(c)) for c in sorted(fc)]) for fc in cuts]
+        )
+        iv = F.size(
+            F.filter(
+                F.element_at(cuts_lit, F.col("feature") + 1),
+                lambda e: F.col("val") > e,
+            )
+        )
+        w_cum = Window.partitionBy("feature", "iv", "lbl").orderBy("val")
+        w_tot = Window.partitionBy("feature", "iv", "lbl")
+        g = grid.withColumn("iv", iv).select(
+            "feature",
+            "iv",
+            "val",
+            F.sum("c").over(w_cum).alias("wl"),
+            F.sum("c").over(w_tot).alias("tl"),
+        )
+        rl = F.col("tl") - F.col("wl")
+        cand = g.groupBy("feature", "iv", "val").agg(
+            F.sum("wl").cast("bigint").alias("n1"),
+            F.sum("tl").cast("bigint").alias("n"),
+            F.sum(_term(F.col("wl"))).cast("double").alias("s1"),
+            F.sum(_term(F.col("tl"))).cast("double").alias("s"),
+            F.sum(_term(rl)).cast("double").alias("s2"),
+            F.sum(_nz(F.col("wl"))).cast("bigint").alias("k1"),
+            F.sum(_nz(F.col("tl"))).cast("bigint").alias("k"),
+            F.sum(_nz(rl)).cast("bigint").alias("k2"),
+        )
+        w_next = Window.partitionBy("feature", "iv").orderBy("val")
+        nd = F.col("n").cast("double")
+        n1d = F.col("n1").cast("double")
+        n2d = (F.col("n") - F.col("n1")).cast("double")
+        ent = F.log2(nd) - F.col("s") / nd
+        ent1 = F.log2(n1d) - F.col("s1") / n1d
+        ent2 = F.log2(n2d) - F.col("s2") / n2d
+        gain = ent - (n1d / nd) * ent1 - (n2d / nd) * ent2
+        kd, k1d, k2d = (F.col(c).cast("double") for c in ("k", "k1", "k2"))
+        delta = F.log2(F.pow(F.lit(3.0), kd) - 2.0) - (
+            kd * ent - k1d * ent1 - k2d * ent2
+        )
+        thresh = (F.log2(nd - 1.0) + delta) / nd
+        w_best = Window.partitionBy("feature", "iv").orderBy(
+            F.desc("gain"), F.asc("cut")
+        )
+        new = (
+            cand.withColumn(
+                "cut", (F.col("val") + F.lead("val").over(w_next)) / 2.0
+            )
+            .filter(
+                F.col("cut").isNotNull()
+                & (F.col("n1") > 0)
+                & (F.col("n") > F.col("n1"))
+            )
+            .withColumn("gain", gain)
+            .withColumn("thresh", thresh)
+            .withColumn("rn", F.row_number().over(w_best))
+            .filter((F.col("rn") == 1) & (F.col("gain") > F.col("thresh")))
+            .select("feature", "cut")
+            .collect()
+        )
+        if not new:
+            break
+        for r in new:
+            cuts[int(r["feature"])].append(float(r["cut"]))
+    return [sorted(fc) for fc in cuts]
+
+
+def mdlp_discretize(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "label",
+    max_depth: int = 8,
+    output_col: str | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit MDLP edges on ``df`` and bin with :func:`apply_bin_edges` —
+    the supervised path from continuous features to the selector's
+    ``discreteData=True`` contract (the reference's intended
+    spark-MDLP-discretization pipeline, pom.xml:30-35)."""
+    edges = fit_mdlp_edges(df, features_col, label_col, max_depth)
+    return apply_bin_edges(df, edges, features_col, output_col), edges
 
 
 def quantile_discretize(

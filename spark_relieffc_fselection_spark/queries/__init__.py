@@ -48,73 +48,70 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
 _PRIORITY: tuple[str, ...] = (
-    # round 4: never driver-gated in ANY round (r1-r3 caps skipped
-    # them every time — VERDICT r3 item #2); these four go first so a
-    # registry growth can never push them out again
-    "q62_repetition",
-    "q66_unigram_lm_quality",
-    "q67_deterministic_split",
-    "q68_domain_mix",
-    # fixed this round: oracle HUGEINT->BIGINT cast (r3's only red)
-    "q82_filter_funnel",
-    # new this round: discretization front end, substring dedup,
-    # PQ ANN tier, weighted sampling, per-domain cap
-    "q93_quantile_discretize",
-    "q94_substring_dedup",
-    "q95_substring_contamination",
-    "q96_bigram_lm_quality",
-    "q97_token_budget_selection",
-    "q98_cdc_chunking",
-    "q99_pq_ann",
-    "q100_weighted_sample",
-    "q101_domain_cap",
-    "q102_ivfpq_ann",
-    "q103_stratified_weighted_sample",
+    # round 5, new: the oracle-able single-batch fit (VERDICT r4 #1 —
+    # takes the gate to 50/50 green) and the MDLP discretizer
+    # (VERDICT r4 #6)
+    "q72a_relief_std_ranking",
+    "q105_mdlp_discretize",
+    # changed this round: multimodal tiny-image decode fix (ADVICE
+    # r4), q104 assignment-kernel work (VERDICT r4 #5)
+    "q36_multimodal_features",
     "q104_streaming_list_drift",
-    # changed this round: LSH/SimHash bucket-size cap (ADVICE r3),
-    # connected-components large-star/small-star strategy
-    "q21_minhash_lsh_neardup",
-    "q23_simhash_neardup",
-    "q54_dedup_clusters",
     # core sentinels — always in the window
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # ANN family under r3 bench investigation — keep driver-gated
-    "q26_ann_ivf",
-    "q49_ann_recall",
-    # least-recently driver-validated (last green in r2); the r3
-    # window covered everything else, so these rotate back in
-    "q01_pruned_scan",
-    "q02_groupby_agg",
-    "q03_join_revenue_by_nation",
-    "q09_minmax_norm",
-    "q10_label_priors",
-    "q11_mod_sample_agg",
-    "q12_mutual_information",
-    "q13_knn_join",
-    "q18_dedup_exact",
-    "q24_ann_bruteforce",
-    "q25_ann_lsh",
-    "q28_token_stats",
-    "q29_quality_scores",
-    "q30_language_id",
-    "q31_fingerprints",
-    "q32_tumbling_window",
-    "q33_sliding_window",
-    "q34_session_window",
-    "q35_json_extract",
-    "q36_multimodal_features",
-    "q42_asof_join",
-    "q43_range_join",
-    "q55_tfidf_topterms",
-    "q58_streaming_sessions",
-    "q63_frame_sample",
-    "q64_streaming_interval_join",
-    # (q69/q70/q71, q04/q05/q06/q07/q08, and q50 rotate out this
-    # round — r1/r2-green, stable, and covered by the local oracle
-    # sweep — keeping the 50-entry driver window closed over
-    # everything above; q104 keeps streaming represented in the
-    # window)
+    # r2-stale rotation (VERDICT r4 #2): last driver-green in r2
+    "q04_window_topk",
+    "q05_global_topk",
+    "q06_union_distinct",
+    "q07_semijoin",
+    "q08_antijoin",
+    "q65_embedding_quantization",
+    "q50_streaming_tumbling",
+    "q69_streaming_sliding",
+    "q70_streaming_dedup",
+    "q71_streaming_user_totals",
+    # r3-green rotation: everything below last saw a driver row in r3
+    "q73_knn_lsh_recall",
+    "q15_relief_topk",
+    "q16_collision_marginal",
+    "q17_collision_joint",
+    "q44_sparse_relief_relevance",
+    "q19_dedup_jaccard",
+    "q20_minhash_signatures",
+    "q22_simhash_signatures",
+    "q81_incremental_dedup",
+    "q84_canonical_selection",
+    "q27_embedding_neardup",
+    "q74_kmeans_step",
+    "q78_random_projection",
+    "q88_embedding_drift",
+    "q76_length_histogram",
+    "q83_pii_scrub",
+    "q77_streaming_enrichment",
+    "q89_streaming_outer_join",
+    "q90_deletion_propagation",
+    "q37_relief_discrete_collisions",
+    "q53_mom_growth",
+    "q57_stratified_sample",
+    "q41_corpus_curation",
+    "q59_stopword_scrub",
+    "q60_sequence_packing",
+    "q75_oov_rate",
+    "q61_contamination",
+    "q79_shuffle_shards",
+    "q80_hash_uniform_sample",
+    "q85_token_truncation",
+    "q91_doc_chunking",
+    "q92_boilerplate_detection",
+    "q86_source_interleave",
+    "q87_temperature_mix",
+    # (Deferred to round 6 — still r3-green and the most stable pure-
+    # Catalyst OLAP shapes in the registry: q38_rollup,
+    # q39_distinct_agg, q40_percentiles, q45_analytic_windows,
+    # q46_cube, q47_pivot, q48_setops, q51_hll_distinct,
+    # q52_correlated_subquery, q56_grouping_sets. Everything r4-green
+    # also rotates out; the local oracle sweep still covers all 106.)
 )
 
 

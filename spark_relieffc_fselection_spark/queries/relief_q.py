@@ -565,6 +565,173 @@ def q44_sparse_relief_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DISC_BINS = 4
 
+#: q105: MDLP recursion depth checked by the oracle. The engine's
+#: level-synchronous loop is SQL-expressible by UNROLLING one CTE
+#: block per level; depth 2 (up to 3 cuts/feature) exercises the full
+#: criterion — candidate midpoints, entropy gain, the MDL accept test,
+#: AND the interval re-assignment between levels — while keeping the
+#: oracle a single readable statement. Unbounded depth is pytest-pinned
+#: against an independent recursive numpy reference
+#: (tests/test_discretizer.py::test_mdlp_matches_numpy_reference).
+MDLP_ORACLE_DEPTH = 2
+
+
+def _mdlp_level_sql(lvl: int) -> str:
+    """cand/sc/ev/pick CTE block for one MDLP level, reading w{lvl}.
+
+    Float-op ORDER mirrors ml/discretizer.fit_mdlp_edges exactly
+    (gain = ent - a*ent1 - b*ent2 left-to-right; thresh adds delta as
+    one parenthesized term) so accept decisions can only diverge on
+    sub-ulp boundary ties."""
+    return f"""
+cand{lvl} AS (
+  SELECT feature, iv, val,
+         CAST(SUM(wl) AS BIGINT) AS n1,
+         CAST(SUM(tl) AS BIGINT) AS n,
+         CAST(SUM(CAST(CASE WHEN wl > 0 THEN wl * log2(wl) ELSE 0.0 END
+                       AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CASE WHEN tl > 0 THEN tl * log2(tl) ELSE 0.0 END
+                       AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CASE WHEN tl - wl > 0
+                            THEN (tl - wl) * log2(tl - wl) ELSE 0.0 END
+                       AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+         CAST(SUM(CASE WHEN wl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN tl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN tl - wl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+  FROM w{lvl} GROUP BY feature, iv, val
+),
+sc{lvl} AS (
+  SELECT feature, iv,
+         (val + LEAD(val) OVER (PARTITION BY feature, iv ORDER BY val)) / 2 AS cut,
+         n, n1, s, s1, s2, k, k1, k2
+  FROM cand{lvl}
+),
+ev{lvl} AS (
+  SELECT feature, iv, cut,
+         ent - (n1d / nd) * ent1 - (n2d / nd) * ent2 AS gain,
+         (log2(nd - 1.0)
+          + (log2(pow(3.0, kd) - 2.0)
+             - (kd * ent - k1d * ent1 - k2d * ent2))) / nd AS thresh
+  FROM (
+    SELECT feature, iv, cut,
+           CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d,
+           CAST(n - n1 AS DOUBLE) AS n2d,
+           CAST(k AS DOUBLE) AS kd, CAST(k1 AS DOUBLE) AS k1d,
+           CAST(k2 AS DOUBLE) AS k2d,
+           log2(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE) AS ent,
+           log2(CAST(n1 AS DOUBLE)) - s1 / CAST(n1 AS DOUBLE) AS ent1,
+           log2(CAST(n - n1 AS DOUBLE)) - s2 / CAST(n - n1 AS DOUBLE) AS ent2
+    FROM sc{lvl} WHERE cut IS NOT NULL AND n1 > 0 AND n > n1
+  )
+),
+pick{lvl} AS (
+  SELECT feature, iv, cut FROM (
+    SELECT feature, iv, cut, gain, thresh,
+           ROW_NUMBER() OVER (PARTITION BY feature, iv
+                              ORDER BY gain DESC, cut ASC) AS rn
+    FROM ev{lvl}
+  ) WHERE rn = 1 AND gain > thresh
+)"""
+
+
+#: q105 label: constructed from the embedding itself (identically in
+#: both engines) because every label column in the synthetic testdata
+#: is independent of every feature — real data has supervision, this
+#: corpus doesn't, and a 0-row oracle would gate nothing. The 6-class
+#: tier (two thresholds on feature 0, one on feature 8) makes feature
+#: 0 need TWO cuts (level-2 recursion accepts) and feature 8 one,
+#: while the other 62 features exercise the MDL rejection path.
+_MDLP_INST = """
+inst AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
+         CAST(CAST(CAST(embedding AS DOUBLE[])[1] > -0.1 AS INT)
+              + CAST(CAST(embedding AS DOUBLE[])[1] > 0.1 AS INT)
+              + 3 * CAST(CAST(embedding AS DOUBLE[])[9] > 0 AS INT)
+              AS DOUBLE) AS lbl
+  FROM embeddings
+)
+"""
+
+_MDLP_ORACLE = f"""
+WITH {_MDLP_INST},
+long AS (
+  SELECT u.i - 1 AS feature, f[u.i] AS val, lbl
+  FROM inst, LATERAL (SELECT unnest(generate_series(1, len(f))) AS i) u
+),
+hist AS (SELECT feature, val, lbl, COUNT(*) AS c FROM long GROUP BY 1, 2, 3),
+grid AS (
+  SELECT v.feature, v.val, l.lbl, COALESCE(h.c, 0) AS c
+  FROM (SELECT DISTINCT feature, val FROM hist) v
+  CROSS JOIN (SELECT DISTINCT lbl FROM inst) l
+  LEFT JOIN hist h ON h.feature = v.feature AND h.val = v.val AND h.lbl = l.lbl
+),
+w1 AS (
+  SELECT feature, 0 AS iv, val, lbl,
+         SUM(c) OVER (PARTITION BY feature, lbl ORDER BY val) AS wl,
+         SUM(c) OVER (PARTITION BY feature, lbl) AS tl
+  FROM grid
+),
+{_mdlp_level_sql(1)},
+a2 AS (
+  SELECT g.feature, g.val, g.lbl, g.c,
+         CASE WHEN p.cut IS NOT NULL AND g.val > p.cut THEN 1 ELSE 0 END AS iv
+  FROM grid g LEFT JOIN pick1 p ON p.feature = g.feature
+),
+w2 AS (
+  SELECT feature, iv, val, lbl,
+         SUM(c) OVER (PARTITION BY feature, iv, lbl ORDER BY val) AS wl,
+         SUM(c) OVER (PARTITION BY feature, iv, lbl) AS tl
+  FROM a2
+),
+{_mdlp_level_sql(2)},
+allcuts AS (
+  SELECT feature, cut FROM pick1
+  UNION ALL
+  SELECT feature, cut FROM pick2
+)
+SELECT feature,
+       ROW_NUMBER() OVER (PARTITION BY feature ORDER BY cut) AS cut_rank,
+       ROUND(cut, 6) AS cut
+FROM allcuts
+"""
+
+
+@register(
+    "q105_mdlp_discretize",
+    oracle=_MDLP_ORACLE,
+    doc="Fayyad-Irani MDLP discretization (ml/discretizer.fit_mdlp_edges "
+        "— the reference's contracted spark-MDLP-discretization front "
+        "end, pom.xml:30-35) at depth 2 over the embeddings features: "
+        "supervised entropy-gain cuts accepted by the MDL criterion. "
+        "The oracle unrolls the level-synchronous recursion as one CTE "
+        "block per level. Scale: one (feature, value, label) histogram "
+        "shuffle, then every level is windows + a tiny aggregate over "
+        "the compacted grid; accepted cuts per level are O(features x "
+        "intervals) rows.",
+)
+def q105_mdlp_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.ml.discretizer import fit_mdlp_edges
+
+    f = F.col("features")
+    inst = _embeddings(spark, sf_dir).withColumn(
+        "label",
+        (
+            (F.element_at(f, 1) > -0.1).cast("int")
+            + (F.element_at(f, 1) > 0.1).cast("int")
+            + 3 * (F.element_at(f, 9) > 0).cast("int")
+        ).cast("double"),
+    )
+    edges = fit_mdlp_edges(
+        inst, features_col="features", label_col="label",
+        max_depth=MDLP_ORACLE_DEPTH,
+    )
+    rows = [
+        (f, i + 1, round(float(c), 6))
+        for f, fc in enumerate(edges)
+        for i, c in enumerate(fc)
+    ]
+    return spark.createDataFrame(rows, "feature int, cut_rank int, cut double")
+
 
 @register(
     "q93_quantile_discretize",

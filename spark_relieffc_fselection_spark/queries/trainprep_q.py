@@ -775,6 +775,107 @@ def q72_relief_fit_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q72a: deterministic single-batch fit — instances, neighbors
+Q72A_PRED = "vec_id % 2 = 0"
+Q72A_NEIGHBORS = 3
+Q72A_TOP = 10
+
+
+@register(
+    "q72a_relief_std_ranking",
+    oracle=f"""
+    WITH inst AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
+             CAST(label AS DOUBLE) AS lbl
+      FROM embeddings WHERE {Q72A_PRED}
+    ),
+    cand AS (
+      SELECT q.id AS query_id, q.lbl AS q_label, x.id AS neighbor_id,
+             x.lbl AS n_label,
+             sqrt(list_sum(list_transform(generate_series(1, len(q.f)),
+                  i -> (q.f[i] - x.f[i]) * (q.f[i] - x.f[i])))) AS dist
+      FROM inst q JOIN inst x ON q.id <> x.id
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= {Q72A_NEIGHBORS} * (SELECT COUNT(DISTINCT lbl) FROM inst)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
+    priors AS (SELECT lbl, COUNT(*) / total AS prior
+               FROM inst, nn GROUP BY lbl, total),
+    pairs AS (
+      SELECT k.query_id, k.neighbor_id, k.n_label,
+             (k.n_label = k.q_label) AS same_class, q.f AS qf, x.f AS nf
+      FROM knn k JOIN inst q ON k.query_id = q.id
+                 JOIN inst x ON k.neighbor_id = x.id
+    ),
+    longf AS (
+      SELECT u.i - 1 AS feature_idx, n_label, same_class,
+             abs(qf[u.i] - nf[u.i]) AS fdist
+      FROM pairs, LATERAL (SELECT unnest(generate_series(1, len(qf))) AS i) u
+    ),
+    bins AS (
+      SELECT feature_idx, n_label, same_class,
+             SUM(CAST(fdist AS DECIMAL(38,18))) AS bin_sum, COUNT(*) AS bin_cnt
+      FROM longf GROUP BY 1, 2, 3
+    ),
+    contrib AS (
+      SELECT feature_idx,
+             (CASE WHEN same_class THEN -1.0 ELSE 1.0 END) * prior
+               * CAST(bin_sum AS DOUBLE) / bin_cnt AS contrib
+      FROM bins JOIN priors ON bins.n_label = priors.lbl
+    ),
+    relevance AS (
+      SELECT feature_idx,
+             CAST(SUM(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE) AS raw
+      FROM contrib GROUP BY feature_idx
+    ),
+    extrema AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx FROM relevance),
+    normed AS (
+      SELECT feature_idx,
+             CASE WHEN mx > mn THEN (raw - mn) / (mx - mn) ELSE 0.0 END AS rel
+      FROM relevance, extrema
+    )
+    SELECT rank, feature_idx, ROUND(rel, 6) AS relevance FROM (
+      SELECT feature_idx, rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, feature_idx ASC) AS rank
+      FROM normed
+    ) ORDER BY rank LIMIT {Q72A_TOP}
+    """,
+    doc="FLAGSHIP, oracle-able half (VERDICT r4 #1): the fit dataflow "
+        "at estimation_ratio=1.0 / batch_size=1.0 — a deterministic "
+        "single batch, so the std ranking (kNN window-rank -> class-bin "
+        "distance sums -> prior-weighted collapse -> min-max -> top-10, "
+        "ReliefFRSelector.scala:199-332,688-690) is expressible as ONE "
+        "DuckDB SQL and the driver hash-gates the fit end-to-end. The "
+        "batched + greedy full fit stays rows-only as q72.",
+)
+def q72a_relief_std_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+    from spark_relieffc_fselection_spark.queries.relief_q import _embeddings
+
+    inst = _embeddings(spark, sf_dir).filter(F.expr(Q72A_PRED.replace("vec_id", "id")))
+    res = fit_relief(
+        inst,
+        num_top_features=Q72A_TOP,
+        num_neighbors=Q72A_NEIGHBORS,
+        estimation_ratio=1.0,    # no sampling: every instance is a query
+        batch_size=1.0,          # one batch: no engine-seeded randomSplit
+        redundancy_removal=False,
+        discrete_data=False,
+        seed=42,
+        knn_strategy="numpy",
+    )
+    rows = [
+        (i + 1, int(f), round(float(res.relevance[f]), 6))
+        for i, f in enumerate(res.std_selection)
+    ]
+    return spark.createDataFrame(rows, "rank int, feature_idx int, relevance double")
+
+
 #: context-length budget for the truncation pass
 TRUNC_TOKS = 64
 
