@@ -721,7 +721,7 @@ def q102_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q104_streaming_list_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.operators.simsearch import (
-        _centroid_assign_expr,
+        centroid_assign,
         ivf_assignments,
     )
     from spark_relieffc_fselection_spark.queries.events_q import (
@@ -740,9 +740,15 @@ def q104_streaming_list_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_parquet_stream(
         spark, _staged_table_dir(spark, sf_dir, "embeddings")
     )
-    assigned = stream.select(
-        F.col("embedding").cast("array<double>").alias("vec")
-    ).select(_centroid_assign_expr(cent_rows).alias("list_id"))
+    # Arrow assignment kernel (VERDICT r4 #5): dimension-ordered fold
+    # -> cosines bit-identical to the literal expression tier, ~10x
+    # less per-row cost than the interpreted lambda chain; stateless,
+    # so it composes with the streaming aggregate unchanged.
+    assigned = centroid_assign(
+        stream.select(F.col("embedding").cast("array<double>").alias("vec")),
+        cent_rows,
+        strategy="arrow",
+    )
     agg = assigned.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")
     )

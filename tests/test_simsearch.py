@@ -450,3 +450,46 @@ def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
         )
     )
     assert incr == full and len(incr) > 0
+
+
+def test_centroid_assign_arrow_matches_expr_bitwise(emb):
+    """The Arrow assignment kernel accumulates dot/norm dimension-at-a-
+    time left-to-right — the Catalyst fold's exact IEEE op sequence —
+    so assignments must match the literal-expression tier EXACTLY on
+    every row (not just statistically): any divergence means the
+    kernel's arithmetic order drifted and oracle ties could flip."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        centroid_assign,
+        ivf_assignments,
+    )
+
+    centroids, _ = ivf_assignments(emb, 50)
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    vecs = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    arrow = {
+        r["vec_id"]: r["list_id"]
+        for r in centroid_assign(
+            vecs, cent_rows, strategy="arrow", keep_cols=("vec_id",)
+        ).collect()
+    }
+    expr = {
+        r["vec_id"]: r["list_id"]
+        for r in centroid_assign(
+            vecs, cent_rows, strategy="expr", keep_cols=("vec_id",)
+        ).collect()
+    }
+    assert arrow == expr and len(arrow) == vecs.count()
+
+
+def test_centroid_assign_rejects_unknown_strategy(emb):
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        centroid_assign,
+        ivf_assignments,
+    )
+
+    centroids, _ = ivf_assignments(emb, 50)
+    cent_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    with pytest.raises(ValueError):
+        centroid_assign(emb, cent_rows, strategy="nope")
