@@ -187,6 +187,32 @@ def main() -> None:
             f"{k}x={tk:.2f}s ratio={tk / t1:.1f} (linear would be ~{float(k):.0f})"
         )
 
+    # substring-dedup family (VERDICT r4 #9): inverted k-gram index —
+    # fan-out bounded by df_cap per gram, so growth should be ~linear
+    # in docs (shared-run pairs grow with true duplication, which the
+    # disjoint replicas do NOT add: replicas share grams but the
+    # df_cap drops corpus-wide boilerplate grams as df grows)
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        connected_components,
+        shared_kgram_pairs,
+    )
+
+    bench(
+        "shared_kgram_pairs (inverted-index, df_cap-bounded)",
+        lambda kk: shared_kgram_pairs(docs_k(kk), k=12),
+    )
+
+    # connected components, large-star/small-star: O(log d) rounds of
+    # join-shaped contractions; edge set grows linearly with replicas
+    # (disjoint copies of the same pair graph)
+    def cc_star(kk: int) -> DataFrame:
+        pairs = minhash_near_duplicates(docs_k(kk), threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        return connected_components(pairs, strategy="star")
+
+    bench("connected_components star (log-round contraction)", cc_star)
+
     spark.stop()
 
 

@@ -57,19 +57,32 @@ DEFAULT_MAX_BUCKET_MEMBERS = 10_000
 _obs_counter = itertools.count(1)
 
 
-def _capped_buckets(grouped: DataFrame, arr_col: str, max_members: int) -> DataFrame:
+def _capped_buckets(
+    grouped: DataFrame,
+    arr_col: str,
+    max_members: int,
+    observation=None,
+) -> DataFrame:
     """Filter bucket rows whose member array exceeds ``max_members``,
-    attaching an ``observe()`` metric (``*_dropped_buckets`` /
-    ``*_dropped_members``) so drops are visible in the Spark UI and
-    QueryExecution listeners at zero extra-job cost.
+    attaching an ``observe()`` metric (``dropped_buckets`` /
+    ``dropped_members``) so drops are visible in the Spark UI and
+    QueryExecution listeners at zero extra-job cost. Pass a
+    ``pyspark.sql.Observation`` to read the counters programmatically
+    after an action (tests, drop-rate monitors); the default is a
+    uniquely-named fire-and-forget metric.
 
     The collect_list buffer itself is still O(bucket) in memory — the
     cap bounds the quadratic pair blow-up, while upstream guards
     (df_cap stop-shingles, exact-dedup-first) bound the linear buffer.
     """
     too_big = F.size(arr_col) > max_members
+    target = (
+        observation
+        if observation is not None
+        else f"bucket_cap_{next(_obs_counter)}"
+    )
     return grouped.observe(
-        f"bucket_cap_{next(_obs_counter)}",
+        target,
         F.sum(F.when(too_big, 1).otherwise(0)).alias("dropped_buckets"),
         F.sum(F.when(too_big, F.size(arr_col)).otherwise(0)).alias(
             "dropped_members"
@@ -243,6 +256,7 @@ def lsh_candidate_pairs(
     bands: int,
     rows_per_band: int,
     max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
+    observation=None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any full band of their signature.
 
@@ -284,6 +298,7 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") > 1),
         "ids",
         max_bucket_members,
+        observation,
     ).repartition(par, "band", "bucket")
     return (
         buckets.select(F.explode("ids").alias("id_a"), "ids")
@@ -303,6 +318,7 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     shingle_hashes: DataFrame | None = None,
     max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
+    observation=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: bucket -> candidates -> verify
     with true Jaccard (only candidates pay the verification join).
@@ -320,7 +336,9 @@ def minhash_near_duplicates(
         sh.count()  # fill once — concurrent consumer stages race otherwise
 
     sigs = minhash_signatures_from_hashes(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_members)
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_members, observation
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
@@ -393,6 +411,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
+    observation=None,
 ) -> DataFrame:
     """SimHash near-dups: band the fingerprint (pigeonhole: hamming <=
     bands-1 implies an equal band), join per band, verify hamming.
@@ -424,6 +443,7 @@ def simhash_near_duplicates(
         .filter(F.size("ms") > 1),
         "ms",
         max_bucket_members,
+        observation,
     ).repartition(par, "band", "band_val")
     cands = (
         buckets.select(F.explode("ms").alias("a"), "ms")

@@ -24,8 +24,13 @@ threshold — listed here because it shares every building block.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Unique observe() suffixes (GIL-atomic; see dedup._obs_counter).
+_obs_counter = itertools.count(1)
 
 from spark_relieffc_fselection_spark.functions.vector import (
 
@@ -261,6 +266,8 @@ def lsh_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "numpy",
+    max_bucket_members: int | None = 10_000,
+    observation=None,
 ) -> DataFrame:
     """Bucketed embedding near-dup: the 100 TB default for
     ``all_pairs_cosine``-style dedup.
@@ -290,6 +297,36 @@ def lsh_near_duplicates(
     """
     c = _prep_normed(corpus, id_col, vec_col, "id", "vec", "nrm")
     b = _with_table_buckets(c, "vec", n_bits, n_tables)
+    if max_bucket_members is not None:
+        # Degenerate-bucket guard (mirrors dedup._capped_buckets): a
+        # bucket of m members still means O(m^2) PAIR work in one task
+        # even with the chunked matmul bounding memory, so buckets over
+        # the cap are dropped (observed) before pair generation. The
+        # size window partitions by the same (table, bucket) key the
+        # pair stage groups on, so it rides the existing exchange.
+        w_b = Window.partitionBy("table", "bucket")
+        too_big = F.col("_bsz") > max_bucket_members
+        target = (
+            observation
+            if observation is not None
+            else f"lsh_neardup_cap_{next(_obs_counter)}"
+        )
+        b = (
+            b.withColumn("_bsz", F.count(F.lit(1)).over(w_b))
+            .withColumn(
+                "_bfirst",
+                F.row_number().over(w_b.orderBy("id")) == 1,
+            )
+            .observe(
+                target,
+                F.sum(
+                    F.when(too_big & F.col("_bfirst"), 1).otherwise(0)
+                ).alias("dropped_buckets"),
+                F.sum(F.when(too_big, 1).otherwise(0)).alias("dropped_members"),
+            )
+            .filter(~too_big)
+            .drop("_bsz", "_bfirst")
+        )
     if kernel == "numpy":
         return _lsh_near_dup_kernel(b, threshold)
     a_side = b.select(

@@ -740,7 +740,8 @@ def q82_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inherently sequential (driver numpy over an nFeat-row frame), "
         "so this entry has NO SQL oracle: the driver records the weaker "
         "rows-only check, while the pipeline's every aggregation stage "
-        "is hash-gated piecewise by q13-q17/q44.",
+        "is hash-gated piecewise by q13-q17/q44 AND the whole "
+        "single-batch fit dataflow is hash-gated end-to-end by q72a.",
 )
 def q72_relief_fit_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.operators.relief import fit_relief

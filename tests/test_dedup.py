@@ -355,3 +355,70 @@ def test_cdc_chunking_shift_robust(spark):
     assert shared / len(h[1]) > 0.7, (shared, len(h[1]))
     # and the docs do differ somewhere
     assert h[1] != h[2]
+
+
+def test_degenerate_corpus_capped_end_to_end(spark):
+    """VERDICT r4 #8: a 100k-identical-doc corpus through the MinHash
+    pipeline must complete in bounded time (the uncapped clique is
+    ~5e9 pairs — completion IS the bound), report the drops through an
+    Observation, and still find the unrelated near-dup pair."""
+    from pyspark.sql import Observation
+
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"), F.lit(BASE).alias("text")
+    )
+    cold = spark.createDataFrame(
+        [(n_hot + 1, NEAR), (n_hot + 2, NEAR)], "doc_id long, text string"
+    )
+    obs = Observation("minhash_cap")
+    pairs = minhash_near_duplicates(
+        hot.unionByName(cold), threshold=0.3, num_hashes=16, bands=8,
+        observation=obs,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical docs share EVERY band bucket, so every one of their
+    # buckets is over the 10k cap -> the clique contributes nothing
+    assert (n_hot + 1, n_hot + 2) in got
+    assert not any(a < n_hot for a, _ in got)
+    m = obs.get
+    assert m["dropped_buckets"] >= 8  # one hot bucket per band
+    assert m["dropped_members"] >= 8 * n_hot
+
+
+def test_degenerate_embedding_corpus_capped_end_to_end(spark):
+    """Same guard for the embedding LSH near-dup: 100k identical
+    vectors land in one bucket per table; the cap drops them (observed)
+    instead of running ~5e9-pair matmuls, while distinct near-dup
+    vectors still pair."""
+    from pyspark.sql import Observation
+
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        lsh_near_duplicates,
+    )
+
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in (1.0, 2.0, 3.0, 4.0)]).alias(
+            "embedding"
+        ),
+    )
+    cold = spark.createDataFrame(
+        [
+            (n_hot + 1, [-1.0, -2.0, -3.0, -4.1]),
+            (n_hot + 2, [-1.0, -2.0, -3.0, -4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    obs = Observation("lsh_cap")
+    pairs = lsh_near_duplicates(
+        hot.unionByName(cold), threshold=0.9, n_bits=2, n_tables=2,
+        observation=obs,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (n_hot + 1, n_hot + 2) in got
+    assert not any(a < n_hot for a, _ in got)
+    m = obs.get
+    assert m["dropped_buckets"] >= 2  # the hot bucket, per table
+    assert m["dropped_members"] >= 2 * n_hot
