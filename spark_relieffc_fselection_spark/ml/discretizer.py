@@ -129,13 +129,16 @@ def fit_mdlp_edges(
     1. Assign every (feature, value) to its current interval with a
        pure-Catalyst literal-cuts expression (the ``apply_bin_edges``
        trick) — zero shuffle.
-    2. One window pass over the dense (feature, value, label) count
-       grid yields within-interval cumulative and total class counts.
-    3. One aggregation per candidate midpoint computes the class-
-       entropy sufficient statistics (entropy terms are decimal-summed
-       so cross-engine/shuffle-order float drift can't flip argmax
-       ties), then a window rank picks each interval's best-gain cut
-       and the Fayyad-Irani MDL criterion accepts or prunes it:
+    2. One window pass over the class-PIVOTED (feature, value) count
+       grid — one column per class, so the grid is ``distinct values``
+       rows, NOT ``distinct values x classes`` — yields within-interval
+       cumulative and total class counts for every class at once.
+    3. Row-level expressions over those window columns compute the
+       class-entropy sufficient statistics (entropy terms are
+       decimal-summed so cross-engine/shuffle-order float drift can't
+       flip argmax ties), then a window rank picks each interval's
+       best-gain cut and the Fayyad-Irani MDL criterion accepts or
+       prunes it:
 
            gain > (log2(N-1) + delta) / N,
            delta = log2(3^k - 2) - (k*H(S) - k1*H(S1) - k2*H(S2))
@@ -148,9 +151,11 @@ def fit_mdlp_edges(
     to class-boundary midpoints an optimization, not a semantic change,
     and evaluating every midpoint keeps the dataflow oracle-expressible.
 
-    The only corpus-sized shuffle is the initial (feature, value,
-    label) histogram; every later pass runs over that compacted grid
-    (``distinct values x classes`` rows, localCheckpointed once). At
+    The only corpus-sized shuffle is the initial class-conditional
+    (feature, value) histogram; every later pass runs over that
+    compacted grid
+    (``distinct values`` rows, one count column per class,
+    localCheckpointed once). At
     100 TB, bound the grid by pre-quantizing near-unique continuous
     features (e.g. to ~10k quantile-sketch candidates per feature,
     the same cap the reference MDLP library applies) before calling.
@@ -158,11 +163,14 @@ def fit_mdlp_edges(
     Returns ``edges[feature_idx] -> [cut1 < cut2 < ...]`` for
     :func:`apply_bin_edges`.
     """
-    first = df.select(features_col).first()
-    if first is None:
+    prof = df.select(
+        F.first(F.size(F.col(features_col))).alias("dim"),
+        F.collect_set(F.col(label_col).cast("double")).alias("lbls"),
+    ).first()
+    if prof is None or prof["dim"] is None:
         return []
-    dim = len(first[0])
-    spark = df.sparkSession
+    dim = int(prof["dim"])
+    labels = sorted(prof["lbls"])
 
     long = df.select(
         F.col(label_col).cast("double").alias("lbl"),
@@ -170,26 +178,24 @@ def fit_mdlp_edges(
             "feature", "val"
         ),
     )
-    hist = long.groupBy("feature", "val", "lbl").agg(F.count("*").alias("c"))
-    labels = sorted(
-        r["lbl"]
-        for r in df.select(F.col(label_col).cast("double").alias("lbl"))
-        .distinct()
-        .collect()
-    )
-    labels_df = F.broadcast(
-        spark.createDataFrame([(float(l),) for l in labels], "lbl double")
-    )
-    # Dense (feature, value) x label grid: the window cumsum below needs
-    # every class's cumulative count at every candidate, including
-    # classes absent at that value. localCheckpoint once — each level
-    # re-reads it without re-aggregating the corpus or growing the plan.
+    # Class-pivoted (feature, value) grid: the window cumsum below
+    # needs every class's cumulative count at every candidate, so the
+    # classes become COLUMNS (c0..c{k-1}) rather than a dense
+    # values x classes row grid — k times fewer rows, no
+    # crossJoin/left-join materialization, and ONE corpus shuffle (the
+    # conditional count IS the histogram; no separate per-class
+    # aggregate + pivot regroup). localCheckpoint once — each level
+    # re-reads it without re-aggregating the corpus or growing the
+    # plan.
+    k_classes = len(labels)
     grid = (
-        hist.select("feature", "val")
-        .distinct()
-        .crossJoin(labels_df)
-        .join(hist, ["feature", "val", "lbl"], "left")
-        .select("feature", "val", "lbl", F.coalesce("c", F.lit(0)).alias("c"))
+        long.groupBy("feature", "val")
+        .agg(
+            *[
+                F.count(F.when(F.col("lbl") == float(lbl), 1)).alias(f"c{j}")
+                for j, lbl in enumerate(labels)
+            ]
+        )
         .localCheckpoint()
     )
 
@@ -211,27 +217,39 @@ def fit_mdlp_edges(
                 lambda e: F.col("val") > e,
             )
         )
-        w_cum = Window.partitionBy("feature", "iv", "lbl").orderBy("val")
-        w_tot = Window.partitionBy("feature", "iv", "lbl")
-        g = grid.withColumn("iv", iv).select(
+        w_cum = Window.partitionBy("feature", "iv").orderBy("val")
+        w_tot = Window.partitionBy("feature", "iv")
+        wl = [F.sum(f"c{j}").over(w_cum) for j in range(k_classes)]
+        tl = [F.sum(f"c{j}").over(w_tot) for j in range(k_classes)]
+        rl = [t - w for t, w in zip(tl, wl)]
+
+        def _ssum(cols):
+            out = cols[0]
+            for c in cols[1:]:
+                out = out + c
+            return out
+
+        # Per-class window columns collapse to the candidate sufficient
+        # statistics with row-level expressions — the decimal-summed
+        # entropy terms add the same k values the former per-class-row
+        # aggregation summed (decimal addition is exact, so the
+        # regrouping cannot change a single bit of s/s1/s2). The
+        # candidate midpoint's lead(val) shares w_cum's partitioning
+        # and ordering, so ALL window columns come out of one Window
+        # exec (one shuffle + one sort per level).
+        cand = grid.withColumn("iv", iv).select(
             "feature",
             "iv",
-            "val",
-            F.sum("c").over(w_cum).alias("wl"),
-            F.sum("c").over(w_tot).alias("tl"),
+            ((F.col("val") + F.lead("val").over(w_cum)) / 2.0).alias("cut"),
+            _ssum(wl).cast("bigint").alias("n1"),
+            _ssum(tl).cast("bigint").alias("n"),
+            _ssum([_term(x) for x in wl]).cast("double").alias("s1"),
+            _ssum([_term(x) for x in tl]).cast("double").alias("s"),
+            _ssum([_term(x) for x in rl]).cast("double").alias("s2"),
+            _ssum([_nz(x) for x in wl]).cast("bigint").alias("k1"),
+            _ssum([_nz(x) for x in tl]).cast("bigint").alias("k"),
+            _ssum([_nz(x) for x in rl]).cast("bigint").alias("k2"),
         )
-        rl = F.col("tl") - F.col("wl")
-        cand = g.groupBy("feature", "iv", "val").agg(
-            F.sum("wl").cast("bigint").alias("n1"),
-            F.sum("tl").cast("bigint").alias("n"),
-            F.sum(_term(F.col("wl"))).cast("double").alias("s1"),
-            F.sum(_term(F.col("tl"))).cast("double").alias("s"),
-            F.sum(_term(rl)).cast("double").alias("s2"),
-            F.sum(_nz(F.col("wl"))).cast("bigint").alias("k1"),
-            F.sum(_nz(F.col("tl"))).cast("bigint").alias("k"),
-            F.sum(_nz(rl)).cast("bigint").alias("k2"),
-        )
-        w_next = Window.partitionBy("feature", "iv").orderBy("val")
         nd = F.col("n").cast("double")
         n1d = F.col("n1").cast("double")
         n2d = (F.col("n") - F.col("n1")).cast("double")
@@ -244,23 +262,33 @@ def fit_mdlp_edges(
             kd * ent - k1d * ent1 - k2d * ent2
         )
         thresh = (F.log2(nd - 1.0) + delta) / nd
-        w_best = Window.partitionBy("feature", "iv").orderBy(
-            F.desc("gain"), F.asc("cut")
-        )
+        # Best cut per interval: max_by over (gain, -cut) is a
+        # partial-aggregatable argmax — ties on gain resolve to the
+        # SMALLEST cut, bit-identical to the former
+        # row_number(ORDER BY gain DESC, cut ASC) pick, without a
+        # second full sort of the candidate set.
         new = (
-            cand.withColumn(
-                "cut", (F.col("val") + F.lead("val").over(w_next)) / 2.0
-            )
-            .filter(
+            cand.filter(
                 F.col("cut").isNotNull()
                 & (F.col("n1") > 0)
                 & (F.col("n") > F.col("n1"))
             )
-            .withColumn("gain", gain)
-            .withColumn("thresh", thresh)
-            .withColumn("rn", F.row_number().over(w_best))
-            .filter((F.col("rn") == 1) & (F.col("gain") > F.col("thresh")))
-            .select("feature", "cut")
+            .select(
+                "feature",
+                "iv",
+                "cut",
+                gain.alias("gain"),
+                thresh.alias("thresh"),
+            )
+            .groupBy("feature", "iv")
+            .agg(
+                F.max_by(
+                    F.struct("cut", "gain", "thresh"),
+                    F.struct(F.col("gain"), (-F.col("cut")).alias("nc")),
+                ).alias("best")
+            )
+            .filter(F.col("best.gain") > F.col("best.thresh"))
+            .select("feature", F.col("best.cut").alias("cut"))
             .collect()
         )
         if not new:
