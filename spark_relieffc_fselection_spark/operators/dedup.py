@@ -355,6 +355,93 @@ def minhash_near_duplicates(
     )
 
 
+def editdist_near_duplicates(
+    docs: DataFrame,
+    max_rel_dist: float = 0.2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    prefix_chars: int = 256,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_hashes: DataFrame | None = None,
+    max_bucket_members: int = DEFAULT_MAX_BUCKET_MEMBERS,
+    observation=None,
+) -> DataFrame:
+    """Edit-distance-verified near-dup: MinHash-band LSH candidates,
+    exact Levenshtein verify — the two-stage shape of ExactSubstr-style
+    fuzzy dedup where the verifier must be an EDIT metric (catches
+    token-order rewrites that set-based Jaccard scores as similar and
+    char-level mutations it scores as distant).
+
+    Verification runs on the first ``prefix_chars`` characters of the
+    normalized text (documented truncation: Levenshtein is O(L^2) per
+    pair, so an uncapped verify on book-length outliers would own the
+    stage; 256 normalized chars discriminates near-dups at crawl doc
+    granularity). The DP early-exits via Spark's bounded
+    ``levenshtein(l, r, threshold)`` — any pair whose true distance
+    exceeds the largest possible accepting distance returns -1 without
+    filling the DP table.
+
+    Scale: candidates come from :func:`lsh_candidate_pairs` (bucketed,
+    capped, never all-pairs); the verify joins only (id, prefix) pairs
+    — 2 x ``prefix_chars`` bytes per candidate — and is embarrassingly
+    parallel.
+
+    Keeps pairs with ``lev <= max_rel_dist * max(len_a, len_b)``.
+    Returns (id_a, id_b, lev, sim), sim = 1 - lev/max_len rounded to 6.
+    Oracle note: DuckDB's ``levenshtein`` counts BYTES while Spark
+    counts CHARACTERS — identical on ASCII corpora (the testdata is
+    all-ASCII; non-ASCII corpora still dedup correctly engine-side,
+    only the cross-engine oracle needs byte==char).
+    """
+    rows_per_band = num_hashes // bands
+    if shingle_hashes is not None:
+        sh = shingle_hashes
+    else:
+        sh = doc_shingle_hashes(docs, n, text_col, id_col).cache()
+        sh.count()  # fill once — concurrent consumer stages race otherwise
+    sigs = minhash_signatures_from_hashes(sh, num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_members, observation
+    )
+    pref = docs.select(
+        F.col(id_col),
+        F.substring(normalize_text(F.col(text_col)), 1, prefix_chars).alias(
+            "p"
+        ),
+    )
+    # largest distance any pair can accept is max_rel_dist*prefix_chars;
+    # +1 so the bounded DP never clips an accepting pair
+    dp_bound = int(max_rel_dist * prefix_chars) + 1
+    return (
+        cands.join(
+            pref.select(F.col(id_col).alias("id_a"), F.col("p").alias("pa")),
+            "id_a",
+        )
+        .join(
+            pref.select(F.col(id_col).alias("id_b"), F.col("p").alias("pb")),
+            "id_b",
+        )
+        .withColumn("lev", F.levenshtein("pa", "pb", dp_bound).cast("bigint"))
+        .withColumn(
+            "mx", F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+        )
+        .filter(
+            (F.col("lev") >= 0)
+            & (F.col("lev") <= F.lit(max_rel_dist) * F.col("mx"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "lev",
+            F.round(
+                F.lit(1.0) - F.col("lev") / F.col("mx").cast("double"), 6
+            ).alias("sim"),
+        )
+    )
+
+
 def simhash_signatures(
     docs: DataFrame,
     bits: int = 32,

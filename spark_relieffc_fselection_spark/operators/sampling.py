@@ -138,3 +138,91 @@ def weighted_sample_per_group(
         keyed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_per_group)
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed-unigram
+    distribution is.
+
+    The target/raw language models are bucket-count vectors over a
+    feature hash of the tokens (portable md5-prefix hash, so the whole
+    dataflow is cross-engine reproducible), Laplace-smoothed. A
+    document's log importance weight is::
+
+        logw(d) = sum over token occurrences t in d of
+                  [ln p_target(bucket(t)) - ln p_raw(bucket(t))]
+
+    Scale shape: two passes over the exploded token stream — one
+    aggregation down to ``n_buckets`` rows (map-side combined), then a
+    broadcast join of that tiny lambda table back onto the tokens and a
+    per-document sum. Nothing is ever shuffled wider than the token
+    explode itself, and the lambda table is O(n_buckets), not O(vocab).
+
+    ``target_pred`` marks the in-domain rows (e.g. ``lang = 'en'``);
+    raw statistics use ALL rows, matching the paper's raw-pool setup.
+    Returns (``id_col``, logw) for every document with >= 1 token.
+    """
+    from spark_relieffc_fselection_spark.functions.text import (
+        md5_hash64,
+        tokens,
+    )
+
+    b = docs.select(
+        F.col(id_col),
+        target_pred.alias("is_t"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col, "is_t", (md5_hash64(F.col("tok")) % n_buckets).alias("bucket")
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    w_all = Window.partitionBy()
+    lam = counts.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.sum("ct").over(w_all) + float(n_buckets))
+            )
+            - F.log(
+                (F.col("cr") + 1.0)
+                / (F.sum("cr").over(w_all) + float(n_buckets))
+            )
+        ).alias("lam"),
+    )
+    return (
+        b.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lam").alias("logw"))
+    )
+
+
+def gumbel_topk_resample(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+) -> DataFrame:
+    """Gumbel-top-k resampling: ``key = logw - ln(-ln(u))`` with a
+    hash-derived uniform; the k largest keys are an exact sample
+    without replacement from softmax(logw) (the Gumbel-max trick) —
+    DSIR's resampling step, deterministic and engine-portable.
+
+    Same rank-k plan as the A-ES sampler: orderBy+limit pushes a
+    per-partition top-k before the k-row merge; no global sort.
+    """
+    keyed = weighted.withColumn(
+        "key", F.col(logw_col) - F.log(-F.log(hash_uniform(F.col(id_col))))
+    )
+    w = Window.orderBy(F.desc("key"), F.asc(id_col))
+    topk = keyed.orderBy(F.desc("key"), F.asc(id_col)).limit(k)
+    return topk.withColumn("rank", F.row_number().over(w))

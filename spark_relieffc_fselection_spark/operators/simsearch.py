@@ -364,6 +364,118 @@ def lsh_near_duplicates(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_members: int | None = 10_000,
+    observation=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic near-duplicate removal — the embedding-space dedup tier
+    between exact/MinHash text dedup and full ANN.
+
+    Shape: assign every vector to its nearest deterministic centroid
+    (:func:`ivf_assignments` — broadcast centroids, one narrow pass),
+    then score pairs ONLY within a cluster (equi-join keyed by
+    ``list_id``; never all-pairs) and mark as duplicates the rows whose
+    cosine to a LOWER-id cluster member reaches ``threshold``. Keeping
+    the minimum id per duplicate group is the same deterministic
+    representative convention as the text-dedup canonical selection
+    (dedup.canonical_docs), which is what makes the result exactly
+    SQL-oracle-able; the paper keeps a random member per group.
+
+    Scale: candidate volume is sum over clusters of m^2, governed by
+    the centroid count — grow centroids with the corpus (SemDeDup uses
+    ~100k clusters at LAION scale) so cluster sizes stay bounded, and
+    ``max_cluster_members`` drops degenerate clusters (observed via the
+    same ``observe`` counters as the LSH bucket cap) instead of letting
+    one hot cluster own an O(m^2) task.
+
+    Returns dropped rows: (``id_col``, list_id, dup_of, max_cos) where
+    ``dup_of`` is the smallest lower-id duplicate and ``max_cos`` the
+    strongest in-cluster duplicate cosine (rounded to 6 decimals).
+
+    Caveat: the drop counters ride an ``observe()`` on the cluster
+    stream; when EVERY cluster is capped (result is globally empty)
+    AQE's empty-relation propagation may skip the observed branch, so
+    ``Observation.get`` is only guaranteed after a run with survivors.
+    """
+    _, assign = ivf_assignments(corpus, centroid_stride, id_col, vec_col)
+    # Cluster member lists (ids ONLY — the linear object; vectors join
+    # back per candidate pair below). Grouping first keeps the cap and
+    # its observe() counters on a single-consumer stream: an observe on
+    # a DataFrame feeding both sides of a self-join appears twice in
+    # the plan, and AQE's empty-relation pruning can skip the observed
+    # branch entirely, orphaning the metrics.
+    clusters = (
+        assign.groupBy("list_id")
+        .agg(F.collect_list("vid").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_cluster_members is not None:
+        too_big = F.size("ids") > max_cluster_members
+        target = (
+            observation
+            if observation is not None
+            else f"semantic_dedup_cap_{next(_obs_counter)}"
+        )
+        clusters = clusters.observe(
+            target,
+            F.sum(F.when(too_big, 1).otherwise(0)).alias("dropped_clusters"),
+            F.sum(F.when(too_big, F.size("ids")).otherwise(0)).alias(
+                "dropped_members"
+            ),
+        ).filter(~too_big)
+    # Pair explode per cluster (quadratic object, bounded by the cap),
+    # repartitioned first so AQE doesn't coalesce the byte-tiny grouped
+    # rows onto a few cores — same shape as dedup.lsh_candidate_pairs.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        clusters.repartition(par, "list_id")
+        .select("list_id", F.explode("ids").alias("id_a"), "ids")
+        .select("list_id", "id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    v = _prep_normed(corpus, id_col, vec_col, "id", "vec", "nrm")
+    edges = (
+        pairs.join(
+            v.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "list_id",
+            "id_a",
+            "id_b",
+            F.when(F.col("na") * F.col("nb") == 0.0, F.lit(0.0))
+            .otherwise(
+                dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            )
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return edges.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.first("list_id").alias("list_id"),
+        F.min("id_a").alias("dup_of"),
+        F.round(F.max("cosine"), 6).alias("max_cos"),
+    )
+
+
 def kmeans_lloyd_step(
     corpus: DataFrame,
     centroid_stride: int = 50,

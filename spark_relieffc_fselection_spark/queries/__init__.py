@@ -53,6 +53,12 @@ _PRIORITY: tuple[str, ...] = (
     # (VERDICT r4 #6)
     "q72a_relief_std_ranking",
     "q105_mdlp_discretize",
+    # round 5, new LLM-pipeline surface: SemDeDup cluster-scoped
+    # semantic dedup, DSIR importance resampling, edit-distance-
+    # verified near-dup
+    "q106_semantic_dedup",
+    "q107_dsir_importance_sample",
+    "q108_editdist_neardup",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -103,15 +109,14 @@ _PRIORITY: tuple[str, ...] = (
     "q80_hash_uniform_sample",
     "q85_token_truncation",
     "q91_doc_chunking",
-    "q92_boilerplate_detection",
-    "q86_source_interleave",
-    "q87_temperature_mix",
     # (Deferred to round 6 — still r3-green and the most stable pure-
     # Catalyst OLAP shapes in the registry: q38_rollup,
     # q39_distinct_agg, q40_percentiles, q45_analytic_windows,
     # q46_cube, q47_pivot, q48_setops, q51_hll_distinct,
-    # q52_correlated_subquery, q56_grouping_sets. Everything r4-green
-    # also rotates out; the local oracle sweep still covers all 106.)
+    # q52_correlated_subquery, q56_grouping_sets, plus — displaced by
+    # the three new round-5 queries — q92_boilerplate_detection,
+    # q86_source_interleave, q87_temperature_mix. Everything r4-green
+    # also rotates out; the local oracle sweep still covers all 109.)
 )
 
 

@@ -207,6 +207,67 @@ def q21_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Edit-distance verified near-dups ---------------------------------------------
+
+EDITDIST_REL, EDITDIST_PREFIX = 0.2, 256
+
+
+@register(
+    "q108_editdist_neardup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_SIGS_CTE},
+    banded AS (
+      SELECT doc_id, CAST(k / {MINHASH_K // MINHASH_BANDS} AS INT) AS band,
+             {_H64.format(x="string_agg(minhash::VARCHAR, ',' ORDER BY k)")} AS bucket
+      FROM sigs GROUP BY doc_id, band
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pref AS (
+      SELECT doc_id, substr({_NORM}, 1, {EDITDIST_PREFIX}) AS p
+      FROM documents
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b, levenshtein(a.p, b.p) AS lev,
+             GREATEST(length(a.p), length(b.p), 1) AS mx
+      FROM cands c
+      JOIN pref a ON a.doc_id = c.id_a
+      JOIN pref b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+           ROUND(1.0 - lev / CAST(mx AS DOUBLE), 6) AS sim
+    FROM v WHERE lev <= {EDITDIST_REL} * mx
+    """,
+    doc="Edit-distance-verified near-dup: MinHash-band LSH candidates "
+        "(same buckets as q21), exact bounded-Levenshtein verify on "
+        "256-char normalized prefixes — the edit-metric verifier "
+        "catches char-level mutations set-based Jaccard under-scores. "
+        "operators/dedup.editdist_near_duplicates; candidates bucketed "
+        "+ capped, verify joins carry only (id, prefix), Spark's "
+        "threshold DP early-exits non-accepting pairs. (DuckDB "
+        "levenshtein counts bytes, Spark chars — equal on this "
+        "all-ASCII corpus; engine-side semantics are char-correct.)",
+)
+def q108_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        editdist_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist_near_duplicates(
+        docs,
+        max_rel_dist=EDITDIST_REL,
+        num_hashes=MINHASH_K,
+        bands=MINHASH_BANDS,
+        prefix_chars=EDITDIST_PREFIX,
+        shingle_hashes=_shingles(spark, sf_dir),
+    )
+
+
 # --- SimHash ---------------------------------------------------------------------
 
 _SIMHASH_CTE = f"""

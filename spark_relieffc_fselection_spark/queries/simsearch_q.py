@@ -17,6 +17,7 @@ from spark_relieffc_fselection_spark.operators.simsearch import (
     lsh_bucketed_topk,
     lsh_near_duplicates,
     random_projection,
+    semantic_dedup,
 )
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.sources import load_table
@@ -219,6 +220,59 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=NEARDUP_COS,
         n_bits=NEARDUP_BITS,
         n_tables=NEARDUP_TABLES,
+    )
+
+
+SEMDEDUP_COS = 0.30
+SEMDEDUP_STRIDE = IVF_STRIDE
+
+
+@register(
+    "q106_semantic_dedup",
+    oracle=f"""
+    WITH {_INST},
+    centroids AS (
+      SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM normed
+      WHERE id % {SEMDEDUP_STRIDE} = 0
+    ),
+    assign AS (
+      SELECT id AS vid, list_id FROM (
+        SELECT a.id, c.centroid_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+                 (CASE WHEN a.nrm * c.cnrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*c.cv[i]))
+                            / (a.nrm * c.cnrm) END) DESC, c.centroid_id ASC) AS rn
+        FROM normed a, centroids c
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT n.id, n.v, n.nrm, a2.list_id
+      FROM normed n JOIN assign a2 ON a2.vid = n.id
+    ),
+    edges AS (
+      SELECT a.list_id, a.id AS id_a, b.id AS id_b, {_COSINE} AS cosine
+      FROM m a JOIN m b ON a.list_id = b.list_id AND a.id < b.id
+    )
+    SELECT id_b AS vec_id,
+           MIN(list_id) AS list_id,
+           MIN(id_a) AS dup_of,
+           ROUND(MAX(cosine), 6) AS max_cos
+    FROM edges WHERE cosine >= {SEMDEDUP_COS}
+    GROUP BY id_b
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — "
+        "nearest-centroid assignment (deterministic stride centroids, "
+        "broadcast), within-cluster cosine pairs only (equi-join keyed "
+        "by list_id, never all-pairs), drop rows duplicating a lower-id "
+        "cluster member. operators/simsearch.semantic_dedup; cluster "
+        "count grows with the corpus so per-cluster pair work stays "
+        "bounded, degenerate clusters capped+observed.",
+)
+def q106_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=SEMDEDUP_COS,
+        centroid_stride=SEMDEDUP_STRIDE,
     )
 
 

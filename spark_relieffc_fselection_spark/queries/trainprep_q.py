@@ -1360,3 +1360,68 @@ def q103_stratified_weighted_sample(
     return out.select(
         "doc_id", "source", "n_chars", F.round("ln_key", 6).alias("ln_key"), "rank"
     )
+
+
+DSIR_BUCKETS, DSIR_K = 64, 40
+
+
+@register(
+    "q107_dsir_importance_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % {DSIR_BUCKETS}
+               AS bucket
+      FROM (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(string_split({_NORM}, ' ')) AS tok
+        FROM documents
+      )
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM b GROUP BY bucket
+    ),
+    lam AS (
+      SELECT bucket,
+             ln((ct + 1.0) / ((SELECT SUM(ct) FROM counts) + {DSIR_BUCKETS}.0))
+             - ln((cr + 1.0) / ((SELECT SUM(cr) FROM counts) + {DSIR_BUCKETS}.0))
+               AS lam
+      FROM counts
+    ),
+    wts AS (
+      SELECT doc_id, SUM(lam) AS logw
+      FROM b JOIN lam USING (bucket) GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, logw, logw - ln(-ln({_U_SQL})) AS key FROM wts
+    )
+    SELECT doc_id, ROUND(logw, 6) AS logw, rank FROM (
+      SELECT doc_id, logw,
+             ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+      FROM keyed
+    ) WHERE rank <= {DSIR_K}
+    """,
+    doc="DSIR data selection (Xie et al. 2023): hashed-unigram importance "
+        "weights (target = lang='en' vs the raw pool; Laplace-smoothed "
+        "bucket LMs over a portable md5 feature hash) + Gumbel-top-k "
+        "resampling (exact softmax sample without replacement, "
+        "hash-derived noise). operators/sampling.dsir_importance_weights "
+        "+ gumbel_topk_resample. Scale: token explode -> n_buckets-row "
+        "aggregate, broadcast lambda join, rank-k selection — no global "
+        "sort, no vocab-sized state.",
+)
+def q107_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        dsir_importance_weights,
+        gumbel_topk_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wts = dsir_importance_weights(
+        docs, F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
+    out = gumbel_topk_resample(wts, DSIR_K)
+    return out.select("doc_id", F.round("logw", 6).alias("logw"), "rank")

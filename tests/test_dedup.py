@@ -422,3 +422,81 @@ def test_degenerate_embedding_corpus_capped_end_to_end(spark):
     m = obs.get
     assert m["dropped_buckets"] >= 2  # the hot bucket, per table
     assert m["dropped_members"] >= 2 * n_hot
+
+
+# --- edit-distance verified near-dups --------------------------------------------
+
+
+def test_editdist_neardup_finds_char_level_mutation(spark):
+    """A pair differing by 3 character edits must verify with exactly
+    lev=3 (the planted distance) and the correct relative sim."""
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        editdist_near_duplicates,
+    )
+
+    rows = [(0, BASE), (1, NEAR), (2, OTHER)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["sim"])
+        for r in editdist_near_duplicates(df, max_rel_dist=0.2).collect()
+    }
+    assert set(got) == {(0, 1)}
+    lev, sim = got[(0, 1)]
+    assert lev == 3  # dog -> cat
+    assert sim == round(1.0 - 3.0 / len(BASE), 6)
+
+
+def test_editdist_rejects_large_insertions(spark):
+    """Jaccard-banded candidates whose edit distance exceeds the
+    relative threshold are filtered by the verify stage: a large block
+    insertion keeps most shingles (candidate) but fails the edit
+    bound."""
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        editdist_near_duplicates,
+    )
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    inserted = " ".join(f"tok{i}" for i in range(20)) + " " + \
+        " ".join(f"xx{i}" for i in range(12)) + " " + \
+        " ".join(f"tok{i}" for i in range(20, 40))
+    rows = [(0, body), (1, body), (2, inserted)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in editdist_near_duplicates(df, max_rel_dist=0.1).collect()
+    }
+    assert (0, 1) in got          # identical pair verifies at lev=0
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_editdist_matches_unbounded_levenshtein(spark):
+    """The bounded-DP early exit must not change any REPORTED distance:
+    recompute with Python's classic O(L^2) DP for every reported pair."""
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        editdist_near_duplicates,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = editdist_near_duplicates(docs, max_rel_dist=0.3).collect()
+    assert out, "expected at least one verified pair in the corpus"
+    import re
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def pref(t):
+        return re.sub(r"\s+", " ", t.strip().lower())[:256]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in out:
+        assert r["lev"] == lev(pref(texts[r["id_a"]]), pref(texts[r["id_b"]]))

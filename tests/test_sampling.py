@@ -138,3 +138,97 @@ def test_weighted_sample_per_group_exact_k_and_oracle(spark, docs):
         members.sort()
         want = [(i + 1, doc) for i, (_, doc) in enumerate(members[:k])]
         assert sorted(per_group[g]) == want, g
+
+
+# --- DSIR importance resampling -------------------------------------------------
+
+
+def test_dsir_weights_match_python_oracle(spark):
+    """logw recomputed token-by-token in pure Python (same md5 feature
+    hash, same Laplace smoothing) must match to 6 decimals."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    B = 16
+    got = {
+        r["doc_id"]: round(r["logw"], 6)
+        for r in dsir_importance_weights(
+            docs, F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+
+    def buckets(text):
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        return [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+            for t in norm.split(" ")
+        ]
+
+    rows = docs.collect()
+    ct, cr = Counter(), Counter()
+    for r in rows:
+        for b in buckets(r["text"]):
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    lam = {
+        b: math.log((ct[b] + 1.0) / (tt + B)) - math.log((cr[b] + 1.0) / (tr + B))
+        for b in cr
+    }
+    exp = {
+        r["doc_id"]: round(sum(lam[b] for b in buckets(r["text"])), 6)
+        for r in rows
+    }
+    assert got == exp
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """Mean importance weight of in-target (en) docs must exceed the
+    out-of-target mean — the defining property of importance weighting."""
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    w = dsir_importance_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["t"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("t"))
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_gumbel_topk_exact_k_and_deterministic(spark):
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        dsir_importance_weights,
+        gumbel_topk_resample,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    wts = dsir_importance_weights(docs, F.col("lang") == "en")
+    a = gumbel_topk_resample(wts, 25)
+    b = gumbel_topk_resample(wts, 25)
+    ra = sorted((r["doc_id"], r["rank"]) for r in a.collect())
+    assert len(ra) == 25
+    assert len({d for d, _ in ra}) == 25  # without replacement
+    assert ra == sorted((r["doc_id"], r["rank"]) for r in b.collect())

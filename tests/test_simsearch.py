@@ -493,3 +493,93 @@ def test_centroid_assign_rejects_unknown_strategy(emb):
     cent_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     with pytest.raises(ValueError):
         centroid_assign(emb, cent_rows, strategy="nope")
+
+
+# --- SemDeDup (semantic_dedup) ------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Near-copies of a base vector must be dropped with dup_of = the
+    lowest-id member; unrelated vectors survive."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # centroid (id % 2 == 0 stride)
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-copy of 0
+        (3, [0.98, -0.01, 0.0, 0.0]),  # near-copy of 0
+        (2, [0.0, 0.0, 1.0, 0.0]),     # centroid, unrelated
+        (5, [0.0, 0.1, -1.0, 0.0]),    # near-copy of... opposite sign: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, centroid_stride=2)
+    got = {r["vec_id"]: (r["dup_of"], r["list_id"]) for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert got[1][0] == 0 and got[3][0] == 0
+    assert got[1][1] == 0 and got[3][1] == 0  # clustered under centroid 0
+
+
+def test_semantic_dedup_is_cluster_scoped(spark):
+    """A duplicate pair split across clusters is NOT scored: each
+    member sits nearest a different centroid."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        semantic_dedup,
+    )
+
+    import math
+
+    # centroids at ids 0 ([1,0]) and 2 (the 45-degree diagonal);
+    # ids 5 and 7 straddle the 22.5-degree decision boundary: they are
+    # 0.2 degrees apart (cos ~ 0.999994, far above threshold) yet 5
+    # assigns to centroid 0 and 7 to centroid 2, so the pair is never
+    # scored. id 9 sits 0.1 degrees from 5 INSIDE cluster 0 -> dropped.
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [(0, ang(0.0)), (2, ang(45.0)), (5, ang(22.4)), (7, ang(22.6)),
+            (9, ang(22.3))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.999, centroid_stride=2)
+    got = {r["vec_id"]: (r["dup_of"], r["list_id"]) for r in out.collect()}
+    assert got == {9: (5, 0)}, got
+
+
+def test_semantic_dedup_caps_degenerate_cluster(spark):
+    """100k identical vectors form one degenerate cluster; the cap
+    drops it (observed) instead of an O(n^2) in-cluster pair task,
+    while a distinct duplicate pair elsewhere still reports."""
+    from pyspark.sql import Observation
+
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        semantic_dedup,
+    )
+
+    n_hot = 100_000
+    # centroids (stride 2): id 0 = x-axis, id 2 = y-axis. The hot
+    # degenerate cluster is 100k near-copies of the x-axis (odd ids);
+    # the surviving pair (5, 7) clusters under the y-axis. At least one
+    # cluster must survive for the counters to be readable: if EVERY
+    # cluster is capped, AQE's empty-relation propagation can skip the
+    # observed branch and obs.get raises instead of reporting.
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0]), (5, [0.01, 1.0]),
+         (7, [0.011, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    hot = spark.range(n_hot).select(
+        (11 + 2 * F.col("id")).alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.001)).alias("embedding"),
+    )
+    obs = Observation("semdedup_cap")
+    out = semantic_dedup(
+        base.unionByName(hot),
+        threshold=0.99,
+        centroid_stride=2,
+        observation=obs,
+    ).collect()
+    got = {r["vec_id"]: r["dup_of"] for r in out}
+    m = obs.get
+    assert m["dropped_clusters"] >= 1
+    assert m["dropped_members"] >= n_hot
+    assert got == {5: 2, 7: 2}  # the hot clique contributed nothing
