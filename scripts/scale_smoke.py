@@ -6,7 +6,9 @@ scale near-linearly in rows (ratio ~= K on a fixed-size box), while a
 quadratic all-pairs kernel shows ~K^2 growth — which is exactly why
 the LSH/IVF tiers exist. Results are recorded in SCALE.md.
 
-Usage: python scripts/scale_smoke.py [K] [sf_dir]
+Usage: python scripts/scale_smoke.py [K] [sf_dir] [label-filter...]
+Any extra args select families by case-insensitive substring match on
+the printed label (e.g. `... 16 /root/testdata/sf0.1 semantic dsir`).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ def replicate(df: DataFrame, k: int, id_col: str, offset: int) -> DataFrame:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    label_filters = [a.lower() for a in sys.argv[3:]]
 
     from spark_relieffc_fselection_spark import get_spark
     from spark_relieffc_fselection_spark.functions.text import (
@@ -58,6 +61,8 @@ def main() -> None:
     n_inst = inst.count()
 
     def bench(label: str, build):
+        if label_filters and not any(f in label.lower() for f in label_filters):
+            return
         build(1).count()  # untimed: codegen + python-worker warmup
         times = {}
         for kk in (1, k):
@@ -179,6 +184,10 @@ def main() -> None:
         return time.time() - t0
 
     for strategy in ("numpy", "lsh"):
+        if label_filters and not any(
+            f in f"relief fit (knn_strategy={strategy})" for f in label_filters
+        ):
+            continue
         fit_timed(strategy, 1)  # warm
         t1 = min(fit_timed(strategy, 1), fit_timed(strategy, 1))
         tk = min(fit_timed(strategy, k), fit_timed(strategy, k))
@@ -212,6 +221,44 @@ def main() -> None:
         return connected_components(pairs, strategy="star")
 
     bench("connected_components star (log-round contraction)", cc_star)
+
+    # round-5 additions ---------------------------------------------------
+
+    # SemDeDup: cluster count grows with the corpus (stride centroids),
+    # so per-cluster pair work should stay ~constant -> near-linear
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        semantic_dedup,
+    )
+
+    bench(
+        "semantic_dedup (cluster-scoped pairs)",
+        lambda kk: semantic_dedup(emb_k(kk), threshold=0.3,
+                                  centroid_stride=50),
+    )
+
+    # DSIR: token explode -> 64-row aggregate -> broadcast join back
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        dsir_importance_weights,
+        gumbel_topk_resample,
+    )
+
+    bench(
+        "dsir weights + gumbel top-k (two token passes)",
+        lambda kk: gumbel_topk_resample(
+            dsir_importance_weights(docs_k(kk), F.col("lang") == "en"), 50
+        ),
+    )
+
+    # edit-distance near-dup: candidates from the same minhash bands,
+    # verify cost ~ candidate count (bounded DP per pair)
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        editdist_near_duplicates,
+    )
+
+    bench(
+        "editdist_neardup (band candidates + bounded DP)",
+        lambda kk: editdist_near_duplicates(docs_k(kk), max_rel_dist=0.2),
+    )
 
     spark.stop()
 

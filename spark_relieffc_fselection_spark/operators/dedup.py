@@ -423,7 +423,15 @@ def editdist_near_duplicates(
             pref.select(F.col(id_col).alias("id_b"), F.col("p").alias("pb")),
             "id_b",
         )
-        .withColumn("lev", F.levenshtein("pa", "pb", dp_bound).cast("bigint"))
+        .withColumn(
+            "lev",
+            # equality short-circuit: exact-dup cliques (the dominant
+            # candidate class when upstream exact dedup hasn't run yet)
+            # verify with an O(L) comparison instead of the O(L*t) DP
+            F.when(F.col("pa") == F.col("pb"), F.lit(0))
+            .otherwise(F.levenshtein("pa", "pb", dp_bound))
+            .cast("bigint"),
+        )
         .withColumn(
             "mx", F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
         )

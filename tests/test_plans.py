@@ -328,3 +328,31 @@ def test_ivfpq_probe_joins_broadcast(spark, qs):
     plan = _plan(qs["q102_ivfpq_ann"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_broadcast_centroids_no_cartesian(spark, qs):
+    """q106: the only crossJoin is the broadcast nearest-centroid
+    assignment; in-cluster pair generation is a grouped explode (no
+    corpus self-join, no SortMergeJoin on vectors)."""
+    plan = _plan(qs["q106_semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroid assignment only
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_dsir_lambda_join_broadcasts_no_global_sort(spark, qs):
+    """q107: the 64-row lambda table joins back by broadcast and the
+    Gumbel top-k plans as TakeOrderedAndProject, never a full sort."""
+    plan = _plan(qs["q107_dsir_importance_sample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_editdist_verify_joins_after_bucketed_candidates(spark, qs):
+    """q108: the verify stage carries only (id, prefix) — the plan
+    must not re-shingle per pair (one Generate for the band explode
+    family, no cartesian)."""
+    plan = _plan(qs["q108_editdist_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
