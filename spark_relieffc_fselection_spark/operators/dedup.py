@@ -1090,3 +1090,101 @@ def cdc_chunks(
             ).alias("chunk_hash"),
         )
     )
+
+
+# --- Bloom-filter membership (approximate anti-join) --------------------------
+
+#: Default Bloom geometry for the query surface: 2^16 bits / 3 hashes
+#: keeps the filter at ~1040 bitmap words (sf-test-sized). Production
+#: sizing: m ≈ -n·ln(p)/ln(2)^2 bits for target fp rate p; the build
+#: output is m/64 rows regardless of corpus size.
+DEFAULT_BLOOM_BITS = 1 << 16
+DEFAULT_BLOOM_HASHES = 3
+
+
+def _bloom_positions(key, m_bits: int, k_hashes: int):
+    """k independent bit positions for ``key``: the portable md5-prefix
+    hash of ``key || '#i'`` mod m. DuckDB equivalent per i:
+    ``('0x' || substr(md5(key || '#' || i), 1, 15))::BIGINT % m``."""
+    return [
+        md5_hash64(F.concat(key, F.lit(f"#{i}"))) % m_bits
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_filter_words(
+    df: DataFrame,
+    key_col: str = "key",
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k_hashes: int = DEFAULT_BLOOM_HASHES,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as ``(word_idx, word)``
+    bitmap words — ``word`` is the bit_or of ``1 << (pos % 63)`` for
+    every key hashing into word ``word_idx = pos // 63`` (63 usable bits
+    per word — bit 63 stays clear so no engine hits signed-shift
+    overflow).
+
+    Scale shape: the store side NEVER shuffles its strings — each row
+    emits k (word_idx, bit) int pairs and partial ``bit_or`` collapses
+    them map-side to at most m/63 rows per task before the single tiny
+    exchange. No ``distinct`` is needed: bit positions are idempotent
+    under OR, so duplicate keys cost nothing. The result (m/64 rows,
+    e.g. 16 MB of words for a 1-billion-key filter at 1% fp) is
+    broadcastable, which is what lets a daily batch be probed against
+    a multi-TB fingerprint store with zero shuffle on either side.
+    """
+    pos_arr = F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(pos_arr).alias("pos"))
+        .groupBy(F.floor(F.col("pos") / 63).alias("word_idx"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(pos % 63 as int))")).alias(
+                "word"
+            )
+        )
+    )
+
+
+def bloom_filter_probe(
+    batch: DataFrame,
+    words: DataFrame,
+    key_col: str = "key",
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k_hashes: int = DEFAULT_BLOOM_HASHES,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Probe ``batch[key_col]`` against a Bloom filter built by
+    :func:`bloom_filter_words`; adds boolean ``out_col`` — true iff all
+    k bits are set (key is *possibly* in the store; false positives at
+    the configured rate, never false negatives).
+
+    The probe is k chained BROADCAST left joins on ``word_idx`` — the
+    batch is never shuffled and the filter (m/63 rows) ships once per
+    executor, so probing is a map-only stage. A missing word (no store
+    key hashed into it) joins null and counts as bit-not-set.
+    """
+    positions = _bloom_positions(F.col(key_col), m_bits, k_hashes)
+    out = batch
+    maybe = F.lit(True)
+    for i, p in enumerate(positions):
+        pcol, icol, wcol = f"_bpos_{i}", f"_bidx_{i}", f"_bword_{i}"
+        out = out.withColumn(pcol, p)
+        w_i = words.select(
+            F.col("word_idx").alias(icol), F.col("word").alias(wcol)
+        )
+        out = out.join(
+            F.broadcast(w_i),
+            F.floor(F.col(pcol) / 63) == F.col(icol),
+            "left",
+        )
+        bit = F.expr(f"shiftleft(1L, cast({pcol} % 63 as int))")
+        maybe = maybe & F.coalesce(
+            F.col(wcol).bitwiseAND(bit) == bit, F.lit(False)
+        )
+    drop = [
+        c
+        for i in range(k_hashes)
+        for c in (f"_bpos_{i}", f"_bidx_{i}", f"_bword_{i}")
+    ]
+    return out.withColumn(out_col, maybe).drop(*drop)

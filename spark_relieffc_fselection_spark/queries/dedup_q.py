@@ -718,3 +718,94 @@ def q98_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, divisor=CDC_DIV, gram=CDC_G)
+
+
+# --- Bloom-filter dedup (approximate anti-join) --------------------------------
+
+BLOOM_M, BLOOM_K = 1 << 16, 3
+
+
+@register(
+    "q109_bloom_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, source, {_NORM} AS norm,
+             {_INCR_BUCKET.format(m=INCR_MOD)} AS bk
+      FROM documents
+    ),
+    pos AS (
+      SELECT ('0x' || substr(md5(norm || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+             % {BLOOM_M} AS pos
+      FROM hashed CROSS JOIN range({BLOOM_K}) t(i)
+      WHERE bk < {INCR_NEW}
+    ),
+    words AS (
+      SELECT pos // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    batchpos AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(norm || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+             % {BLOOM_M} AS pos
+      FROM hashed CROSS JOIN range({BLOOM_K}) t(i)
+      WHERE bk >= {INCR_NEW}
+    ),
+    probed AS (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             bool_and(w.word IS NOT NULL AND
+                      (w.word & (1::BIGINT << CAST(b.pos % 63 AS INT))) <> 0)
+               AS maybe
+      FROM batchpos b LEFT JOIN words w ON b.pos // 63 = w.word_idx
+      GROUP BY doc_id
+    )
+    SELECT source,
+           CASE WHEN maybe THEN 'maybe_dup' ELSE 'new' END AS bloom_status,
+           COUNT(*) AS n_docs
+    FROM probed GROUP BY 1, 2
+    """,
+    doc="BLOOM-FILTER dedup — the q81 daily-crawl shape with the exact "
+        "store join replaced by an approximate-membership probe: the "
+        f"store's normalized content hashes into a {BLOOM_M}-bit / "
+        f"{BLOOM_K}-hash Bloom filter (~1040 63-bit bitmap words via map-side "
+        "bit_or — the store never shuffles its strings, no distinct "
+        "needed since OR is idempotent), and the new batch probes it "
+        "through k BROADCAST joins (map-only; the batch never shuffles "
+        "either). 'new' is exact (no false negatives); 'maybe_dup' "
+        "includes the filter's deterministic false positives, which "
+        "the oracle reproduces bit-for-bit. At 100 TB this is how a "
+        "batch pre-screens against a multi-TB fingerprint store — only "
+        "the maybe_dup minority pays the exact verify join.",
+)
+def q109_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import normalize_text
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bloom_filter_probe,
+        bloom_filter_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 5), 16, 10
+        ).cast("bigint")
+        % INCR_MOD
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        normalize_text(F.col("text")).alias("norm"),
+        bucket.alias("bk"),
+    )
+    words = bloom_filter_words(
+        hashed.filter(F.col("bk") < INCR_NEW), "norm", BLOOM_M, BLOOM_K
+    )
+    probed = bloom_filter_probe(
+        hashed.filter(F.col("bk") >= INCR_NEW), words, "norm", BLOOM_M, BLOOM_K
+    )
+    return probed.groupBy(
+        "source",
+        F.when(F.col("bloom_maybe"), "maybe_dup")
+        .otherwise("new")
+        .alias("bloom_status"),
+    ).agg(F.count("*").alias("n_docs"))

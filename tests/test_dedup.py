@@ -500,3 +500,65 @@ def test_editdist_matches_unbounded_levenshtein(spark):
 
     for r in out:
         assert r["lev"] == lev(pref(texts[r["id_a"]]), pref(texts[r["id_b"]]))
+
+
+def test_bloom_filter_no_false_negatives_and_fp_rate(spark):
+    """Every store key must probe true (no false negatives); keys far
+    from the store should be mostly false with a plausible fp rate for
+    the m/k geometry; and the probe plan must be broadcast-only (the
+    batch side never shuffles)."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bloom_filter_probe,
+        bloom_filter_words,
+    )
+
+    store = spark.range(0, 2000).select(
+        F.concat(F.lit("stored-"), F.col("id")).alias("key")
+    )
+    m, k = 1 << 16, 3
+    words = bloom_filter_words(store, "key", m, k)
+    rows = words.collect()
+    assert len(rows) <= m // 63 + 1
+    assert all(r["word"] != 0 for r in rows)
+
+    hits = bloom_filter_probe(store, words, "key", m, k)
+    assert hits.filter(~F.col("bloom_maybe")).count() == 0
+
+    fresh = spark.range(0, 5000).select(
+        F.concat(F.lit("novel-"), F.col("id")).alias("key")
+    )
+    fp = bloom_filter_probe(fresh, words, "key", m, k)
+    fp_rate = fp.filter(F.col("bloom_maybe")).count() / 5000
+    # load = 2000*3/65536 ≈ 0.0916 -> fp ≈ (1-e^-0.0916)^3 ≈ 6.7e-4
+    assert fp_rate < 0.01
+
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_filter_duplicate_keys_idempotent(spark):
+    """Duplicate store keys must produce the identical filter (OR is
+    idempotent — the no-distinct design)."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bloom_filter_words,
+    )
+
+    base = spark.range(0, 500).select(
+        F.concat(F.lit("k-"), F.col("id")).alias("key")
+    )
+    once = {
+        (r["word_idx"], r["word"])
+        for r in bloom_filter_words(base, "key").collect()
+    }
+    tripled = {
+        (r["word_idx"], r["word"])
+        for r in bloom_filter_words(
+            base.union(base).union(base), "key"
+        ).collect()
+    }
+    assert once == tripled
