@@ -325,3 +325,80 @@ def budget_select_by_score(
     if whole is None:
         return scored.limit(0)
     return whole.select(*out_cols)
+
+
+# --- hashing-trick linear classifier (fastText-style quality filter) ----------
+
+
+def hashing_trick_weights(
+    spark, n_features: int = 1024, seed_tag: str = "w"
+) -> DataFrame:
+    """Deterministic stand-in for a published linear-model weight
+    vector: ``(fidx, w)`` with w in [-1, 1] derived from the portable
+    md5 hash of ``'{seed_tag}#fidx'``. In production this frame is the
+    model artifact loaded from storage; it is vocabulary-free (the
+    hashing trick fixes its size at ``n_features`` rows) and therefore
+    always broadcastable.
+    """
+    return spark.range(n_features).select(
+        F.col("id").alias("fidx"),
+        (
+            (
+                md5_hash64(F.concat(F.lit(f"{seed_tag}#"), F.col("id").cast("string")))
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+
+
+def hashed_linear_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_features: int = 1024,
+    bias: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear text-classifier INFERENCE via the hashing trick (the
+    fastText-style quality-filter shape every LLM corpus pipeline
+    runs): token -> feature index ``md5 % n_features`` -> broadcast
+    join against the weight vector -> per-doc mean contribution.
+
+    Returns ``(doc_id, n_toks, logit, quality_label)`` with
+    ``logit = bias + sum(w)/n_toks`` and label ``keep`` iff
+    ``logit >= 0``.
+
+    Scale shape: ONE corpus shuffle (the per-doc sum, partial-
+    aggregated map-side); the weight join is a BROADCAST of
+    ``n_features`` rows — there is no per-(doc, feature) intermediate
+    at all, because sum(tf_j * w_j) == sum over tokens of w(token),
+    so the tf table is never materialized. Per-token weights
+    accumulate in DECIMAL(38,18), making the per-doc sum
+    order-invariant (exact: every w is k/1000), so logit and label
+    are bit-deterministic with no libm call anywhere.
+    """
+    dec = "decimal(38,18)"
+    tok = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    feat = tok.select(
+        "doc_id", (md5_hash64(F.col("tok")) % n_features).alias("fidx")
+    )
+    logit = F.lit(bias) + F.col("s").cast("double") / F.col("n_toks")
+    return (
+        feat.join(F.broadcast(weights), "fidx")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.col("w").cast(dec)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(logit, 6).alias("logit"),
+            F.when(logit >= 0, "keep").otherwise("drop").alias("quality_label"),
+        )
+    )

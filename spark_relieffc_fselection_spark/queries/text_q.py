@@ -348,3 +348,60 @@ def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scrub(injected)
+
+
+# --- linear quality classifier (q110) ------------------------------------------
+
+CLF_D, CLF_BIAS = 1024, 0.05
+
+
+@register(
+    "q110_linear_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, {_H64.format(x='tok')} % {CLF_D} AS fidx FROM toks
+    ),
+    w AS (
+      SELECT i AS fidx,
+             ((('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % 2001) - 1000) / 1000.0 AS w
+      FROM range({CLF_D}) t(i)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             SUM(CAST(w.w AS DECIMAL(38,18))) AS s
+      FROM feat JOIN w USING (fidx)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks,
+           ROUND({CLF_BIAS} + CAST(s AS DOUBLE) / n_toks, 6) AS logit,
+           CASE WHEN {CLF_BIAS} + CAST(s AS DOUBLE) / n_toks >= 0
+                THEN 'keep' ELSE 'drop' END AS quality_label
+    FROM agg
+    """,
+    doc="Linear text-classifier INFERENCE via the hashing trick — the "
+        "fastText-style quality-filter stage (CCNet/RefinedWeb/FineWeb "
+        "all run one): token -> md5 % 1024 feature index -> broadcast "
+        f"weight join -> per-doc mean contribution + bias {CLF_BIAS}, "
+        "label = sign(logit). The weight frame stands in for the "
+        "published model artifact (hash-derived here so both engines "
+        "materialize it bit-identically). ONE corpus shuffle: "
+        "sum(tf_j*w_j) == sum over tokens of w(token), so no "
+        "(doc, feature) tf table exists; weights accumulate in exact "
+        "DECIMAL (every w is k/1000) — logit and label are "
+        "bit-deterministic with zero libm calls.",
+)
+def q110_linear_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        hashed_linear_scores,
+        hashing_trick_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = hashing_trick_weights(spark, CLF_D)
+    return hashed_linear_scores(docs, weights, CLF_D, CLF_BIAS)

@@ -125,3 +125,45 @@ def test_budget_select_matches_global_cumsum(spark):
                 ).collect()
             }
             assert got == expect, (budget, n_buckets)
+
+
+def test_hashed_linear_classifier_plan_and_values(spark):
+    """q110 shape: the weight join must be broadcast (no shuffle on the
+    token side before the per-doc aggregate) and the logit must equal a
+    per-doc Python recomputation exactly (decimal accumulation)."""
+    from decimal import Decimal
+    from hashlib import md5 as _md5
+
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        hashed_linear_scores,
+        hashing_trick_weights,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = hashed_linear_scores(docs, hashing_trick_weights(spark, 1024), 1024)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    def h64(s: str) -> int:
+        return int(_md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(fidx: int) -> Decimal:
+        return Decimal(h64(f"w#{fidx}") % 2001 - 1000) / Decimal(1000)
+
+    import re
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    for row in docs.limit(20).collect():
+        toks = re.sub(r"\s+", " ", row["text"].strip().lower()).split(" ")
+        s = sum((w(h64(t) % 1024) for t in toks), Decimal(0))
+        logit = 0.05 + float(s) / len(toks)
+        r = got[row["doc_id"]]
+        assert r["n_toks"] == len(toks)
+        assert abs(r["logit"] - round(logit, 6)) < 1e-9
+        assert r["quality_label"] == ("keep" if logit >= 0 else "drop")
