@@ -260,6 +260,39 @@ def main() -> None:
         lambda kk: editdist_near_duplicates(docs_k(kk), max_rel_dist=0.2),
     )
 
+    # Bloom filter: build is map-side bit_or to a fixed m/63-word
+    # frame (scan-bound); probe is k broadcast joins (scan-bound)
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bloom_filter_probe,
+        bloom_filter_words,
+    )
+
+    def bloom(kk: int) -> DataFrame:
+        d = docs_k(kk).select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        )
+        words = bloom_filter_words(
+            d.filter(F.col("doc_id") % 5 != 0), "norm", 1 << 20, 3
+        )
+        return bloom_filter_probe(
+            d.filter(F.col("doc_id") % 5 == 0), words, "norm", 1 << 20, 3
+        )
+
+    bench("bloom build+probe (fixed filter, scan-bound)", bloom)
+
+    # hashing-trick classifier: token explode -> broadcast weight join
+    # -> one per-doc aggregate
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        hashed_linear_scores,
+        hashing_trick_weights,
+    )
+
+    _wts = hashing_trick_weights(spark, 1024)
+    bench(
+        "linear_classifier (one shuffle, broadcast weights)",
+        lambda kk: hashed_linear_scores(docs_k(kk), _wts),
+    )
+
     spark.stop()
 
 
