@@ -731,3 +731,88 @@ def q90_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "scope string, n_before long, n_removed long, n_after long"
     )
+
+
+# --- streaming Bloom pre-screen (q111) -----------------------------------------
+
+SB_M, SB_K, SB_MOD, SB_STORE = 1 << 16, 3, 10, 8
+
+
+@register(
+    "q111_streaming_bloom_screen",
+    oracle=f"""
+    WITH store AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+      WHERE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 2, 5))::BIGINT
+             % {SB_MOD}) < {SB_STORE}
+    ),
+    pos AS (
+      SELECT ('0x' || substr(md5(key || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+             % {SB_M} AS pos
+      FROM store CROSS JOIN range({SB_K}) t(i)
+    ),
+    words AS (
+      SELECT pos // 63 AS word_idx,
+             bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    evpos AS (
+      SELECT event_id, event_type, value,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+             % {SB_M} AS pos
+      FROM events CROSS JOIN range({SB_K}) t(i)
+    ),
+    probed AS (
+      SELECT event_id, ANY_VALUE(event_type) AS event_type,
+             ANY_VALUE(value) AS value,
+             bool_and(w.word IS NOT NULL AND
+                      (w.word & (1::BIGINT << CAST(e.pos % 63 AS INT))) <> 0)
+               AS maybe
+      FROM evpos e LEFT JOIN words w ON e.pos // 63 = w.word_idx
+      GROUP BY event_id
+    )
+    SELECT event_type,
+           CASE WHEN maybe THEN 'known' ELSE 'novel' END AS user_status,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_value
+    FROM probed GROUP BY 1, 2
+    """,
+    doc="STREAMING Bloom pre-screen under the oracle gate — q109's "
+        "approximate anti-join moved to the ingest stream: a Bloom "
+        f"filter of the historical entity store ({SB_STORE * 10}% of "
+        "customers by hash bucket) is built batch-side, and each event "
+        "micro-batch probes it statelessly (k broadcast joins, no "
+        "stream shuffle before the running aggregate), splitting "
+        "traffic into known (fp-possible) vs novel (exact). The batch "
+        "SQL oracle reproduces the filter bit-for-bit, so stream == "
+        "batch and the gate hashes values.",
+)
+def q111_streaming_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bloom_filter_words,
+    )
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_bloom_screen,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 2, 5), 16, 10
+        ).cast("bigint")
+        % SB_MOD
+    )
+    store = cust.filter(bucket < SB_STORE).select(
+        F.col("c_custkey").cast("string").alias("key")
+    )
+    words = bloom_filter_words(store, "key", SB_M, SB_K)
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        return run_to_memory_sink(
+            streaming_bloom_screen(stream, words, SB_M, SB_K),
+            f"q111_sink_{_SINK_SEQ[0]}",
+            output_mode="complete",
+        )

@@ -344,3 +344,52 @@ def streaming_view_click_outer(
         F.coalesce(F.unix_timestamp("c_ts"), F.lit(-1)).alias("click_ts_s"),
         (F.col("click_id").isNotNull()).alias("converted"),
     )
+
+
+def streaming_bloom_screen(
+    events: DataFrame,
+    words: DataFrame,
+    m_bits: int,
+    k_hashes: int,
+    key_expr: str = "user_id",
+) -> DataFrame:
+    """Streaming Bloom pre-screen: each micro-batch probes the event
+    key against a Bloom filter of the historical entity store (built
+    batch-side by ``bloom_filter_words``), tagging rows ``known``
+    (possibly in the store — fp at the filter's rate, never fn) or
+    ``novel`` (definitely new). Stateless per micro-batch — the probe
+    is k broadcast joins, so the stream side never shuffles before the
+    running aggregate; the filter (m/63 words) ships once per
+    executor. The realtime counterpart of q109's batch pre-screen:
+    this is how an ingest stream skips the exact store join for the
+    definitely-new majority. Decimal sums keep micro-batch boundaries
+    invisible."""
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        bloom_filter_probe,
+    )
+
+    probed = bloom_filter_probe(
+        events.withColumn("_key", F.col(key_expr).cast("string")),
+        words,
+        "_key",
+        m_bits,
+        k_hashes,
+    )
+    return (
+        probed.groupBy(
+            "event_type",
+            F.when(F.col("bloom_maybe"), "known")
+            .otherwise("novel")
+            .alias("user_status"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,18)")).alias("sum_value_dec"),
+        )
+        .select(
+            "event_type",
+            "user_status",
+            "n_events",
+            F.round(F.col("sum_value_dec").cast("double"), 6).alias("sum_value"),
+        )
+    )
