@@ -402,3 +402,86 @@ def hashed_linear_scores(
             F.when(logit >= 0, "keep").otherwise("drop").alias("quality_label"),
         )
     )
+
+
+# --- count-min sketch (bounded-memory frequency estimation) -------------------
+
+
+def countmin_sketch(
+    tok: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Count-min sketch over a token table: ``(row, col, c)`` cell
+    counts, ``col = md5(tok || '#row') % width`` per sketch row.
+
+    Scale shape: the ONLY shuffle carries (row, col) int pairs that
+    partial aggregation collapses map-side to at most depth*width
+    cells per task — corpus frequency estimation in fixed memory with
+    no vocabulary-sized state anywhere (the exact groupBy-token
+    alternative shuffles the full vocab). Cells are mergeable across
+    corpora/days by cellwise addition, which is the reason production
+    pipelines keep sketches, not vocab dumps.
+    """
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            md5_hash64(
+                                F.concat(F.col(tok_col), F.lit(f"#{r}"))
+                            )
+                            % width
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.row", "cell.col").agg(
+        F.count("*").alias("c")
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Point-query the sketch for each probe token: est = min over
+    rows of the hashed cell — upper-bounds the true count (classic CM
+    guarantee: overestimate only, by at most eps*N w.h.p.).
+
+    The sketch (<= depth*width rows) is BROADCAST; the probe side
+    explodes to depth rows per token and never shuffles more than
+    that before the per-token min."""
+    probe_cells = probes.select(
+        tok_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            md5_hash64(
+                                F.concat(F.col(tok_col), F.lit(f"#{r}"))
+                            )
+                            % width
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(tok_col, "cell.row", "cell.col")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(tok_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
+    )

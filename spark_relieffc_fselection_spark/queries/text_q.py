@@ -405,3 +405,64 @@ def q110_linear_quality_classifier(
     docs = load_table(spark, sf_dir, "documents")
     weights = hashing_trick_weights(spark, CLF_D)
     return hashed_linear_scores(docs, weights, CLF_D, CLF_BIAS)
+
+
+# --- count-min sketch frequency estimation (q112) ------------------------------
+
+CM_D, CM_W, CM_TOP = 4, 1024, 20
+
+
+@register(
+    "q112_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    exact AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, true_count FROM exact
+      ORDER BY true_count DESC, tok ASC LIMIT {CM_TOP}
+    ),
+    cells AS (
+      SELECT r.i AS row,
+             ('0x' || substr(md5(tok || '#' || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT
+             % {CM_W} AS col
+      FROM toks CROSS JOIN range({CM_D}) r(i)
+    ),
+    sketch AS (SELECT row, col, COUNT(*) AS c FROM cells GROUP BY 1, 2)
+    SELECT t.tok, t.true_count,
+           MIN(COALESCE(s.c, 0)) AS est_count
+    FROM top t CROSS JOIN range({CM_D}) r(i)
+    LEFT JOIN sketch s
+      ON s.row = r.i
+     AND s.col = ('0x' || substr(md5(t.tok || '#' || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT
+                 % {CM_W}
+    GROUP BY t.tok, t.true_count
+    """,
+    doc=f"COUNT-MIN sketch frequency estimation: a {CM_D}x{CM_W} cell "
+        "sketch of the token stream (the bounded-memory alternative to "
+        "a vocabulary-sized groupBy — the only shuffle carries (row, "
+        "col) int pairs that partial aggregation collapses to at most "
+        "d*w cells per task), point-queried for the exact top-"
+        f"{CM_TOP} tokens so the oracle checks the classic guarantee "
+        "cell-for-cell: est >= true, overestimate bounded by "
+        "colliding mass. Sketches merge by cellwise addition, which "
+        "is why production pipelines ship sketches, not vocab dumps, "
+        "across days/sources.",
+)
+def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = tok.groupBy("tok").agg(F.count("*").alias("true_count"))
+    top = exact.orderBy(
+        F.desc("true_count"), F.asc("tok")
+    ).limit(CM_TOP)
+    sketch = countmin_sketch(tok, CM_D, CM_W)
+    est = countmin_estimate(top.select("tok"), sketch, CM_D, CM_W)
+    return top.join(est, "tok").select("tok", "true_count", "est_count")

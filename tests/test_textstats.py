@@ -167,3 +167,36 @@ def test_hashed_linear_classifier_plan_and_values(spark):
         assert r["n_toks"] == len(toks)
         assert abs(r["logit"] - round(logit, 6)) < 1e-9
         assert r["quality_label"] == ("keep" if logit >= 0 else "drop")
+
+
+def test_countmin_upper_bounds_true_counts(spark):
+    """CM guarantee: est >= true for every probe; sketch is broadcast
+    in the probe plan; total cells bounded by depth*width."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sketch = countmin_sketch(tok, depth=4, width=256)
+    assert sketch.count() <= 4 * 256
+
+    exact = tok.groupBy("tok").agg(F.count("*").alias("true_count"))
+    probes = exact.orderBy(F.desc("true_count"), F.asc("tok")).limit(30)
+    est = countmin_estimate(probes.select("tok"), sketch, depth=4, width=256)
+
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    joined = probes.join(est, "tok").collect()
+    assert len(joined) == 30
+    assert all(r["est_count"] >= r["true_count"] for r in joined)
+
+    # sketch total mass == token count (each token adds 1 per row)
+    n_tok = tok.count()
+    mass = sketch.groupBy("row").agg(F.sum("c").alias("m")).collect()
+    assert all(r["m"] == n_tok for r in mass)
