@@ -267,12 +267,16 @@ def main() -> None:
         bloom_filter_words,
     )
 
+    from spark_relieffc_fselection_spark.queries import localize
+
     def bloom(kk: int) -> DataFrame:
         d = docs_k(kk).select(
             "doc_id", normalize_text(F.col("text")).alias("norm")
         )
-        words = bloom_filter_words(
-            d.filter(F.col("doc_id") % 5 != 0), "norm", 1 << 20, 3
+        words = localize(
+            bloom_filter_words(
+                d.filter(F.col("doc_id") % 5 != 0), "norm", 1 << 20, 3
+            )
         )
         return bloom_filter_probe(
             d.filter(F.col("doc_id") % 5 == 0), words, "norm", 1 << 20, 3

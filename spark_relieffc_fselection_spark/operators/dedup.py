@@ -1163,6 +1163,13 @@ def bloom_filter_probe(
     batch is never shuffled and the filter (m/63 rows) ships once per
     executor, so probing is a map-only stage. A missing word (no store
     key hashed into it) joins null and counts as bit-not-set.
+
+    MATERIALIZE ``words`` BEFORE PROBING: the plan references it k
+    times under different aliases, and Spark's ReuseExchange only
+    dedupes *identical* subtrees — an unmaterialized build would
+    re-scan the store once per hash. Use ``queries.localize`` for
+    driver-sized filters (the common case: m/63 rows), or
+    ``.persist()`` / a parquet round-trip for multi-GB filters.
     """
     positions = _bloom_positions(F.col(key_col), m_bits, k_hashes)
     out = batch

@@ -797,8 +797,16 @@ def q109_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text(F.col("text")).alias("norm"),
         bucket.alias("bk"),
     )
-    words = bloom_filter_words(
-        hashed.filter(F.col("bk") < INCR_NEW), "norm", BLOOM_M, BLOOM_K
+    from spark_relieffc_fselection_spark.queries import localize
+
+    # One build job; the probe references the filter k times and
+    # ReuseExchange will NOT unify the aliased subtrees — localizing
+    # the driver-sized word table (<= m/63 rows) keeps the store
+    # scanned exactly once.
+    words = localize(
+        bloom_filter_words(
+            hashed.filter(F.col("bk") < INCR_NEW), "norm", BLOOM_M, BLOOM_K
+        )
     )
     probed = bloom_filter_probe(
         hashed.filter(F.col("bk") >= INCR_NEW), words, "norm", BLOOM_M, BLOOM_K

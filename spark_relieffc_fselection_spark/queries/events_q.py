@@ -807,7 +807,12 @@ def q111_streaming_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = cust.filter(bucket < SB_STORE).select(
         F.col("c_custkey").cast("string").alias("key")
     )
-    words = bloom_filter_words(store, "key", SB_M, SB_K)
+    from spark_relieffc_fselection_spark.queries import localize
+
+    # one build job; the streaming probe re-evaluates static subplans
+    # per micro-batch AND references the filter k times — a
+    # LocalRelation makes both free (<= m/63 rows)
+    words = localize(bloom_filter_words(store, "key", SB_M, SB_K))
     stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
     _SINK_SEQ[0] += 1
     with _stream_conf(spark):

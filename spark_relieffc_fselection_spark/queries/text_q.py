@@ -457,12 +457,19 @@ def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         countmin_sketch,
     )
 
+    from spark_relieffc_fselection_spark.queries import localize
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     exact = tok.groupBy("tok").agg(F.count("*").alias("true_count"))
-    top = exact.orderBy(
-        F.desc("true_count"), F.asc("tok")
-    ).limit(CM_TOP)
+    # localize the 20-row probe list: it feeds BOTH the output join and
+    # the estimate side, and ReuseExchange would not unify the two
+    # aliased copies of the explode+groupBy+top-k subtree
+    top = localize(
+        exact.orderBy(F.desc("true_count"), F.asc("tok")).limit(CM_TOP)
+    )
     sketch = countmin_sketch(tok, CM_D, CM_W)
     est = countmin_estimate(top.select("tok"), sketch, CM_D, CM_W)
-    return top.join(est, "tok").select("tok", "true_count", "est_count")
+    return est.join(F.broadcast(top), "tok").select(
+        "tok", "true_count", "est_count"
+    )

@@ -356,3 +356,32 @@ def test_editdist_verify_joins_after_bucketed_candidates(spark, qs):
     plan = _plan(qs["q108_editdist_neardup"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_bloom_probe_scans_corpus_once(spark, qs):
+    """q109: the localized word table keeps the probe plan at exactly
+    ONE parquet scan (k aliased broadcast references must not re-build
+    the store aggregate), and all probe joins are broadcast."""
+    plan = _plan(qs["q109_bloom_dedup"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_linear_classifier_single_shuffle(spark, qs):
+    """q110: broadcast weight join + exactly one exchange for the
+    per-doc aggregate (ignoring the parallelism-floor repartition)."""
+    plan = _plan(qs["q110_linear_quality_classifier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+
+
+def test_countmin_probe_scans_corpus_once(spark, qs):
+    """q112: the localized probe list keeps the final plan at one
+    corpus scan (sketch build); probes join the sketch broadcast."""
+    plan = _plan(qs["q112_countmin_heavy_hitters"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
