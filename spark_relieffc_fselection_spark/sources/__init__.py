@@ -141,6 +141,22 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """ORC scan (columnar alternative interchange format; same
+    vectorized reader, predicate pushdown, and column pruning
+    machinery as parquet — Hive-ecosystem corpora commonly arrive as
+    ORC). Pass ``columns`` to prune at the scan."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns is not None else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy by default, same as the parquet sinks)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -241,3 +241,29 @@ def test_write_sized_parquet_controls_file_count(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.rdd.getNumPartitions() <= 8  # read compact, not 64-way
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink + scan: values survive the round trip and the scan
+    gets predicate pushdown + column pruning like parquet."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.sources import read_orc, write_orc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs.select("doc_id", "source", "n_chars"), out)
+
+    back = read_orc(spark, out, columns=["doc_id", "n_chars"])
+    assert back.count() == docs.count()
+    assert back.columns == ["doc_id", "n_chars"]
+
+    filt = read_orc(spark, out).filter(F.col("n_chars") > 500)
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan
+    a = sorted(r["doc_id"] for r in filt.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("n_chars") > 500).collect()
+    )
+    assert a == b
