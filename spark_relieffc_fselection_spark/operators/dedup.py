@@ -1195,3 +1195,102 @@ def bloom_filter_probe(
         for c in (f"_bpos_{i}", f"_bidx_{i}", f"_bword_{i}")
     ]
     return out.withColumn(out_col, maybe).drop(*drop)
+
+
+# --- cross-source overlap matrix ----------------------------------------------
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    granularity: str = "doc",
+    shingle_n: int = 3,
+    shingle_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise content overlap between sources/snapshots:
+    ``(source_a, source_b, n_shared, n_a, n_b, overlap_coef)`` for
+    every source pair sharing at least one content hash,
+    ``overlap_coef = n_shared / min(n_a, n_b)`` (Szymkiewicz-Simpson).
+
+    ``granularity='doc'`` hashes whole normalized documents (exact
+    mirror detection); ``granularity='shingle'`` hashes ``shingle_n``-
+    gram shingles (phrase-level overlap — catches quotation/boilerplate
+    sharing and template reuse that whole-doc hashing misses).
+
+    The leakage report every corpus refresh needs (how much of
+    snapshot N+1 is snapshot N? how much of source X is mirrored in
+    Y?). Scale shape: an inverted self-join on the 60-bit content
+    hash — per-hash join fan-out is bounded by the number of SOURCES
+    carrying it (tiny, vs. the number of DOCS), because the join
+    input is the DISTINCT (source, hash) projection; output is at
+    most |sources|^2/2 rows. The corpus shuffles once to build that
+    projection (~16 B/doc, or B/shingle, after map-side distinct).
+    """
+    if granularity == "doc":
+        hashed = (
+            ensure_parallelism(docs)
+            .select(
+                F.col(group_col).alias("src"),
+                md5_hash64(normalize_text(F.col(text_col))).alias("h"),
+            )
+            .distinct()
+        )
+    elif granularity == "shingle":
+        if shingle_hashes is not None:
+            # reuse the family's cached (doc_id, sh) table: the
+            # doc->group map is corpus-rows-but-narrow, so it
+            # broadcasts and the only shuffle is the (src, h) distinct
+            src_map = docs.select(
+                F.col(id_col).alias("doc_id"), F.col(group_col).alias("src")
+            )
+            hashed = (
+                shingle_hashes.join(F.broadcast(src_map), "doc_id")
+                .select("src", F.col("sh").alias("h"))
+                .distinct()
+            )
+        else:
+            hashed = (
+                ensure_parallelism(docs)
+                .select(
+                    F.col(group_col).alias("src"),
+                    F.explode(
+                        word_shingles(tokens(F.col(text_col)), shingle_n)
+                    ).alias("shingle"),
+                )
+                .select("src", md5_hash64(F.col("shingle")).alias("h"))
+                .distinct()
+            )
+    else:
+        raise ValueError(f"granularity must be 'doc' or 'shingle', got {granularity!r}")
+    sizes = hashed.groupBy("src").agg(F.count("*").alias("n"))
+    a = hashed.select(F.col("src").alias("source_a"), "h")
+    b = hashed.select(F.col("src").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )

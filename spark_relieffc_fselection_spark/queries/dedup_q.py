@@ -817,3 +817,54 @@ def q109_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("bloom_status"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+# --- cross-source overlap matrix (q113) ----------------------------------------
+
+
+@register(
+    "q113_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    hashed AS (
+      SELECT DISTINCT source AS src, {_H64.format(x='sh')} AS h
+      FROM toks, LATERAL (
+        SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      ) u
+    ),
+    sizes AS (SELECT src, COUNT(*) AS n FROM hashed GROUP BY src),
+    shared AS (
+      SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_shared
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+           na.n AS n_a, nb.n AS n_b,
+           ROUND(s.n_shared / CAST(least(na.n, nb.n) AS DOUBLE), 6)
+             AS overlap_coef
+    FROM shared s
+    JOIN sizes na ON s.source_a = na.src
+    JOIN sizes nb ON s.source_b = nb.src
+    """,
+    doc="CROSS-SOURCE overlap matrix — the leakage report every corpus "
+        "refresh needs (how much of snapshot N+1 is snapshot N? how "
+        "much of source X mirrors Y?): pairwise shared "
+        "3-gram shingle hashes per source pair with the "
+        "Szymkiewicz-Simpson overlap coefficient. Inverted self-join "
+        "on the 60-bit hash whose per-key fan-out is bounded by the "
+        "SOURCE count (the join input is the distinct (source, hash) "
+        "projection), output <= |sources|^2/2 rows; the corpus "
+        "shuffles once (~16 B/doc after map-side distinct).",
+)
+def q113_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(
+        docs, granularity="shingle", shingle_hashes=_shingles(spark, sf_dir)
+    )

@@ -562,3 +562,43 @@ def test_bloom_filter_duplicate_keys_idempotent(spark):
         ).collect()
     }
     assert once == tripled
+
+
+def test_source_overlap_matrix_granularities(spark):
+    """doc granularity: disjoint-content sources share nothing;
+    injected mirrors show up with the right coefficient. shingle
+    granularity uses a prebuilt hash table identically to inline."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        doc_shingle_hashes,
+        source_overlap_matrix,
+    )
+
+    rows = (
+        [(i, "a", f"alpha text number {i} unique alpha") for i in range(10)]
+        + [(100 + i, "b", f"alpha text number {i} unique alpha") for i in range(5)]
+        + [(200 + i, "c", f"totally different gamma {i}") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap_matrix(docs).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab["n_shared"] == 5 and ab["n_a"] == 10 and ab["n_b"] == 5
+    assert ab["overlap_coef"] == 1.0
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+    pre = doc_shingle_hashes(docs)
+    via_cache = source_overlap_matrix(
+        docs, granularity="shingle", shingle_hashes=pre
+    ).collect()
+    inline = source_overlap_matrix(docs, granularity="shingle").collect()
+    key = lambda r: (r["source_a"], r["source_b"])
+    assert sorted(map(tuple, via_cache)) == sorted(map(tuple, inline))
+
+    with pytest.raises(ValueError):
+        source_overlap_matrix(docs, granularity="chunk")
