@@ -297,6 +297,19 @@ def main() -> None:
         lambda kk: hashed_linear_scores(docs_k(kk), _wts),
     )
 
+    # source-overlap matrix: inverted self-join keyed by shingle hash;
+    # fan-out per key bounded by the SOURCE count, so growth tracks
+    # the distinct (source, hash) projection (~linear in rows here —
+    # replicas share sources, so the projection grows sub-linearly)
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    bench(
+        "source_overlap shingle (source-bounded fan-out)",
+        lambda kk: source_overlap_matrix(docs_k(kk), granularity="shingle"),
+    )
+
     spark.stop()
 
 
