@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "q111_streaming_bloom_screen",
     "q112_countmin_heavy_hitters",
     "q113_source_overlap",
+    "q114_cluster_aware_split",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -107,18 +108,18 @@ _PRIORITY: tuple[str, ...] = (
     "q57_stratified_sample",
     "q41_corpus_curation",
     "q59_stopword_scrub",
-    "q60_sequence_packing",
     "q61_contamination",
     # (Deferred to round 6 — still r3-green and the most stable pure-
     # Catalyst OLAP shapes in the registry: q38_rollup,
     # q39_distinct_agg, q40_percentiles, q45_analytic_windows,
     # q46_cube, q47_pivot, q48_setops, q51_hll_distinct,
     # q52_correlated_subquery, q56_grouping_sets, plus — displaced by
-    # the eight new round-5 queries — q92_boilerplate_detection,
+    # the nine new round-5 queries — q92_boilerplate_detection,
     # q86_source_interleave, q87_temperature_mix, q91_doc_chunking,
     # q85_token_truncation, q79_shuffle_shards, q80_hash_uniform_sample
-    # (q80 was r4-green), q75_oov_rate. Everything r4-green also
-    # rotates out; the local oracle sweep still covers all 114.)
+    # (q80 was r4-green), q75_oov_rate, q60_sequence_packing.
+    # Everything r4-green also rotates out; the local oracle sweep
+    # still covers all 115.)
 )
 
 

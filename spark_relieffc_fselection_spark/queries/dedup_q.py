@@ -868,3 +868,88 @@ def q113_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(
         docs, granularity="shingle", shingle_hashes=_shingles(spark, sf_dir)
     )
+
+
+# --- cluster-aware train/val/test split (q114) ---------------------------------
+
+SPLIT_MOD, SPLIT_TRAIN, SPLIT_VAL = 10, 8, 9  # <8 train, 8 val, 9 test
+
+
+@register(
+    "q114_cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_JACCARD_PAIRS_CTE},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    assigned AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    ),
+    split AS (
+      SELECT source, cluster_id,
+             CASE WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 2, 5))::BIGINT
+                        % {SPLIT_MOD}) < {SPLIT_TRAIN} THEN 'train'
+                  WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 2, 5))::BIGINT
+                        % {SPLIT_MOD}) = {SPLIT_TRAIN} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    )
+    SELECT split, source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters
+    FROM split GROUP BY 1, 2
+    """,
+    doc="CLUSTER-AWARE train/val/test split — the evaluation-leakage "
+        "guard (C4/Pile-style): near-duplicate documents must land in "
+        "the SAME split or test metrics are contaminated, so the split "
+        "key is the dedup CLUSTER id (q54's connected components; "
+        "singletons key on their own doc_id), hashed into "
+        f"{SPLIT_TRAIN}/1/1 train/val/test buckets. By construction no "
+        "cluster straddles splits (unit-tested); the driver hashes the "
+        "per-(split, source) doc and cluster counts. Scale: one "
+        "broadcast-sized cluster table joined to the corpus + one "
+        "aggregate — the CC cost is q54's, shared via the family "
+        "cache.",
+)
+def q114_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cc = _clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    labeled = docs.select("doc_id", "source").join(
+        F.broadcast(cc), "doc_id", "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(cluster.cast("string")), 2, 5), 16, 10
+        ).cast("bigint")
+        % SPLIT_MOD
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket == SPLIT_TRAIN, "val")
+        .otherwise("test")
+    )
+    return (
+        labeled.select(
+            split.alias("split"),
+            "source",
+            cluster.alias("cluster_key"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_key").alias("n_clusters"),
+        )
+    )

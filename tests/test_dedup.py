@@ -602,3 +602,46 @@ def test_source_overlap_matrix_granularities(spark):
 
     with pytest.raises(ValueError):
         source_overlap_matrix(docs, granularity="chunk")
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """Every near-dup cluster must land wholly in one split — the
+    property q114 exists to guarantee."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.dedup import (
+        connected_components,
+        jaccard_similar_pairs,
+    )
+    from spark_relieffc_fselection_spark.queries.dedup_q import (
+        JACCARD_THRESHOLD,
+        SPLIT_MOD,
+        SPLIT_TRAIN,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = jaccard_similar_pairs(
+        docs, threshold=JACCARD_THRESHOLD, df_cap=None
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, finalize="local")
+    labeled = docs.select("doc_id").join(F.broadcast(cc), "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(cluster.cast("string")), 2, 5), 16, 10
+        ).cast("bigint")
+        % SPLIT_MOD
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket == SPLIT_TRAIN, "val")
+        .otherwise("test")
+    )
+    per_cluster = (
+        labeled.select(cluster.alias("c"), split.alias("s"))
+        .groupBy("c")
+        .agg(F.countDistinct("s").alias("n_splits"))
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # and there IS at least one multi-member cluster being guarded
+    assert cc.groupBy("cluster_id").count().filter("count > 1").count() > 0

@@ -24,7 +24,7 @@ from spark_relieffc_fselection_spark.queries import (
 
 #: Registry floor as of round 5. Raise when queries are added; a drop
 #: below this means an import path silently lost a module.
-MIN_REGISTRY_SIZE = 114
+MIN_REGISTRY_SIZE = 115
 
 
 def test_priority_is_exactly_the_driver_window():
