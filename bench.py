@@ -104,6 +104,9 @@ def main() -> None:
     _setup("shingle_cache", lambda: dedup_q._shingles(spark, sf_dir))
     _setup("kgram_cache", lambda: dedup_q._kgrams(spark, sf_dir))
     _setup("relief_pipe", lambda: relief_q._pipe(spark, sf_dir))
+    # CC over the jaccard pairs feeds q54 AND q114; build it as a named
+    # line so neither query's pass-1 number absorbs the family cost
+    _setup("cluster_cache", lambda: dedup_q._clusters(spark, sf_dir).count())
 
     # Per-query medians over n>=3 FULL-SUITE passes (not back-to-back
     # reps of one query): suite-level repetition both stabilizes the
