@@ -9,8 +9,11 @@ bucket pairs (all self-unions / self-joins of un-cached frames), and
 q44's long-form cache racing four concurrent consumers. Remaining
 flags are adjudicated cheap-by-design: parquet scan re-reads
 (q12/q52 — scans are the pushdown-cheap currency) and per-row
-tokenize explodes feeding two different operators (q41/q66 —
-operator composability is worth one extra in-core explode).
+tokenize explodes feeding two different operators (q41/q66/q107 —
+operator composability is worth one extra in-core explode; DSIR's
+two token passes are its documented design). Round-5 sweep: the new
+q109-q114 produced ZERO flags (the localize discipline for
+multiply-referenced small tables is doing its job).
 
 Usage: SPARK_UI=true python scripts/dupe_subtree_scan.py [sf_dir]
 """
