@@ -35,6 +35,51 @@ def ensure_parallelism(df: DataFrame, rows_per_partition: int = 128) -> DataFram
     return df.repartition(target) if target > n_parts else df
 
 
+#: (shift, mask) pairs that spread a 16-bit int's bits to even
+#: positions (the classic magic-number interleave). Shared by the
+#: Column builder and the SQL twin below so the two engines can't
+#: drift.
+_SPREAD16 = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread16_col(c):
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD16:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _spread16_sql(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for shift, mask in _SPREAD16:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def morton16(x, y):
+    """Z-order (Morton) key interleaving two 16-bit dimensions: bit i
+    of ``x`` lands at position 2i, of ``y`` at 2i+1. Rows close in
+    BOTH dimensions are close in the 1-D key, so a sort by the key
+    packs multi-dimensional neighborhoods into the same output files —
+    the layout that makes min/max file statistics prune on either
+    dimension (the technique behind Delta/Iceberg Z-ORDER OPTIMIZE).
+    Pure integer arithmetic, whole-stage-codegen'd; the identical
+    expression in ANSI SQL comes from :func:`morton16_sql`.
+    """
+    return _spread16_col(x).bitwiseOR(F.shiftleft(_spread16_col(y), 1))
+
+
+def morton16_sql(x_expr: str, y_expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`morton16`, generated from the same
+    shift/mask table."""
+    return f"({_spread16_sql(x_expr)} | ({_spread16_sql(y_expr)} << 1))"
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -65,6 +65,10 @@ _PRIORITY: tuple[str, ...] = (
     "q112_countmin_heavy_hitters",
     "q113_source_overlap",
     "q114_cluster_aware_split",
+    "q115_salted_skew_join",
+    "q116_snapshot_diff",
+    "q117_source_quality_calibration",
+    "q118_zorder_layout",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -105,10 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "q90_deletion_propagation",
     "q37_relief_discrete_collisions",
     "q53_mom_growth",
-    "q57_stratified_sample",
-    "q41_corpus_curation",
-    "q59_stopword_scrub",
-    "q61_contamination",
+    # (Deferred to round 6 — displaced by the four late-round-5
+    # additions q115-q118, all r3-green: q57_stratified_sample,
+    # q41_corpus_curation, q59_stopword_scrub, q61_contamination.)
     # (Deferred to round 6 — still r3-green and the most stable pure-
     # Catalyst OLAP shapes in the registry: q38_rollup,
     # q39_distinct_agg, q40_percentiles, q45_analytic_windows,

@@ -17,6 +17,7 @@ from spark_relieffc_fselection_spark.operators.relief import (
     pair_table,
 )
 from spark_relieffc_fselection_spark.queries import localize, register
+from spark_relieffc_fselection_spark.functions.partitioning import morton16_sql
 from spark_relieffc_fselection_spark.queries.relational import DEC, dsum, r6
 from spark_relieffc_fselection_spark.sources import load_table
 
@@ -568,5 +569,100 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*"),
                 6,
             ).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q115_salted_skew_join",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,18))) AS DOUBLE), 6) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="Skew-resilient equi-join (functions/partitioning.salted_join): "
+        "the big side is salted by a whole-row hash so a pathological "
+        "hot key spreads over `salt` reducers; the small side is "
+        "replicated salt-x. Result rows are IDENTICAL to the plain "
+        "join — the oracle is the plain join — only the physical key "
+        "distribution changes. This is the explicit remedy for the "
+        "one-key-bigger-than-an-executor case AQE's skew split can't "
+        "handle (it can't split a single key group mid-aggregation "
+        "without the salt). Revenue decimal-summed per the cross-"
+        "engine convention.",
+)
+def q115_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on=["l_suppkey"], salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        r6(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(DEC)
+            )
+        ).alias("revenue"),
+    )
+
+
+#: z-cell granularity: dropping 12 low bits of the 32-bit Morton key
+#: leaves cells covering a 64x64 rectangle of (x, y) space — the
+#: span bound the per-cell min/max stats must respect.
+_Z_SHIFT = 12
+
+
+@register(
+    "q118_zorder_layout",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT (o_custkey % 256) AS x,
+             (CAST(FLOOR(o_totalprice / 500.0) AS BIGINT) % 256) AS y
+      FROM orders
+    )
+    SELECT ({morton16_sql('x', 'y')} >> {_Z_SHIFT}) AS zcell,
+           COUNT(*) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM keyed
+    GROUP BY zcell
+    """,
+    doc="Z-order (Morton) layout stats (functions/partitioning.morton16): "
+        "interleave two bucketed dimensions of `orders` into a 1-D key, "
+        "group by the key's high bits (= contiguous z-cells) and report "
+        "per-cell min/max of BOTH dimensions — the file statistics a "
+        "Z-ORDERed writer produces, bounded to a 64x64 rectangle per "
+        "cell so scans filtering on EITHER dimension prune. Pure "
+        "integer bit arithmetic (the oracle SQL is generated from the "
+        "same shift/mask table, so the engines cannot drift), one "
+        "aggregation shuffle, NO global sort: a production writer adds "
+        "repartitionByRange(zkey) for balanced file sizes, which is a "
+        "range exchange, not a driver sort.",
+)
+def q118_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.partitioning import morton16
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).alias("x")
+    y = (F.floor(F.col("o_totalprice") / 500.0).cast("bigint") % 256).alias("y")
+    keyed = orders.select(x, y)
+    z = morton16(F.col("x"), F.col("y"))
+    return (
+        keyed.withColumn("zcell", F.shiftright(z, _Z_SHIFT))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
         )
     )

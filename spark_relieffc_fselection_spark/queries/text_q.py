@@ -47,9 +47,10 @@ def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "q29_quality_scores",
-    oracle=f"""
+#: q29's full oracle, shared with q117's per-source calibration (which
+#: wraps it in a CTE) so the score definition cannot drift between the
+#: two queries.
+QUALITY_ORACLE_SQL = f"""
     WITH normed AS (SELECT doc_id, {_NORM} AS norm FROM documents),
     base AS (
       SELECT doc_id, norm,
@@ -76,7 +77,12 @@ def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (1.0 - least(n_digits / CAST(greatest(n_chars, 1) AS DOUBLE) * 10.0, 1.0)) * 0.15,
                  6) AS quality_score
     FROM base b LEFT JOIN sw ON b.doc_id = sw.doc_id
-    """,
+    """
+
+
+@register(
+    "q29_quality_scores",
+    oracle=QUALITY_ORACLE_SQL,
     doc="Heuristic quality features + composite score (LLM-corpus filter "
         "family: length, stopword ratio, punct/digit density)",
 )

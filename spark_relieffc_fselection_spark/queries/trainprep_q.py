@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from spark_relieffc_fselection_spark.operators.textstats import STOPWORDS
 from spark_relieffc_fselection_spark.queries import register
 from spark_relieffc_fselection_spark.queries.dedup_q import _SHINGLES_CTE, _shingles
+from spark_relieffc_fselection_spark.queries.text_q import QUALITY_ORACLE_SQL
 from spark_relieffc_fselection_spark.sources import load_table
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -1425,3 +1426,103 @@ def q107_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gumbel_topk_resample(wts, DSIR_K)
     return out.select("doc_id", F.round("logw", 6).alias("logw"), "rank")
+
+
+#: q116 snapshot simulation: crawl N-1 drops doc_id % 10 == 3, crawl N
+#: drops doc_id % 7 == 2 and re-extracts 1-in-5 docs with a +17 char
+#: parser delta — deterministic, so the diff is oracle-able.
+_SNAP_OLD = "doc_id % 10 != 3"
+_SNAP_NEW = "doc_id % 7 != 2"
+_SNAP_DELTA = "CASE WHEN doc_id % 5 = 0 THEN 17 ELSE 0 END"
+
+_DIGEST_SQL = (
+    "md5(concat_ws('|', coalesce(CAST(source AS VARCHAR), chr(1)), "
+    "coalesce(CAST({n} AS VARCHAR), chr(1))))"
+)
+
+
+@register(
+    "q116_snapshot_diff",
+    oracle=f"""
+    WITH snap_old AS (
+      SELECT doc_id, {_DIGEST_SQL.format(n='n_chars')} AS old_digest
+      FROM documents WHERE {_SNAP_OLD}
+    ),
+    snap_new AS (
+      SELECT doc_id,
+             {_DIGEST_SQL.format(n=f'n_chars + {_SNAP_DELTA}')} AS new_digest
+      FROM documents WHERE {_SNAP_NEW}
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN old_digest IS NULL THEN 'added'
+                WHEN new_digest IS NULL THEN 'removed'
+                WHEN old_digest != new_digest THEN 'changed' END AS change_type,
+           old_digest, new_digest
+    FROM j
+    WHERE old_digest IS NULL OR new_digest IS NULL OR old_digest != new_digest
+    """,
+    doc="Snapshot diff / change-data-capture (operators/snapshot.py): "
+        "crawl N vs crawl N-1 compared by KEY + 32-byte row digest, one "
+        "full outer join, unchanged keys dropped before any consumer — "
+        "output is proportional to churn, not corpus. Payload columns "
+        "never shuffle (both sides pre-project to key+md5 digest), so a "
+        "100-column snapshot diffs at key-projection cost; stored "
+        "bucketed by key the exchange disappears entirely. Feeds "
+        "incremental dedup (q81) and deletion propagation (q90).",
+)
+def q116_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.snapshot import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    old = docs.filter(F.expr(_SNAP_OLD))
+    new = docs.filter(F.expr(_SNAP_NEW)).withColumn(
+        "n_chars", F.col("n_chars") + F.expr(_SNAP_DELTA)
+    )
+    return snapshot_diff(old, new, keys=["doc_id"], compare=["source", "n_chars"])
+
+
+@register(
+    "q117_source_quality_calibration",
+    oracle=f"""
+    WITH q AS ({QUALITY_ORACLE_SQL}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT q.doc_id, src.source, q.quality_score,
+           ROUND(PERCENT_RANK() OVER (
+                   PARTITION BY src.source
+                   ORDER BY q.quality_score ASC, q.doc_id ASC), 6) AS calib
+    FROM q JOIN src ON q.doc_id = src.doc_id
+    """,
+    doc="Per-source quality-score calibration: raw heuristic/classifier "
+        "scores are NOT comparable across sources (different classifiers, "
+        "different base rates), so a global keep-threshold over-prunes "
+        "some sources and under-prunes others. The fix is rank-"
+        "normalization: percent_rank WITHIN source turns every score "
+        "into a within-source quantile, and a global 'keep top 20%' "
+        "threshold then means the same thing everywhere. Reuses q29's "
+        "exact score (shared oracle constant — definitions cannot "
+        "drift). Scale: one window sort per source partition; for "
+        "pathological single-source corpora, swap percent_rank for "
+        "q93's approx-quantile binning (same calibration, two scans, "
+        "no per-group sort).",
+)
+def q117_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    src = docs.select("doc_id", "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("quality_score"), F.asc("doc_id"))
+    )
+    return (
+        q.join(src, "doc_id")
+        .withColumn("calib", F.round(F.percent_rank().over(w), 6))
+        .select("doc_id", "source", "quality_score", "calib")
+    )

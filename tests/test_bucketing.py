@@ -96,3 +96,57 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         salted_join(df, df, ["id"], how="full")
+
+
+# --- Z-order (Morton) layout key ------------------------------------------
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton16_matches_bitwise_reference(spark):
+    from spark_relieffc_fselection_spark.functions.partitioning import morton16
+
+    pts = [(i * 7919 % 65536, i * 104729 % 65536) for i in range(64)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = [
+        r["z"]
+        for r in df.select(morton16(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    want = [_morton_ref(x, y) for x, y in sorted(pts)]
+    assert got == want
+
+
+def test_morton16_sql_twin_matches(spark):
+    """The DuckDB-destined SQL string, evaluated by Spark SQL, equals
+    the Column builder — the generated twins can't drift."""
+    from spark_relieffc_fselection_spark.functions.partitioning import (
+        morton16,
+        morton16_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 31 % 65536, i * 577 % 65536) for i in range(32)], "x bigint, y bigint"
+    )
+    both = df.select(
+        morton16(F.col("x"), F.col("y")).alias("a"),
+        F.expr(morton16_sql("x", "y")).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_zorder_cells_bound_both_dims(spark):
+    """q118's pruning guarantee: a z-cell at shift 12 spans at most a
+    64x64 rectangle — min/max file stats stay tight on BOTH dims."""
+    from spark_relieffc_fselection_spark.queries.extras_q import q118_zorder_layout
+
+    rows = q118_zorder_layout(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 63
+        assert r["y_max"] - r["y_min"] <= 63
