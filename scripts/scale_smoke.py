@@ -310,6 +310,64 @@ def main() -> None:
         lambda kk: source_overlap_matrix(docs_k(kk), granularity="shingle"),
     )
 
+    # snapshot diff: both sides pre-project to key+digest, one full
+    # outer join — expect ~linear (join on unique keys, no fan-out)
+    from spark_relieffc_fselection_spark.operators.snapshot import snapshot_diff
+
+    def snap(kk: int) -> DataFrame:
+        d = docs_k(kk).select("doc_id", "source", "n_chars")
+        old = d.filter(F.col("doc_id") % 10 != 3)
+        new = d.filter(F.col("doc_id") % 7 != 2).withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 5 == 0, 17).otherwise(0),
+        )
+        return snapshot_diff(old, new, ["doc_id"], ["source", "n_chars"])
+
+    bench("snapshot_diff (key+digest join)", snap)
+
+    # z-order layout stats: pure integer expressions + one groupBy on
+    # the z-cell (bounded key cardinality) — expect scan-bound ~linear
+    from spark_relieffc_fselection_spark.functions.partitioning import morton16
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()
+
+    def zorder(kk: int) -> DataFrame:
+        o = replicate(orders, kk, "o_orderkey", n_orders)
+        keyed = o.select(
+            (F.col("o_custkey") % 256).alias("x"),
+            (F.floor(F.col("o_totalprice") / 500.0).cast("bigint") % 256).alias("y"),
+        )
+        z = morton16(F.col("x"), F.col("y"))
+        return (
+            keyed.withColumn("zcell", F.shiftright(z, 12))
+            .groupBy("zcell")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("x"), F.max("x"))
+        )
+
+    bench("zorder_layout stats (scan-bound)", zorder)
+
+    # salted join: small side replicated salt-x, big side salted —
+    # expect ~linear in the big side (salt fan-out is a constant)
+    from spark_relieffc_fselection_spark.functions.partitioning import salted_join
+
+    li_full = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n_li = li_full.count()
+    sup_small = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+
+    def salted(kk: int) -> DataFrame:
+        big = replicate(li_full, kk, "l_orderkey", n_li)
+        return salted_join(big, sup_small, on=["l_suppkey"], salt=8).groupBy(
+            "s_nationkey"
+        ).count()
+
+    bench("salted_join (constant salt fan-out)", salted)
+
     spark.stop()
 
 
