@@ -247,3 +247,41 @@ def write_sized_parquet(
     n_files = max(1, -(-n // max(1, target_rows_per_file)))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+    keep_key: bool = False,
+) -> None:
+    """Z-ordered parquet sink (the Delta/Iceberg OPTIMIZE ZORDER BY
+    shape): interleave two integer dimensions into a Morton key
+    (functions/partitioning.morton16), range-partition by the key for
+    balanced files, and store each file key-sorted.
+
+    Result: every file covers a CONTIGUOUS, disjoint z-range, so its
+    parquet min/max statistics are tight on BOTH source dimensions —
+    scans filtering on either one skip most files/row-groups, where a
+    single-column sort would only prune on that column. Callers
+    pre-bucket the dimensions into 0..65535 ints (q118 shows the
+    bucketing idiom).
+
+    The layout costs one sampled range exchange (`repartitionByRange`)
+    + per-task sorts — no global sort stage, so it holds at any
+    corpus size; rewriting layout is exactly what table-format
+    OPTIMIZE jobs do offline.
+    """
+    from spark_relieffc_fselection_spark.functions.partitioning import morton16
+
+    keyed = df.withColumn("_zkey", morton16(F.col(x_col), F.col(y_col)))
+    out = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+    )
+    if not keep_key:
+        out = out.drop("_zkey")
+    out.write.mode(mode).parquet(path)

@@ -267,3 +267,48 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         for r in docs.filter(F.col("n_chars") > 500).collect()
     )
     assert a == b
+
+
+def test_write_zordered_files_disjoint_and_tight(spark, tmp_path):
+    from spark_relieffc_fselection_spark.functions.partitioning import morton16
+    from spark_relieffc_fselection_spark.sources import write_zordered
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    keyed = orders.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.floor(F.col("o_totalprice") / 500.0).cast("bigint") % 256).alias("y"),
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(keyed, out, "x", "y", n_files=8)
+
+    back = spark.read.parquet(out).select(
+        "x", "y",
+        morton16(F.col("x"), F.col("y")).alias("z"),
+        F.input_file_name().alias("f"),
+    )
+    stats = back.groupBy("f").agg(
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"),
+        (F.max("x") - F.min("x")).alias("xspan"),
+        (F.max("y") - F.min("y")).alias("yspan"),
+    ).collect()
+    assert len(stats) >= 2
+    # files cover disjoint z-ranges (range partitioning + in-file sort)
+    spans = sorted((r["zmin"], r["zmax"]) for r in stats)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    # per-file min/max is tight on BOTH dims vs the global 0..255 span
+    mean_span = sum(r["xspan"] + r["yspan"] for r in stats) / (2 * len(stats))
+    assert mean_span < 200  # random layout would sit at ~255 per dim
+
+
+def test_write_zordered_preserves_rows(spark, tmp_path):
+    from spark_relieffc_fselection_spark.sources import write_zordered
+
+    df = spark.range(1000).select(
+        (F.col("id") % 64).alias("x"), ((F.col("id") * 7) % 64).alias("y")
+    )
+    out = str(tmp_path / "z2")
+    write_zordered(df, out, "x", "y", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"x", "y"}
