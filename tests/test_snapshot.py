@@ -80,3 +80,44 @@ def test_diff_is_payload_width_independent(spark, snaps):
     # free output columns of the join
     join_line = [ln for ln in plan.splitlines() if "Join" in ln][0]
     assert "source" not in join_line and "n_chars" not in join_line
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_diff_matches_bruteforce_random(spark, seed):
+    """Randomized snapshots vs a dict-based reference diff: same
+    classification for every key, including NULL payloads."""
+    import random
+
+    rng = random.Random(seed)
+    def snap():
+        return {
+            k: (
+                rng.choice(["web", "book", None]),
+                rng.choice([10, 20, None]),
+            )
+            for k in rng.sample(range(40), rng.randint(5, 35))
+        }
+
+    old_d, new_d = snap(), snap()
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in new_d:
+            want[k] = "removed"
+        elif k not in old_d:
+            want[k] = "added"
+        elif old_d[k] != new_d[k]:
+            want[k] = "changed"
+
+    def to_df(d):
+        return spark.createDataFrame(
+            [(k, s, n) for k, (s, n) in d.items()],
+            "doc_id bigint, source string, n_chars bigint",
+        )
+
+    got = {
+        r["doc_id"]: r["change_type"]
+        for r in snapshot_diff(
+            to_df(old_d), to_df(new_d), ["doc_id"], ["source", "n_chars"]
+        ).collect()
+    }
+    assert got == want
