@@ -69,6 +69,17 @@ _PRIORITY: tuple[str, ...] = (
     "q116_snapshot_diff",
     "q117_source_quality_calibration",
     "q118_zorder_layout",
+    # round 5, late additions: warehouse analytics surface
+    # (queries/warehouse_q.py) — never driver-validated, so they
+    # displace the 8 oldest r3-green rotation entries below.
+    "q119_scd2_history",
+    "q120_hierarchy_closure",
+    "q121_cohort_retention",
+    "q122_event_funnel",
+    "q123_skyline",
+    "q124_outlier_mad",
+    "q125_bm25_topk",
+    "q126_interval_merge",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -101,14 +112,11 @@ _PRIORITY: tuple[str, ...] = (
     "q27_embedding_neardup",
     "q74_kmeans_step",
     "q78_random_projection",
-    "q88_embedding_drift",
-    "q76_length_histogram",
-    "q83_pii_scrub",
-    "q77_streaming_enrichment",
-    "q89_streaming_outer_join",
-    "q90_deletion_propagation",
-    "q37_relief_discrete_collisions",
-    "q53_mom_growth",
+    # (Deferred to round 6 — displaced by the eight warehouse_q
+    # additions q119-q126, all r3-green: q76_length_histogram,
+    # q83_pii_scrub, q77_streaming_enrichment, q89_streaming_outer_join,
+    # q90_deletion_propagation, q37_relief_discrete_collisions,
+    # q53_mom_growth, q88_embedding_drift.)
     # (Deferred to round 6 — displaced by the four late-round-5
     # additions q115-q118, all r3-green: q57_stratified_sample,
     # q41_corpus_curation, q59_stopword_scrub, q61_contamination.)
@@ -157,7 +165,7 @@ def _load_modules() -> None:
     )
     for mod in (
         "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q",
-        "extras_q", "pipeline_q", "trainprep_q",
+        "extras_q", "pipeline_q", "trainprep_q", "warehouse_q",
     ):
         try:
             __import__(f"spark_relieffc_fselection_spark.queries.{mod}")

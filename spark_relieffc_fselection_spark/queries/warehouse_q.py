@@ -1,0 +1,393 @@
+"""Warehouse analytics queries: SCD2, hierarchy closure, cohorts,
+funnels, skyline, robust outliers, BM25 retrieval, interval merge.
+
+These extend the pipeline surface with the classic warehouse shapes a
+training-data platform runs on the same tables (SURVEY.md §2
+north-star extensions): dimension versioning for metadata catalogs,
+recursive rollups SQL spells WITH RECURSIVE, user-journey analysis
+over ``events``, Pareto source selection, robust event hygiene, and
+sparse lexical retrieval to pair with the ANN operators.
+
+Same cross-engine determinism conventions as the rest of the
+registry: decimal-cast double sums, ROUND(x, 6) on float outputs,
+total tiebreaks on every ranking, epoch-second window starts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+# q119 reuses q116's deterministic snapshot simulation (same crawl
+# N-1 / crawl N filters and parser delta) so diff and history build
+# can never disagree about what changed.
+from spark_relieffc_fselection_spark.queries.trainprep_q import (
+    _DIGEST_SQL,
+    _SNAP_DELTA,
+    _SNAP_NEW,
+    _SNAP_OLD,
+)
+
+DEC = "decimal(38,18)"
+
+#: BM25 query terms for q125 — mid-frequency corpus vocabulary.
+BM25_TERMS = ("spark", "merge", "window")
+BM25_K = 20
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+@register(
+    "q119_scd2_history",
+    oracle=f"""
+    WITH o AS (
+      SELECT doc_id, source, n_chars,
+             {_DIGEST_SQL.format(n='n_chars')} AS dig
+      FROM documents WHERE {_SNAP_OLD}
+    ),
+    n AS (
+      SELECT doc_id, source,
+             n_chars + {_SNAP_DELTA} AS n_chars,
+             {_DIGEST_SQL.format(n=f'n_chars + {_SNAP_DELTA}')} AS dig
+      FROM documents WHERE {_SNAP_NEW}
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.source AS o_source, o.n_chars AS o_n, o.dig AS o_dig,
+             n.source AS n_source, n.n_chars AS n_n, n.dig AS n_dig
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, o_source AS source, o_n AS n_chars,
+           1 AS valid_from,
+           CASE WHEN n_dig IS NULL OR o_dig != n_dig THEN 2 END AS valid_to,
+           (n_dig IS NOT NULL AND o_dig = n_dig) AS is_current
+    FROM j WHERE o_dig IS NOT NULL
+    UNION ALL
+    SELECT doc_id, n_source, n_n, 2, NULL, TRUE
+    FROM j WHERE n_dig IS NOT NULL AND (o_dig IS NULL OR o_dig != n_dig)
+    """,
+    doc="SCD type-2 dimension history between two snapshot versions "
+        "(operators/scd.py): one full outer join on the key, 0-2 "
+        "history rows per key emitted in a single pass via inline "
+        "array+explode (a union-of-selects would run the join twice). "
+        "Write-side companion of q116's snapshot diff — shares its "
+        "row-digest definition. Scale: output = old rows + churn; the "
+        "keyed join is the only wide exchange and vanishes for "
+        "key-bucketed snapshot storage.",
+)
+def q119_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.scd import scd2_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    old = docs.filter(F.expr(_SNAP_OLD))
+    new = docs.filter(F.expr(_SNAP_NEW)).withColumn(
+        "n_chars", F.col("n_chars") + F.expr(_SNAP_DELTA)
+    )
+    return scd2_delta(
+        old, new, keys=["doc_id"], compare=["source", "n_chars"],
+        v_old=1, v_new=2,
+    )
+
+
+@register(
+    "q120_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE climb AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM climb WHERE cur >= 10
+    )
+    SELECT node AS c_custkey, cur AS root_key, CAST(depth AS INT) AS depth
+    FROM climb WHERE cur < 10
+    """,
+    doc="Transitive closure to root over a synthetic decimal-digit "
+        "hierarchy (parent = c_custkey div 10, roots = keys < 10) — "
+        "the WITH RECURSIVE shape Spark lacks, implemented by pointer "
+        "doubling (operators/graph.py): ceil(log2 depth) self-joins of "
+        "the (node, ancestor, depth) map instead of depth sequential "
+        "hops, localCheckpoint per round keeping the plan O(1). A "
+        "depth-20 hierarchy at 10^10 nodes closes in 5 rounds.",
+)
+def q120_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.graph import closure_to_root
+
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") < 10, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("c_custkey div 10"))
+        .alias("parent"),
+    )
+    out = closure_to_root(nodes, "c_custkey", "parent")
+    return out.select(
+        F.col("node").alias("c_custkey"),
+        F.col("root").alias("root_key"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+@register(
+    "q121_cohort_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS b
+      FROM events
+    ),
+    firstb AS (SELECT u, MIN(b) AS cohort FROM active GROUP BY u)
+    SELECT cohort AS cohort_week_s,
+           CAST((b - cohort) / 604800 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM active JOIN firstb USING (u)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention matrix over event time "
+        "(operators/analytics.cohort_retention): cohort = bucket of "
+        "first activity, cell = users active k buckets later. Two "
+        "user-keyed aggregations + one co-partitioned join; buckets as "
+        "epoch seconds. Scale: everything hashes on user_id, the "
+        "retention matrix itself is weeks^2-sized.",
+)
+def q121_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+@register(
+    "q122_event_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s1.t GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s2.t GROUP BY 1
+    )
+    SELECT 1 AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, '{FUNNEL_STAGES[1]}', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, '{FUNNEL_STAGES[2]}', (SELECT COUNT(*) FROM s3)
+    """,
+    doc="Strictly-ordered first-touch funnel signup -> view -> "
+        "purchase (operators/analytics.funnel_counts): stage k's "
+        "reachers had a stage-k event strictly after their first "
+        "stage-(k-1) time. One chained user-keyed aggregate per stage; "
+        "the chain stays co-partitioned on user_id after the first "
+        "exchange.",
+)
+def q122_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "event_type", "ts", FUNNEL_STAGES)
+
+
+@register(
+    "q123_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_custkey AS c_custkey,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18)))
+                        AS DOUBLE) / COUNT(*), 6) AS avg_price,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT p.c_custkey, p.avg_price, p.n_orders FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.avg_price >= p.avg_price AND q.n_orders >= p.n_orders
+        AND (q.avg_price > p.avg_price OR q.n_orders > p.n_orders)
+    )
+    """,
+    doc="Pareto front (skyline) of customers maximizing average order "
+        "price and order count — anti-correlated axes, so the front "
+        "is a real trade-off curve (operators/analytics.skyline_2d). "
+        "The 2-D "
+        "front is a running-max window, not an all-pairs dominance "
+        "join: collapse to per-x max-y candidates, locally prune "
+        "inside range partitions, then one global pass over the "
+        "surviving ~front-sized set. The oracle states the dominance "
+        "definition directly (NOT EXISTS), pinning the window "
+        "formulation's semantics.",
+)
+def q123_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.analytics import skyline_2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_price"),
+        F.count("*").alias("n_orders"),
+    )
+    return skyline_2d(pts, "avg_price", "n_orders").select(
+        "c_custkey", "avg_price", "n_orders"
+    )
+
+
+@register(
+    "q124_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median("value") AS m FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e."value" - med.m)) AS d
+      FROM events e JOIN med USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, ROUND(e."value", 6) AS value,
+           CASE WHEN mad.d > 0
+                THEN ROUND((e."value" - med.m) / (1.4826 * mad.d), 6)
+           END AS rscore
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    WHERE abs(e."value" - med.m) > 3 * 1.4826 * mad.d
+    """,
+    doc="Robust per-event-type outlier detection via median + MAD "
+        "(operators/analytics.mad_outliers): mean/stddev rules break "
+        "exactly when outliers exist; |value - med| > 3 * 1.4826 * MAD "
+        "is the robust standard. Exact percentile for oracle parity "
+        "with DuckDB median; exact=False swaps in the mergeable "
+        "approx_percentile sketch for 100 TB groups. Group stats "
+        "broadcast back — the fact table never shuffles for the join.",
+)
+def q124_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        mad_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = mad_outliers(ev, "event_type", "value", n_sigma=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "rscore",
+    )
+
+
+@register(
+    "q125_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           LATERAL (SELECT unnest(regexp_split_to_array(lower(text),
+                                                        '[^a-z]+')) AS t) u
+      WHERE t != ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                  * ((tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+                  AS DECIMAL(38,18)) AS s
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM agg
+    ) WHERE rank <= {BM25_K}
+    """,
+    doc="BM25 top-20 sparse retrieval (operators/retrieval.bm25_topk), "
+        "the lexical pairing of the ANN queries: portable "
+        "lower+[^a-z]+ tokenization, corpus stats as a 1-row "
+        "cross-joined DataFrame (no driver collect), df(term) "
+        "broadcast, per-term scores decimal-summed, rank window with "
+        "doc_id tiebreak. Scale: only query-term tokens shuffle; "
+        "map-side combine collapses the (doc, term) aggregate.",
+)
+def q125_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, BM25_K)
+
+
+@register(
+    "q126_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pe
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT user_id, MIN(s) AS start_s, MAX(e) AS end_s,
+           COUNT(*) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+    doc="Merge overlapping activity intervals per user (each event "
+        "opens a 10-minute window) via gaps-and-islands "
+        "(operators/analytics.merge_intervals): one partitionBy-user "
+        "window sort, running-max end, island ids by running count of "
+        "gap opens — the O(n^2) self-join overlap formulation never "
+        "materializes. Epoch-second bounds for cross-engine parity.",
+)
+def q126_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        merge_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").alias("s")
+    iv = ev.select(
+        "user_id", s, (F.unix_timestamp("ts") + 600).alias("e")
+    )
+    merged = merge_intervals(iv, "user_id", "s", "e")
+    return merged.select(
+        "user_id",
+        F.col("s").alias("start_s"),
+        F.col("e").alias("end_s"),
+        "n_merged",
+    )
