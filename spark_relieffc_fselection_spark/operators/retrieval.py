@@ -6,37 +6,40 @@ in :mod:`.simsearch`): score documents for a bag of query terms with
 BM25 (Robertson/Sparck Jones; the Okapi formulation with the
 Lucene-style non-negative idf) and keep the top-k.
 
-Design (Spark-first, one pass over tokens):
+Design (Spark-first, ONE corpus pass in the scoring plan):
 
 * Tokenize with a portable ``lower`` + split-on-``[^a-z]+`` — the
   exact expression DuckDB spells as ``regexp_split_to_array``, which
   is what makes the oracle possible.
-* Document lengths and (N, avgdl) corpus stats come from the same
-  token explode; corpus stats stay a 1-row DataFrame cross-joined in
-  (never a driver collect), df(term) is a terms-sized aggregate
-  broadcast back.
-* Only tokens matching the query terms survive the explode filter, so
-  the per-(doc, term) tf aggregate shuffles O(matching tokens), not
-  the corpus.
-* Final top-k is a rank window over per-doc scores — scores are
-  summed as DECIMAL(38,18) so the 2-8 per-term doubles add
-  order-insensitively, and ranked on the rounded score with doc id as
-  total tiebreak (deterministic under shuffle).
+* The query terms are known statically, so per-doc state is ONE wide
+  aggregate off the token explode: ``(dl, tf_term1..tf_termK)`` —
+  document length and per-term counts in the same map-side-combined
+  shuffle. The naive dataflow (separate ``dl``, ``tf``, ``df``,
+  ``stats`` frames joined back together) references the token subtree
+  four times, and ReuseExchange does NOT unify aliased subtrees
+  (SCALE.md, round 5) — it tokenizes the corpus 4x. The wide
+  aggregate tokenizes once.
+* Corpus stats (N, avgdl, df per term) are one 1-row aggregate over
+  the per-doc frame, materialized as a LocalRelation
+  (``queries.localize``) precisely so the scoring plan does not
+  re-derive the per-doc aggregate a second time; scoring is then
+  per-doc frame x broadcast 1-row stats.
+* Per-term scores are summed row-wise as DECIMAL(38,18) — exact, so
+  it matches the oracle's decimal SUM over per-(doc, term) rows —
+  and ranked on the rounded score with doc id as total tiebreak.
 
-At 100 TB: everything is hash-partitioned aggregates + broadcast
-dims; the only corpus-sized shuffle is the (doc, term) tf combine,
-which map-side partial aggregation collapses to near-zero for rare
-terms. The global top-k window runs over docs-with-matches; for stop-
-word-ish query terms swap the window for the bounded per-partition
-top-k used by q05 (TakeOrderedAndProject handles it automatically
-when k is small).
+At 100 TB: two corpus passes total (stats build + scoring), each one
+hash-partitioned aggregate with map-side combine; df/N/avgdl are a
+single broadcast row. The global top-k window runs over docs that
+contain at least one query term; for stop-word-ish terms swap the
+window for the bounded per-partition top-k used by q05.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,18)"
@@ -58,6 +61,22 @@ def tokenize(docs: DataFrame, id_col: str, text: str) -> DataFrame:
     )
 
 
+def doc_term_profile(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """One row per token-bearing doc: ``(id, _dl, _tf0.._tfK)``."""
+    toks = tokenize(docs, id_col, text)
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    return toks.groupBy(id_col).agg(F.count("*").alias("_dl"), *tf_cols)
+
+
 def bm25_topk(
     docs: DataFrame,
     terms: Sequence[str],
@@ -76,34 +95,49 @@ def bm25_topk(
 
     Returns ``(id, score, rank)``, rank 1..k, ties broken by id.
     """
-    toks = tokenize(docs, id_col, text)
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
-    stats = dl.agg(
-        F.count("*").alias("_n"),
-        F.avg("_dl").alias("_avgdl"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("_tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    from spark_relieffc_fselection_spark.queries import localize
 
-    idf = F.log(
-        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    per_doc = doc_term_profile(docs, terms, id_col=id_col, text=text)
+    n_terms = len(terms)
+    stats = localize(
+        per_doc.agg(
+            F.count("*").alias("_n"),
+            F.avg("_dl").alias("_avgdl"),
+            *[
+                F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+                for i in range(n_terms)
+            ],
+        )
     )
-    tf_part = (F.col("_tf") * (k1 + 1.0)) / (
-        F.col("_tf")
-        + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
-    )
-    per_term = tf.join(F.broadcast(df_t), "term").join(
-        dl, id_col
-    ).crossJoin(F.broadcast(stats))
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+            + 1.0
+        )
+        tf_part = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+        return F.when(tf > 0, (idf * tf_part).cast(DEC)).otherwise(
+            F.lit(0).cast(DEC)
+        )
+
+    total = term_score(0)
+    for i in range(1, n_terms):
+        total = total + term_score(i)
+    any_hit = F.greatest(
+        *[F.col(f"_tf{i}") for i in range(n_terms)]
+    ) > 0 if n_terms > 1 else F.col("_tf0") > 0
 
     scored = (
-        per_term.withColumn("_s", (idf * tf_part).cast(DEC))
-        .groupBy(id_col)
-        .agg(F.round(F.sum("_s").cast("double"), 6).alias("score"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select(
+            id_col,
+            F.round(total.cast("double"), 6).alias("score"),
+        )
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -385,3 +385,42 @@ def test_countmin_probe_scans_corpus_once(spark, qs):
     assert plan.count("FileScan parquet") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_single_corpus_scan_and_topk(spark, qs):
+    """q125: the scoring plan tokenizes the corpus exactly ONCE (the
+    naive dl/tf/df/stats dataflow re-tokenizes 4x — aliased subtrees
+    are not unified, SCALE.md round 5); the localized 1-row stats
+    frame broadcasts, and rank<=k plans as TakeOrderedAndProject,
+    never a single-partition global window sort."""
+    plan = _plan(qs["q125_bm25_topk"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_group_stats(spark, qs):
+    """q124: the median/MAD per-group tables join back by BROADCAST —
+    the fact table is never shuffled for the stats lookup."""
+    plan = _plan(qs["q124_outlier_mad"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_skyline_front_joins_broadcast(spark, qs):
+    """q123: the surviving front joins back to the point set as a
+    broadcast hash join; no all-pairs (nested-loop on non-trivial
+    condition) dominance join anywhere in the plan."""
+    plan = _plan(qs["q123_skyline"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_join_no_recompute(spark, qs):
+    """q119: exactly one full-outer join (the keyed snapshot join) and
+    exactly two parquet scans (old + new side) — the explode emission
+    must not re-run the join per emitted version row."""
+    plan = _plan(qs["q119_scd2_history"](spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("FullOuter") == 1, plan
