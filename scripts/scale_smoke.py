@@ -368,6 +368,99 @@ def main() -> None:
 
     bench("salted_join (constant salt fan-out)", salted)
 
+    # SCD2 history: same keyed join shape as snapshot_diff plus the
+    # array+explode emission — expect ~linear (unique keys, no fan-out
+    # beyond the <=2 history rows per key)
+    from spark_relieffc_fselection_spark.operators.scd import scd2_delta
+
+    def scd2(kk: int) -> DataFrame:
+        d = docs_k(kk).select("doc_id", "source", "n_chars")
+        old = d.filter(F.col("doc_id") % 10 != 3)
+        new = d.filter(F.col("doc_id") % 7 != 2).withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 5 == 0, 17).otherwise(0),
+        )
+        return scd2_delta(
+            old, new, ["doc_id"], ["source", "n_chars"], v_old=1, v_new=2
+        )
+
+    bench("scd2_delta (key join + explode)", scd2)
+
+    # pointer-doubling closure: rounds grow log10(max key) with the
+    # replica offset, each round one self-join of the node-sized map —
+    # expect ~linear-with-a-small-log-bump
+    from spark_relieffc_fselection_spark.operators.graph import closure_to_root
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    n_cust = cust.count()
+
+    def closure(kk: int) -> DataFrame:
+        nodes = replicate(cust, kk, "c_custkey", n_cust).select(
+            "c_custkey",
+            F.when(F.col("c_custkey") < 10, F.lit(None).cast("bigint"))
+            .otherwise(F.expr("c_custkey div 10"))
+            .alias("parent"),
+        )
+        return closure_to_root(nodes, "c_custkey", "parent")
+
+    bench("closure_to_root (pointer doubling)", closure)
+
+    # 2-D skyline: one groupBy + range-partitioned local prune; the
+    # global pass sees only per-partition fronts — expect ~linear
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        mad_outliers,
+        merge_intervals,
+        skyline_2d,
+    )
+
+    def skyline(kk: int) -> DataFrame:
+        o = replicate(orders, kk, "o_orderkey", n_orders)
+        pts = o.groupBy(F.col("o_custkey").alias("c")).agg(
+            F.round(F.avg("o_totalprice"), 6).alias("x"),
+            F.count("*").alias("y"),
+        )
+        return skyline_2d(pts, "x", "y")
+
+    bench("skyline_2d (window, no all-pairs)", skyline)
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", F.col("value"), "ts"
+    )
+    n_events = events.count()
+
+    def ev_k(kk: int) -> DataFrame:
+        return replicate(events, kk, "event_id", n_events)
+
+    # exact-percentile MAD: two aggregation passes with per-group sort
+    # buffers — the exact tier's cost ceiling (approx tier is the
+    # 100 TB path); expect ~linear until group buffers dominate
+    bench(
+        "mad_outliers exact (2 stat passes)",
+        lambda kk: mad_outliers(ev_k(kk), "event_type", "value"),
+    )
+
+    # gaps-and-islands interval merge: one window sort per user —
+    # expect ~n log n in the per-user row count
+    def imerge(kk: int) -> DataFrame:
+        iv = ev_k(kk).select(
+            "user_id",
+            F.unix_timestamp("ts").alias("s"),
+            (F.unix_timestamp("ts") + 600).alias("e"),
+        )
+        return merge_intervals(iv, "user_id", "s", "e")
+
+    bench("merge_intervals (gaps-and-islands)", imerge)
+
+    # BM25: one tokenize pass for the stats row + one for scoring —
+    # expect ~linear, explode-dominated
+    from spark_relieffc_fselection_spark.operators.retrieval import bm25_topk
+
+    bench(
+        "bm25_topk (2 tokenize passes)",
+        lambda kk: bm25_topk(docs_k(kk), ("spark", "merge", "window"), 20),
+    )
+
     spark.stop()
 
 
