@@ -461,6 +461,72 @@ def main() -> None:
         lambda kk: bm25_topk(docs_k(kk), ("spark", "merge", "window"), 20),
     )
 
+    # data-quality family (round 5 late) -----------------------------------
+
+    # constraint audit: row-local rules fold into ONE conditional-sum
+    # scan; unique = keyed groupBy; ref = broadcast anti join — expect
+    # scan-bound ~linear regardless of rule count
+    from spark_relieffc_fselection_spark.operators import quality as Q
+
+    cust_keys = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+
+    def audit(kk: int) -> DataFrame:
+        o = replicate(orders, kk, "o_orderkey", n_orders)
+        return Q.constraint_report(
+            o,
+            [
+                Q.not_null("o_custkey"),
+                Q.in_range("o_totalprice", 0.0, 300000.0),
+                Q.accepted("o_orderstatus", ("O", "F")),
+                Q.unique("o_orderkey"),
+                Q.ref_integrity("o_custkey", cust_keys, "c_custkey"),
+            ],
+        )
+
+    bench("constraint_report (fold + groupBy + anti)", audit)
+
+    # winsorize: per-group exact percentile (the cost ceiling; approx
+    # tier at scale) + broadcast clip — expect ~linear until the
+    # per-group percentile sort buffers dominate
+    bench(
+        "winsorize exact (pctl agg + broadcast clip)",
+        lambda kk: Q.winsorize(
+            ev_k(kk).select("event_id", "event_type", "value"),
+            "event_type",
+            "value",
+        ),
+    )
+
+    # skew profile: one keyed groupBy + bounded top-n — scan-bound
+    def skew(kk: int) -> DataFrame:
+        li = replicate(
+            li_full.select("l_orderkey", "l_suppkey"), kk, "l_orderkey", n_li
+        )
+        return Q.skew_profile(li, "l_suppkey", top_n=10)
+
+    bench("skew_profile (groupBy + bounded rank)", skew)
+
+    # incremental merge: union of two aggregate-sized states + one
+    # re-aggregation; the fact scan happens only in the partial aggs —
+    # expect ~linear in the delta scan
+    def incmerge(kk: int) -> DataFrame:
+        e = ev_k(kk)
+        stored = Q.keyed_partial_agg(
+            e.filter(F.col("event_id") % 2 == 0),
+            ["user_id"],
+            sum_specs={"s": "value"},
+        )
+        delta = Q.keyed_partial_agg(
+            e.filter(F.col("event_id") % 2 == 1),
+            ["user_id"],
+            sum_specs={"s": "value"},
+        )
+        return Q.merge_aggregates(stored, delta, ["user_id"], sum_cols=["s"])
+
+    bench("incremental merge (two partials + union agg)", incmerge)
+
     spark.stop()
 
 

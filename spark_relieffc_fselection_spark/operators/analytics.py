@@ -263,3 +263,33 @@ def cohort_retention(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    part: str,
+    order: Sequence[str],
+    value: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Trailing-``n``-row mean and sample stddev of ``value`` per
+    ``part``, ordered by ``order`` (pass a unique tiebreak column so
+    the frame is total-ordered and cross-engine deterministic).
+
+    The basic time-series feature-engineering shape (lag smoothing
+    before a metric feeds a model). One shuffle on the partition key +
+    a per-key sort; the frame is ROWS-bounded so state per row is
+    O(n). stddev is the sample estimator (matches DuckDB
+    ``stddev_samp``); a 1-row frame yields NULL. Adds
+    ``{value}_roll_avg`` / ``{value}_roll_std``; other columns pass
+    through.
+    """
+    w = (
+        Window.partitionBy(part)
+        .orderBy(*[F.asc(c) for c in order])
+        .rowsBetween(-(n - 1), 0)
+    )
+    return df.withColumn(
+        f"{value}_roll_avg", F.avg(value).over(w)
+    ).withColumn(f"{value}_roll_std", F.stddev_samp(value).over(w))

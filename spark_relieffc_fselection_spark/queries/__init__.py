@@ -80,6 +80,16 @@ _PRIORITY: tuple[str, ...] = (
     "q124_outlier_mad",
     "q125_bm25_topk",
     "q126_interval_merge",
+    # round 5, late additions: data-quality surface
+    # (queries/quality_q.py)
+    "q127_constraint_audit",
+    "q128_winsorize",
+    "q129_skew_profile",
+    "q130_incremental_agg",
+    "q131_streaming_incremental_agg",
+    "q132_last_touch_attribution",
+    "q133_calendar_gap_fill",
+    "q134_psi_drift",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -104,14 +114,12 @@ _PRIORITY: tuple[str, ...] = (
     "q16_collision_marginal",
     "q17_collision_joint",
     "q44_sparse_relief_relevance",
-    "q19_dedup_jaccard",
-    "q20_minhash_signatures",
-    "q22_simhash_signatures",
-    "q81_incremental_dedup",
-    "q84_canonical_selection",
-    "q27_embedding_neardup",
-    "q74_kmeans_step",
-    "q78_random_projection",
+    # (Deferred to round 6 — displaced by q131-q134, all r3-green:
+    # q19_dedup_jaccard, q20_minhash_signatures, q22_simhash_signatures,
+    # q81_incremental_dedup.)
+    # (Deferred to round 6 — displaced by the four quality_q
+    # additions q127-q130, all r3-green: q84_canonical_selection,
+    # q27_embedding_neardup, q74_kmeans_step, q78_random_projection.)
     # (Deferred to round 6 — displaced by the eight warehouse_q
     # additions q119-q126, all r3-green: q76_length_histogram,
     # q83_pii_scrub, q77_streaming_enrichment, q89_streaming_outer_join,
@@ -166,6 +174,7 @@ def _load_modules() -> None:
     for mod in (
         "dedup_q", "simsearch_q", "text_q", "events_q", "multimodal_q",
         "extras_q", "pipeline_q", "trainprep_q", "warehouse_q",
+        "quality_q",
     ):
         try:
             __import__(f"spark_relieffc_fselection_spark.queries.{mod}")

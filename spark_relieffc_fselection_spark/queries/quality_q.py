@@ -1,0 +1,267 @@
+"""Data-quality queries: constraint audit, winsorization, skew
+profiling, incremental aggregate maintenance (q127-q130).
+
+The continuous-operation surface of the pipeline: what runs on every
+ingest batch (audit), before every metric export (winsorize), before
+every big join (skew profile), and nightly over corpus aggregates
+(incremental maintenance). All in `operators/quality.py`, all
+DuckDB-oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.sources import load_table
+
+DEC = "decimal(38,18)"
+
+#: q127 audit rules over `orders` (numbers chosen so the report has
+#: both zero and non-zero rows: 'P' status and >300k prices exist).
+AUDIT_PRICE_HI = 300000.0
+AUDIT_STATUSES = ("O", "F")
+
+#: q130 incremental cutoff: history < CUTOFF <= delta.
+INC_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "q127_constraint_audit",
+    oracle=f"""
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(SUM(CASE WHEN o_totalprice < 0
+                         OR o_totalprice > {AUDIT_PRICE_HI}
+                         OR o_totalprice IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted(o_orderstatus)',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN {AUDIT_STATUSES!r}
+                         OR o_orderstatus IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE((SELECT SUM(n) FROM (
+             SELECT COUNT(*) AS n FROM orders
+             GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT)
+    UNION ALL
+    SELECT 'ref(o_custkey)',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    """,
+    doc="Deequ-style constraint audit over an ingest batch "
+        "(operators/quality.constraint_report): ALL row-local rules "
+        "(not_null / range / accepted-values) fold into ONE scan of "
+        "conditional sums; uniqueness is one keyed groupBy; "
+        "referential integrity is one broadcast anti join against the "
+        "deduplicated dimension keys. k rules never cost k passes. "
+        "The report mixes zero rows (key integrity holds) with "
+        "non-zero rows ('P' statuses, >300k prices) so both outcomes "
+        "are exercised.",
+)
+def q127_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return Q.constraint_report(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 0.0, AUDIT_PRICE_HI),
+            Q.accepted("o_orderstatus", AUDIT_STATUSES),
+            Q.unique("o_orderkey"),
+            Q.ref_integrity("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+@register(
+    "q128_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont("value", 0.05) AS lo,
+             quantile_cont("value", 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e."value", 6) AS value,
+           ROUND(LEAST(GREATEST(e."value", b.lo), b.hi), 6)
+             AS value_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    doc="Per-group winsorization at [p05, p95] "
+        "(operators/quality.winsorize): metrics saturate at their "
+        "group's own tail quantiles instead of being dropped (biases "
+        "counts) or kept (tails dominate sums). Exact percentile for "
+        "DuckDB quantile_cont parity; exact=False swaps in the "
+        "mergeable approx sketch at 100 TB. Bounds broadcast back — "
+        "the fact table never re-shuffles.",
+)
+def q128_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(ev, "event_type", "value", p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_clipped", 6).alias("value_clipped"),
+    )
+
+
+@register(
+    "q129_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_rows) AS total FROM counts)
+    SELECT key, n_rows,
+           ROUND(n_rows / (SELECT total FROM tot), 6) AS share,
+           rank
+    FROM (
+      SELECT key, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+      FROM counts
+    ) WHERE rank <= 10
+    """,
+    doc="Join-key skew profile (operators/quality.skew_profile): "
+        "top-10 heaviest keys with load share — the detector that "
+        "picks plain vs AQE-skew-split vs salted (q115) join. One "
+        "keyed groupBy + bounded rank + broadcast 1-row total; never "
+        "a global sort of the full key histogram.",
+)
+def q129_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return skew_profile(li, "l_suppkey", top_n=10)
+
+
+@register(
+    "q130_incremental_agg",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST("value" AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental aggregate maintenance "
+        "(operators/quality.merge_aggregates): yesterday's stored "
+        "(count, decimal-sum) state + the new batch's partial state "
+        "merge by union + one aggregate-sized re-aggregation — the "
+        "history fact table is NEVER rescanned. Decimal sums add "
+        "exactly, so a chain of daily increments equals the full "
+        "recompute bit-for-bit — which is precisely what this oracle "
+        "checks (Spark runs store+delta merge; DuckDB recomputes from "
+        f"scratch). Simulated split at {INC_CUTOFF}.",
+)
+def q130_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import (
+        keyed_partial_agg,
+        merge_aggregates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+    stored = keyed_partial_agg(
+        ev.filter(F.col("ts") < cutoff),
+        ["user_id"],
+        sum_specs={"sum_value": "value"},
+    )
+    delta = keyed_partial_agg(
+        ev.filter(F.col("ts") >= cutoff),
+        ["user_id"],
+        sum_specs={"sum_value": "value"},
+    )
+    merged = merge_aggregates(
+        stored, delta, ["user_id"], sum_cols=["sum_value"]
+    )
+    return merged.select(
+        "user_id",
+        "n_rows",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )
+
+
+@register(
+    "q131_streaming_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST("value" AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="The production form of q130: the DELTA side arrives as a "
+        "stream (file-source micro-batches), aggregates to per-key "
+        "(count, decimal-sum) partial state in complete mode, and the "
+        "drained sink merges with the stored historical aggregate via "
+        "the same merge_aggregates — history never rescanned, decimal "
+        "sums exact across the stream/batch boundary, so streamed "
+        "increments == full recompute bit-for-bit (this oracle). "
+        "Stream-side filter keeps only post-cutoff events; the "
+        "watermark-free complete-mode agg is correct because the sink "
+        "drains availableNow.",
+)
+def q131_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import (
+        keyed_partial_agg,
+        merge_aggregates,
+    )
+    from spark_relieffc_fselection_spark.queries.events_q import (
+        _SINK_SEQ,
+        _staged_events_dir,
+        _stream_conf,
+    )
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    delta_stream = (
+        stream.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("sum_value"),
+        )
+    )
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        delta = run_to_memory_sink(
+            delta_stream,
+            f"q131_sink_{_SINK_SEQ[0]}",
+            output_mode="complete",
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    stored = keyed_partial_agg(
+        ev.filter(F.col("ts") < cutoff),
+        ["user_id"],
+        sum_specs={"sum_value": "value"},
+    )
+    merged = merge_aggregates(stored, delta, ["user_id"], sum_cols=["sum_value"])
+    return merged.select(
+        "user_id",
+        "n_rows",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+    )

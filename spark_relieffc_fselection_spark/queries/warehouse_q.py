@@ -15,7 +15,7 @@ total tiebreaks on every ranking, epoch-second window starts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.queries import register
@@ -390,4 +390,230 @@ def q126_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("start_s"),
         F.col("e").alias("end_s"),
         "n_merged",
+    )
+
+
+#: q132 attribution lookback: clicks older than this never get credit.
+ATTR_WINDOW_S = 7 * 24 * 3600
+
+
+@register(
+    "q132_last_touch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_s,
+             c2.event_id AS cand_id,
+             CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(c2.ts)) AS BIGINT) AS cand_delta
+      FROM p LEFT JOIN LATERAL (
+        SELECT c.event_id, c.ts FROM c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+      ) c2 ON TRUE
+    )
+    SELECT purchase_id, user_id, purchase_s,
+           CASE WHEN cand_delta <= {ATTR_WINDOW_S} THEN cand_id END
+             AS click_id,
+           CASE WHEN cand_delta <= {ATTR_WINDOW_S} THEN cand_delta END
+             AS delta_s
+    FROM m
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+        "recent click at-or-before it within a 7-day lookback — the "
+        "self-table application of operators/temporal.asof_join "
+        "(union + one per-user window pass, no per-row correlated "
+        "lookup; ties at equal ts break by greatest event_id, exactly "
+        "the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1). "
+        "Out-of-window matches null out AFTER the join — the as-of "
+        "pass itself needs no window parameter.",
+)
+def q132_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    m = asof_join(
+        p, c, on=["user_id"], ts_col="ts",
+        right_cols=("event_id",), tiebreak_col="event_id",
+    )
+    delta = F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
+    in_window = F.col("ts_asof").isNotNull() & (delta <= ATTR_WINDOW_S)
+    return m.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_s"),
+        F.when(in_window, F.col("event_id_asof")).alias("click_id"),
+        F.when(in_window, delta).alias("delta_s"),
+    )
+
+
+@register(
+    "q133_calendar_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18)))
+                        AS DOUBLE), 6) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    ),
+    pris AS (SELECT DISTINCT o_orderpriority FROM daily),
+    grid AS (SELECT d, o_orderpriority FROM spine CROSS JOIN pris)
+    SELECT STRFTIME(g.d, '%Y-%m-%d') AS d, g.o_orderpriority,
+           COALESCE(daily.n, 0) AS n_orders,
+           LAST_VALUE(daily.rev IGNORE NULLS) OVER (
+             PARTITION BY g.o_orderpriority ORDER BY g.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS rev_filled
+    FROM grid g
+    LEFT JOIN daily
+      ON g.d = daily.d AND g.o_orderpriority = daily.o_orderpriority
+    """,
+    doc="Calendar spine + gap fill: daily revenue per order priority "
+        "with missing days materialized (n_orders=0) and revenue "
+        "carried forward (last_value IGNORE NULLS per priority). The "
+        "fact table is scanned ONCE (the daily aggregate); the "
+        "aggregate is calendar-sized at ANY fact scale, so it is "
+        "localized and the spine/grid/fill stages run driver-sized "
+        "with zero further fact scans — the dupe-subtree trap (three "
+        "aliased references to the daily agg) never touches the "
+        "corpus.",
+)
+def q133_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.queries import localize
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = localize(
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .groupBy("d", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 6
+            ).alias("rev"),
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    pris = daily.select("o_orderpriority").distinct()
+    grid = spine.crossJoin(pris)
+    j = grid.join(daily, ["d", "o_orderpriority"], "left")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "o_orderpriority",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+    )
+
+
+#: q134 histogram bin width over documents.n_chars.
+PSI_BIN_W = 500
+
+
+@register(
+    "q134_psi_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT n_chars // {PSI_BIN_W} AS bin, COUNT(*) AS n_old
+      FROM documents WHERE {_SNAP_OLD} GROUP BY 1
+    ),
+    n AS (
+      SELECT (n_chars + {_SNAP_DELTA}) // {PSI_BIN_W} AS bin,
+             COUNT(*) AS n_new
+      FROM documents WHERE {_SNAP_NEW} GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(o.bin, n.bin) AS bin,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.bin = n.bin
+    ),
+    s AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS tot_o,
+             CAST(SUM(n_new) AS BIGINT) AS tot_n,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM j
+    )
+    SELECT bin, CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           ROUND(((n_old + 1) / (tot_o + nb) - (n_new + 1) / (tot_n + nb))
+                 * ln(((n_old + 1) / (tot_o + nb))
+                      / ((n_new + 1) / (tot_n + nb))), 6) AS psi_term
+    FROM j CROSS JOIN s
+    """,
+    doc="Population-stability-index drift report between crawl N-1 and "
+        "crawl N (q116's snapshot simulation): fixed-width n_chars "
+        "histograms, Laplace-smoothed shares over the union of "
+        "observed bins, per-bin PSI terms (sum = the drift score; "
+        "per-bin rows localize WHERE the distribution moved). Two "
+        "histogram aggregates + a bin-sized full outer join + a "
+        "broadcast 1-row totals frame — nothing fact-sized shuffles "
+        "twice. The monitoring companion of q88's embedding drift for "
+        "the scalar-feature side.",
+)
+def q134_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    old = (
+        docs.filter(F.expr(_SNAP_OLD))
+        .select(F.expr(f"n_chars div {PSI_BIN_W}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_old"))
+    )
+    new = (
+        docs.filter(F.expr(_SNAP_NEW))
+        .select(
+            F.expr(f"(n_chars + {_SNAP_DELTA}) div {PSI_BIN_W}").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_new"))
+    )
+    j = (
+        old.join(new, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    s = j.agg(
+        F.sum("n_old").alias("tot_o"),
+        F.sum("n_new").alias("tot_n"),
+        F.count("*").alias("nb"),
+    )
+    p = (F.col("n_old") + 1) / (F.col("tot_o") + F.col("nb"))
+    q = (F.col("n_new") + 1) / (F.col("tot_n") + F.col("nb"))
+    return j.crossJoin(F.broadcast(s)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )

@@ -424,3 +424,65 @@ def test_scd2_single_join_no_recompute(spark, qs):
     plan = _plan(qs["q119_scd2_history"](spark, SF))
     assert plan.count("FileScan parquet") == 2, plan
     assert plan.count("FullOuter") == 1, plan
+
+
+def test_calendar_fill_single_fact_scan(spark, qs):
+    """q133: the daily aggregate is localized (calendar-sized at any
+    fact scale), so the spine/grid/fill plan — which references it
+    three times (bounds, priorities, fill join) — must contain NO
+    parquet scan at all: the fact table was read exactly once, at
+    localize time."""
+    plan = _plan(qs["q133_calendar_gap_fill"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_audit_ref_join_broadcasts(spark, qs):
+    """q127: referential-integrity checking must anti-join against a
+    BROADCAST of the deduplicated dimension keys, never a shuffle of
+    the fact side; the row-local rules fold into aggregate sums (no
+    per-rule scans beyond the three structural passes)."""
+    plan = _plan(qs["q127_constraint_audit"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_bounds_broadcast_back(spark, qs):
+    """q128: the per-group [p05, p95] bounds frame joins back to the
+    fact table as a broadcast — the fact side must not shuffle for
+    the clip."""
+    plan = _plan(qs["q128_winsorize"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_merge_never_rescans_history(spark, qs):
+    """q130 shape invariant (on a toy frame): merge_aggregates'
+    output plan aggregates the UNION of two already-aggregated
+    inputs; both inputs appear exactly once."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.quality import (
+        keyed_partial_agg,
+        merge_aggregates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (2, 0, 3.0)], "k int, day int, v double"
+    )
+    stored = keyed_partial_agg(
+        df.filter(F.col("day") == 0), ["k"], sum_specs={"s": "v"}
+    )
+    delta = keyed_partial_agg(
+        df.filter(F.col("day") == 1), ["k"], sum_specs={"s": "v"}
+    )
+    plan = _plan(merge_aggregates(stored, delta, ["k"], sum_cols=["s"]))
+    assert plan.count("Union") == 1, plan
+
+
+def test_skew_profile_bounded_topn_no_global_histogram_sort(spark, qs):
+    """q129: the heavy-key report must take its top-n via
+    TakeOrderedAndProject over the per-key counts (distributed partial
+    top-n) — the rank window may only ever see the top_n survivors,
+    never the full distinct-key histogram."""
+    plan = _plan(qs["q129_skew_profile"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
