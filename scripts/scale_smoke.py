@@ -527,6 +527,46 @@ def main() -> None:
 
     bench("incremental merge (two partials + union agg)", incmerge)
 
+    # rolling features: one shuffle on the key + per-key sort with an
+    # O(n)-state ROWS frame — expect ~n log n in per-key rows
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        rolling_stats,
+    )
+
+    bench(
+        "rolling_stats (keyed window, ROWS frame)",
+        lambda kk: rolling_stats(
+            ev_k(kk).select("event_id", "user_id", "value", "ts"),
+            "user_id",
+            ["ts", "event_id"],
+            "value",
+        ),
+    )
+
+    # KS drift: distinct-value histogram + bucketed prefix sums —
+    # expect scan-bound ~linear (the windows see one bucket each)
+    def ks(kk: int) -> DataFrame:
+        d = docs_k(kk)
+        u = d.filter(F.col("doc_id") % 10 != 3).select(
+            F.col("n_chars").alias("v"), F.lit("o").alias("side")
+        ).unionByName(
+            d.filter(F.col("doc_id") % 7 != 2).select(
+                (F.col("n_chars") + 17).alias("v"), F.lit("n").alias("side")
+            )
+        )
+        return Q.ks_statistic(
+            u, "v", F.col("side") == "o", F.col("side") == "n"
+        )
+
+    bench("ks_statistic (bucketed prefix-sum ECDFs)", ks)
+
+    # join-cardinality estimate (self path): one scan + histogram agg
+    def jse(kk: int) -> DataFrame:
+        e = ev_k(kk).select("user_id")
+        return Q.join_size_estimate(e, "user_id", e, "user_id")
+
+    bench("join_size_estimate self (one scan)", jse)
+
     spark.stop()
 
 

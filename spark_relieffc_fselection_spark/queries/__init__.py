@@ -90,6 +90,10 @@ _PRIORITY: tuple[str, ...] = (
     "q132_last_touch_attribution",
     "q133_calendar_gap_fill",
     "q134_psi_drift",
+    "q135_rolling_features",
+    "q136_ks_drift",
+    "q137_compaction_plan",
+    "q138_join_cardinality",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -109,11 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     "q70_streaming_dedup",
     "q71_streaming_user_totals",
     # r3-green rotation: everything below last saw a driver row in r3
-    "q73_knn_lsh_recall",
-    "q15_relief_topk",
-    "q16_collision_marginal",
-    "q17_collision_joint",
     "q44_sparse_relief_relevance",
+    # (Deferred to round 6 — displaced by q135-q138, all r3-green:
+    # q73_knn_lsh_recall, q15_relief_topk, q16_collision_marginal,
+    # q17_collision_joint.)
     # (Deferred to round 6 — displaced by q131-q134, all r3-green:
     # q19_dedup_jaccard, q20_minhash_signatures, q22_simhash_signatures,
     # q81_incremental_dedup.)

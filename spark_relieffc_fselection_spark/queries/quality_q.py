@@ -14,6 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.queries import register
+from spark_relieffc_fselection_spark.queries.trainprep_q import (
+    _SNAP_DELTA,
+    _SNAP_NEW,
+    _SNAP_OLD,
+)
 from spark_relieffc_fselection_spark.sources import load_table
 
 DEC = "decimal(38,18)"
@@ -265,3 +270,134 @@ def q131_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFram
         "n_rows",
         F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
     )
+
+
+#: q137 compaction target (bytes, n_chars as the size proxy).
+COMPACT_TARGET = 250_000
+
+
+@register(
+    "q136_ks_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT n_chars AS v FROM documents
+      WHERE {_SNAP_OLD}
+    ),
+    n AS (
+      SELECT n_chars + {_SNAP_DELTA} AS v FROM documents
+      WHERE {_SNAP_NEW}
+    ),
+    u AS (
+      SELECT v, 1 AS o_, 0 AS n_ FROM o
+      UNION ALL SELECT v, 0, 1 FROM n
+    ),
+    h AS (SELECT v, SUM(o_) AS no, SUM(n_) AS nn FROM u GROUP BY 1),
+    t AS (
+      SELECT CAST(SUM(no) AS BIGINT) AS tot_o,
+             CAST(SUM(nn) AS BIGINT) AS tot_n
+      FROM h
+    ),
+    c AS (
+      SELECT v, SUM(no) OVER (ORDER BY v) AS co,
+             SUM(nn) OVER (ORDER BY v) AS cn
+      FROM h
+    )
+    SELECT ROUND(MAX(ABS(co / (SELECT tot_o FROM t)
+                         - cn / (SELECT tot_n FROM t))), 6) AS ks_stat,
+           (SELECT tot_o FROM t) AS n_old,
+           (SELECT tot_n FROM t) AS n_new
+    FROM c
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift between crawl N-1 and "
+        "crawl N n_chars distributions (q116's snapshot simulation) — "
+        "the sup-norm companion of q134's binned PSI: KS is the "
+        "distance a drift alarm thresholds on, PSI localizes where "
+        "the mass moved. operators/quality.ks_statistic computes the "
+        "ECDFs with a two-level bucketed prefix sum (distinct-value "
+        "histogram -> approx-quantile buckets -> driver prefix "
+        "offsets -> per-bucket cumulative windows): NO global "
+        "single-partition window ever sees the full value domain, "
+        "unlike the oracle's flat SUM() OVER (ORDER BY v).",
+)
+def q136_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import ks_statistic
+    from spark_relieffc_fselection_spark.queries.trainprep_q import (
+        _SNAP_DELTA,
+        _SNAP_NEW,
+        _SNAP_OLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    old = docs.filter(F.expr(_SNAP_OLD)).select(
+        F.col("n_chars").alias("v"), F.lit("o").alias("side")
+    )
+    new = docs.filter(F.expr(_SNAP_NEW)).select(
+        F.expr(f"n_chars + {_SNAP_DELTA}").alias("v"),
+        F.lit("n").alias("side"),
+    )
+    u = old.unionByName(new)
+    return ks_statistic(
+        u, "v", F.col("side") == "o", F.col("side") == "n"
+    )
+
+
+@register(
+    "q137_compaction_plan",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_fragments,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           GREATEST(1, CAST(CEIL(SUM(n_chars) / {COMPACT_TARGET}.0)
+                            AS BIGINT)) AS target_files,
+           ROUND(COUNT(*) / GREATEST(1, CAST(CEIL(SUM(n_chars)
+                 / {COMPACT_TARGET}.0) AS BIGINT)), 6) AS merge_factor
+    FROM documents GROUP BY 1
+    """,
+    doc="Small-files compaction plan per source partition "
+        "(operators/quality.compaction_plan): fragment count, total "
+        "bytes (n_chars as the size proxy — the real deployment reads "
+        "file-listing metadata), target file count at a "
+        f"{COMPACT_TARGET}-byte target, merge factor. THE operational "
+        "disease of a 100 TB lakehouse is a partition of 50k tiny "
+        "files paying 50k task setups per scan; this one-groupBy "
+        "report (output = partition-cardinality-sized) is the "
+        "planning query its periodic compactor runs.",
+)
+def q137_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import (
+        compaction_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    out = compaction_plan(
+        docs, "source", "n_chars", target_bytes=COMPACT_TARGET
+    )
+    return out.withColumnRenamed("grp", "source")
+
+
+@register(
+    "q138_join_cardinality",
+    oracle="""
+    WITH h AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(SUM(n * n) AS BIGINT) AS est_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+           CAST(MAX(n * n) AS BIGINT) AS max_key_rows
+    FROM h
+    """,
+    doc="Pre-shuffle join-cardinality estimate for the events "
+        "user_id self-join (the candidate-pair blow-up question every "
+        "blocking-key dedup asks before it runs): exact output rows "
+        "sum(n*n), shared-key count, and the worst key's n*n — the "
+        "skew term that picks plain vs AQE-split vs salted (q115). "
+        "operators/quality.join_size_estimate self-join path: ONE "
+        "corpus scan + a 1-row aggregate (the generic two-table path "
+        "would alias the same subtree twice and Spark would scan "
+        "twice — SCALE.md); plan-pinned to a single FileScan.",
+)
+def q138_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import (
+        join_size_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return join_size_estimate(ev, "user_id", ev, "user_id")

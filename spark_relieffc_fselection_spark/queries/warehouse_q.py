@@ -617,3 +617,38 @@ def q134_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+@register(
+    "q135_rolling_features",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG("value") OVER w, 6) AS roll_avg,
+           ROUND(STDDEV_SAMP("value") OVER w, 6) AS roll_std
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-5-event rolling mean/stddev of value per user "
+        "(operators/analytics.rolling_stats) — the basic time-series "
+        "feature-engineering shape before a metric feeds a model. One "
+        "shuffle on user_id + a per-user sort; the ROWS frame keeps "
+        "per-row state O(n). The (ts, event_id) order is total, so "
+        "both engines see identical frames; sample stddev matches "
+        "DuckDB STDDEV_SAMP (NULL on 1-row frames).",
+)
+def q135_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        rolling_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    out = rolling_stats(ev, "user_id", ["ts", "event_id"], "value", n=5)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_roll_avg", 6).alias("roll_avg"),
+        F.round("value_roll_std", 6).alias("roll_std"),
+    )

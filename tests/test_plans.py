@@ -486,3 +486,21 @@ def test_skew_profile_bounded_topn_no_global_histogram_sort(spark, qs):
     never the full distinct-key histogram."""
     plan = _plan(qs["q129_skew_profile"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_join_cardinality_self_path_single_scan(spark, qs):
+    """q138: the self-join estimate must collapse to ONE corpus scan
+    (sum(n*n) off a single histogram) — the generic two-histogram
+    path would alias the same subtree twice and scan twice."""
+    plan = _plan(qs["q138_join_cardinality"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ks_drift_windows_partition_by_bucket(spark, qs):
+    """q136: every cumulative window must be PARTITIONED by the
+    quantile bucket; the only single-partition exchange allowed is
+    the final 1-row max aggregate. A flat Window.orderBy over the
+    value histogram would funnel the whole domain through one task."""
+    plan = _plan(qs["q136_ks_drift"](spark, SF))
+    assert "windowspecdefinition(_bkt" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan

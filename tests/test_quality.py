@@ -118,3 +118,98 @@ def test_merge_aggregates_chain_equals_full_recompute(spark):
     ful = {r.k: (r.n_rows, r.s) for r in full.collect()}
     # decimal sums: bit-for-bit equality across the increment chain
     assert inc == ful
+
+
+def test_rolling_stats_matches_numpy(spark):
+    rng = random.Random(7)
+    rows = [
+        ("u%d" % (i % 4), i, rng.uniform(-50, 50)) for i in range(200)
+    ]
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        rolling_stats,
+    )
+
+    df = spark.createDataFrame(rows, "u string, i long, v double")
+    got = {
+        r.i: (r.v_roll_avg, r.v_roll_std)
+        for r in rolling_stats(df, "u", ["i"], "v", n=5).collect()
+    }
+    by_u = {}
+    for u, i, v in sorted(rows, key=lambda t: t[1]):
+        by_u.setdefault(u, []).append((i, v))
+    for u, seq in by_u.items():
+        for j, (i, _) in enumerate(seq):
+            window = [v for _, v in seq[max(0, j - 4): j + 1]]
+            avg, std = got[i]
+            assert abs(avg - np.mean(window)) < 1e-9
+            if len(window) == 1:
+                assert std is None
+            else:
+                assert abs(std - np.std(window, ddof=1)) < 1e-9
+
+
+def _brute_ks(old, new):
+    values = sorted(set(old) | set(new))
+    so, sn = sorted(old), sorted(new)
+    import bisect
+
+    best = 0.0
+    for v in values:
+        eo = bisect.bisect_right(so, v) / len(so)
+        en = bisect.bisect_right(sn, v) / len(sn)
+        best = max(best, abs(eo - en))
+    return best
+
+
+def test_ks_statistic_matches_bruteforce(spark):
+    rng = random.Random(3)
+    old = [rng.gauss(0, 10) for _ in range(400)]
+    new = [rng.gauss(2, 12) for _ in range(300)]
+    rows = [(v, "o") for v in old] + [(v, "n") for v in new]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = Q.ks_statistic(
+        df, "v", F.col("side") == "o", F.col("side") == "n", n_buckets=8
+    ).first()
+    assert got.n_old == 400 and got.n_new == 300
+    assert abs(got.ks_stat - round(_brute_ks(old, new), 6)) < 2e-6
+
+
+def test_ks_statistic_identical_distributions_zero(spark):
+    rows = [(float(i % 17), s) for i in range(100) for s in ("o", "n")]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = Q.ks_statistic(
+        df, "v", F.col("side") == "o", F.col("side") == "n", n_buckets=4
+    ).first()
+    assert got.ks_stat == 0.0
+
+
+def test_compaction_plan_math(spark):
+    df = spark.createDataFrame(
+        [("a", 60), ("a", 60), ("a", 60), ("b", 10), ("c", 250)],
+        "src string, b long",
+    )
+    got = {
+        r.grp: (r.n_fragments, r.total_bytes, r.target_files, r.merge_factor)
+        for r in Q.compaction_plan(df, "src", "b", target_bytes=100).collect()
+    }
+    assert got == {
+        "a": (3, 180, 2, 1.5),      # 180B -> 2 files of ~90
+        "b": (1, 10, 1, 1.0),       # under target: floor of 1 file
+        "c": (1, 250, 3, round(1 / 3, 6)),  # splitting is also a plan
+    }
+
+
+def test_join_size_estimate_generic_and_self(spark):
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k int"
+    )
+    right = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k int")
+    g = Q.join_size_estimate(left, "k", right, "k").first()
+    # key 1: 2*1, key 2: 1*2 -> est 4, shared keys {1,2}, max 2
+    assert (g.est_rows, g.n_shared_keys, g.max_key_rows) == (4, 2, 2)
+    assert left.join(right, "k").count() == g.est_rows
+    s = Q.join_size_estimate(left, "k", left, "k").first()
+    # self: 4+1+1 = 6 pairs (incl. identity), max key 1 -> 4
+    assert (s.est_rows, s.n_shared_keys, s.max_key_rows) == (6, 3, 4)
+    assert left.join(left.withColumnRenamed("k", "k2"),
+                     F.col("k") == F.col("k2")).count() == s.est_rows
