@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "q136_ks_drift",
     "q137_compaction_plan",
     "q138_join_cardinality",
+    "q139_bucketed_join",
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",
@@ -112,8 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     "q69_streaming_sliding",
     "q70_streaming_dedup",
     "q71_streaming_user_totals",
-    # r3-green rotation: everything below last saw a driver row in r3
-    "q44_sparse_relief_relevance",
+    # (Deferred to round 6 — displaced by q139, r3-green:
+    # q44_sparse_relief_relevance.)
     # (Deferred to round 6 — displaced by q135-q138, all r3-green:
     # q73_knn_lsh_recall, q15_relief_topk, q16_collision_marginal,
     # q17_collision_joint.)

@@ -652,3 +652,98 @@ def q135_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_roll_avg", 6).alias("roll_avg"),
         F.round("value_roll_std", 6).alias("roll_std"),
     )
+
+
+#: q139 bucket count — both sides must match for co-location.
+N_BUCKETS = 8
+
+_BUCKETED: dict[tuple[str, str], tuple[str, str]] = {}
+import atexit as _atexit
+import threading as _threading
+
+_BUCKETED_LOCK = _threading.Lock()
+_BUCKETED_DIRS: list[str] = []
+
+
+@_atexit.register
+def _cleanup_bucketed_dirs() -> None:
+    import shutil
+
+    with _BUCKETED_LOCK:
+        for d in _BUCKETED_DIRS:
+            shutil.rmtree(d, ignore_errors=True)
+        _BUCKETED_DIRS.clear()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage orders + customer as co-bucketed catalog tables once per
+    (session, sf) — lock-guarded so concurrent query runners can't
+    race the write (the q50 staging discipline)."""
+    import re
+    import tempfile
+
+    from spark_relieffc_fselection_spark.sources import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _BUCKETED_LOCK:
+        if key not in _BUCKETED:
+            sfx = re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+            ot, ct = f"q139_orders_{sfx}", f"q139_customer_{sfx}"
+            base = tempfile.mkdtemp(prefix="q139_bucketed_")
+            _BUCKETED_DIRS.append(base)
+            write_bucketed(
+                load_table(spark, sf_dir, "orders").select(
+                    "o_custkey", "o_totalprice"
+                ),
+                ot,
+                ["o_custkey"],
+                N_BUCKETS,
+                sort_cols=["o_custkey"],
+                path=f"{base}/orders",
+            )
+            write_bucketed(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                ),
+                ct,
+                ["c_custkey"],
+                N_BUCKETS,
+                sort_cols=["c_custkey"],
+                path=f"{base}/customer",
+            )
+            _BUCKETED[key] = (ot, ct)
+    return _BUCKETED[key]
+
+
+@register(
+    "q139_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18)))
+                      AS DOUBLE), 6) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="Co-located join off bucketed storage "
+        "(sources/write_bucketed): orders and customer staged ONCE as "
+        "catalog tables bucketed 8-ways on the join key, then joined "
+        "with a merge hint — both scans already satisfy the join's "
+        "hash distribution, so the plan has ZERO exchange on either "
+        "join input (plan-pinned; the only shuffle left is the final "
+        "segment aggregate). The 100 TB payoff: a nightly fact-to-"
+        "fact join pays its shuffle once at write time instead of on "
+        "every run; this is the brief's 'bucketing for co-located "
+        "joins' realized end-to-end. Oracle is the plain join — "
+        "bucketing must be invisible to results.",
+)
+def q139_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, ct = _bucketed_tables(spark, sf_dir)
+    o, c = spark.table(ot), spark.table(ct)
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 6
+        ).alias("sum_price"),
+    )

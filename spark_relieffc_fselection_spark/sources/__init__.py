@@ -285,3 +285,41 @@ def write_zordered(
     if not keep_key:
         out = out.drop("_zkey")
     out.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table sink (``bucketBy`` + ``saveAsTable`` —
+    Spark's native bucketing needs a catalog table, no Hive required).
+
+    THE pre-shuffle for repeated large-large joins: rows hash into
+    ``n_buckets`` files by ``bucket_cols`` at WRITE time, so any later
+    equi-join or aggregation on those keys between two tables bucketed
+    with the same count satisfies the join's distribution requirement
+    straight off the scan — zero Exchange in the plan (pinned by
+    tests/test_plans.py). At 100 TB this turns the nightly
+    fact-to-fact join from a full two-sided shuffle into a co-located
+    file-to-file merge; ``sort_cols`` additionally stores each bucket
+    file sorted. The snapshot stores of q116/q119 are the intended
+    users (scd.py's "disappears when bucketed by key" note).
+
+    ``path`` makes the table external (data at ``path``, metadata in
+    the session catalog); without it data lands in the session
+    warehouse dir.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -504,3 +504,14 @@ def test_ks_drift_windows_partition_by_bucket(spark, qs):
     plan = _plan(qs["q136_ks_drift"](spark, SF))
     assert "windowspecdefinition(_bkt" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_bucketed_join_no_exchange_on_join_inputs(spark, qs):
+    """q139: both sides read off bucketed storage must satisfy the
+    SortMergeJoin's distribution straight from the scan — the ONLY
+    exchange in the plan is the final segment aggregate; the scans
+    report Bucketed: true with all buckets selected."""
+    plan = _plan(qs["q139_bucketed_join"](spark, SF))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Bucketed: true") == 2, plan

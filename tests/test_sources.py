@@ -312,3 +312,32 @@ def test_write_zordered_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert set(back.columns) == {"x", "y"}
+
+
+def test_write_bucketed_roundtrip_and_colocation(spark, tmp_path):
+    """write_bucketed: values identical to the source, and a same-key
+    join of two co-bucketed tables plans with no exchange on either
+    join input."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.sources import write_bucketed
+
+    a = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(100)], "k long, v double"
+    )
+    b = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(0, 100, 2)], "k long, g string"
+    )
+    write_bucketed(a, "tb_a", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "tb_b", ["k"], 4, sort_cols=["k"],
+                   path=str(tmp_path / "b"))
+    ta, tb = spark.table("tb_a"), spark.table("tb_b")
+    j = ta.hint("merge").join(tb, "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {(r.k, r.v, r.g) for r in j.collect()}
+    want = {(i, i * 1.5, "g%d" % (i % 3)) for i in range(0, 100, 2)}
+    assert got == want
+    spark.sql("DROP TABLE tb_a")
+    spark.sql("DROP TABLE tb_b")
