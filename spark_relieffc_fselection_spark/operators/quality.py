@@ -454,3 +454,33 @@ def join_size_estimate(
             F.max(prod).alias("max_key_rows"),
         )
     )
+
+
+def psi_report(old_hist: DataFrame, new_hist: DataFrame) -> DataFrame:
+    """Per-bin population-stability-index terms from two histograms
+    ``(bin, n_old)`` / ``(bin, n_new)``: Laplace-smoothed shares over
+    the union of observed bins, ``(p - q) * ln(p / q)`` per bin (sum =
+    the PSI drift score; the per-bin rows localize WHERE the
+    distribution moved). Bin-cardinality-sized full outer join + a
+    broadcast 1-row totals frame — nothing fact-sized shuffles here;
+    the fact scans happen where the histograms were aggregated (batch
+    groupBy in q134, per-micro-batch streaming agg in q140).
+    """
+    j = old_hist.join(new_hist, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    s = j.agg(
+        F.sum("n_old").alias("tot_o"),
+        F.sum("n_new").alias("tot_n"),
+        F.count("*").alias("nb"),
+    )
+    p = (F.col("n_old") + 1) / (F.col("tot_o") + F.col("nb"))
+    q = (F.col("n_new") + 1) / (F.col("tot_n") + F.col("nb"))
+    return j.crossJoin(F.broadcast(s)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

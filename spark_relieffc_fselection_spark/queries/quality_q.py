@@ -401,3 +401,89 @@ def q138_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
     return join_size_estimate(ev, "user_id", ev, "user_id")
+
+
+#: q140 shares q134's histogram bin width.
+PSI_BIN_W = 500
+
+
+@register(
+    "q140_streaming_psi_drift",
+    oracle=f"""
+    WITH o AS (
+      SELECT n_chars // {PSI_BIN_W} AS bin, COUNT(*) AS n_old
+      FROM documents WHERE {_SNAP_OLD} GROUP BY 1
+    ),
+    n AS (
+      SELECT (n_chars + {_SNAP_DELTA}) // {PSI_BIN_W} AS bin,
+             COUNT(*) AS n_new
+      FROM documents WHERE {_SNAP_NEW} GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(o.bin, n.bin) AS bin,
+             COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.bin = n.bin
+    ),
+    s AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS tot_o,
+             CAST(SUM(n_new) AS BIGINT) AS tot_n,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM j
+    )
+    SELECT bin, CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           ROUND(((n_old + 1) / (tot_o + nb) - (n_new + 1) / (tot_n + nb))
+                 * ln(((n_old + 1) / (tot_o + nb))
+                      / ((n_new + 1) / (tot_n + nb))), 6) AS psi_term
+    FROM j CROSS JOIN s
+    """,
+    doc="The production form of q134: the NEW-crawl side arrives as a "
+        "Structured-Streaming file stream; each micro-batch folds into "
+        "a bin-cardinality-sized complete-mode histogram (the only "
+        "streaming state — never row-level), the availableNow sink "
+        "drains it, and the same operators/quality.psi_report compares "
+        "it against the batch reference histogram of crawl N-1. "
+        "Event-order-independent by construction (histogram adds "
+        "commute), so stream == batch and q134's oracle applies "
+        "verbatim — the drift monitor a 100 TB ingest runs "
+        "continuously without ever rescanning the reference.",
+)
+def q140_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import psi_report
+    from spark_relieffc_fselection_spark.queries.events_q import (
+        _SINK_SEQ,
+        _staged_table_dir,
+        _stream_conf,
+    )
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_parquet_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_parquet_stream(
+        spark, _staged_table_dir(spark, sf_dir, "documents")
+    )
+    new_hist_stream = (
+        stream.filter(F.expr(_SNAP_NEW))
+        .select(
+            F.expr(f"(n_chars + {_SNAP_DELTA}) div {PSI_BIN_W}").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_new"))
+    )
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        new_hist = run_to_memory_sink(
+            new_hist_stream,
+            f"q140_sink_{_SINK_SEQ[0]}",
+            output_mode="complete",
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    old_hist = (
+        docs.filter(F.expr(_SNAP_OLD))
+        .select(F.expr(f"n_chars div {PSI_BIN_W}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_old"))
+    )
+    return psi_report(old_hist, new_hist)

@@ -596,27 +596,9 @@ def q134_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count("*").alias("n_new"))
     )
-    j = (
-        old.join(new, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("n_old", F.lit(0)).alias("n_old"),
-            F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        )
-    )
-    s = j.agg(
-        F.sum("n_old").alias("tot_o"),
-        F.sum("n_new").alias("tot_n"),
-        F.count("*").alias("nb"),
-    )
-    p = (F.col("n_old") + 1) / (F.col("tot_o") + F.col("nb"))
-    q = (F.col("n_new") + 1) / (F.col("tot_n") + F.col("nb"))
-    return j.crossJoin(F.broadcast(s)).select(
-        "bin",
-        "n_old",
-        "n_new",
-        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
-    )
+    from spark_relieffc_fselection_spark.operators.quality import psi_report
+
+    return psi_report(old, new)
 
 
 @register(
