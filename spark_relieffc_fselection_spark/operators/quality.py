@@ -196,10 +196,17 @@ def skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     distinct key: billions at 100 TB). The rank window runs only over
     the ``top_n`` survivors; the share divides by a broadcast 1-row
     total. Returns ``(key, n_rows, share, rank)`` for the top_n keys.
+
+    The histogram feeds TWO consumers (the grand total and the top-n)
+    — un-materialized, each would re-run the fact scan + groupBy
+    (aliased subtrees never unify; the round-5 dupe-subtree sweep
+    flagged exactly this). localCheckpoint materializes it once:
+    distinct-key rows at ~16 B each beat a second full fact pass at
+    any scale.
     """
     counts = df.groupBy(F.col(key).alias("key")).agg(
         F.count("*").alias("n_rows")
-    )
+    ).localCheckpoint()
     total = counts.agg(F.sum("n_rows").alias("_total"))
     top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
