@@ -491,3 +491,38 @@ def psi_report(old_hist: DataFrame, new_hist: DataFrame) -> DataFrame:
         "n_new",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------- privacy audit
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    *,
+    k: int,
+    sensitive=None,
+    l: int | None = None,
+) -> DataFrame:
+    """Re-identification risk audit before a table leaves the
+    pipeline: every quasi-identifier combination whose group is
+    smaller than ``k`` (k-anonymity) or whose sensitive attribute
+    takes fewer than ``l`` distinct values (l-diversity — a large
+    group is still leaky if everyone in it shares the secret).
+
+    One groupBy on the QI columns with a conditional distinct count —
+    group cardinality is the QI-domain size, so the report is
+    dimension-sized at any fact scale. Returns only the violating
+    groups: ``(qi..., n_rows, n_sensitive, k_risk, l_risk)``.
+    ``sensitive`` is any Column expression; ``l`` requires it.
+    """
+    if l is not None and sensitive is None:
+        raise ValueError("l-diversity requires a sensitive column")
+    aggs = [F.count("*").alias("n_rows")]
+    if sensitive is not None:
+        aggs.append(F.countDistinct(sensitive).alias("n_sensitive"))
+    g = df.groupBy(*qi_cols).agg(*aggs)
+    k_risk = F.col("n_rows") < k
+    out = g.withColumn("k_risk", k_risk)
+    if l is not None:
+        out = out.withColumn("l_risk", F.col("n_sensitive") < l)
+        return out.filter(k_risk | F.col("l_risk"))
+    return out.filter(k_risk)

@@ -95,10 +95,12 @@ _PRIORITY: tuple[str, ...] = (
     "q137_compaction_plan",
     "q138_join_cardinality",
     "q139_bucketed_join",
-    # (q140_streaming_psi_drift stays OUT of the 50-slot window this
-    # round — its histogram dataflow is q134's (same oracle, shared
-    # psi_report) and the window is full of never-validated entries;
-    # rotate it forward in round 6 with the deferred list below.)
+    # (q140_streaming_psi_drift and q141_k_anonymity stay OUT of the
+    # 50-slot window this round — q140's histogram dataflow is q134's
+    # (same oracle, shared psi_report), q141 is a one-groupBy report
+    # shape already validated by q127/q129, and the window is full of
+    # never-validated entries; rotate both forward in round 6 with the
+    # deferred list below.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

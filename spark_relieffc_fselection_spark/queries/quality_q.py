@@ -487,3 +487,48 @@ def q140_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_old"))
     )
     return psi_report(old_hist, new_hist)
+
+
+#: q141 anonymity thresholds.
+K_ANON, L_DIV = 10, 2
+
+
+@register(
+    "q141_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sensitive,
+           COUNT(*) < {K_ANON} AS k_risk,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+             < {L_DIV} AS l_risk
+    FROM customer GROUP BY 1, 2
+    HAVING COUNT(*) < {K_ANON}
+        OR COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+             < {L_DIV}
+    """,
+    doc="Privacy audit before a table leaves the pipeline "
+        "(operators/quality.k_anonymity_report): quasi-identifier "
+        "combos (nation x market segment) smaller than k=10 rows "
+        "(k-anonymity) or where the sensitive attribute (account in "
+        "debt) takes < 2 distinct values (l-diversity — a large group "
+        "is still leaky if everyone in it shares the secret). One "
+        "groupBy on the QI columns + a conditional distinct count; "
+        "the report is QI-domain-sized at any fact scale.",
+)
+def q141_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=K_ANON,
+        sensitive=F.when(F.col("c_acctbal") < 0, 1).otherwise(0),
+        l=L_DIV,
+    )

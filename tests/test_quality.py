@@ -213,3 +213,30 @@ def test_join_size_estimate_generic_and_self(spark):
     assert (s.est_rows, s.n_shared_keys, s.max_key_rows) == (6, 3, 4)
     assert left.join(left.withColumnRenamed("k", "k2"),
                      F.col("k") == F.col("k2")).count() == s.est_rows
+
+
+def test_k_anonymity_report_flags_small_and_uniform_groups(spark):
+    rows = (
+        [("US", "A", 1)] * 12          # big, diverse? sensitive all 1 -> l_risk
+        + [("US", "B", 0)] * 6 + [("US", "B", 1)] * 6   # big, diverse -> clean
+        + [("DE", "A", 0)] * 3 + [("DE", "A", 1)] * 2   # small -> k_risk
+    )
+    df = spark.createDataFrame(rows, "nat string, seg string, s int")
+    got = {
+        (r.nat, r.seg): (r.n_rows, r.n_sensitive, r.k_risk, r.l_risk)
+        for r in Q.k_anonymity_report(
+            df, ["nat", "seg"], k=10, sensitive=F.col("s"), l=2
+        ).collect()
+    }
+    assert got == {
+        ("US", "A"): (12, 1, False, True),   # uniform secret leaks
+        ("DE", "A"): (5, 2, True, False),    # small group leaks
+    }
+
+
+def test_k_anonymity_requires_sensitive_for_l(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, s int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Q.k_anonymity_report(df, ["g"], k=2, l=2)
