@@ -79,3 +79,72 @@ def closure_to_root(
         f"closure_to_root: not converged after {max_rounds} doubling "
         "rounds — parent cycle, or raise max_rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank: ``(node, rank)`` after ``n_iter``
+    power steps with teleport ``(1-damping)/N`` — source-authority
+    scoring for crawl curation (a page/domain's rank is a standard
+    quality prior when selecting training documents).
+
+    ``edges`` is ``(src, dst)``; ``nodes`` is one ``node`` row each.
+    Contributions to ids absent from ``nodes`` drop (the web always
+    has edges pointing off-corpus); dangling nodes contribute nothing
+    (their mass leaks — the fixed-point still orders by authority).
+
+    Scale shape: the out-degree table is computed ONCE and
+    localCheckpointed (two consumers per round would otherwise rescan
+    the edge set every iteration); each round is one edges-to-ranks
+    equi-join + a keyed contribution sum + a nodes left join, all
+    hash-partitioned on node ids, and the rank frame (one row per
+    node) is localCheckpointed so round k's plan stays O(1) — the
+    closure_to_root discipline. Cross-engine determinism: each
+    contribution ``rank/outdeg`` is an IEEE double computed from
+    identical inputs; the per-node sum runs in DECIMAL(38,18), so
+    shuffle order can't move the result — a DuckDB oracle with the
+    iterations unrolled matches bit-for-bit before the final
+    rounding.
+    """
+    n = nodes.count()
+    teleport = (1.0 - damping) / n
+    outdeg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    dec = "decimal(38,18)"
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg.withColumnRenamed("node", "_dn"),
+                  edges["src"] == F.col("_dn"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).cast(dec).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast(dec).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_in"), F.lit(0).cast(dec))
+                    .cast("double")
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

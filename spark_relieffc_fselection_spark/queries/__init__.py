@@ -100,7 +100,9 @@ _PRIORITY: tuple[str, ...] = (
     # (same oracle, shared psi_report), q141 is a one-groupBy report
     # shape already validated by q127/q129, and the window is full of
     # never-validated entries; rotate both forward in round 6 with the
-    # deferred list below.)
+    # deferred list below. q142_pagerank likewise — its per-round
+    # join+sum shape is q120's closure discipline, numpy-oracle-tested
+    # locally.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

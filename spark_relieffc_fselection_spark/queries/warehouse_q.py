@@ -729,3 +729,96 @@ def q139_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 6
         ).alias("sum_price"),
     )
+
+
+#: q142 synthetic authority graph over customer keys: parent edge
+#: (digit hierarchy, roots self-loop) + sibling edge (rotate last
+#: digit). Deterministic, expressible identically in both engines.
+PR_ITERS = 5
+_PR_EDGES_SQL = """
+  SELECT c_custkey AS src,
+         CASE WHEN c_custkey >= 10 THEN c_custkey // 10
+              ELSE c_custkey END AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey AS src,
+         c_custkey - (c_custkey % 10) + ((c_custkey % 10) + 1) % 10 AS dst
+  FROM customer
+"""
+
+
+def _pr_oracle(iters: int) -> str:
+    tele = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT cnt FROM nn)"
+    ctes = [
+        f"nodes AS (SELECT c_custkey AS node FROM customer)",
+        f"nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM nodes)",
+        f"edges AS ({_PR_EDGES_SQL})",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY 1)",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT cnt FROM nn)"
+        " AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             {tele} + CAST(0.85 AS DOUBLE) * CAST(COALESCE(
+               SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,18))),
+               0) AS DOUBLE) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{i - 1} r ON r.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY n.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT node, ROUND(rank * (SELECT cnt FROM nn), 6) AS rank_norm
+    FROM r{iters}"""
+    )
+
+
+@register(
+    "q142_pagerank",
+    oracle=_pr_oracle(PR_ITERS),
+    doc="Fixed-iteration PageRank over a deterministic synthetic "
+        "authority graph on customer keys (digit-hierarchy parent "
+        "edges + rotate-last-digit sibling edges) — the source-"
+        "authority quality prior a crawl-curation pipeline scores "
+        "domains with (operators/graph.pagerank). Each power step is "
+        "one edges-to-ranks equi-join + a DECIMAL(38,18) contribution "
+        "sum + a nodes left join; out-degrees are computed once and "
+        "localCheckpointed, and the node-sized rank frame is "
+        "localCheckpointed per round so the plan stays O(1) across "
+        "iterations (the closure_to_root discipline). The oracle "
+        "unrolls the 5 iterations as CTEs; decimal-summed double "
+        "contributions make the power steps bit-identical across "
+        "engines, so the hash matches at full precision before the "
+        "final mean-normalized rounding.",
+)
+def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.graph import pagerank
+
+    cust = load_table(spark, sf_dir, "customer")
+    nodes = cust.select(F.col("c_custkey").alias("node"))
+    parent = cust.select(
+        F.col("c_custkey").alias("src"),
+        F.when(F.col("c_custkey") >= 10, F.expr("c_custkey div 10"))
+        .otherwise(F.col("c_custkey"))
+        .alias("dst"),
+    )
+    sibling = cust.select(
+        F.col("c_custkey").alias("src"),
+        F.expr(
+            "c_custkey - (c_custkey % 10) + ((c_custkey % 10) + 1) % 10"
+        ).alias("dst"),
+    )
+    n = nodes.count()
+    ranks = pagerank(
+        parent.unionByName(sibling), nodes, n_iter=PR_ITERS, damping=0.85
+    )
+    return ranks.select(
+        "node", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_norm")
+    )

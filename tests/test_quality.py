@@ -240,3 +240,22 @@ def test_k_anonymity_requires_sensitive_for_l(spark):
 
     with _pytest.raises(ValueError):
         Q.k_anonymity_report(df, ["g"], k=2, l=2)
+
+
+def test_ks_statistic_invariant_to_bucket_count(spark):
+    """The quantile edges are internal ROUTING only — any n_buckets
+    must produce the identical KS statistic (the two-level prefix sum
+    is exact, not approximate)."""
+    rng = random.Random(19)
+    rows = [(rng.gauss(0, 5), "o") for _ in range(250)] + [
+        (rng.gauss(1, 6), "n") for _ in range(180)
+    ]
+    df = spark.createDataFrame(rows, "v double, side string")
+    stats = [
+        Q.ks_statistic(
+            df, "v", F.col("side") == "o", F.col("side") == "n",
+            n_buckets=nb,
+        ).first().ks_stat
+        for nb in (1, 4, 64)
+    ]
+    assert stats[0] == stats[1] == stats[2]
