@@ -567,6 +567,28 @@ def main() -> None:
 
     bench("join_size_estimate self (one scan)", jse)
 
+    # PageRank: per-iteration edge join + node-sized checkpoint;
+    # expect ~linear in edges with a fixed per-round job floor
+    from spark_relieffc_fselection_spark.operators.graph import pagerank
+
+    def pr(kk: int) -> DataFrame:
+        c = replicate(cust, kk, "c_custkey", n_cust)
+        nodes = c.select(F.col("c_custkey").alias("node"))
+        parent = c.select(
+            F.col("c_custkey").alias("src"),
+            F.when(F.col("c_custkey") >= 10, F.expr("c_custkey div 10"))
+            .otherwise(F.col("c_custkey")).alias("dst"),
+        )
+        sib = c.select(
+            F.col("c_custkey").alias("src"),
+            F.expr(
+                "c_custkey - (c_custkey % 10) + ((c_custkey % 10) + 1) % 10"
+            ).alias("dst"),
+        )
+        return pagerank(parent.unionByName(sib), nodes, n_iter=5)
+
+    bench("pagerank 5 iters (edge join per round)", pr)
+
     spark.stop()
 
 
