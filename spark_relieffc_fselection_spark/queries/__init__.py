@@ -102,7 +102,8 @@ _PRIORITY: tuple[str, ...] = (
     # never-validated entries; rotate both forward in round 6 with the
     # deferred list below. q142_pagerank likewise — its per-round
     # join+sum shape is q120's closure discipline, numpy-oracle-tested
-    # locally.)
+    # locally — and q143_variant_shred, whose aggregate shape is
+    # q35's with the variant parse in front.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

@@ -821,3 +821,40 @@ def q111_streaming_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q111_sink_{_SINK_SEQ[0]}",
             output_mode="complete",
         )
+
+
+@register(
+    "q143_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS k_max,
+           ROUND(CAST(SUM(CAST("value" AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured shredding through Spark 4 VariantType: "
+        "parse_json ONCE into the binary variant encoding, then typed "
+        "try_variant_get extractions — at scale this is the difference "
+        "between one JSON parse per row at the scan and one re-parse "
+        "per get_json_object call (q35 shows the string-path parity "
+        "shape). Groups k into deciles with count/min/max/decimal-sum; "
+        "the oracle shreds the same JSON with DuckDB json_extract.",
+)
+def q143_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("props", "value")
+    v = ev.select(F.parse_json("props").alias("v"), "value")
+    k = F.try_variant_get("v", "$.k", "int")
+    return (
+        v.select(k.alias("k"), "value")
+        .groupBy(F.expr("k div 10").alias("k_decile"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            _dsum6("value").alias("sum_value"),
+        )
+    )
