@@ -114,6 +114,13 @@ def pagerank(
     """
     n = nodes.count()
     teleport = (1.0 - damping) / n
+    if checkpoint:
+        # The edge relation is STATIC across iterations but referenced
+        # in every round's join — un-materialized, each round would
+        # re-run its entire build subtree (scans, unions, filters).
+        # One executor-storage materialization amortizes it over all
+        # n_iter rounds.
+        edges = edges.localCheckpoint(eager=True)
     outdeg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("outdeg"))
