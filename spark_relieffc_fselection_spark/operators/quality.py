@@ -345,6 +345,13 @@ def ks_statistic(
         .collect()
     }
     tot_o = sum(o for o, _ in totals.values())
+    tot_n_chk = sum(n for _, n in totals.values())
+    if tot_o == 0 or tot_n_chk == 0:
+        raise ValueError(
+            "ks_statistic: a side matched zero rows "
+            f"(n_old={tot_o}, n_new={tot_n_chk}) — an ECDF over an "
+            "empty sample is undefined; check the predicates"
+        )
     tot_n = sum(n for _, n in totals.values())
     off_rows, co, cn = [], 0, 0
     for b in sorted(totals):
@@ -436,7 +443,20 @@ def join_size_estimate(
     the corpus twice). Returns
     ``(est_rows, n_shared_keys, max_key_rows)``.
     """
-    if left is right and left_key == right_key:
+    same = left is right
+    if not same and left_key == right_key:
+        # Catalyst's canonicalized-plan equality catches two distinct
+        # DataFrame objects over the same relation (the common way
+        # callers accidentally take the double-scan path).
+        try:
+            same = bool(
+                left._jdf.queryExecution()
+                .analyzed()
+                .sameResult(right._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+    if same and left_key == right_key:
         h = left.groupBy(F.col(left_key).alias("_k")).agg(
             F.count("*").alias("_nl")
         )

@@ -259,3 +259,29 @@ def test_ks_statistic_invariant_to_bucket_count(spark):
         for nb in (1, 4, 64)
     ]
     assert stats[0] == stats[1] == stats[2]
+
+
+def test_ks_statistic_rejects_empty_side(spark):
+    df = spark.createDataFrame([(1.0, "o"), (2.0, "o")], "v double, side string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero rows"):
+        Q.ks_statistic(
+            df, "v", F.col("side") == "o", F.col("side") == "n"
+        ).first()
+
+
+def test_join_size_estimate_detects_same_relation_objects(spark, tmp_path):
+    """Two DISTINCT DataFrame objects over the same parquet relation
+    must take the single-scan self path (sameResult detection), not
+    the two-histogram double-scan path."""
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1,), (1,), (2,)], "k int"
+    ).write.parquet(p)
+    a, b = spark.read.parquet(p), spark.read.parquet(p)
+    est = Q.join_size_estimate(a.select("k"), "k", b.select("k"), "k")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    g = est.first()
+    assert (g.est_rows, g.n_shared_keys, g.max_key_rows) == (5, 2, 4)
