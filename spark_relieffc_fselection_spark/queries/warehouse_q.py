@@ -822,3 +822,121 @@ def q142_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_norm")
     )
+
+
+#: q144 hybrid retrieval: RRF constant, candidate pool per ranker,
+#: fused result size, semantic query vector id.
+RRF_K = 60
+HY_POOL = 50
+HY_TOPK = 20
+HY_QVEC = 0
+
+# Shared SQL fragments (embeddings normalization + cosine) from the
+# ANN family so both rankers' oracle chains stay literally identical
+# to their standalone queries (q24/q125 with a deeper pool).
+from spark_relieffc_fselection_spark.queries.simsearch_q import (
+    _COSINE,
+    _INST,
+)
+
+
+@register(
+    "q144_hybrid_rrf",
+    oracle=f"""
+    WITH {_INST},
+    sem AS (
+      SELECT doc_id, r_sem FROM (
+        SELECT a.id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {_COSINE} DESC, a.id ASC)
+                 AS r_sem
+        FROM normed a CROSS JOIN
+             (SELECT v, nrm FROM normed WHERE id = {HY_QVEC}) b
+        WHERE a.id <> {HY_QVEC}
+      ) WHERE r_sem <= {HY_POOL}
+    ),
+    toks AS (
+      SELECT doc_id, t AS term
+      FROM documents,
+           LATERAL (SELECT unnest(regexp_split_to_array(lower(text),
+                                                        '[^a-z]+')) AS t) u
+      WHERE t != ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ln((stats.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                  * ((tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+                  AS DECIMAL(38,18)) AS s
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id, r_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+        FROM agg
+      ) WHERE r_lex <= {HY_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + lex.r_lex), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + sem.r_sem), 0)
+               AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf, rank FROM (
+      SELECT doc_id, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {HY_TOPK}
+    """,
+    doc="Hybrid retrieval: BM25 lexical top-50 and brute-force cosine "
+        "semantic top-50 fused by reciprocal-rank fusion "
+        "(rrf = sum 1/(60+rank)) into a final top-20 — the standard "
+        "two-tower serving shape (keyword recall + embedding recall, "
+        "rank-fused so neither score scale dominates). Pure "
+        "composition of the q125 and q24 operators + one "
+        "pool-sized full outer join; at scale each ranker swaps to "
+        "its indexed form (BM25 stats cache, IVF-PQ probes) with the "
+        "fusion unchanged. Ranks are integers, so the fused scores "
+        "are bit-identical across engines.",
+)
+def q144_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.retrieval import bm25_topk
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        brute_force_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_TERMS, HY_POOL).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    sem = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == HY_QVEC), k=HY_POOL
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    one = F.lit(1.0)
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(one / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(HY_TOPK)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("rrf", 6).alias("rrf"), "rank"
+    )
