@@ -1358,3 +1358,94 @@ def ivfpq_index_append(
         .partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
+
+
+# ------------------------------------------------------------------ PCA
+def gram_sums(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Upper-triangle Gram matrix sums ``(i, j, g)`` with
+    ``g = sum over rows of v[i]*v[j]`` (j >= i), decimal-accumulated.
+
+    THE sufficient statistic of PCA (with the mean vector) — the only
+    corpus-sized pass the whole decomposition needs. Dataflow: double
+    posexplode to ``(i, j, v_i*v_j)`` cells, one keyed aggregation;
+    map-side combine collapses each partition to d(d+1)/2 partial
+    rows, so the shuffle carries ~2k rows per partition at d=64 no
+    matter how many vectors scanned. The d x d result is driver-sized
+    at any corpus scale (the RELIEF-fit pattern: distributed
+    sufficient stats, driver-sized spectral step).
+    """
+    dec = "decimal(38,18)"
+    v = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    cells = (
+        v.select(F.posexplode("v").alias("i", "vi"), "v")
+        .select("i", "vi", F.posexplode("v").alias("j", "vj"))
+        .filter(F.col("j") >= F.col("i"))
+    )
+    return cells.groupBy("i", "j").agg(
+        F.sum((F.col("vi") * F.col("vj")).cast(dec)).cast(dec).alias("g")
+    )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto their top-``k`` principal components.
+
+    Fit: ONE distributed pass collects the mean vector and the
+    ``gram_sums`` upper triangle (d + d(d+1)/2 driver-sized cells);
+    the covariance eigendecomposition runs on the driver with numpy
+    (d x d — microseconds at any corpus size). Components are
+    sign-fixed (largest-|coefficient| entry positive) so the output
+    is deterministic despite eigenvector sign ambiguity. Transform:
+    components become LITERAL arrays in a pure-Catalyst
+    zip_with/aggregate dot product — no join, no shuffle, no Python
+    in the row path (the PQ-codebook discipline, simsearch.py).
+    Returns ``(id, pc_0 .. pc_{k-1})``.
+    """
+    import numpy as np
+
+    dec = "decimal(38,18)"
+    d = len(emb.select(vec_col).first()[0])
+    sums = emb.select(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(vec_col)[i].cast(dec)).cast(dec).alias(f"s{i}")
+            for i in range(d)
+        ],
+    ).first()
+    n = sums["n"]
+    mu = np.array([float(sums[f"s{i}"]) for i in range(d)]) / n
+    g = np.zeros((d, d))
+    for r in gram_sums(emb, vec_col).collect():
+        g[r.i, r.j] = g[r.j, r.i] = float(r.g)
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T  # k x d
+    for c in comps:  # deterministic sign: largest-|coef| entry positive
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(x)) for x in mu]),
+        lambda a, b: a - b,
+    )
+    out = emb.select(F.col(id_col).alias("id"), centered.alias("_c"))
+    for ci, comp in enumerate(comps):
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        out = out.withColumn(
+            f"pc_{ci}",
+            F.aggregate(
+                F.zip_with(F.col("_c"), lit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop("_c")

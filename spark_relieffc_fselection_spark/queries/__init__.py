@@ -104,7 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     # join+sum shape is q120's closure discipline, numpy-oracle-tested
     # locally — and q143_variant_shred, whose aggregate shape is
     # q35's with the variant parse in front, and q144_hybrid_rrf,
-    # a pure composition of the in-window q125 + long-green q24.)
+    # a pure composition of the in-window q125 + long-green q24, and
+    # q145_gram_matrix, one keyed aggregation in the q14 bin-stats
+    # shape.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

@@ -811,3 +811,42 @@ def q104_streaming_list_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory_sink(
             agg, f"q104_sink_{_SINK_SEQ[0]}", output_mode="complete"
         )
+
+
+@register(
+    "q145_gram_matrix",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cells AS (
+      SELECT a.i, b.j, CAST(v[a.i + 1] * v[b.j + 1] AS DECIMAL(38,18))
+               AS c
+      FROM v,
+           LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS i) a,
+           LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS j) b
+      WHERE b.j >= a.i
+    )
+    SELECT i, j, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS g
+    FROM cells GROUP BY 1, 2
+    """,
+    doc="Upper-triangle Gram matrix over the embedding corpus "
+        "(operators/simsearch.gram_sums) — with the mean vector, the "
+        "complete sufficient statistic of PCA, and the ONLY "
+        "corpus-sized pass the decomposition needs (pca_project does "
+        "the d x d eigendecomposition on the driver and transforms "
+        "with literal-array dot products — the RELIEF-fit pattern: "
+        "distributed sufficient stats, driver-sized spectral step). "
+        "Double posexplode to (i, j, vi*vj) cells + one keyed "
+        "aggregation; map-side combine collapses every partition to "
+        "d(d+1)/2 = 2080 partial rows at d=64 regardless of corpus "
+        "size. Decimal sums for cross-engine exactness.",
+)
+def q145_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.simsearch import gram_sums
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = gram_sums(emb)
+    return out.select(
+        "i", "j", F.round(F.col("g").cast("double"), 6).alias("g")
+    )

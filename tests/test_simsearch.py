@@ -583,3 +583,55 @@ def test_semantic_dedup_caps_degenerate_cluster(spark):
     assert m["dropped_clusters"] >= 1
     assert m["dropped_members"] >= n_hot
     assert got == {5: 2, 7: 2}  # the hot clique contributed nothing
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        pca_project,
+    )
+
+    rng = np.random.RandomState(23)
+    # anisotropic cloud so the top components are well-separated
+    base = rng.randn(120, 6) * np.array([10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    mix = rng.randn(6, 6)
+    data = base @ mix
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.id: (r.pc_0, r.pc_1) for r in pca_project(df, k=2).collect()
+    }
+
+    mu = data.mean(axis=0)
+    cov = np.cov(data, rowvar=False, ddof=1)
+    eigval, eigvec = np.linalg.eigh(cov)
+    comps = eigvec[:, np.argsort(eigval)[::-1][:2]].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    want = (data - mu) @ comps.T
+    for i in range(len(data)):
+        assert abs(got[i][0] - want[i, 0]) < 1e-8
+        assert abs(got[i][1] - want[i, 1]) < 1e-8
+
+
+def test_pca_project_plan_no_join_no_python(spark):
+    """The transform side must be literal-array Catalyst expressions:
+    no join/exchange introduced by the components, no Python in the
+    row path (the PQ-codebook discipline)."""
+    from spark_relieffc_fselection_spark.operators.simsearch import (
+        pca_project,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
