@@ -106,7 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     # q35's with the variant parse in front, and q144_hybrid_rrf,
     # a pure composition of the in-window q125 + long-green q24, and
     # q145_gram_matrix, one keyed aggregation in the q14 bin-stats
-    # shape.)
+    # shape, and q146_schema_evolution, a staged-source groupBy.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

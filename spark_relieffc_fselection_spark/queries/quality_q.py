@@ -532,3 +532,84 @@ def q141_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sensitive=F.when(F.col("c_acctbal") < 0, 1).otherwise(0),
         l=L_DIV,
     )
+
+
+_EVOLVED: dict[tuple[str, str], str] = {}
+import atexit as _atexit
+import threading as _threading
+
+_EVOLVED_LOCK = _threading.Lock()
+_EVOLVED_DIRS: list[str] = []
+
+
+@_atexit.register
+def _cleanup_evolved_dirs() -> None:
+    import shutil
+
+    with _EVOLVED_LOCK:
+        for d in _EVOLVED_DIRS:
+            shutil.rmtree(d, ignore_errors=True)
+        _EVOLVED_DIRS.clear()
+
+
+def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a two-epoch parquet directory once per (session, sf):
+    epoch-0 rows (even doc_id) written WITHOUT the lang column —
+    the column arrives in epoch 1 (odd doc_id). Lock-guarded."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _EVOLVED_LOCK:
+        if key not in _EVOLVED:
+            base = tempfile.mkdtemp(prefix="q146_evolved_")
+            _EVOLVED_DIRS.append(base)
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "n_chars", "lang"
+            )
+            docs.filter(F.col("doc_id") % 2 == 0).drop("lang").write.parquet(
+                f"{base}/epoch=0"
+            )
+            docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+                f"{base}/epoch=1"
+            )
+            _EVOLVED[key] = base
+    return _EVOLVED[key]
+
+
+@register(
+    "q146_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, n_chars, NULL AS lang FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, n_chars, lang FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT COALESCE(lang, '<pre-schema>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM merged GROUP BY 1
+    """,
+    doc="Schema-evolution read (sources/read_parquet_merged): a "
+        "two-epoch directory where the lang column only exists in "
+        "epoch 1; mergeSchema unions the footers so epoch-0 rows "
+        "surface lang as NULL instead of failing the scan — the "
+        "add-a-column ingest upgrade every long-lived 100 TB table "
+        "goes through. The aggregate buckets the pre-schema rows "
+        "under '<pre-schema>' to prove NULL-surfacing (not row loss); "
+        "the oracle simulates the same two epochs with a NULL-typed "
+        "union.",
+)
+def q146_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.sources import read_parquet_merged
+
+    merged = read_parquet_merged(spark, _evolved_dir(spark, sf_dir))
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("lang"), F.lit("<pre-schema>")).alias("lang")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

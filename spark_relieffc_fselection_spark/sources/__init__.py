@@ -323,3 +323,20 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Directory read with parquet schema merging: files written at
+    different pipeline epochs may carry different (compatible)
+    schemas — a column added in epoch N must not break reading epochs
+    < N, whose rows surface it as NULL.
+
+    ``mergeSchema`` unions the footers at planning time (one footer
+    read per file — at 100 TB prefer per-directory epoch manifests,
+    but the semantics are this). The scan stays a single parquet
+    relation: pushdown and pruning still apply to columns present in
+    each file. Lay epochs out as ``epoch=N/`` subdirectories —
+    partition discovery is what makes the file index recurse, and the
+    epoch arrives as a (prunable) partition column for free.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

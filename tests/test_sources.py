@@ -341,3 +341,32 @@ def test_write_bucketed_roundtrip_and_colocation(spark, tmp_path):
     assert got == want
     spark.sql("DROP TABLE tb_a")
     spark.sql("DROP TABLE tb_b")
+
+
+def test_read_parquet_merged_surfaces_new_column_as_null(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.sources import read_parquet_merged
+
+    # epoch=N naming: partition discovery is what makes Spark recurse
+    # into the per-epoch subdirectories (bare names aren't indexed)
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, a long"
+    ).write.parquet(str(tmp_path / "epoch=0"))
+    spark.createDataFrame(
+        [(3, 30, "x")], "id long, a long, b string"
+    ).write.parquet(str(tmp_path / "epoch=1"))
+    got = {
+        r.id: (r.a, r.b)
+        for r in read_parquet_merged(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (10, None), 2: (20, None), 3: (30, "x")}
+    # pushdown still reaches the scan for columns present everywhere
+    plan = (
+        read_parquet_merged(spark, str(tmp_path))
+        .filter(F.col("a") > 15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(a), GreaterThan(a,15)]" in plan, plan
