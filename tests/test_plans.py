@@ -515,3 +515,21 @@ def test_bucketed_join_no_exchange_on_join_inputs(spark, qs):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_hybrid_rrf_bounded_topk_no_global_sort(spark, qs):
+    """q144: the fused ranking takes its top-20 via
+    TakeOrderedAndProject (bounded), and the only windows run over
+    the 20 survivors; the two rankers' own windows are per-query /
+    bounded-pool shapes inherited from q125/q24."""
+    plan = _plan(qs["q144_hybrid_rrf"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gram_matrix_single_aggregation_exchange(spark, qs):
+    """q145: the Gram cells aggregate with map-side partials — exactly
+    one hash exchange (carrying d(d+1)/2 partial rows per partition),
+    no join anywhere."""
+    plan = _plan(qs["q145_gram_matrix"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
