@@ -533,3 +533,50 @@ def test_gram_matrix_single_aggregation_exchange(spark, qs):
     plan = _plan(qs["q145_gram_matrix"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join (enabled session-wide, session.py) must actually
+    fire: a merge join against a key where one partition dwarfs the
+    others re-plans with skew=true splits in the final adaptive plan.
+    q115's salting is the write-side answer; this pins the runtime
+    answer the brief names (AQE re-plan).
+
+    Caveat this test encodes: the SPLIT is only applied when the join
+    output has no downstream hash-distribution requirement — a
+    groupBy on top makes AQE keep the skewed partition whole rather
+    than break the partitioning (re-aggregating split partitions
+    would need an extra shuffle). So for skewed-join-into-aggregate
+    pipelines the write-side salt (q115) remains the answer; AQE
+    covers the join-then-write shape."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("d").alias("v")
+        )
+        j = big.hint("merge").join(small, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
