@@ -546,3 +546,50 @@ def k_anonymity_report(
         out = out.withColumn("l_risk", F.col("n_sensitive") < l)
         return out.filter(k_risk | F.col("l_risk"))
     return out.filter(k_risk)
+
+
+# ------------------------------------------------------- rollup cascade
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    bucket_s: int,
+    keys: Sequence[str],
+    value: str,
+    *,
+    from_rollup: bool = False,
+) -> DataFrame:
+    """One level of a hypertable-style continuous-aggregate cascade:
+    ``(bucket_s-aligned epoch, keys..., n_rows, sum_value, min_value,
+    max_value)``.
+
+    ``from_rollup=False`` aggregates raw rows (the only fact-sized
+    pass). ``from_rollup=True`` re-aggregates a FINER rollup's output
+    — count/decimal-sum/min/max are mergeable, so day-from-hour equals
+    day-from-raw bit-for-bit (the q147 oracle), and the daily job's
+    input is 3600x smaller than the fact table. Non-mergeable reads
+    (avg) derive at query time as sum/count. The bucket column is an
+    epoch-second BIGINT so alignment is pure integer math.
+    """
+    if from_rollup:
+        b = (F.col("bucket_s") - (F.col("bucket_s") % bucket_s)).alias(
+            "bucket_s"
+        )
+        src = df.select(
+            b, *keys, "n_rows", "sum_value", "min_value", "max_value"
+        )
+        return src.groupBy("bucket_s", *keys).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_value").cast(DEC).alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    b = (
+        F.unix_timestamp(ts_col)
+        - (F.unix_timestamp(ts_col) % bucket_s)
+    ).alias("bucket_s")
+    return df.select(b, *keys, value).groupBy("bucket_s", *keys).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(value).cast(DEC)).cast(DEC).alias("sum_value"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+    )

@@ -106,7 +106,9 @@ _PRIORITY: tuple[str, ...] = (
     # q35's with the variant parse in front, and q144_hybrid_rrf,
     # a pure composition of the in-window q125 + long-green q24, and
     # q145_gram_matrix, one keyed aggregation in the q14 bin-stats
-    # shape, and q146_schema_evolution, a staged-source groupBy.)
+    # shape, q146_schema_evolution, a staged-source groupBy, and
+    # q147_rollup_cascade, whose merge math is q130's decimal-sum
+    # discipline at another granularity.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

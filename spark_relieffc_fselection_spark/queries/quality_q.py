@@ -613,3 +613,51 @@ def q146_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "q147_rollup_cascade",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_s,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST("value" AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS sum_value,
+           MIN("value") AS min_value,
+           MAX("value") AS max_value,
+           ROUND(CAST(SUM(CAST("value" AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hypertable-style continuous-aggregate cascade "
+        "(operators/quality.time_rollup): the DAILY rollup is computed "
+        "FROM THE HOURLY rollup, not from the fact table — "
+        "count/decimal-sum/min/max are mergeable, so the cascade "
+        "equals the from-raw aggregate bit-for-bit, which is exactly "
+        "what this oracle checks (DuckDB aggregates raw events; Spark "
+        "runs raw->hour->day). At 100 TB the daily job reads a "
+        "3600x-smaller input, and each level maintains incrementally "
+        "with q130's merge_aggregates. avg derives at read time as "
+        "sum/count (non-mergeable aggregates are never stored).",
+)
+def q147_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.quality import time_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts"
+    )
+    hourly = time_rollup(ev, "ts", 3600, ["event_type"], "value")
+    daily = time_rollup(
+        hourly, "ts", 86400, ["event_type"], "value", from_rollup=True
+    )
+    return daily.select(
+        "bucket_s",
+        "event_type",
+        "n_rows",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round(
+            (F.col("sum_value").cast("double") / F.col("n_rows")), 6
+        ).alias("avg_value"),
+    )

@@ -285,3 +285,25 @@ def test_join_size_estimate_detects_same_relation_objects(spark, tmp_path):
     assert plan.count("FileScan parquet") == 1, plan
     g = est.first()
     assert (g.est_rows, g.n_shared_keys, g.max_key_rows) == (5, 2, 4)
+
+
+def test_time_rollup_cascade_equals_from_raw(spark):
+    rng = random.Random(31)
+    rows = [
+        ("t%d" % (i % 3), rng.uniform(-10, 10),
+         "2024-01-%02d %02d:%02d:00" % (1 + i % 3, i % 24, i % 60))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, ts_s string").select(
+        "k", "v", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    daily_cascade = Q.time_rollup(
+        Q.time_rollup(df, "ts", 3600, ["k"], "v"),
+        "ts", 86400, ["k"], "v", from_rollup=True,
+    )
+    daily_raw = Q.time_rollup(df, "ts", 86400, ["k"], "v")
+    a = {(r.bucket_s, r.k): (r.n_rows, r.sum_value, r.min_value, r.max_value)
+         for r in daily_cascade.collect()}
+    b = {(r.bucket_s, r.k): (r.n_rows, r.sum_value, r.min_value, r.max_value)
+         for r in daily_raw.collect()}
+    assert a == b  # decimal sums: bit-for-bit through the cascade
