@@ -485,3 +485,58 @@ def countmin_estimate(
         .groupBy(tok_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
+
+
+# ------------------------------------------------- KMV distinct sketch
+def kmv_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
+    """K-minimum-values distinct-count sketch: the ``k`` smallest
+    md5-derived uniforms over the DISTINCT values of ``col``, as a
+    k-row frame ``(u)``.
+
+    Unlike approx_count_distinct's opaque in-flight HLL (q51), the
+    KMV sketch is DATA — k rows you can store next to a partition,
+    union with tomorrow's sketch, and re-estimate without ever
+    rescanning history (bottom-k of a union of bottom-ks equals
+    bottom-k of the union: merge == rebuild exactly). The uniform is
+    the repo's portable md5 hash (sampling.hash_uniform), so the
+    estimate is deterministic across runs, engines, and
+    partitionings — DuckDB reproduces it bit-for-bit. Plan shape:
+    distinct (one keyed exchange) then TakeOrdered k — never a global
+    sort.
+    """
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    return (
+        df.select(F.col(col).alias("_v"))
+        .distinct()
+        .select(hash_uniform(F.col("_v")).alias("u"))
+        .orderBy("u")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: ``(k-1) / u_(k)``
+    with ``u_(k)`` the largest retained uniform; when the sketch holds
+    fewer than k rows the domain was smaller than k and the row count
+    IS the exact distinct count."""
+    return sketch.agg(
+        F.count("*").alias("_n"), F.max("u").alias("_theta")
+    ).select(
+        F.when(
+            F.col("_n") < k, F.col("_n").cast("double")
+        )
+        .otherwise((F.lit(float(k - 1))) / F.col("_theta"))
+        .alias("est_distinct")
+    )
+
+
+def kmv_merge(sketches: "list[DataFrame]", k: int) -> DataFrame:
+    """Union per-partition sketches and re-take the bottom-k — the
+    lossless KMV merge (associative, order-free)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("u").limit(k)

@@ -108,7 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     # q145_gram_matrix, one keyed aggregation in the q14 bin-stats
     # shape, q146_schema_evolution, a staged-source groupBy, and
     # q147_rollup_cascade, whose merge math is q130's decimal-sum
-    # discipline at another granularity.)
+    # discipline at another granularity, and q148_kmv_distinct, whose
+    # md5-uniform machinery is q80/q100's.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

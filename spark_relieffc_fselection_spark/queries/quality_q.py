@@ -10,7 +10,7 @@ DuckDB-oracle-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.queries import register
@@ -661,3 +661,108 @@ def q147_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_value").cast("double") / F.col("n_rows")), 6
         ).alias("avg_value"),
     )
+
+
+#: q148 KMV sketch size.
+KMV_K = 64
+_U = ("(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 6))::BIGINT"
+      " + 0.5) / 16777216.0")
+
+
+@register(
+    "q148_kmv_distinct",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    pu AS (SELECT event_type, {_U} AS u FROM pairs),
+    sk AS (
+      SELECT event_type, u,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM pu
+    ),
+    skk AS (SELECT event_type, u FROM sk WHERE rn <= {KMV_K}),
+    pte AS (
+      SELECT event_type, COUNT(*) AS n, MAX(u) AS theta
+      FROM skk GROUP BY 1
+    ),
+    ptx AS (SELECT event_type, COUNT(*) AS ex FROM pairs GROUP BY 1),
+    allsk AS (
+      SELECT u FROM (SELECT DISTINCT u FROM skk) ORDER BY u LIMIT {KMV_K}
+    ),
+    alle AS (SELECT COUNT(*) AS n, MAX(u) AS theta FROM allsk),
+    allx AS (SELECT COUNT(DISTINCT user_id) AS ex FROM events)
+    SELECT event_type AS scope,
+           ROUND(CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+                      ELSE {KMV_K - 1}.0 / theta END, 6) AS est_distinct,
+           CAST(ex AS BIGINT) AS exact_distinct
+    FROM pte JOIN ptx USING (event_type)
+    UNION ALL
+    SELECT 'ALL',
+           ROUND(CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+                      ELSE {KMV_K - 1}.0 / theta END, 6),
+           CAST(ex AS BIGINT)
+    FROM alle CROSS JOIN allx
+    """,
+    doc="K-minimum-values distinct sketch per event type + a merged "
+        "ALL estimate (operators/textstats.kmv_sketch/_merge/"
+        "_estimate): unlike approx_count_distinct's opaque in-flight "
+        "HLL (q51), the KMV sketch is DATA — k stored rows per scope "
+        "that union with tomorrow's sketch and re-estimate without "
+        "rescanning history; the ALL row is computed FROM the "
+        "per-type sketches (bottom-k of a union of bottom-ks == "
+        "bottom-k of the union), proving merge == rebuild. Uniforms "
+        "are the repo's portable md5 hash, so estimates are "
+        "deterministic and engine-exact (no approximation oracle gap "
+        "— the oracle reproduces the estimate bit-for-bit). One "
+        "distinct exchange + localCheckpoint feeds sketches and "
+        "exact counts without re-scanning.",
+)
+def q148_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("u", hash_uniform(F.col("user_id")))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("event_type").orderBy("u")
+    skk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "u")
+        .localCheckpoint()
+    )
+    est = F.when(
+        F.col("n") < KMV_K, F.col("n").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / F.col("theta"))
+    per_type = (
+        skk.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("u").alias("theta"))
+        .join(
+            pairs.groupBy("event_type").agg(F.count("*").alias("ex")),
+            "event_type",
+        )
+        .select(
+            F.col("event_type").alias("scope"),
+            F.round(est, 6).alias("est_distinct"),
+            F.col("ex").cast("bigint").alias("exact_distinct"),
+        )
+    )
+    all_sk = skk.select("u").distinct().orderBy("u").limit(KMV_K)
+    all_row = (
+        all_sk.agg(F.count("*").alias("n"), F.max("u").alias("theta"))
+        .crossJoin(
+            pairs.agg(
+                F.countDistinct("user_id").cast("bigint").alias("ex")
+            )
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            F.round(est, 6).alias("est_distinct"),
+            F.col("ex").alias("exact_distinct"),
+        )
+    )
+    return per_type.unionByName(all_row)

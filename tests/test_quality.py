@@ -307,3 +307,30 @@ def test_time_rollup_cascade_equals_from_raw(spark):
     b = {(r.bucket_s, r.k): (r.n_rows, r.sum_value, r.min_value, r.max_value)
          for r in daily_raw.collect()}
     assert a == b  # decimal sums: bit-for-bit through the cascade
+
+
+def test_kmv_merge_equals_rebuild_and_estimates_track_truth(spark):
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rng = random.Random(41)
+    vals = [rng.randint(0, 5000) for _ in range(4000)]
+    truth = len(set(vals))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    k = 64
+    whole = kmv_sketch(df, "x", k)
+    halves = [
+        kmv_sketch(df.filter(F.col("x") % 2 == i), "x", k) for i in (0, 1)
+    ]
+    merged = kmv_merge(halves, k)
+    a = sorted(r.u for r in whole.collect())
+    b = sorted(r.u for r in merged.collect())
+    assert a == b  # merge == rebuild, bit-for-bit
+    est = kmv_estimate(merged, k).first().est_distinct
+    assert abs(est - truth) / truth < 0.5  # k=64 -> ~12% expected error
+    # small domain: exact passthrough
+    tiny = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    assert kmv_estimate(kmv_sketch(tiny, "x", k), k).first().est_distinct == 10.0
