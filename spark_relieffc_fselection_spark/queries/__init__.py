@@ -108,8 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     # q145_gram_matrix, one keyed aggregation in the q14 bin-stats
     # shape, q146_schema_evolution, a staged-source groupBy, and
     # q147_rollup_cascade, whose merge math is q130's decimal-sum
-    # discipline at another granularity, and q148_kmv_distinct, whose
-    # md5-uniform machinery is q80/q100's.)
+    # discipline at another granularity, q148_kmv_distinct, whose
+    # md5-uniform machinery is q80/q100's, and q149_event_transitions,
+    # one lag-window pass in the q126 gaps-and-islands shape.)
     # changed this round: multimodal tiny-image decode fix (ADVICE
     # r4), q104 assignment-kernel work (VERDICT r4 #5)
     "q36_multimodal_features",

@@ -940,3 +940,59 @@ def q144_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", F.round("rrf", 6).alias("rrf"), "rank"
     )
+
+
+@register(
+    "q149_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS tn FROM t GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.n,
+           ROUND(t.n / tot.tn, 6) AS p
+    FROM t JOIN tot USING (prev_type)
+    """,
+    doc="First-order event-transition matrix (the Markov structure "
+        "under the q122 funnel): per-user LAG over the total "
+        "(ts, event_id) order pairs each event with its predecessor — "
+        "ONE window pass, no self-join of the event stream (the naive "
+        "consecutive-pairs equi-join shuffles the fact twice and "
+        "fans out on ties). Transition counts then normalize per "
+        "source state via a states^2-sized join. At any fact scale "
+        "the wide work is the one user-keyed window sort; the matrix "
+        "itself is |event_types|^2 rows.",
+)
+def q149_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.queries import localize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    # localize: the counts matrix feeds BOTH the per-state totals and
+    # the output join — un-materialized, each consumer would re-run
+    # the fact-sized window (the q129 dupe-subtree trap); the matrix
+    # is |event_types|^2 rows, driver-sized at any fact scale.
+    t = localize(
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("tn"), 6).alias("p"),
+    )

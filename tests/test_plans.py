@@ -580,3 +580,12 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_event_transitions_single_window_pass(spark, qs):
+    """q149: the transition matrix is localized, so the totals + join
+    must NOT re-run the fact-sized window — at most one parquet scan
+    in the final plan (zero once localized), and no Window node
+    duplicated."""
+    plan = _plan(qs["q149_event_transitions"](spark, SF))
+    assert plan.count("FileScan parquet") == 0, plan
