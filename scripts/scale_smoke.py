@@ -19,7 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -588,6 +588,64 @@ def main() -> None:
         return pagerank(parent.unionByName(sib), nodes, n_iter=5)
 
     bench("pagerank 5 iters (edge join per round)", pr)
+
+    # variant shredding: parse_json once per row at the scan — expect
+    # scan-bound ~linear
+    ev_props = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "props", "value"
+    )
+
+    def variant(kk: int) -> DataFrame:
+        e = replicate(ev_props, kk, "event_id", n_events).select(
+            "props", "value"
+        )
+        v = e.select(F.parse_json("props").alias("v"), "value")
+        k_ = F.try_variant_get("v", "$.k", "int")
+        return (
+            v.select(k_.alias("k"), "value")
+            .groupBy(F.expr("k div 10"))
+            .agg(F.count("*"), F.sum("value"))
+        )
+
+    bench("variant_shred (one parse per row)", variant)
+
+    # rollup cascade: fact-sized hourly pass + hour-sized daily pass —
+    # expect ~linear in the hourly pass only
+    def cascade(kk: int) -> DataFrame:
+        e = ev_k(kk).select("event_type", "value", "ts")
+        hourly = Q.time_rollup(e, "ts", 3600, ["event_type"], "value")
+        return Q.time_rollup(
+            hourly, "ts", 86400, ["event_type"], "value", from_rollup=True
+        )
+
+    bench("rollup_cascade (raw->hour->day)", cascade)
+
+    # KMV sketch: distinct exchange + TakeOrdered k — scan-bound
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        kmv_sketch,
+    )
+
+    bench(
+        "kmv_sketch (distinct + bottom-k)",
+        lambda kk: kmv_sketch(ev_k(kk).select("user_id"), "user_id", 64),
+    )
+
+    # event transitions: one user-keyed lag window + localized matrix
+    from spark_relieffc_fselection_spark.queries import localize
+
+    def transitions(kk: int) -> DataFrame:
+        e = ev_k(kk).select("user_id", "event_type", "ts", "event_id")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = e.withColumn("prev", F.lag("event_type").over(w))
+        t = localize(
+            seq.filter(F.col("prev").isNotNull())
+            .groupBy("prev", "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        tot = t.groupBy("prev").agg(F.sum("n").alias("tn"))
+        return t.join(F.broadcast(tot), "prev")
+
+    bench("event_transitions (one lag window)", transitions)
 
     spark.stop()
 
