@@ -48,118 +48,187 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
 _PRIORITY: tuple[str, ...] = (
-    # round 5, new: the oracle-able single-batch fit (VERDICT r4 #1 —
-    # takes the gate to 50/50 green) and the MDLP discretizer
-    # (VERDICT r4 #6)
-    "q72a_relief_std_ranking",
-    "q105_mdlp_discretize",
-    # round 5, new LLM-pipeline surface: SemDeDup cluster-scoped
-    # semantic dedup, DSIR importance resampling, edit-distance-
-    # verified near-dup
-    "q106_semantic_dedup",
-    "q107_dsir_importance_sample",
-    "q108_editdist_neardup",
-    "q109_bloom_dedup",
-    "q110_linear_quality_classifier",
-    "q111_streaming_bloom_screen",
-    "q112_countmin_heavy_hitters",
-    "q113_source_overlap",
-    "q114_cluster_aware_split",
-    "q115_salted_skew_join",
-    "q116_snapshot_diff",
-    "q117_source_quality_calibration",
-    "q118_zorder_layout",
-    # round 5, late additions: warehouse analytics surface
-    # (queries/warehouse_q.py) — never driver-validated, so they
-    # displace the 8 oldest r3-green rotation entries below.
-    "q119_scd2_history",
-    "q120_hierarchy_closure",
-    "q121_cohort_retention",
-    "q122_event_funnel",
-    "q123_skyline",
-    "q124_outlier_mad",
-    "q125_bm25_topk",
-    "q126_interval_merge",
-    # round 5, late additions: data-quality surface
-    # (queries/quality_q.py)
-    "q127_constraint_audit",
-    "q128_winsorize",
-    "q129_skew_profile",
-    "q130_incremental_agg",
-    "q131_streaming_incremental_agg",
-    "q132_last_touch_attribution",
-    "q133_calendar_gap_fill",
-    "q134_psi_drift",
-    "q135_rolling_features",
-    "q136_ks_drift",
-    "q137_compaction_plan",
-    "q138_join_cardinality",
-    "q139_bucketed_join",
-    # (q140_streaming_psi_drift and q141_k_anonymity stay OUT of the
-    # 50-slot window this round — q140's histogram dataflow is q134's
-    # (same oracle, shared psi_report), q141 is a one-groupBy report
-    # shape already validated by q127/q129, and the window is full of
-    # never-validated entries; rotate both forward in round 6 with the
-    # deferred list below. q142_pagerank likewise — its per-round
-    # join+sum shape is q120's closure discipline, numpy-oracle-tested
-    # locally — and q143_variant_shred, whose aggregate shape is
-    # q35's with the variant parse in front, and q144_hybrid_rrf,
-    # a pure composition of the in-window q125 + long-green q24, and
-    # q145_gram_matrix, one keyed aggregation in the q14 bin-stats
-    # shape, q146_schema_evolution, a staged-source groupBy, and
-    # q147_rollup_cascade, whose merge math is q130's decimal-sum
-    # discipline at another granularity, q148_kmv_distinct, whose
-    # md5-uniform machinery is q80/q100's, and q149_event_transitions,
-    # one lag-window pass in the q126 gaps-and-islands shape.)
-    # changed this round: multimodal tiny-image decode fix (ADVICE
-    # r4), q104 assignment-kernel work (VERDICT r4 #5)
-    "q36_multimodal_features",
-    "q104_streaming_list_drift",
+    # round 6 rotation (VERDICT r5 #1): pay the rotation debt. The ten
+    # q140-q149 entries are the only registry queries never
+    # driver-green (added after the r5 window froze; all ten passed the
+    # r5 local oracle sweep) — they go first.
+    "q140_streaming_psi_drift",
+    "q141_k_anonymity",
+    "q142_pagerank",
+    "q143_variant_shred",
+    "q144_hybrid_rrf",
+    "q145_gram_matrix",
+    "q146_schema_evolution",
+    "q147_rollup_cascade",
+    "q148_kmv_distinct",
+    "q149_event_transitions",
     # core sentinels — always in the window
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # r2-stale rotation (VERDICT r4 #2): last driver-green in r2
-    "q04_window_topk",
-    "q05_global_topk",
-    "q06_union_distinct",
-    "q07_semijoin",
-    "q08_antijoin",
-    "q65_embedding_quantization",
-    "q50_streaming_tumbling",
-    "q69_streaming_sliding",
-    "q70_streaming_dedup",
-    "q71_streaming_user_totals",
-    # (Deferred to round 6 — displaced by q139, r3-green:
-    # q44_sparse_relief_relevance.)
-    # (Deferred to round 6 — displaced by q135-q138, all r3-green:
-    # q73_knn_lsh_recall, q15_relief_topk, q16_collision_marginal,
-    # q17_collision_joint.)
-    # (Deferred to round 6 — displaced by q131-q134, all r3-green:
-    # q19_dedup_jaccard, q20_minhash_signatures, q22_simhash_signatures,
-    # q81_incremental_dedup.)
-    # (Deferred to round 6 — displaced by the four quality_q
-    # additions q127-q130, all r3-green: q84_canonical_selection,
-    # q27_embedding_neardup, q74_kmeans_step, q78_random_projection.)
-    # (Deferred to round 6 — displaced by the eight warehouse_q
-    # additions q119-q126, all r3-green: q76_length_histogram,
-    # q83_pii_scrub, q77_streaming_enrichment, q89_streaming_outer_join,
-    # q90_deletion_propagation, q37_relief_discrete_collisions,
-    # q53_mom_growth, q88_embedding_drift.)
-    # (Deferred to round 6 — displaced by the four late-round-5
-    # additions q115-q118, all r3-green: q57_stratified_sample,
-    # q41_corpus_curation, q59_stopword_scrub, q61_contamination.)
-    # (Deferred to round 6 — still r3-green and the most stable pure-
-    # Catalyst OLAP shapes in the registry: q38_rollup,
-    # q39_distinct_agg, q40_percentiles, q45_analytic_windows,
-    # q46_cube, q47_pivot, q48_setops, q51_hll_distinct,
-    # q52_correlated_subquery, q56_grouping_sets, plus — displaced by
-    # the nine new round-5 queries — q92_boilerplate_detection,
-    # q86_source_interleave, q87_temperature_mix, q91_doc_chunking,
-    # q85_token_truncation, q79_shuffle_shards, q80_hash_uniform_sample
-    # (q80 was r4-green), q75_oov_rate, q60_sequence_packing.
-    # Everything r4-green also rotates out; the local oracle sweep
-    # still covers all 115.)
+    # new this round: the unrolled-greedy oracle closing most of q72's
+    # rows-only gap (VERDICT r5 #3)
+    "q72b_relief_greedy_topk",
+    # changed this round: MDLP grid cap enforced in-operator
+    # (VERDICT r5 #4/#9)
+    "q105_mdlp_discretize",
+    # r3-green backlog, oldest-green-first (every remaining name below
+    # was last driver-green in round 3; 36 of the 44 fit — the other 8,
+    # all single-aggregation pure-Catalyst shapes, carry round-7 slots
+    # in _DEFERRED)
+    "q15_relief_topk",
+    "q16_collision_marginal",
+    "q17_collision_joint",
+    "q19_dedup_jaccard",
+    "q20_minhash_signatures",
+    "q22_simhash_signatures",
+    "q27_embedding_neardup",
+    "q37_relief_discrete_collisions",
+    "q41_corpus_curation",
+    "q44_sparse_relief_relevance",
+    "q45_analytic_windows",
+    "q52_correlated_subquery",
+    "q53_mom_growth",
+    "q57_stratified_sample",
+    "q59_stopword_scrub",
+    "q60_sequence_packing",
+    "q61_contamination",
+    "q73_knn_lsh_recall",
+    "q74_kmeans_step",
+    "q75_oov_rate",
+    "q76_length_histogram",
+    "q77_streaming_enrichment",
+    "q78_random_projection",
+    "q79_shuffle_shards",
+    "q80_hash_uniform_sample",
+    "q81_incremental_dedup",
+    "q83_pii_scrub",
+    "q84_canonical_selection",
+    "q85_token_truncation",
+    "q86_source_interleave",
+    "q87_temperature_mix",
+    "q88_embedding_drift",
+    "q89_streaming_outer_join",
+    "q90_deletion_propagation",
+    "q91_doc_chunking",
+    "q92_boilerplate_detection",
 )
+
+#: Every registered query NOT in this round's driver window, mapped to
+#: the CORRECTNESS round it was last driver-green in (0 = never, only
+#: permitted with an explicit planned-round comment). This is the
+#: machine-readable form of the old deferred-list comments
+#: (VERDICT r5 #10): tests/test_registry.py asserts _PRIORITY and
+#: _DEFERRED exactly partition the registry, so a new query CANNOT be
+#: added without either taking a driver slot or being documented here.
+#: The 8 round-7 debts are the most stable single-aggregation
+#: pure-Catalyst shapes in the registry (rotate them in next round
+#: ahead of anything r4-green).
+_DEFERRED: dict[str, int] = {
+    # r3-green, deliberately held to round 7 (window overflow):
+    "q38_rollup": 3,
+    "q39_distinct_agg": 3,
+    "q40_percentiles": 3,
+    "q46_cube": 3,
+    "q47_pivot": 3,
+    "q48_setops": 3,
+    "q51_hll_distinct": 3,
+    "q56_grouping_sets": 3,
+    # r4-green:
+    "q01_pruned_scan": 4,
+    "q02_groupby_agg": 4,
+    "q03_join_revenue_by_nation": 4,
+    "q09_minmax_norm": 4,
+    "q10_label_priors": 4,
+    "q11_mod_sample_agg": 4,
+    "q12_mutual_information": 4,
+    "q13_knn_join": 4,
+    "q18_dedup_exact": 4,
+    "q21_minhash_lsh_neardup": 4,
+    "q23_simhash_neardup": 4,
+    "q24_ann_bruteforce": 4,
+    "q25_ann_lsh": 4,
+    "q26_ann_ivf": 4,
+    "q28_token_stats": 4,
+    "q29_quality_scores": 4,
+    "q30_language_id": 4,
+    "q31_fingerprints": 4,
+    "q32_tumbling_window": 4,
+    "q33_sliding_window": 4,
+    "q34_session_window": 4,
+    "q35_json_extract": 4,
+    "q42_asof_join": 4,
+    "q43_range_join": 4,
+    "q49_ann_recall": 4,
+    "q54_dedup_clusters": 4,
+    "q55_tfidf_topterms": 4,
+    "q58_streaming_sessions": 4,
+    "q62_repetition": 4,
+    "q63_frame_sample": 4,
+    "q64_streaming_interval_join": 4,
+    "q66_unigram_lm_quality": 4,
+    "q67_deterministic_split": 4,
+    "q68_domain_mix": 4,
+    "q82_filter_funnel": 4,
+    "q93_quantile_discretize": 4,
+    "q94_substring_dedup": 4,
+    "q95_substring_contamination": 4,
+    "q96_bigram_lm_quality": 4,
+    "q97_token_budget_selection": 4,
+    "q98_cdc_chunking": 4,
+    "q99_pq_ann": 4,
+    "q100_weighted_sample": 4,
+    "q101_domain_cap": 4,
+    "q102_ivfpq_ann": 4,
+    "q103_stratified_weighted_sample": 4,
+    # r5-green:
+    "q04_window_topk": 5,
+    "q05_global_topk": 5,
+    "q06_union_distinct": 5,
+    "q07_semijoin": 5,
+    "q08_antijoin": 5,
+    "q36_multimodal_features": 5,
+    "q50_streaming_tumbling": 5,
+    "q65_embedding_quantization": 5,
+    "q69_streaming_sliding": 5,
+    "q70_streaming_dedup": 5,
+    "q71_streaming_user_totals": 5,
+    "q72a_relief_std_ranking": 5,
+    "q104_streaming_list_drift": 5,
+    "q106_semantic_dedup": 5,
+    "q107_dsir_importance_sample": 5,
+    "q108_editdist_neardup": 5,
+    "q109_bloom_dedup": 5,
+    "q110_linear_quality_classifier": 5,
+    "q111_streaming_bloom_screen": 5,
+    "q112_countmin_heavy_hitters": 5,
+    "q113_source_overlap": 5,
+    "q114_cluster_aware_split": 5,
+    "q115_salted_skew_join": 5,
+    "q116_snapshot_diff": 5,
+    "q117_source_quality_calibration": 5,
+    "q118_zorder_layout": 5,
+    "q119_scd2_history": 5,
+    "q120_hierarchy_closure": 5,
+    "q121_cohort_retention": 5,
+    "q122_event_funnel": 5,
+    "q123_skyline": 5,
+    "q124_outlier_mad": 5,
+    "q125_bm25_topk": 5,
+    "q126_interval_merge": 5,
+    "q127_constraint_audit": 5,
+    "q128_winsorize": 5,
+    "q129_skew_profile": 5,
+    "q130_incremental_agg": 5,
+    "q131_streaming_incremental_agg": 5,
+    "q132_last_touch_attribution": 5,
+    "q133_calendar_gap_fill": 5,
+    "q134_psi_drift": 5,
+    "q135_rolling_features": 5,
+    "q136_ks_drift": 5,
+    "q137_compaction_plan": 5,
+    "q138_join_cardinality": 5,
+    "q139_bucketed_join": 5,
+}
 
 
 def _ordered() -> dict[str, QuerySpec]:

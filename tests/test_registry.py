@@ -17,14 +17,15 @@ import pytest
 
 from spark_relieffc_fselection_spark import queries as q
 from spark_relieffc_fselection_spark.queries import (
+    _DEFERRED,
     _PRIORITY,
     all_oracles,
     all_queries,
 )
 
-#: Registry floor as of round 5. Raise when queries are added; a drop
+#: Registry floor as of round 6. Raise when queries are added; a drop
 #: below this means an import path silently lost a module.
-MIN_REGISTRY_SIZE = 115
+MIN_REGISTRY_SIZE = 151
 
 
 def test_priority_is_exactly_the_driver_window():
@@ -54,6 +55,33 @@ def test_registry_never_shrinks():
 def test_oracles_reference_registered_queries():
     reg = set(all_queries())
     assert set(all_oracles()) <= reg
+
+
+def test_priority_and_deferred_partition_the_registry():
+    """Rotation honesty (VERDICT r5 #10): every registered query must
+    either hold a driver-window slot (_PRIORITY) or be documented in
+    _DEFERRED with the round it was last driver-green. A new query
+    added without touching either is a silent gate escape — fail."""
+    reg = set(all_queries())
+    window = set(_PRIORITY)
+    deferred = set(_DEFERRED)
+    assert not (window & deferred), (
+        f"names in BOTH _PRIORITY and _DEFERRED: {window & deferred}"
+    )
+    undocumented = reg - window - deferred
+    assert not undocumented, (
+        f"registered queries neither in the driver window nor on the "
+        f"documented deferred list: {sorted(undocumented)}"
+    )
+    stale = deferred - reg
+    assert not stale, f"_DEFERRED names with no registered query: {sorted(stale)}"
+
+
+def test_deferred_rounds_are_plausible():
+    """_DEFERRED values are CORRECTNESS rounds (1..current); a 0 would
+    mean 'never driver-green', which is only allowed a window slot."""
+    bad = {n: r for n, r in _DEFERRED.items() if not (1 <= r <= 20)}
+    assert not bad, f"deferred entries with no plausible green round: {bad}"
 
 
 def test_broken_query_module_fails_loudly(monkeypatch):
