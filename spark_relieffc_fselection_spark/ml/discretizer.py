@@ -36,9 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEC = "decimal(38,18)"
-
-
 def fit_quantile_edges(
     df: DataFrame,
     num_bins: int = 10,
@@ -113,6 +110,8 @@ def fit_mdlp_edges(
     features_col: str = "features",
     label_col: str = "label",
     max_depth: int = 8,
+    max_candidates: int = 10_000,
+    cap_report: dict[int, int] | None = None,
 ) -> list[list[float]]:
     """Fayyad-Irani MDLP (entropy-based, supervised) cut points per
     feature — the discretization the reference contracts out to
@@ -134,11 +133,11 @@ def fit_mdlp_edges(
        rows, NOT ``distinct values x classes`` — yields within-interval
        cumulative and total class counts for every class at once.
     3. Row-level expressions over those window columns compute the
-       class-entropy sufficient statistics (entropy terms are
-       decimal-summed so cross-engine/shuffle-order float drift can't
-       flip argmax ties), then a window rank picks each interval's
-       best-gain cut and the Fayyad-Irani MDL criterion accepts or
-       prunes it:
+       class-entropy sufficient statistics (entropy terms are added in
+       a fixed ascending-label chain over exact integer window sums,
+       so both engines evaluate bit-identical doubles), then a window
+       rank picks each interval's best-gain cut and the Fayyad-Irani
+       MDL criterion accepts or prunes it:
 
            gain > (log2(N-1) + delta) / N,
            delta = log2(3^k - 2) - (k*H(S) - k1*H(S1) - k2*H(S2))
@@ -146,23 +145,53 @@ def fit_mdlp_edges(
     4. Accepted cuts (one per surviving interval — tiny) come back to
        the driver and parameterize the next level's literal.
 
-    Candidates are ALL midpoints between consecutive distinct values in
-    the interval; Fayyad's boundary-point theorem makes the restriction
-    to class-boundary midpoints an optimization, not a semantic change,
-    and evaluating every midpoint keeps the dataflow oracle-expressible.
+    Candidates are the midpoints between consecutive distinct values in
+    the interval, restricted to boundary points (see below); Fayyad's
+    boundary-point theorem makes that restriction an optimization, not
+    a semantic change, so an oracle that evaluates every midpoint still
+    accepts the identical cuts.
 
     The only corpus-sized shuffle is the initial class-conditional
     (feature, value) histogram; every later pass runs over that
-    compacted grid
-    (``distinct values`` rows, one count column per class,
-    localCheckpointed once). At
-    100 TB, bound the grid by pre-quantizing near-unique continuous
-    features (e.g. to ~10k quantile-sketch candidates per feature,
-    the same cap the reference MDLP library applies) before calling.
+    compacted grid (``distinct values`` rows, one count column per
+    class, localCheckpointed once).
+
+    **Grid bound (enforced in-operator, VERDICT r5 #4):** a
+    near-unique continuous feature would otherwise put its whole
+    ~n-row distinct-value grid into ONE window task at depth 0 — the
+    100 TB cliff. Any feature whose distinct-value count exceeds
+    ``max_candidates`` (default 10k, the cap the reference's
+    spark-MDLP-discretization companion applies to its own boundary
+    sets) is value-quantized to at most ``max_candidates`` equal-width
+    buckets (bucket midpoint as representative, class counts summed) —
+    a grid-sized row-level pass plus one grid-sized regroup, never a
+    second corpus shuffle. Capped features are recorded in
+    ``cap_report`` (feature_idx -> original distinct count) so the
+    drop is observable, mirroring the dedup bucket-cap counters.
+
+    **Candidate pruning:** within each interval, only boundary
+    midpoints are evaluated — a midpoint between two single-class
+    value blocks of the SAME class can never be the entropy-minimizing
+    cut (Fayyad's boundary-point theorem, so accepted cuts are
+    identical; the numpy pin in tests/test_discretizer.py proves it).
 
     Returns ``edges[feature_idx] -> [cut1 < cut2 < ...]`` for
     :func:`apply_bin_edges`.
     """
+    if max_candidates < 2:
+        raise ValueError(f"max_candidates must be >= 2, got {max_candidates}")
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _dbg:
+            print(f"#mdlp {label}: {_time.time() - _t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.time()
     prof = df.select(
         F.first(F.size(F.col(features_col))).alias("dim"),
         F.collect_set(F.col(label_col).cast("double")).alias("lbls"),
@@ -171,6 +200,7 @@ def fit_mdlp_edges(
         return []
     dim = int(prof["dim"])
     labels = sorted(prof["lbls"])
+    _mark("profile")
 
     long = df.select(
         F.col(label_col).cast("double").alias("lbl"),
@@ -198,10 +228,69 @@ def fit_mdlp_edges(
         )
         .localCheckpoint()
     )
+    _mark("grid checkpoint")
+
+    # Grid bound: quantize any feature whose distinct-value count
+    # exceeds max_candidates. The stats aggregation runs over the
+    # ALREADY-checkpointed grid (in-core, grid-sized — checkpointing
+    # first keeps the corpus shuffle at exactly one either way), and
+    # the compaction itself is one row-level bucket expression plus a
+    # grid-sized regroup.
+    fstats = (
+        grid.groupBy("feature")
+        .agg(
+            F.count("*").alias("nvals"),
+            F.min("val").alias("vmn"),
+            F.max("val").alias("vmx"),
+        )
+        .collect()
+    )
+    over = {
+        int(r["feature"]): (int(r["nvals"]), float(r["vmn"]), float(r["vmx"]))
+        for r in fstats
+        if r["nvals"] > max_candidates and r["vmx"] > r["vmn"]
+    }
+    _mark("fstats")
+    if over:
+        if cap_report is not None:
+            cap_report.update({f: n for f, (n, _, _) in over.items()})
+        spark = df.sparkSession
+        bounds = F.broadcast(
+            spark.createDataFrame(
+                [(f, mn, mx) for f, (_, mn, mx) in over.items()],
+                "feature int, vmn double, vmx double",
+            )
+        )
+        cap = float(max_candidates)
+        bucket = F.least(
+            F.lit(cap - 1.0),
+            F.floor((F.col("val") - F.col("vmn")) / (F.col("vmx") - F.col("vmn")) * cap).cast("double"),
+        )
+        qval = F.col("vmn") + (bucket + 0.5) * (F.col("vmx") - F.col("vmn")) / cap
+        requantized = (
+            grid.join(bounds, "feature", "left")
+            .withColumn(
+                "val",
+                F.when(F.col("vmn").isNotNull(), qval).otherwise(F.col("val")),
+            )
+            .groupBy("feature", "val")
+            .agg(*[F.sum(f"c{j}").alias(f"c{j}") for j in range(k_classes)])
+            .localCheckpoint()
+        )
+        grid = requantized
 
     def _term(n):
+        # Plain double, NOT decimal: the k class terms are added in a
+        # FIXED left-to-right chain (ascending label order) as a
+        # row-level expression, and the oracle pivots classes to
+        # columns and writes the same chain — identical operand order
+        # in both engines, so double addition is bit-deterministic
+        # without decimal's ~5x interpreted-eval tax (measured 3.6s ->
+        # 0.7s per level on the sf0.1 grid). Inputs are exact integer
+        # window sums; the only cross-engine exposure left is log2
+        # ULP, the same exposure ent/gain always had.
         d = n.cast("double")
-        return F.when(n > 0, d * F.log2(d)).otherwise(F.lit(0.0)).cast(_DEC)
+        return F.when(n > 0, d * F.log2(d)).otherwise(F.lit(0.0))
 
     def _nz(n):
         return F.when(n > 0, 1).otherwise(0)
@@ -230,25 +319,63 @@ def fit_mdlp_edges(
             return out
 
         # Per-class window columns collapse to the candidate sufficient
-        # statistics with row-level expressions — the decimal-summed
-        # entropy terms add the same k values the former per-class-row
-        # aggregation summed (decimal addition is exact, so the
-        # regrouping cannot change a single bit of s/s1/s2). The
+        # statistics with row-level expressions — the entropy terms
+        # are added in a fixed ascending-label chain mirrored verbatim
+        # by the class-pivoted oracle SQL, so the regrouping cannot
+        # change a single bit of s/s1/s2. The
         # candidate midpoint's lead(val) shares w_cum's partitioning
         # and ordering, so ALL window columns come out of one Window
         # exec (one shuffle + one sort per level).
-        cand = grid.withColumn("iv", iv).select(
+        #
+        # Boundary-point pruning (VERDICT r5 #9): sig is the value
+        # block's class signature — its single class index when pure,
+        # -1 when mixed. A midpoint between two pure SAME-class blocks
+        # is not a boundary point and can never carry the maximal gain
+        # (Fayyad's theorem), so it is dropped before the (much
+        # heavier) entropy arithmetic and argmax aggregation. lead(sig)
+        # shares w_cum — still one Window exec.
+        nz_raw = _ssum([_nz(F.col(f"c{j}")) for j in range(k_classes)])
+        idx_raw = _ssum(
+            [
+                F.when(F.col(f"c{j}") > 0, F.lit(j)).otherwise(F.lit(0))
+                for j in range(k_classes)
+            ]
+        )
+        sig = F.when(nz_raw == 1, idx_raw).otherwise(F.lit(-1))
+        # TWO projections, not one: the window pass emits plain w{j}/
+        # t{j} attribute columns and the entropy arithmetic runs over
+        # those leaves in a second select. Folding the 18 _term/_nz
+        # trees around the window expressions directly made every tree
+        # carry a window subtree through analysis — measured ~4s of
+        # driver-side fixed cost per level at sf0.1, independent of
+        # grid size; the split keeps each analyzed tree small. Same
+        # physical plan data-wise: still ONE Window exec per level.
+        wincols = grid.withColumn("iv", iv).select(
             "feature",
             "iv",
             ((F.col("val") + F.lead("val").over(w_cum)) / 2.0).alias("cut"),
-            _ssum(wl).cast("bigint").alias("n1"),
-            _ssum(tl).cast("bigint").alias("n"),
-            _ssum([_term(x) for x in wl]).cast("double").alias("s1"),
-            _ssum([_term(x) for x in tl]).cast("double").alias("s"),
-            _ssum([_term(x) for x in rl]).cast("double").alias("s2"),
-            _ssum([_nz(x) for x in wl]).cast("bigint").alias("k1"),
-            _ssum([_nz(x) for x in tl]).cast("bigint").alias("k"),
-            _ssum([_nz(x) for x in rl]).cast("bigint").alias("k2"),
+            sig.alias("sig"),
+            F.lead(sig).over(w_cum).alias("sig_next"),
+            *[wl[j].alias(f"w{j}") for j in range(k_classes)],
+            *[tl[j].alias(f"t{j}") for j in range(k_classes)],
+        )
+        wa = [F.col(f"w{j}") for j in range(k_classes)]
+        ta = [F.col(f"t{j}") for j in range(k_classes)]
+        ra = [t - w for t, w in zip(ta, wa)]
+        cand = wincols.select(
+            "feature",
+            "iv",
+            "cut",
+            "sig",
+            "sig_next",
+            _ssum(wa).cast("bigint").alias("n1"),
+            _ssum(ta).cast("bigint").alias("n"),
+            _ssum([_term(x) for x in wa]).cast("double").alias("s1"),
+            _ssum([_term(x) for x in ta]).cast("double").alias("s"),
+            _ssum([_term(x) for x in ra]).cast("double").alias("s2"),
+            _ssum([_nz(x) for x in wa]).cast("bigint").alias("k1"),
+            _ssum([_nz(x) for x in ta]).cast("bigint").alias("k"),
+            _ssum([_nz(x) for x in ra]).cast("bigint").alias("k2"),
         )
         nd = F.col("n").cast("double")
         n1d = F.col("n1").cast("double")
@@ -272,6 +399,14 @@ def fit_mdlp_edges(
                 F.col("cut").isNotNull()
                 & (F.col("n1") > 0)
                 & (F.col("n") > F.col("n1"))
+                # boundary points only: both blocks pure AND same
+                # class -> prune (null sig_next rows are already gone
+                # via cut IS NOT NULL)
+                & (
+                    (F.col("sig") == -1)
+                    | (F.col("sig_next") == -1)
+                    | (F.col("sig") != F.col("sig_next"))
+                )
             )
             .select(
                 "feature",
@@ -291,6 +426,7 @@ def fit_mdlp_edges(
             .select("feature", F.col("best.cut").alias("cut"))
             .collect()
         )
+        _mark(f"level {_depth} ({len(new)} cuts)")
         if not new:
             break
         for r in new:

@@ -761,29 +761,48 @@ DISC_BINS = 4
 MDLP_ORACLE_DEPTH = 2
 
 
-def _mdlp_level_sql(lvl: int) -> str:
-    """cand/sc/ev/pick CTE block for one MDLP level, reading w{lvl}.
+#: q105's six constructed class labels (the label formula below yields
+#: exactly 0..5); the oracle pivots them to columns so the entropy-term
+#: chains add in the same fixed ascending-label order as the engine's
+#: row-level expressions — bit-identical doubles without decimal.
+_MDLP_K = 6
 
-    Float-op ORDER mirrors ml/discretizer.fit_mdlp_edges exactly
-    (gain = ent - a*ent1 - b*ent2 left-to-right; thresh adds delta as
-    one parenthesized term) so accept decisions can only diverge on
-    sub-ulp boundary ties."""
+
+def _mdlp_chain(term_fmt: str) -> str:
+    """Fixed left-to-right chain over the pivoted class columns.
+    ``term_fmt`` uses ``{j}`` for the class index."""
+    return " + ".join(term_fmt.format(j=j) for j in range(_MDLP_K))
+
+
+def _mdlp_level_sql(lvl: int) -> str:
+    """cand/sc/ev/pick CTE block for one MDLP level, reading w{lvl}
+    (one row per (feature, iv, val), integer window sums w{j}/t{j} per
+    class — exact regardless of order).
+
+    Float-op ORDER mirrors ml/discretizer.fit_mdlp_edges exactly: the
+    entropy-term chains add in ascending label order (absent classes
+    contribute +0.0, which never perturbs an IEEE partial sum), and
+    gain = ent - a*ent1 - b*ent2 left-to-right; thresh adds delta as
+    one parenthesized term. Accept decisions can only diverge on
+    sub-ulp log2 boundary ties."""
+    wterm = ("CASE WHEN w{j} > 0 THEN CAST(w{j} AS DOUBLE) * "
+             "log2(CAST(w{j} AS DOUBLE)) ELSE 0.0 END")
+    tterm = ("CASE WHEN t{j} > 0 THEN CAST(t{j} AS DOUBLE) * "
+             "log2(CAST(t{j} AS DOUBLE)) ELSE 0.0 END")
+    rterm = ("CASE WHEN t{j} - w{j} > 0 THEN CAST(t{j} - w{j} AS DOUBLE) * "
+             "log2(CAST(t{j} - w{j} AS DOUBLE)) ELSE 0.0 END")
     return f"""
 cand{lvl} AS (
   SELECT feature, iv, val,
-         CAST(SUM(wl) AS BIGINT) AS n1,
-         CAST(SUM(tl) AS BIGINT) AS n,
-         CAST(SUM(CAST(CASE WHEN wl > 0 THEN wl * log2(wl) ELSE 0.0 END
-                       AS DECIMAL(38,18))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(CASE WHEN tl > 0 THEN tl * log2(tl) ELSE 0.0 END
-                       AS DECIMAL(38,18))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(CASE WHEN tl - wl > 0
-                            THEN (tl - wl) * log2(tl - wl) ELSE 0.0 END
-                       AS DECIMAL(38,18))) AS DOUBLE) AS s2,
-         CAST(SUM(CASE WHEN wl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-         CAST(SUM(CASE WHEN tl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
-         CAST(SUM(CASE WHEN tl - wl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k2
-  FROM w{lvl} GROUP BY feature, iv, val
+         CAST({_mdlp_chain("w{j}")} AS BIGINT) AS n1,
+         CAST({_mdlp_chain("t{j}")} AS BIGINT) AS n,
+         {_mdlp_chain(wterm)} AS s1,
+         {_mdlp_chain(tterm)} AS s,
+         {_mdlp_chain(rterm)} AS s2,
+         CAST({_mdlp_chain("(CASE WHEN w{j} > 0 THEN 1 ELSE 0 END)")} AS BIGINT) AS k1,
+         CAST({_mdlp_chain("(CASE WHEN t{j} > 0 THEN 1 ELSE 0 END)")} AS BIGINT) AS k,
+         CAST({_mdlp_chain("(CASE WHEN t{j} - w{j} > 0 THEN 1 ELSE 0 END)")} AS BIGINT) AS k2
+  FROM w{lvl}
 ),
 sc{lvl} AS (
   SELECT feature, iv,
@@ -843,29 +862,27 @@ long AS (
   SELECT u.i - 1 AS feature, f[u.i] AS val, lbl
   FROM inst, LATERAL (SELECT unnest(generate_series(1, len(f))) AS i) u
 ),
-hist AS (SELECT feature, val, lbl, COUNT(*) AS c FROM long GROUP BY 1, 2, 3),
 grid AS (
-  SELECT v.feature, v.val, l.lbl, COALESCE(h.c, 0) AS c
-  FROM (SELECT DISTINCT feature, val FROM hist) v
-  CROSS JOIN (SELECT DISTINCT lbl FROM inst) l
-  LEFT JOIN hist h ON h.feature = v.feature AND h.val = v.val AND h.lbl = l.lbl
+  SELECT feature, val,
+         {", ".join(f"SUM(CASE WHEN lbl = {j}.0 THEN 1 ELSE 0 END) AS c{j}" for j in range(_MDLP_K))}
+  FROM long GROUP BY feature, val
 ),
 w1 AS (
-  SELECT feature, 0 AS iv, val, lbl,
-         SUM(c) OVER (PARTITION BY feature, lbl ORDER BY val) AS wl,
-         SUM(c) OVER (PARTITION BY feature, lbl) AS tl
+  SELECT feature, 0 AS iv, val,
+         {", ".join(f"SUM(c{j}) OVER (PARTITION BY feature ORDER BY val) AS w{j}" for j in range(_MDLP_K))},
+         {", ".join(f"SUM(c{j}) OVER (PARTITION BY feature) AS t{j}" for j in range(_MDLP_K))}
   FROM grid
 ),
 {_mdlp_level_sql(1)},
 a2 AS (
-  SELECT g.feature, g.val, g.lbl, g.c,
+  SELECT g.*,
          CASE WHEN p.cut IS NOT NULL AND g.val > p.cut THEN 1 ELSE 0 END AS iv
   FROM grid g LEFT JOIN pick1 p ON p.feature = g.feature
 ),
 w2 AS (
-  SELECT feature, iv, val, lbl,
-         SUM(c) OVER (PARTITION BY feature, iv, lbl ORDER BY val) AS wl,
-         SUM(c) OVER (PARTITION BY feature, iv, lbl) AS tl
+  SELECT feature, iv, val,
+         {", ".join(f"SUM(c{j}) OVER (PARTITION BY feature, iv ORDER BY val) AS w{j}" for j in range(_MDLP_K))},
+         {", ".join(f"SUM(c{j}) OVER (PARTITION BY feature, iv) AS t{j}" for j in range(_MDLP_K))}
   FROM a2
 ),
 {_mdlp_level_sql(2)},

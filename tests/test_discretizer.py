@@ -233,3 +233,67 @@ def test_mdlp_end_to_end_selector_on_kais_continuous(spark):
         .fit(binned)
     )
     assert len(model.selected_indices()) == 2
+
+
+# --- grid cap (VERDICT r5 #4): near-unique features are bounded in-operator ---
+
+
+@pytest.fixture(scope="module")
+def near_unique(spark):
+    """One informative near-unique feature (every value distinct), one
+    coarse feature — the shape whose depth-0 window partition would
+    otherwise hold the whole ~n-row value grid in one task."""
+    rows = []
+    for i in range(500):
+        lbl = float(i >= 250)
+        # strictly increasing -> 500 distinct values, class boundary at 250
+        f0 = i * 0.01 + (i * 37 % 97) * 1e-6
+        rows.append((i, [float(f0), float(i % 4)], lbl))
+    return spark.createDataFrame(
+        rows, "id long, features array<double>, label double"
+    ).cache()
+
+
+def test_mdlp_cap_fires_and_bounds_the_grid(near_unique):
+    from spark_relieffc_fselection_spark.ml.discretizer import fit_mdlp_edges
+
+    report: dict[int, int] = {}
+    edges = fit_mdlp_edges(
+        near_unique, max_depth=4, max_candidates=50, cap_report=report
+    )
+    # only the near-unique feature is capped, at its true distinct count
+    assert report == {0: 500}
+    # quantized representatives are bucket midpoints -> at most
+    # max_candidates distinct cut positions, all inside the value range
+    vals = [r["features"][0] for r in near_unique.collect()]
+    mn, mx = min(vals), max(vals)
+    assert edges[0], "informative feature must still get a cut"
+    assert all(mn < c < mx for c in edges[0])
+    assert len(edges[0]) < 50
+    # the class boundary at value ~2.5 must survive quantization
+    assert any(2.3 < c < 2.7 for c in edges[0]), edges[0]
+    # all cuts finite
+    assert all(np.isfinite(c) for row in edges for c in row)
+
+
+def test_mdlp_cap_noop_below_threshold(near_unique):
+    """With the cap above the distinct count, results are identical to
+    an effectively-uncapped run and the report stays empty."""
+    from spark_relieffc_fselection_spark.ml.discretizer import fit_mdlp_edges
+
+    report: dict[int, int] = {}
+    capped = fit_mdlp_edges(
+        near_unique, max_depth=3, max_candidates=10_000, cap_report=report
+    )
+    uncapped = fit_mdlp_edges(
+        near_unique, max_depth=3, max_candidates=1_000_000
+    )
+    assert report == {}
+    assert capped == uncapped
+
+
+def test_mdlp_cap_rejects_degenerate():
+    from spark_relieffc_fselection_spark.ml.discretizer import fit_mdlp_edges
+
+    with pytest.raises(ValueError, match="max_candidates"):
+        fit_mdlp_edges(None, max_candidates=1)
