@@ -452,6 +452,93 @@ def main() -> None:
 
     bench("merge_intervals (gaps-and-islands)", imerge)
 
+    # strictly-ordered funnel: one filtered scan + user-keyed groupBy
+    # per stage, chain stays co-partitioned on user — expect ~linear
+    # in events with a stages-count constant
+    from spark_relieffc_fselection_spark.operators.analytics import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    def funnel(kk: int) -> DataFrame:
+        return funnel_counts(
+            ev_k(kk), "user_id", "event_type", "ts",
+            ["view", "click", "purchase"],
+        )
+
+    bench("funnel_counts (per-stage user groupBy chain)", funnel)
+
+    # cohort retention: distinct (user, bucket) + per-user min, joined
+    # on the user key (co-partitioned) — expect ~linear
+    bench(
+        "cohort_retention (2 user-keyed aggs + join)",
+        lambda kk: cohort_retention(ev_k(kk), "user_id", "ts"),
+    )
+
+    # last-touch attribution: asof_join self-application — union +
+    # ONE per-user window pass; expect ~n log n in per-user rows
+    from spark_relieffc_fselection_spark.operators.temporal import asof_join
+
+    def attribution(kk: int) -> DataFrame:
+        e = ev_k(kk)
+        p = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        c = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        return asof_join(
+            p, c, on=["user_id"], ts_col="ts",
+            right_cols=("event_id",), tiebreak_col="event_id",
+        )
+
+    bench("last_touch asof_join (union + 1 window)", attribution)
+
+    # calendar gap fill: the ONLY fact-sized work is the daily
+    # aggregate (calendar-sized output, localized); spine/grid/fill
+    # never touch the corpus — expect ~linear scan cost
+    def calfill(kk: int) -> DataFrame:
+        o = replicate(orders, kk, "o_orderkey", n_orders)
+        return o.select(
+            F.to_date("o_orderdate").alias("d"), "o_orderpriority"
+        ).groupBy("d", "o_orderpriority").agg(F.count("*").alias("n"))
+
+    bench("calendar_fill fact agg (1 scan, calendar-sized out)", calfill)
+
+    # PSI drift: two histogram aggregations (fact-sized scans, bin-
+    # sized outputs) + a bin-sized full outer join — expect ~linear
+    from spark_relieffc_fselection_spark.operators.quality import (
+        compaction_plan,
+        psi_report,
+    )
+
+    def psi(kk: int) -> DataFrame:
+        d = docs_k(kk)
+        old = d.filter(F.col("doc_id") % 2 == 0).groupBy(
+            (F.col("n_chars") / 500).cast("bigint").alias("bin")
+        ).agg(F.count("*").alias("n_old"))
+        new = d.filter(F.col("doc_id") % 2 == 1).groupBy(
+            ((F.col("n_chars") + 40) / 500).cast("bigint").alias("bin")
+        ).agg(F.count("*").alias("n_new"))
+        return psi_report(old, new)
+
+    bench("psi_report (2 hist aggs + bin-sized join)", psi)
+
+    # (rolling_stats already benched below with the quality family)
+
+    # compaction planning: one groupBy, partition-cardinality output —
+    # expect ~linear scan cost
+    bench(
+        "compaction_plan (1 groupBy)",
+        lambda kk: compaction_plan(
+            ev_k(kk).select(
+                F.col("event_type").alias("part"),
+                (F.col("event_id") % 4096 + 64).alias("bytes"),
+            ),
+            "part", "bytes", target_bytes=1 << 20,
+        ),
+    )
+
     # BM25: one tokenize pass for the stats row + one for scoring —
     # expect ~linear, explode-dominated
     from spark_relieffc_fselection_spark.operators.retrieval import bm25_topk

@@ -996,3 +996,89 @@ def q149_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("tn"), 6).alias("p"),
     )
+
+
+@register(
+    "q150_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 4 <> 3
+    ),
+    ch AS (
+      SELECT doc_id, 1 AS version,
+             CASE WHEN doc_id % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+             n_chars + 7 AS nc
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 2 AS version, 'upsert' AS op, n_chars + 11 AS nc
+      FROM documents WHERE doc_id % 6 = 0
+    ),
+    latest AS (
+      SELECT doc_id, op, nc FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY version DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ),
+    m AS (
+      SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+             b.n_chars AS old_nc, b.doc_id IS NOT NULL AS in_base,
+             l.op, l.nc
+      FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN op IS NULL THEN 'keep'
+                WHEN in_base THEN 'update'
+                ELSE 'insert' END AS action,
+           CASE WHEN op = 'upsert' THEN nc ELSE old_nc END AS n_chars
+    FROM m
+    WHERE op IS NULL OR op <> 'delete'
+    """,
+    doc="MERGE INTO semantics (the lakehouse upsert): a versioned CDC "
+        "change feed (upserts + deletes, latest version per key wins) "
+        "applied to a base snapshot in ONE key-partitioned full outer "
+        "join. The change feed compacts to latest-per-key with a "
+        "partial-aggregatable max_by BEFORE the join (map-side, no "
+        "window over the feed), so the wide side shuffles once and the "
+        "merge emits keep/update/insert rows and drops deletes. At "
+        "100 TB the base side is partition-pruned to only the "
+        "partitions the feed touches (files without matching keys "
+        "never rewrite) — this query is the row-level semantics that "
+        "partition-level pruning wraps.",
+)
+def q150_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 3).select("doc_id", "n_chars")
+    ch1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.lit(1).alias("version"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.col("n_chars") + 7).alias("nc"),
+    )
+    ch2 = docs.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        F.lit(2).alias("version"),
+        F.lit("upsert").alias("op"),
+        (F.col("n_chars") + 11).alias("nc"),
+    )
+    latest = (
+        ch1.unionByName(ch2)
+        .groupBy("doc_id")
+        .agg(F.max_by(F.struct("op", "nc"), F.col("version")).alias("best"))
+        .select("doc_id", F.col("best.op").alias("op"), F.col("best.nc").alias("nc"))
+    )
+    m = base.withColumn("in_base", F.lit(True)).join(
+        latest, "doc_id", "full_outer"
+    )
+    return m.filter(F.col("op").isNull() | (F.col("op") != "delete")).select(
+        "doc_id",
+        F.when(F.col("op").isNull(), F.lit("keep"))
+        .when(F.col("in_base").isNotNull(), F.lit("update"))
+        .otherwise(F.lit("insert"))
+        .alias("action"),
+        F.when(F.col("op") == "upsert", F.col("nc"))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
