@@ -66,8 +66,12 @@ _PRIORITY: tuple[str, ...] = (
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
     # new this round: the unrolled-greedy oracle closing most of q72's
-    # rows-only gap (VERDICT r5 #3)
+    # rows-only gap (VERDICT r5 #3), MERGE-upsert, seeded negative
+    # sampling, Zipf rank-frequency fit
     "q72b_relief_greedy_topk",
+    "q150_merge_upsert",
+    "q151_negative_sampling",
+    "q152_zipf_fit",
     # changed this round: MDLP grid cap enforced in-operator
     # (VERDICT r5 #4/#9)
     "q105_mdlp_discretize",
@@ -85,9 +89,6 @@ _PRIORITY: tuple[str, ...] = (
     "q37_relief_discrete_collisions",
     "q41_corpus_curation",
     "q44_sparse_relief_relevance",
-    "q45_analytic_windows",
-    "q52_correlated_subquery",
-    "q53_mom_growth",
     "q57_stratified_sample",
     "q59_stopword_scrub",
     "q60_sequence_packing",
@@ -124,8 +125,13 @@ _PRIORITY: tuple[str, ...] = (
 #: pure-Catalyst shapes in the registry (rotate them in next round
 #: ahead of anything r4-green).
 _DEFERRED: dict[str, int] = {
-    # r3-green, deliberately held to round 7 (window overflow):
+    # r3-green, deliberately held to round 7 (window overflow; q45/
+    # q52/q53 displaced late by the three new round-6 queries — all
+    # single-shape pure-Catalyst OLAP, locally swept):
     "q38_rollup": 3,
+    "q45_analytic_windows": 3,
+    "q52_correlated_subquery": 3,
+    "q53_mom_growth": 3,
     "q39_distinct_agg": 3,
     "q40_percentiles": 3,
     "q46_cube": 3,

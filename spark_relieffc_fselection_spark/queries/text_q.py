@@ -479,3 +479,89 @@ def q112_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(top), "tok").select(
         "tok", "true_count", "est_count"
     )
+
+
+#: q152: vocabulary head size for the Zipf rank-frequency fit.
+ZIPF_TOP = 500
+
+
+@register(
+    "q152_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS cnt FROM toks
+      WHERE term <> '' GROUP BY term
+    ),
+    head AS (
+      SELECT term, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rnk
+      FROM counts
+      ORDER BY cnt DESC, term ASC LIMIT {ZIPF_TOP}
+    ),
+    pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM head),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+    doc="Zipf rank-frequency fit: token counts -> top-ZIPF_TOP head "
+        "(bounded top-k = TakeOrderedAndProject, never a global sort "
+        "of the vocabulary) -> OLS slope/intercept in log-log space, "
+        "decimal-summed so shuffle order can't move the fit. The "
+        "corpus-health one-liner: a healthy natural-language crawl "
+        "sits near slope -1; template/boilerplate floods flatten the "
+        "head and machine-generated spam steepens it. One tokenize "
+        "shuffle; everything after the head is 500 rows.",
+)
+def q152_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    head = (
+        counts.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(ZIPF_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("term"))
+            ),
+        )
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    DEC = "decimal(38,18)"
+    sums = head.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -1526,3 +1526,118 @@ def q117_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("calib", F.round(F.percent_rank().over(w), 6))
         .select("doc_id", "source", "quality_score", "calib")
     )
+
+
+#: q151 negative-sampling shape: anchors, negatives per anchor, hash
+#: buckets bounding the candidate join.
+NEG_ANCHOR_MOD = 20
+NEG_K = 4
+NEG_BUCKETS = 32
+
+
+@register(
+    "q151_negative_sampling",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id, source, doc_id % {NEG_BUCKETS} AS bucket
+      FROM documents
+    ),
+    probes AS (
+      SELECT d.doc_id AS anchor_id, d.source AS a_source, j.j AS neg_slot,
+             ('0x' || substr(md5(CAST(d.doc_id * {NEG_K} + j.j AS VARCHAR)), 4, 6))::BIGINT
+               % {NEG_BUCKETS} AS bucket
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, {NEG_K - 1})) AS j) j
+      WHERE d.doc_id % {NEG_ANCHOR_MOD} = 0
+    ),
+    scored AS (
+      SELECT p.anchor_id, p.neg_slot, c.doc_id AS cand_id,
+             ('0x' || substr(md5(CAST(p.anchor_id AS VARCHAR) || '_'
+                                 || CAST(p.neg_slot AS VARCHAR) || '_'
+                                 || CAST(c.doc_id AS VARCHAR)), 4, 6))::BIGINT AS u
+      FROM probes p JOIN cand c ON p.bucket = c.bucket
+      WHERE c.source <> p.a_source AND c.doc_id <> p.anchor_id
+    )
+    SELECT anchor_id, neg_slot, cand_id AS neg_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, neg_slot
+                                   ORDER BY u, cand_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="Seeded negative sampling for contrastive training pairs: each "
+        "anchor draws NEG_K negatives from OTHER sources by probing a "
+        "hash-derived candidate bucket and taking the md5-uniform "
+        "minimum inside it — fully deterministic (md5-engine-exact, "
+        "ties by cand_id), so resamples are reproducible and stable "
+        "across reruns. Scale: the candidate join is BUCKET-bounded — "
+        "anchors x NEG_K probe rows join one bucket each (corpus/"
+        "NEG_BUCKETS rows), never the whole corpus; at 100 TB raise "
+        "NEG_BUCKETS so buckets stay ~10k docs and the probe join "
+        "stays flat. No all-pairs term anywhere; one shuffle on the "
+        "bucket key + one partial-aggregatable min_by.",
+)
+def q151_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("source").alias("c_source"),
+        (F.col("doc_id") % NEG_BUCKETS).alias("bucket"),
+    )
+    probes = (
+        docs.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("a_source"),
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("neg_slot"),
+        )
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("anchor_id") * NEG_K + F.col("neg_slot")).cast(
+                            "string"
+                        )
+                    ),
+                    4,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % NEG_BUCKETS,
+        )
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_slot").cast("string"),
+                    F.col("cand_id").cast("string"),
+                )
+            ),
+            4,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = (
+        probes.join(cand, "bucket")
+        .filter(
+            (F.col("c_source") != F.col("a_source"))
+            & (F.col("cand_id") != F.col("anchor_id"))
+        )
+        .select("anchor_id", "neg_slot", "cand_id", u.alias("u"))
+    )
+    return (
+        scored.groupBy("anchor_id", "neg_slot")
+        .agg(
+            F.min_by(
+                F.col("cand_id"), F.struct(F.col("u"), F.col("cand_id"))
+            ).alias("neg_id")
+        )
+        .select("anchor_id", "neg_slot", "neg_id")
+    )

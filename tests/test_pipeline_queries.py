@@ -141,3 +141,79 @@ def test_doc_chunking_invariants(spark):
             assert r["n_toks"] == min(CHUNK_TOKS, n - r["start_tok"] + 1)
         last = rows[-1]
         assert last["start_tok"] + last["n_toks"] - 1 == n
+
+
+# --- round-6 additions: MERGE upsert, negative sampling, Zipf fit ------------
+
+
+def test_merge_upsert_partitions_and_semantics(spark):
+    """Action set is exact: every base key not deleted appears once,
+    every change-feed upsert key appears once, deletes vanish, and the
+    latest version wins."""
+    from spark_relieffc_fselection_spark.queries.warehouse_q import (
+        q150_merge_upsert,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    base_ids = {r["doc_id"] for r in docs.filter(F.col("doc_id") % 4 != 3).collect()}
+    nchars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    out = {r["doc_id"]: r for r in q150_merge_upsert(spark, SF_DIR).collect()}
+
+    for did, r in out.items():
+        changed = did % 3 == 0 or did % 6 == 0
+        if not changed:
+            assert r["action"] == "keep" and did in base_ids
+            assert r["n_chars"] == nchars[did]
+        elif did % 6 == 0:
+            # v2 upsert overrides any v1 delete; latest version wins
+            assert r["action"] == ("update" if did in base_ids else "insert")
+            assert r["n_chars"] == nchars[did] + 11
+        else:
+            assert r["action"] == ("update" if did in base_ids else "insert")
+            assert r["n_chars"] == nchars[did] + 7
+    # v1 deletes (not overridden by v2) are gone
+    deleted = {
+        d for d in nchars
+        if d % 3 == 0 and d % 5 == 0 and d % 6 != 0
+    }
+    assert deleted and not (deleted & set(out))
+    # every surviving base key is present
+    assert base_ids - deleted <= set(out)
+
+
+def test_negative_sampling_invariants(spark):
+    """Negatives are never the anchor, never the anchor's source, at
+    most NEG_K per anchor, and deterministic across reruns."""
+    from spark_relieffc_fselection_spark.queries.trainprep_q import (
+        NEG_K,
+        q151_negative_sampling,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    rows = q151_negative_sampling(spark, SF_DIR).collect()
+    assert rows
+    per_anchor: dict[int, set[int]] = {}
+    for r in rows:
+        a, n = r["anchor_id"], r["neg_id"]
+        assert a % 20 == 0 and n != a
+        assert src[n] != src[a]
+        assert 0 <= r["neg_slot"] < NEG_K
+        per_anchor.setdefault(a, set()).add(r["neg_slot"])
+    assert all(len(s) <= NEG_K for s in per_anchor.values())
+    again = q151_negative_sampling(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_zipf_fit_slope_negative_and_bounded_plan(spark):
+    """Rank-frequency slope is negative (frequency decreases in rank)
+    and the head is bounded top-k — the plan must take the
+    TakeOrderedAndProject path, not a global vocabulary sort."""
+    from spark_relieffc_fselection_spark.queries.text_q import q152_zipf_fit
+
+    df = q152_zipf_fit(spark, SF_DIR)
+    row = df.collect()[0]
+    assert row["n_terms"] > 10  # sf0.001's synthetic vocab is tiny
+    assert row["slope"] < 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
