@@ -589,3 +589,32 @@ def test_event_transitions_single_window_pass(spark, qs):
     duplicated."""
     plan = _plan(qs["q149_event_transitions"](spark, SF))
     assert plan.count("FileScan parquet") == 0, plan
+
+
+def test_merge_upsert_single_join_feed_compacted(spark, qs):
+    """q150: exactly ONE join (the base-vs-latest full outer); the
+    change feed compacts to latest-per-key with a partial-aggregatable
+    max_by (HashAggregate pair), never a window over the feed."""
+    plan = _plan(qs["q150_merge_upsert"](spark, SF))
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+    assert "Window" not in plan
+    # max_by over a struct plans as SortAggregate — still partial+final
+    assert plan.count("SortAggregate") >= 2
+
+
+def test_negative_sampling_bucket_bounded(spark, qs):
+    """q151: the candidate join is a keyed bucket join — no cartesian
+    or broadcast-nested-loop all-pairs term anywhere — and the winner
+    per (anchor, slot) is a partial-aggregatable min_by, not a window
+    rank over the scored pairs."""
+    plan = _plan(qs["q151_negative_sampling"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    # min_by over a struct plans as SortAggregate — still partial+final
+    assert plan.count("SortAggregate") >= 2
