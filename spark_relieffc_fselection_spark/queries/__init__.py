@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "q150_merge_upsert",
     "q151_negative_sampling",
     "q152_zipf_fit",
+    "q153_bpe_merge_step",
+    "q154_streaming_upsert_state",
     # changed this round: MDLP grid cap enforced in-operator
     # (VERDICT r5 #4/#9)
     "q105_mdlp_discretize",
@@ -87,9 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "q22_simhash_signatures",
     "q27_embedding_neardup",
     "q37_relief_discrete_collisions",
-    "q41_corpus_curation",
     "q44_sparse_relief_relevance",
-    "q57_stratified_sample",
     "q59_stopword_scrub",
     "q60_sequence_packing",
     "q61_contamination",
@@ -126,12 +126,14 @@ _PRIORITY: tuple[str, ...] = (
 #: ahead of anything r4-green).
 _DEFERRED: dict[str, int] = {
     # r3-green, deliberately held to round 7 (window overflow; q45/
-    # q52/q53 displaced late by the three new round-6 queries — all
-    # single-shape pure-Catalyst OLAP, locally swept):
+    # q52/q53/q57/q41 displaced late by the five new round-6 queries —
+    # all stable compositions of in-window shapes, locally swept):
     "q38_rollup": 3,
     "q45_analytic_windows": 3,
     "q52_correlated_subquery": 3,
+    "q41_corpus_curation": 3,
     "q53_mom_growth": 3,
+    "q57_stratified_sample": 3,
     "q39_distinct_agg": 3,
     "q40_percentiles": 3,
     "q46_cube": 3,

@@ -766,3 +766,88 @@ def q148_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(all_row)
+
+
+@register(
+    "q154_streaming_upsert_state",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s,
+           event_id AS last_event_id,
+           ROUND("value", 6) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Streaming latest-state materialization (the compacted-topic "
+        "upsert view): the post-cutoff event stream folds to per-key "
+        "latest-(ts, event_id) state with a partial-aggregatable "
+        "max_by in complete mode, drained via availableNow, then "
+        "merges with the STORED pre-cutoff latest state by the same "
+        "(ts, event_id) ordering — the stored side is never rescanned "
+        "and streamed-then-merged equals one batch pass over all "
+        "events bit-for-bit (this oracle). The per-key state is one "
+        "struct regardless of event volume — the O(keys) streaming "
+        "state bound that makes the upsert view viable at 100 TB/day "
+        "ingest; ties break by event_id, mirroring q132's asof "
+        "discipline.",
+)
+def q154_streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.queries.events_q import (
+        _SINK_SEQ,
+        _staged_events_dir,
+        _stream_conf,
+    )
+    from spark_relieffc_fselection_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+    pick = F.max_by(
+        F.struct(
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+        ),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("best")
+
+    stream = read_events_stream(spark, _staged_events_dir(spark, sf_dir))
+    delta_stream = (
+        stream.filter(F.col("ts") >= cutoff).groupBy("user_id").agg(pick)
+    )
+    _SINK_SEQ[0] += 1
+    with _stream_conf(spark):
+        delta = run_to_memory_sink(
+            delta_stream,
+            f"q154_sink_{_SINK_SEQ[0]}",
+            output_mode="complete",
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    stored = ev.filter(F.col("ts") < cutoff).groupBy("user_id").agg(pick)
+    j = stored.withColumnRenamed("best", "b_old").join(
+        delta.withColumnRenamed("best", "b_new"), "user_id", "full_outer"
+    )
+    best = F.when(
+        F.col("b_new").isNull(), F.col("b_old")
+    ).when(
+        F.col("b_old").isNull(), F.col("b_new")
+    ).when(
+        # struct comparison is lexicographic on (ts_s, eid) — the
+        # merge applies the SAME ordering the two sides used
+        F.struct(F.col("b_new.ts_s"), F.col("b_new.eid"))
+        > F.struct(F.col("b_old.ts_s"), F.col("b_old.eid")),
+        F.col("b_new"),
+    ).otherwise(F.col("b_old"))
+    return j.select(
+        "user_id",
+        best.getField("ts_s").alias("last_ts_s"),
+        best.getField("eid").alias("last_event_id"),
+        F.round(best.getField("v"), 6).alias("last_value"),
+    )

@@ -565,3 +565,120 @@ def q152_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+#: q153: merge candidates reported per BPE round.
+BPE_TOP = 5
+
+
+@register(
+    "q153_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, COUNT(*) AS wc FROM words
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    p1 AS (
+      SELECT substr(w, i.i, 2) AS pair, SUM(wc) AS wcnt
+      FROM vocab, LATERAL (
+        SELECT unnest(generate_series(1, length(w) - 1)) AS i
+      ) i
+      GROUP BY 1
+    ),
+    top1 AS (
+      SELECT pair FROM p1 ORDER BY wcnt DESC, pair ASC LIMIT 1
+    ),
+    vocab2 AS (
+      SELECT replace(w, (SELECT pair FROM top1), chr(1)) AS w, wc
+      FROM vocab
+    ),
+    p2 AS (
+      SELECT substr(w, i.i, 2) AS pair, SUM(wc) AS wcnt
+      FROM vocab2, LATERAL (
+        SELECT unnest(generate_series(1, length(w) - 1)) AS i
+      ) i
+      WHERE length(w) >= 2
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT 1 AS round, pair, wcnt,
+             ROW_NUMBER() OVER (ORDER BY wcnt DESC, pair ASC) AS rank
+      FROM (SELECT * FROM p1 ORDER BY wcnt DESC, pair ASC LIMIT {BPE_TOP})
+      UNION ALL
+      SELECT 2 AS round, pair, wcnt,
+             ROW_NUMBER() OVER (ORDER BY wcnt DESC, pair ASC) AS rank
+      FROM (SELECT * FROM p2 ORDER BY wcnt DESC, pair ASC LIMIT {BPE_TOP})
+    )
+    SELECT round, rank, replace(pair, chr(1), '*') AS pair,
+           CAST(wcnt AS BIGINT) AS wcnt
+    FROM ranked
+    """,
+    doc="BPE tokenizer induction, two merge rounds unrolled: adjacent "
+        "symbol-pair counts weighted by word frequency pick merge #1; "
+        "the merge applies to the vocabulary (left-to-right "
+        "non-overlapping replace, identical in both engines) and round "
+        "2 recounts over the merged symbols ('*' renders the new "
+        "symbol). THE scale property of BPE training: pair counting "
+        "runs over the DISTINCT-WORD vocabulary weighted by counts, "
+        "never the corpus — one corpus tokenize shuffle builds the "
+        "vocab, then every merge round is vocab-sized (and the vocab "
+        "itself is Zipf-bounded far below corpus size at 100 TB). "
+        "Both rounds' candidate lists are bounded top-k.",
+)
+def q153_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    # vocab is Zipf-bounded (distinct words) — localize so both merge
+    # rounds read a LocalRelation instead of re-running the corpus
+    # tokenize (the q129 dupe-subtree rule: two consumers => localize)
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+
+    def pairs(v):
+        return (
+            v.select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+                ).alias("pair"),
+                "wc",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("wcnt"))
+        )
+
+    p1 = pairs(vocab)
+    top1 = p1.orderBy(F.desc("wcnt"), F.asc("pair")).limit(1).collect()
+    merge1 = top1[0]["pair"] if top1 else ""
+    # literal (non-regex) replace, left-to-right non-overlapping —
+    # identical semantics to the oracle's replace()
+    vocab2 = vocab.select(
+        (
+            F.replace(F.col("w"), F.lit(merge1), F.lit("\x01"))
+            if merge1
+            else F.col("w")
+        ).alias("w"),
+        "wc",
+    ).filter(F.length("w") >= 2)
+    p2 = pairs(vocab2)
+
+    def head(p, rnd):
+        h = p.orderBy(F.desc("wcnt"), F.asc("pair")).limit(BPE_TOP)
+        return h.select(
+            F.lit(rnd).alias("round"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("wcnt"), F.asc("pair")))
+            .alias("rank"),
+            F.translate("pair", "\x01", "*").alias("pair"),
+            F.col("wcnt").cast("bigint").alias("wcnt"),
+        )
+
+    return head(p1, 1).unionByName(head(p2, 2))

@@ -217,3 +217,50 @@ def test_zipf_fit_slope_negative_and_bounded_plan(spark):
     assert row["slope"] < 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_merge_step_rounds(spark):
+    """The round-1 winning pair is consumed by the merge: it cannot
+    appear among round-2 candidates, and every round is exactly the
+    top-BPE_TOP list with dense ranks."""
+    from spark_relieffc_fselection_spark.queries.text_q import (
+        BPE_TOP,
+        q153_bpe_merge_step,
+    )
+
+    rows = q153_bpe_merge_step(spark, SF_DIR).collect()
+    r1 = sorted((r for r in rows if r["round"] == 1), key=lambda r: r["rank"])
+    r2 = sorted((r for r in rows if r["round"] == 2), key=lambda r: r["rank"])
+    assert len(r1) == BPE_TOP and len(r2) == BPE_TOP
+    assert [r["rank"] for r in r1] == list(range(1, BPE_TOP + 1))
+    winner = r1[0]["pair"]
+    assert winner not in {r["pair"] for r in r2}
+    # counts are non-increasing within a round
+    for rs in (r1, r2):
+        cs = [r["wcnt"] for r in rs]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_streaming_upsert_state_is_latest_per_user(spark):
+    """Stream-then-merge equals one batch latest-per-key pass (the
+    compacted-topic law) — checked directly against a batch window."""
+    from pyspark.sql import Window as W
+
+    from spark_relieffc_fselection_spark.queries.quality_q import (
+        q154_streaming_upsert_state,
+    )
+
+    got = {
+        r["user_id"]: (r["last_ts_s"], r["last_event_id"])
+        for r in q154_streaming_upsert_state(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        r["user_id"]: (r["ts_s"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id")
+        .collect()
+    }
+    assert got == want
