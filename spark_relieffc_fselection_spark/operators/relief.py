@@ -711,6 +711,19 @@ def fit_relief(
     the next batch's joint-stat scope -> union-sum -> min-max -> MI ->
     greedy selection.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _dbg:
+            print(f"#fit {label}: {_time.time() - _t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.time()
+
     spark = df.sparkSession
     instances = df.select(
         F.col(id_col).alias("id"),
@@ -730,6 +743,7 @@ def fit_relief(
             "fit_relief requires a non-empty dataset "
             "(the reference would NPE on head(); we fail with intent)"
         )
+    _mark("profile")
     n_elems = sum(r["n"] for r in label_rows)
     n_feat = len(label_rows[0]["fx"]) if label_rows else 0
     priors = {float(r["label"]): r["n"] / n_elems for r in label_rows}
@@ -784,6 +798,7 @@ def fit_relief(
         # (ReliefFRSelector.scala:469-470 sums the per-bin pair counts);
         # this count is also the action that materializes the cache.
         n_pairs = pairs.count()
+        _mark("batch pairs count")
         total_interactions += n_pairs
         long_pairs = explode_pairs(pairs)
 
@@ -816,6 +831,7 @@ def fit_relief(
             ).cache()
             # materialize before pairs is unpersisted below
             m_b.count(), j_b.count()
+            _mark("batch m/j materialize")
             marginals.append(m_b)
             joints.append(j_b)
 
@@ -830,6 +846,7 @@ def fit_relief(
             .limit(lower_feat)
             .collect()
         )
+        _mark("batch top rows")
         if top_rows:
             # empty batches keep the previous ranking — the reference
             # only replaces topFeatures when results are non-empty
@@ -842,6 +859,7 @@ def fit_relief(
     # Merge batches: sum raw weights then global min-max (fit :300-312).
     from functools import reduce
 
+    _mark("batch loop end")
     merged = reduce(DataFrame.unionByName, batch_weights)
     final_w = merged.groupBy("feature_idx").agg(F.sum("relevance").alias("relevance"))
     rows = final_w.collect()
@@ -851,6 +869,7 @@ def fit_relief(
     mn, mx = float(relevance.min()), float(relevance.max())
     relevance = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_feat)
 
+    _mark("final weights collect")
     std_sel = std_ranking(relevance, num_top_features)
 
     red_coo: dict[tuple[int, int], float] = {}
@@ -876,6 +895,7 @@ def fit_relief(
     for df in (*batch_weights, *marginals, *joints):
         df.unpersist()
 
+    _mark("redundancy mi collect")
     red_sel = (
         greedy_select(relevance, red_coo, num_top_features)
         if redundancy_removal
