@@ -734,6 +734,86 @@ def main() -> None:
 
     bench("event_transitions (one lag window)", transitions)
 
+    # MERGE upsert: latest-per-key compaction (max_by partial agg) +
+    # one key-partitioned full outer join — expect ~linear
+    def merge_upsert(kk: int) -> DataFrame:
+        d = docs_k(kk).select("doc_id", "n_chars")
+        base = d.filter(F.col("doc_id") % 4 != 3)
+        ch1 = d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.lit(1).alias("v"),
+            F.when(F.col("doc_id") % 5 == 0, "delete").otherwise("upsert").alias("op"),
+            (F.col("n_chars") + 7).alias("nc"))
+        ch2 = d.filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", F.lit(2).alias("v"), F.lit("upsert").alias("op"),
+            (F.col("n_chars") + 11).alias("nc"))
+        latest = (ch1.unionByName(ch2).groupBy("doc_id")
+                  .agg(F.max_by(F.struct("op", "nc"), F.col("v")).alias("b")))
+        j = base.withColumn("in_base", F.lit(True)).join(latest, "doc_id", "full_outer")
+        return j.filter(F.col("b.op").isNull() | (F.col("b.op") != "delete"))
+
+    bench("merge_upsert (compact feed + 1 full outer join)", merge_upsert)
+
+    # negative sampling: bucket-bounded candidate join + min_by — the
+    # probe side grows with anchors, the bucket side with corpus/
+    # NEG_BUCKETS; expect ~linear-with-product term unless buckets are
+    # rescaled (the documented 100 TB knob)
+    def negsample(kk: int) -> DataFrame:
+        d = docs_k(kk)
+        cand = d.select(F.col("doc_id").alias("cid"),
+                        F.col("source").alias("cs"),
+                        (F.col("doc_id") % (32 * kk)).alias("bucket"))
+        probes = (d.filter(F.col("doc_id") % 20 == 0)
+                  .select(F.col("doc_id").alias("aid"), F.col("source").alias("as_"),
+                          F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+                  .withColumn("bucket", F.conv(F.substring(F.md5(
+                      (F.col("aid") * 4 + F.col("j")).cast("string")), 4, 6),
+                      16, 10).cast("long") % (32 * kk)))
+        u = F.conv(F.substring(F.md5(F.concat_ws("_", "aid", "j", "cid")), 4, 6),
+                   16, 10).cast("long")
+        sc = (probes.join(cand, "bucket")
+              .filter((F.col("cs") != F.col("as_")) & (F.col("cid") != F.col("aid")))
+              .select("aid", "j", "cid", u.alias("u")))
+        return sc.groupBy("aid", "j").agg(
+            F.min_by("cid", F.struct("u", "cid")).alias("neg"))
+
+    bench("negative_sampling (bucket join, buckets scaled with k)", negsample)
+
+    # Zipf fit + BPE pair counts: tokenize shuffle -> vocab-sized work
+    from spark_relieffc_fselection_spark.functions.text import tokens as _toks
+
+    def zipf(kk: int) -> DataFrame:
+        t = docs_k(kk).select(F.explode(_toks("text")).alias("term")).filter(
+            F.col("term") != "")
+        counts = t.groupBy("term").agg(F.count("*").alias("cnt"))
+        return counts.orderBy(F.desc("cnt"), F.asc("term")).limit(500)
+
+    bench("zipf head (tokenize + bounded top-k)", zipf)
+
+    def bpe_pairs(kk: int) -> DataFrame:
+        words = docs_k(kk).select(F.explode(_toks("text")).alias("w")).filter(
+            F.length("w") >= 2)
+        vocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+        return (vocab.select(F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .alias("pair"), "wc")
+            .groupBy("pair").agg(F.sum("wc").alias("wcnt")))
+
+    bench("bpe pair counts (vocab-sized, Zipf-bounded)", bpe_pairs)
+
+    # streaming-upsert batch form: two latest-per-key aggs + key join
+    def upsert_state(kk: int) -> DataFrame:
+        e = ev_k(kk)
+        pick = F.max_by(F.struct(F.unix_timestamp("ts").alias("s"),
+                                 F.col("event_id").alias("i"),
+                                 F.col("value").alias("v")),
+                        F.struct(F.col("ts"), F.col("event_id"))).alias("b")
+        old = e.filter(F.col("event_id") % 2 == 0).groupBy("user_id").agg(pick)
+        new = e.filter(F.col("event_id") % 2 == 1).groupBy("user_id").agg(pick)
+        return old.withColumnRenamed("b", "bo").join(
+            new.withColumnRenamed("b", "bn"), "user_id", "full_outer")
+
+    bench("upsert_state merge (2 max_by aggs + key join)", upsert_state)
+
     spark.stop()
 
 
