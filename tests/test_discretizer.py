@@ -297,3 +297,44 @@ def test_mdlp_cap_rejects_degenerate():
 
     with pytest.raises(ValueError, match="max_candidates"):
         fit_mdlp_edges(None, max_candidates=1)
+
+
+# --- boundary-filter equivalence under hypothesis ---------------------------
+
+
+def test_mdlp_boundary_filter_equals_all_midpoints_reference(spark):
+    """Fayyad's theorem in anger: the engine evaluates only boundary
+    midpoints, the numpy reference evaluates EVERY midpoint — the
+    accepted cut sets must match on randomized small-domain data whose
+    repeated values and same-class plateaus exercise the filter
+    aggressively (ties, pure runs, mixed blocks)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_relieffc_fselection_spark.ml.discretizer import fit_mdlp_edges
+
+    pair = st.tuples(
+        st.integers(min_value=0, max_value=7),   # value from a tiny pool
+        st.integers(min_value=0, max_value=2),   # class
+    )
+
+    @given(st.lists(pair, min_size=20, max_size=60))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(samples):
+        vals = [float(v) for v, _ in samples]
+        lbls = [float(c) for _, c in samples]
+        df = spark.createDataFrame(
+            [(i, [vals[i]], lbls[i]) for i in range(len(samples))],
+            "id long, features array<double>, label double",
+        )
+        got = fit_mdlp_edges(df, max_depth=4)[0]
+        want = _mdlp_numpy(vals, lbls, max_depth=4)
+        assert len(got) == len(want), (got, want, samples)
+        for a, b in zip(got, want):
+            assert abs(a - b) < 1e-12, (got, want)
+
+    check()
