@@ -703,6 +703,7 @@ def fit_relief(
     seed: int = 12345,
     knn_strategy: str = "numpy",
     exclude_self: bool = True,
+    batching: str = "random",
 ) -> ReliefFitResult:
     """Full fit dataflow (ReliefFRSelector.scala:199-325, DataFrame IR).
 
@@ -759,7 +760,24 @@ def fit_relief(
     max_size_allowed = (2**31 - 1) / 8.0 / (n_feat + 2) / max(sampled_size, 1)
     max_batch = min(batch_size, max_size_allowed) if max_size_allowed > 0 else batch_size
     n_batches = max(1, int(1.0 / max_batch))
-    batches = sample.randomSplit([1.0] * n_batches, seed=seed) if n_batches > 1 else [sample]
+    if n_batches <= 1:
+        batches = [sample]
+    elif batching == "random":
+        # the reference's engine-seeded split (ReliefFRSelector.scala:252)
+        batches = sample.randomSplit([1.0] * n_batches, seed=seed)
+    elif batching == "hash":
+        # Deterministic batching: id modulo n_batches. Same dataflow,
+        # same statistical role (disjoint cover of the sample), but
+        # reproducible across engines — the mode that lets the FULL
+        # batched fit (topFeatures feedback loop included) sit under a
+        # cross-engine SQL oracle (q72c). Operationally also the mode
+        # a re-run-stable production fit would pick.
+        batches = [
+            sample.filter(F.col("id") % n_batches == i)
+            for i in range(n_batches)
+        ]
+    else:
+        raise ValueError(f"unknown batching mode {batching!r}")
 
     top_features: list[int] | None = []  # batch 0 contributes no joint stats
     batch_weights: list[DataFrame] = []

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows-only gap (VERDICT r5 #3), MERGE-upsert, seeded negative
     # sampling, Zipf rank-frequency fit
     "q72b_relief_greedy_topk",
+    "q72c_relief_fit_hash_batched",
     "q150_merge_upsert",
     "q151_negative_sampling",
     "q152_zipf_fit",
@@ -90,7 +91,6 @@ _PRIORITY: tuple[str, ...] = (
     "q27_embedding_neardup",
     "q37_relief_discrete_collisions",
     "q44_sparse_relief_relevance",
-    "q59_stopword_scrub",
     "q60_sequence_packing",
     "q61_contamination",
     "q73_knn_lsh_recall",
@@ -126,14 +126,16 @@ _PRIORITY: tuple[str, ...] = (
 #: ahead of anything r4-green).
 _DEFERRED: dict[str, int] = {
     # r3-green, deliberately held to round 7 (window overflow; q45/
-    # q52/q53/q57/q41 displaced late by the five new round-6 queries —
-    # all stable compositions of in-window shapes, locally swept):
+    # q52/q53/q57/q41/q59 displaced late by the six new round-6
+    # queries — all stable compositions of in-window shapes, locally
+    # swept):
     "q38_rollup": 3,
     "q45_analytic_windows": 3,
     "q52_correlated_subquery": 3,
     "q41_corpus_curation": 3,
     "q53_mom_growth": 3,
     "q57_stratified_sample": 3,
+    "q59_stopword_scrub": 3,
     "q39_distinct_agg": 3,
     "q40_percentiles": 3,
     "q46_cube": 3,

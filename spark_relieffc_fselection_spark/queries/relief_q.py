@@ -981,3 +981,203 @@ def q93_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("feature", F.col("bin").cast("int").alias("bin"))
         .agg(F.count("*").alias("n_values"))
     )
+
+
+# --- q72c: the FULL batched fit under one oracle (hash batching) --------------
+
+Q72C_NEIGH = 3
+Q72C_TOP = 5            # = GREEDY_K picks; lower_feat = max(5, 3*5) = 15
+Q72C_LOWER_FEAT = 15
+
+
+def _q72c_batch_cte(b: int) -> str:
+    """One fit batch (id % 2 = b): within-batch kNN -> pair bins ->
+    raw relevance, collision votes, marginal mass, pair count. Mirrors
+    fit_relief's per-batch dataflow (operators/relief.py:756-841)
+    with the batching='hash' split."""
+    return f"""
+b{b}_inst AS MATERIALIZED (SELECT id, f, lbl FROM inst WHERE id % 2 = {b}),
+b{b}_knn AS MATERIALIZED (
+  SELECT query_id, q_label, neighbor_id, n_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dist, neighbor_id) AS rnk
+    FROM (
+      SELECT q.id AS query_id, q.lbl AS q_label,
+             x.id AS neighbor_id, x.lbl AS n_label,
+             sqrt(list_sum(list_transform(generate_series(1, len(q.f)),
+                  i -> (q.f[i] - x.f[i]) * (q.f[i] - x.f[i])))) AS dist
+      FROM b{b}_inst q JOIN b{b}_inst x ON q.id <> x.id
+    )
+  ) WHERE rnk <= {Q72C_NEIGH} * (SELECT COUNT(DISTINCT lbl) FROM inst)
+),
+b{b}_longf AS (
+  SELECT k.n_label, (k.n_label = k.q_label) AS same_class,
+         u.i - 1 AS feature_idx, abs(q.f[u.i] - x.f[u.i]) AS fdist,
+         k.query_id, k.neighbor_id
+  FROM b{b}_knn k JOIN b{b}_inst q ON k.query_id = q.id
+                  JOIN b{b}_inst x ON k.neighbor_id = x.id,
+       LATERAL (SELECT unnest(generate_series(1, len(q.f))) AS i) u
+),
+b{b}_paircnt AS (
+  SELECT n_label, (n_label = q_label) AS same_class, COUNT(*) AS bin_cnt
+  FROM b{b}_knn GROUP BY 1, 2
+),
+b{b}_bins AS MATERIALIZED (
+  SELECT feature_idx, n_label, same_class,
+         SUM(CAST(fdist AS DECIMAL(38,18))) AS bin_sum
+  FROM b{b}_longf GROUP BY 1, 2, 3
+),
+b{b}_w AS MATERIALIZED (
+  SELECT feature_idx,
+         CAST(SUM(CAST((CASE WHEN same_class THEN -1.0 ELSE 1.0 END) * prior
+              * CAST(bin_sum AS DOUBLE) / bin_cnt AS DECIMAL(38,18)))
+              AS DOUBLE) AS relevance
+  FROM b{b}_bins
+  JOIN b{b}_paircnt USING (n_label, same_class)
+  JOIN priors ON b{b}_bins.n_label = priors.lbl
+  GROUP BY feature_idx
+),
+b{b}_coll AS MATERIALIZED (
+  SELECT query_id, neighbor_id, feature_idx,
+         1.0 - LEAST(6.0, fdist) / 6.0 AS vote
+  FROM b{b}_longf WHERE fdist <= 1.2
+),
+b{b}_marg AS (
+  SELECT feature_idx,
+         CAST(SUM(CAST(vote AS DECIMAL(38,18))) AS DOUBLE) AS marginal
+  FROM b{b}_coll GROUP BY feature_idx
+),
+b{b}_np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM b{b}_knn)"""
+
+
+@register(
+    "q72c_relief_fit_hash_batched",
+    oracle=f"""
+    WITH inst AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
+             CAST(label AS DOUBLE) AS lbl
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
+    priors AS (SELECT lbl, COUNT(*) / total AS prior FROM inst, nn
+               GROUP BY lbl, total),
+    {_q72c_batch_cte(0)},
+    {_q72c_batch_cte(1)},
+    top15 AS MATERIALIZED (
+      SELECT feature_idx FROM b0_w
+      ORDER BY relevance DESC, feature_idx ASC LIMIT {Q72C_LOWER_FEAT}
+    ),
+    b1_jp AS (
+      SELECT a.feature_idx AS f1, b.feature_idx AS f2,
+             (a.vote + b.vote) / 2.0 AS jv
+      FROM b1_coll a JOIN b1_coll b
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      WHERE a.feature_idx <> b.feature_idx
+        AND a.feature_idx IN (SELECT feature_idx FROM top15)
+    ),
+    joint AS MATERIALIZED (
+      SELECT f1, f2,
+             CAST(SUM(CAST(jv AS DECIMAL(38,18))) AS DOUBLE) AS joint
+      FROM (SELECT f1, f2, jv FROM b1_jp
+            UNION ALL SELECT f2 AS f1, f1 AS f2, jv FROM b1_jp)
+      GROUP BY f1, f2
+    ),
+    marg AS MATERIALIZED (
+      SELECT COALESCE(a.feature_idx, b.feature_idx) AS feature_idx,
+             COALESCE(a.marginal, 0.0) + COALESCE(b.marginal, 0.0) AS marginal
+      FROM b0_marg a FULL JOIN b1_marg b USING (feature_idx)
+    ),
+    ntot AS (SELECT (SELECT np FROM b0_np) + (SELECT np FROM b1_np) AS np),
+    red_raw AS (
+      SELECT j.f1, j.f2,
+             CASE WHEN m1.marginal * m2.marginal = 0.0 THEN 0.0
+                  ELSE (j.joint / (np * 0.5))
+                       * log2((j.joint / (np * 0.5))
+                              / ((m1.marginal / np) * (m2.marginal / np)))
+             END AS rr
+      FROM joint j, ntot
+      JOIN marg m1 ON j.f1 = m1.feature_idx
+      JOIN marg m2 ON j.f2 = m2.feature_idx
+    ),
+    rex AS (SELECT MIN(rr) AS mn2, MAX(rr) AS mx2 FROM red_raw),
+    red AS MATERIALIZED (
+      SELECT f1, f2,
+             CASE WHEN mx2 = mn2 THEN 0.0
+                  ELSE (rr - mn2) / (mx2 - mn2) END AS redundancy
+      FROM red_raw, rex
+    ),
+    relsum AS (
+      SELECT COALESCE(a.feature_idx, b.feature_idx) AS feature_idx,
+             COALESCE(a.relevance, 0.0) + COALESCE(b.relevance, 0.0) AS raw
+      FROM b0_w a FULL JOIN b1_w b USING (feature_idx)
+    ),
+    extrema AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx FROM relsum),
+    rel0 AS MATERIALIZED (
+      SELECT feature_idx,
+             CASE WHEN mx > mn THEN (raw - mn) / (mx - mn) ELSE 0.0 END AS rel
+      FROM relsum, extrema
+    ),
+    {",".join(_greedy_step_sql(i) for i in range(1, Q72C_TOP + 1))},
+    picks AS (
+      {" UNION ALL ".join(f"SELECT {i} AS rank, feature_idx FROM s{i}" for i in range(1, Q72C_TOP + 1))}
+    ),
+    stdr AS (
+      SELECT feature_idx, rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, feature_idx ASC) AS rank
+      FROM rel0 ORDER BY rank LIMIT {Q72C_TOP}
+    )
+    SELECT r.rank, r.feature_idx AS std_feature,
+           ROUND(r.rel, 6) AS std_relevance,
+           p.feature_idx AS redundancy_feature,
+           ROUND(g.rel, 6) AS redundancy_relevance
+    FROM stdr r JOIN picks p USING (rank)
+    JOIN rel0 g ON g.feature_idx = p.feature_idx
+    ORDER BY r.rank
+    """,
+    doc="THE FLAGSHIP, fully oracle-gated: the complete batched fit — "
+        "deterministic hash split into 2 batches, per-batch within-"
+        "batch kNN + class-bin relevance + collision stats, batch 0's "
+        "raw-relevance top-15 steering batch 1's joint-stat scope "
+        "(the topFeatures feedback loop, ReliefFRSelector.scala:"
+        "279-283), cross-batch union-reduce, global min-max, MI "
+        "redundancy with the jointTotal batch-share discount (:641), "
+        "and the greedy selection unrolled to 5 picks — ONE DuckDB "
+        "statement end-to-end. batching='hash' replaces only the "
+        "engine-seeded randomSplit with id%%n (same disjoint-cover "
+        "role, reproducible); with this, q72's rows-only remainder is "
+        "purely the seeded-sampling mode itself, whose dataflow is "
+        "bit-identical to this one.",
+)
+def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+
+    inst = _embeddings(spark, sf_dir)
+    res = fit_relief(
+        inst,
+        num_top_features=Q72C_TOP,
+        num_neighbors=Q72C_NEIGH,
+        estimation_ratio=1.0,     # no seeded sampling
+        batch_size=0.5,           # exactly 2 batches
+        redundancy_removal=True,
+        discrete_data=False,
+        seed=42,
+        knn_strategy="numpy",
+        batching="hash",          # deterministic split -> oracle-able
+    )
+    rows = [
+        (
+            i + 1,
+            int(s),
+            round(float(res.relevance[s]), 6),
+            int(r),
+            round(float(res.relevance[r]), 6),
+        )
+        for i, (s, r) in enumerate(
+            zip(res.std_selection, res.redundancy_selection)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, std_feature int, std_relevance double, "
+        "redundancy_feature int, redundancy_relevance double",
+    )

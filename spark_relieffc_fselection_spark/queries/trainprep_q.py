@@ -741,8 +741,11 @@ def q82_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inherently sequential (driver numpy over an nFeat-row frame), "
         "so this entry has NO SQL oracle: the driver records the weaker "
         "rows-only check, while the pipeline's every aggregation stage "
-        "is hash-gated piecewise by q13-q17/q44 AND the whole "
-        "single-batch fit dataflow is hash-gated end-to-end by q72a.",
+        "is hash-gated piecewise by q13-q17/q44, the single-batch fit "
+        "end-to-end by q72a, the greedy selection by q72b, and the "
+        "FULL batched fit (feedback loop + MI + greedy) by q72c under "
+        "deterministic hash batching — leaving only the engine-seeded "
+        "randomSplit/sample mode itself on the rows-only check.",
 )
 def q72_relief_fit_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.operators.relief import fit_relief

@@ -264,3 +264,29 @@ def test_fit_relief_lsh_strategy_overlaps_exact(spark):
     # the informative trio dominates under both kernels
     assert set(exact[:2]) <= {0, 1, 2}
     assert set(lsh[:2]) <= {0, 1, 2}
+
+
+def test_fit_relief_hash_batching_mode(spark):
+    """batching='hash' splits the sample deterministically (id % n):
+    two runs agree exactly, and an unknown mode raises."""
+    import numpy as np
+    import pytest
+
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+    from spark_relieffc_fselection_spark.queries.relief_q import _embeddings
+
+    from tests.conftest import SF_DIR
+
+    inst = _embeddings(spark, SF_DIR)
+    kwargs = dict(
+        num_top_features=5, num_neighbors=3, estimation_ratio=1.0,
+        batch_size=0.5, redundancy_removal=True, seed=42,
+        knn_strategy="numpy", batching="hash",
+    )
+    a = fit_relief(inst, **kwargs)
+    b = fit_relief(inst, **kwargs)
+    assert a.std_selection == b.std_selection
+    assert a.redundancy_selection == b.redundancy_selection
+    assert np.array_equal(a.relevance, b.relevance)
+    with pytest.raises(ValueError, match="batching"):
+        fit_relief(inst, batching="nope")
