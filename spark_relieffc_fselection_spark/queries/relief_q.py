@@ -1050,13 +1050,19 @@ b{b}_marg AS (
 b{b}_np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM b{b}_knn)"""
 
 
+#: q72c instance pre-filter: a deterministic half of the corpus that
+#: keeps BOTH parities (ids = 0,1 mod 4) so the id%2 hash split below
+#: yields two non-empty batches; sizes the fit like q72's 0.25 sample.
+Q72C_PRED = "vec_id % 8 < 2"
+
+
 @register(
     "q72c_relief_fit_hash_batched",
     oracle=f"""
     WITH inst AS MATERIALIZED (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
              CAST(label AS DOUBLE) AS lbl
-      FROM embeddings
+      FROM embeddings WHERE {Q72C_PRED}
     ),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
     priors AS (SELECT lbl, COUNT(*) / total AS prior FROM inst, nn
@@ -1151,7 +1157,9 @@ b{b}_np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM b{b}_knn)"""
 def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.operators.relief import fit_relief
 
-    inst = _embeddings(spark, sf_dir)
+    inst = _embeddings(spark, sf_dir).filter(
+        F.expr(Q72C_PRED.replace("vec_id", "id"))
+    )
     res = fit_relief(
         inst,
         num_top_features=Q72C_TOP,
