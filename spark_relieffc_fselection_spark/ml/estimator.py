@@ -87,6 +87,15 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
         "candidate pruning for very large corpora).",
         typeConverter=TypeConverters.toString,
     )
+    batching = Param(
+        Params._dummy(), "batching",
+        "'random' (the reference's engine-seeded randomSplit, "
+        "ReliefFRSelector.scala:252 — the default) or 'hash' "
+        "(deterministic id%%n split: same disjoint-cover role, but "
+        "re-run-stable and cross-engine reproducible — the mode the "
+        "q72c full-fit oracle gates).",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self) -> None:
         super().__init__()
@@ -95,6 +104,7 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
             batchSize=0.25, lowerFeatureThreshold=3.0,
             lowerDistanceThreshold=0.8, redundancyRemoval=False,
             discreteData=False, seed=12345, knnStrategy="numpy",
+            batching="random",
             inputCol="features", outputCol="selectedFeatures", labelCol="label",
         )
 
@@ -156,6 +166,7 @@ class ReliefFSelector(
             discrete_data=self.getOrDefault(self.discreteData),
             seed=self.getOrDefault(self.seed),
             knn_strategy=self.getOrDefault(self.knnStrategy),
+            batching=self.getOrDefault(self.batching),
         )
         prepared.unpersist()
         return self._make_model(res)

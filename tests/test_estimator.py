@@ -258,3 +258,20 @@ def test_sparse_vector_input_routes_long_form(spark):
     # transform works on the sparse input too (output = sliced vector)
     out = m_sparse.transform(sparse_df).select("selectedFeatures").first()[0]
     assert len(out) == 3
+
+
+def test_estimator_hash_batching_is_rerun_stable(spark, vec_df):
+    """batching='hash' makes fit deterministic end-to-end at the
+    pipeline surface: two fits agree exactly (the seeded 'random'
+    default matches the reference's randomSplit behavior instead)."""
+    from spark_relieffc_fselection_spark.ml.estimator import ReliefFSelector
+
+    sel = ReliefFSelector().setParams(
+        numTopFeatures=5, numNeighbors=3, estimationRatio=1.0,
+        batchSize=0.5, redundancyRemoval=True, batching="hash",
+    )
+    m1, m2 = sel.fit(vec_df), sel.fit(vec_df)
+    assert m1.getOrDefault(m1.stdSelection) == m2.getOrDefault(m2.stdSelection)
+    assert m1.getOrDefault(m1.redundancySelection) == m2.getOrDefault(
+        m2.redundancySelection
+    )
