@@ -180,18 +180,9 @@ def fit_mdlp_edges(
     """
     if max_candidates < 2:
         raise ValueError(f"max_candidates must be >= 2, got {max_candidates}")
-    import os as _os
-    import sys as _sys
-    import time as _time
+    from spark_relieffc_fselection_spark.functions.timing import stage_timer
 
-    _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
-    _t0 = _time.time()
-
-    def _mark(label: str) -> None:
-        nonlocal _t0
-        if _dbg:
-            print(f"#mdlp {label}: {_time.time() - _t0:.2f}s", file=_sys.stderr)
-        _t0 = _time.time()
+    _mark = stage_timer("mdlp")
     prof = df.select(
         F.first(F.size(F.col(features_col))).alias("dim"),
         F.collect_set(F.col(label_col).cast("double")).alias("lbls"),

@@ -684,6 +684,11 @@ class ReliefFitResult:
     n_instances: int
     priors: dict[float, float]
     redundancy_coo: dict[tuple[int, int], float] = field(default_factory=dict)
+    #: how many batches the sample actually split into — callers that
+    #: mirror the dataflow externally (the q72c oracle hard-codes 2)
+    #: can fail loudly instead of silently desynchronizing when the
+    #: broadcast-memory guard raises it at scale.
+    n_batches: int = 1
 
 
 def fit_relief(
@@ -712,19 +717,12 @@ def fit_relief(
     the next batch's joint-stat scope -> union-sum -> min-max -> MI ->
     greedy selection.
     """
-    import os as _os
-    import sys as _sys
-    import time as _time
+    from spark_relieffc_fselection_spark.functions.timing import stage_timer
 
-    _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
-    _t0 = _time.time()
+    _mark = stage_timer("fit")
 
-    def _mark(label: str) -> None:
-        nonlocal _t0
-        if _dbg:
-            print(f"#fit {label}: {_time.time() - _t0:.2f}s", file=_sys.stderr)
-        _t0 = _time.time()
-
+    if batching not in ("random", "hash"):
+        raise ValueError(f"unknown batching mode {batching!r}")
     spark = df.sparkSession
     instances = df.select(
         F.col(id_col).alias("id"),
@@ -765,19 +763,21 @@ def fit_relief(
     elif batching == "random":
         # the reference's engine-seeded split (ReliefFRSelector.scala:252)
         batches = sample.randomSplit([1.0] * n_batches, seed=seed)
-    elif batching == "hash":
+    else:  # batching == "hash" (validated above)
         # Deterministic batching: id modulo n_batches. Same dataflow,
         # same statistical role (disjoint cover of the sample), but
         # reproducible across engines — the mode that lets the FULL
         # batched fit (topFeatures feedback loop included) sit under a
         # cross-engine SQL oracle (q72c). Operationally also the mode
-        # a re-run-stable production fit would pick.
+        # a re-run-stable production fit would pick. pmod, NOT %: the
+        # sign of Spark's % follows the dividend, so negative caller
+        # ids would match no batch and silently fall out of the fit.
+        # (Null ids are invalid input on any path — they also break
+        # kNN identity joins.)
         batches = [
-            sample.filter(F.col("id") % n_batches == i)
+            sample.filter(F.pmod(F.col("id"), F.lit(n_batches)) == i)
             for i in range(n_batches)
         ]
-    else:
-        raise ValueError(f"unknown batching mode {batching!r}")
 
     top_features: list[int] | None = []  # batch 0 contributes no joint stats
     batch_weights: list[DataFrame] = []
@@ -927,4 +927,5 @@ def fit_relief(
         n_instances=n_elems,
         priors=priors,
         redundancy_coo=red_coo,
+        n_batches=n_batches,
     )

@@ -79,9 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     # (VERDICT r5 #4/#9)
     "q105_mdlp_discretize",
     # r3-green backlog, oldest-green-first (every remaining name below
-    # was last driver-green in round 3; 36 of the 44 fit — the other 8,
-    # all single-aggregation pure-Catalyst shapes, carry round-7 slots
-    # in _DEFERRED)
+    # was last driver-green in round 3; 30 of the 44 fit after the
+    # round-6 additions took their slots — the other 14, all stable
+    # single-shape pure-Catalyst queries, carry round-7 slots in
+    # _DEFERRED)
     "q15_relief_topk",
     "q16_collision_marginal",
     "q17_collision_joint",

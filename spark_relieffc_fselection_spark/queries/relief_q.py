@@ -89,18 +89,11 @@ def _pipe(spark: SparkSession, sf_dir: str) -> dict:
     # stopped SparkContext.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PIPE_CACHE:
-        import os as _os
-        import sys as _sys
-        import time as _time
+        from spark_relieffc_fselection_spark.functions.timing import (
+            stage_timer,
+        )
 
-        _dbg = _os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
-        _t = _time.time()
-
-        def _mark(label: str) -> None:
-            nonlocal _t
-            if _dbg:
-                print(f"#pipe {label}: {_time.time() - _t:.2f}s", file=_sys.stderr)
-            _t = _time.time()
+        _mark = stage_timer("pipe")
 
         inst = _embeddings(spark, sf_dir)
         # One job yields priors, total count AND dim (dim from any
@@ -923,10 +916,21 @@ def q105_mdlp_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 3 * (F.element_at(f, 9) > 0).cast("int")
         ).cast("double"),
     )
+    # The oracle models the UNCAPPED recursion; the in-operator grid
+    # cap (tested in test_discretizer) must therefore not fire here —
+    # if the data ever grows past the cap, fail with a diagnostic
+    # instead of hash-diverging silently.
+    cap_report: dict[int, int] = {}
     edges = fit_mdlp_edges(
         inst, features_col="features", label_col="label",
-        max_depth=MDLP_ORACLE_DEPTH,
+        max_depth=MDLP_ORACLE_DEPTH, cap_report=cap_report,
     )
+    if cap_report:
+        raise ValueError(
+            "q105's oracle models the uncapped MDLP recursion but the "
+            f"grid cap fired for features {sorted(cap_report)} — raise "
+            "max_candidates here or re-derive the oracle with the cap"
+        )
     rows = [
         (f, i + 1, round(float(c), 6))
         for f, fc in enumerate(edges)
@@ -1050,9 +1054,9 @@ b{b}_marg AS (
 b{b}_np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM b{b}_knn)"""
 
 
-#: q72c instance pre-filter: a deterministic half of the corpus that
-#: keeps BOTH parities (ids = 0,1 mod 4) so the id%2 hash split below
-#: yields two non-empty batches; sizes the fit like q72's 0.25 sample.
+#: q72c instance pre-filter: a deterministic 1-in-4 slice (ids = 0,1
+#: mod 8) that keeps BOTH parities so the id%2 hash split below yields
+#: two non-empty batches; sizes the fit like q72's 0.25 sample.
 Q72C_PRED = "vec_id % 8 < 2"
 
 
@@ -1172,6 +1176,14 @@ def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_strategy="numpy",
         batching="hash",          # deterministic split -> oracle-able
     )
+    if res.n_batches != 2:
+        # the oracle hard-codes the id%2 split; the broadcast-memory
+        # guard raises n_batches past 2 only above ~8M instances at 64
+        # features — fail loudly there instead of hash-diverging
+        raise ValueError(
+            f"q72c oracle models exactly 2 hash batches, fit used "
+            f"{res.n_batches} (broadcast guard?)"
+        )
     rows = [
         (
             i + 1,
