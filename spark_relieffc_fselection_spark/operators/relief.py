@@ -812,56 +812,44 @@ def fit_relief(
             .repartition(par, "query_id", "neighbor_id")
             .cache()
         )
+        # classCounter total = number of (query, neighbor) pairs
+        # (ReliefFRSelector.scala:469-470 sums the per-bin pair counts);
+        # this count is also the action that materializes the cache.
+        n_pairs = pairs.count()
+        _mark("batch pairs count")
+        total_interactions += n_pairs
         long_pairs = explode_pairs(pairs)
 
         # pair-level bin counts — no distinct over the exploded table
         pair_counts = pairs.groupBy("n_label", "same_class").agg(
             F.count("*").alias("bin_cnt")
         )
-        # ONE materializing job per batch for the whole relevance side:
-        # the fused bin-stats frame (nFeat x nClasses x 2 rows) is
-        # COLLECTED — filling the batch+pair caches as a side effect —
-        # and rebuilt as a LocalRelation every later consumer reads for
-        # free. The classCounter total (ReliefFRSelector.scala:469-470)
-        # falls out of the collected rows (dense explode: every pair
-        # emits every feature, so sum(n_rows) == n_pairs * n_feat),
-        # saving the separate pairs.count() job the old loop paid.
-        fbs = feature_bin_stats(
+        # ONE fused scan of the exploded long form yields relevance bin
+        # sums AND marginal collision mass (feature_bin_stats); the
+        # joint pass is the only other explode. Cache + the min/max agg
+        # below materializes w, so unpersisting pairs at the end of the
+        # loop doesn't force the final union-reduce to recompute each
+        # batch's kNN + explode.
+        bins = feature_bin_stats(
             long_pairs, not discrete_data, lower_distance_threshold
-        )
-        bin_rows = fbs.collect()
-        bins = spark.createDataFrame(bin_rows, schema=fbs.schema)
-        n_pairs = (
-            sum(r["n_rows"] for r in bin_rows) // n_feat if n_feat else 0
-        )
-        _mark("batch bin stats")
-        total_interactions += n_pairs
-
-        # w over the LocalRelation bins + the (cached, in-core)
-        # pair_counts: collect it too — the nFeat-row result serves the
-        # batch top-N DRIVER-side and the final union-reduce as another
-        # LocalRelation, so no per-batch cache entries linger.
-        w_df = relevance_from_bins(bins, priors, pair_counts)
-        w_rows = w_df.collect()
-        batch_weights.append(spark.createDataFrame(w_rows, schema=w_df.schema))
+        ).cache()
+        w = relevance_from_bins(bins, priors, pair_counts).cache()
+        batch_weights.append(w)
 
         if redundancy_removal:
-            # marginal mass is a tiny aggregation OVER the local bins —
-            # lazy, costs nothing until the final MI stage
             m_b = bins.groupBy("feature_idx").agg(
                 F.sum("vote_sum").cast("double").alias("marginal")
-            )
+            ).cache()
             # joint stats straight from the cached compact pair table —
             # no explode-then-collect_list round trip (decimal-identical,
-            # see joint_counts_from_pairs); localized before the pair
-            # cache is released below
-            j_df = joint_counts_from_pairs(
+            # see joint_counts_from_pairs)
+            j_b = joint_counts_from_pairs(
                 pairs, top_features, not discrete_data,
                 lower_distance_threshold, n_feat,
-            )
-            j_rows = j_df.collect()
-            j_b = spark.createDataFrame(j_rows, schema=j_df.schema)
-            _mark("batch joint")
+            ).cache()
+            # materialize before pairs is unpersisted below
+            m_b.count(), j_b.count()
+            _mark("batch m/j materialize")
             marginals.append(m_b)
             joints.append(j_b)
 
@@ -869,17 +857,20 @@ def fit_relief(
         # (ReliefFRSelector.scala:281-283). The reference min-max
         # normalizes before takeOrdered (:281, 328-332), but min-max is
         # strictly monotone (order-preserving), so ranking the RAW
-        # relevance selects the identical feature set — and w is
-        # already on the driver, so the pick is a Python sort, not a
-        # Spark job.
-        top_rows = sorted(
-            w_rows, key=lambda r: (-r["relevance"], r["feature_idx"])
-        )[:lower_feat]
+        # relevance selects the identical feature set with one fewer
+        # min/max job per batch.
+        top_rows = (
+            w.orderBy(F.desc("relevance"), F.asc("feature_idx"))
+            .limit(lower_feat)
+            .collect()
+        )
+        _mark("batch top rows")
         if top_rows:
             # empty batches keep the previous ranking — the reference
             # only replaces topFeatures when results are non-empty
             # (ReliefFRSelector.scala:279-283)
             top_features = [int(r["feature_idx"]) for r in top_rows]
+        bins.unpersist()
         pairs.unpersist()
         batch.unpersist()
 
@@ -916,8 +907,12 @@ def fit_relief(
             for r in red_df.collect():
                 red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
 
-    # (No cache cleanup needed: every per-batch frame is a
-    # LocalRelation or a lazy aggregation over one.)
+    # Everything is driver-side numpy from here: release the per-batch
+    # caches so a long-lived session doesn't accumulate dead entries
+    # (each live entry also taxes every later cache lookup).
+    for df in (*batch_weights, *marginals, *joints):
+        df.unpersist()
+
     _mark("redundancy mi collect")
     red_sel = (
         greedy_select(relevance, red_coo, num_top_features)
