@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q152_zipf_fit",
     "q153_bpe_merge_step",
     "q154_streaming_upsert_state",
+    "q155_recursive_cte",
     # changed this round: MDLP grid cap enforced in-operator
     # (VERDICT r5 #4/#9)
     "q105_mdlp_discretize",
@@ -93,7 +94,6 @@ _PRIORITY: tuple[str, ...] = (
     "q37_relief_discrete_collisions",
     "q44_sparse_relief_relevance",
     "q60_sequence_packing",
-    "q61_contamination",
     "q73_knn_lsh_recall",
     "q74_kmeans_step",
     "q75_oov_rate",
@@ -127,7 +127,7 @@ _PRIORITY: tuple[str, ...] = (
 #: ahead of anything r4-green).
 _DEFERRED: dict[str, int] = {
     # r3-green, deliberately held to round 7 (window overflow; q45/
-    # q52/q53/q57/q41/q59 displaced late by the six new round-6
+    # q52/q53/q57/q41/q59/q61 displaced late by the seven new round-6
     # queries — all stable compositions of in-window shapes, locally
     # swept):
     "q38_rollup": 3,
@@ -137,6 +137,7 @@ _DEFERRED: dict[str, int] = {
     "q53_mom_growth": 3,
     "q57_stratified_sample": 3,
     "q59_stopword_scrub": 3,
+    "q61_contamination": 3,
     "q39_distinct_agg": 3,
     "q40_percentiles": 3,
     "q46_cube": 3,

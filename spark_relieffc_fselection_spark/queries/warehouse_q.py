@@ -107,12 +107,14 @@ def q119_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM climb WHERE cur < 10
     """,
     doc="Transitive closure to root over a synthetic decimal-digit "
-        "hierarchy (parent = c_custkey div 10, roots = keys < 10) — "
-        "the WITH RECURSIVE shape Spark lacks, implemented by pointer "
-        "doubling (operators/graph.py): ceil(log2 depth) self-joins of "
-        "the (node, ancestor, depth) map instead of depth sequential "
-        "hops, localCheckpoint per round keeping the plan O(1). A "
-        "depth-20 hierarchy at 10^10 nodes closes in 5 rounds.",
+        "hierarchy (parent = c_custkey div 10, roots = keys < 10) by "
+        "pointer doubling (operators/graph.py): ceil(log2 depth) "
+        "self-joins of the (node, ancestor, depth) map instead of "
+        "depth sequential hops, localCheckpoint per round keeping the "
+        "plan O(1). Spark 4 executes WITH RECURSIVE natively (q155 "
+        "pins that surface) but its plan is one join per LEVEL — "
+        "pointer doubling stays the scale path: a depth-20 hierarchy "
+        "at 10^10 nodes closes in 5 rounds.",
 )
 def q120_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_relieffc_fselection_spark.operators.graph import closure_to_root
@@ -1081,4 +1083,48 @@ def q150_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("op") == "upsert", F.col("nc"))
         .otherwise(F.col("n_chars"))
         .alias("n_chars"),
+    )
+
+
+@register(
+    "q155_recursive_cte",
+    oracle="""
+    WITH RECURSIVE climb AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM climb WHERE cur >= 10
+    )
+    SELECT cur AS root_key,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(depth) AS INT) AS max_depth
+    FROM climb WHERE cur < 10 GROUP BY cur
+    """,
+    doc="Native WITH RECURSIVE (Spark 4 executes recursive CTEs) over "
+        "q120's synthetic decimal-digit hierarchy: every node climbs "
+        "to its root, rolled up per root. The SQL-compatibility "
+        "surface a reference user migrating warehouse queries expects "
+        "verbatim — while q120's pointer-doubling operator remains "
+        "the SCALE path for deep hierarchies: the recursive plan runs "
+        "one sequential join per LEVEL (depth ~6 here, depth-d "
+        "lineage at depth d), pointer doubling closes in ceil(log2 d) "
+        "self-joins. Same rows either way; this entry pins the "
+        "engine's native-recursion correctness against DuckDB's.",
+)
+def q155_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return spark.sql(
+        """
+        WITH RECURSIVE climb AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM {cust}
+          UNION ALL
+          SELECT node, cur div 10, depth + 1 FROM climb WHERE cur >= 10
+        )
+        SELECT cur AS root_key,
+               COUNT(*) AS n_nodes,
+               CAST(MAX(depth) AS INT) AS max_depth
+        FROM climb WHERE cur < 10 GROUP BY cur
+        """,
+        cust=cust,
     )

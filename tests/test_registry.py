@@ -25,7 +25,7 @@ from spark_relieffc_fselection_spark.queries import (
 
 #: Registry floor as of round 6. Raise when queries are added; a drop
 #: below this means an import path silently lost a module.
-MIN_REGISTRY_SIZE = 157
+MIN_REGISTRY_SIZE = 158
 
 
 def test_priority_is_exactly_the_driver_window():

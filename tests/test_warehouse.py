@@ -306,3 +306,30 @@ def test_bm25_matches_python_reference(spark):
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     expected = {d: (s, i + 1) for i, (d, s) in enumerate(ranked)}
     assert {d: (round(s, 6), r) for d, (s, r) in got.items()} == expected
+
+
+def test_recursive_cte_agrees_with_pointer_doubling(spark):
+    """q155 (native WITH RECURSIVE) and q120 (pointer doubling) are two
+    physical strategies for the same closure — their per-root rollups
+    must agree row-for-row."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+
+    from spark_relieffc_fselection_spark.queries.warehouse_q import (
+        q120_hierarchy_closure,
+        q155_recursive_cte,
+    )
+
+    rec = {
+        r["root_key"]: (r["n_nodes"], r["max_depth"])
+        for r in q155_recursive_cte(spark, SF_DIR).collect()
+    }
+    dbl = {
+        r["root_key"]: (r["n"], r["d"])
+        for r in q120_hierarchy_closure(spark, SF_DIR)
+        .groupBy("root_key")
+        .agg(F.count("*").alias("n"), F.max("depth").alias("d"))
+        .collect()
+    }
+    assert rec == dbl
