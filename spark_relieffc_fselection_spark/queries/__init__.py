@@ -47,72 +47,71 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: keeps its oracle either way — this only chooses which 50 the DRIVER
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
+_CURRENT_ROUND = 7
+
 _PRIORITY: tuple[str, ...] = (
-    # round 6 rotation (VERDICT r5 #1): pay the rotation debt. The ten
-    # q140-q149 entries are the only registry queries never
-    # driver-green (added after the r5 window froze; all ten passed the
-    # r5 local oracle sweep) — they go first.
-    "q140_streaming_psi_drift",
-    "q141_k_anonymity",
-    "q142_pagerank",
-    "q143_variant_shred",
-    "q144_hybrid_rrf",
-    "q145_gram_matrix",
-    "q146_schema_evolution",
-    "q147_rollup_cascade",
-    "q148_kmv_distinct",
-    "q149_event_transitions",
+    # round 7 rotation (VERDICT r6 #1): pay the r3 rotation debt first —
+    # these 15 were last driver-green in round 3 (window overflow in
+    # rounds 4-6); all 15 passed the judge's independent local oracle
+    # sweep in round 6, but the driver gate is the hard signal.
+    "q38_rollup",
+    "q39_distinct_agg",
+    "q40_percentiles",
+    "q41_corpus_curation",
+    "q45_analytic_windows",
+    "q46_cube",
+    "q47_pivot",
+    "q48_setops",
+    "q51_hll_distinct",
+    "q52_correlated_subquery",
+    "q53_mom_growth",
+    "q56_grouping_sets",
+    "q57_stratified_sample",
+    "q59_stopword_scrub",
+    "q61_contamination",
     # core sentinels — always in the window
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # new this round: the unrolled-greedy oracle closing most of q72's
-    # rows-only gap (VERDICT r5 #3), MERGE-upsert, seeded negative
-    # sampling, Zipf rank-frequency fit
-    "q72b_relief_greedy_topk",
+    # code touched this round (VERDICT r6 #2/#3/#6: q72 driver-gap
+    # shave in knn.py/relief.py, knn_strategy='auto', sparse-fit
+    # batching) — re-verify the queries exercising those files even
+    # though they were green in r6:
     "q72c_relief_fit_hash_batched",
-    "q150_merge_upsert",
-    "q151_negative_sampling",
-    "q152_zipf_fit",
-    "q153_bpe_merge_step",
-    "q154_streaming_upsert_state",
-    "q155_recursive_cte",
-    # changed this round: MDLP grid cap enforced in-operator
-    # (VERDICT r5 #4/#9)
-    "q105_mdlp_discretize",
-    # r3-green backlog, oldest-green-first (every remaining name below
-    # was last driver-green in round 3; 30 of the 44 fit after the
-    # round-6 additions took their slots — the other 14, all stable
-    # single-shape pure-Catalyst queries, carry round-7 slots in
-    # _DEFERRED)
-    "q15_relief_topk",
-    "q16_collision_marginal",
-    "q17_collision_joint",
-    "q19_dedup_jaccard",
-    "q20_minhash_signatures",
-    "q22_simhash_signatures",
-    "q27_embedding_neardup",
-    "q37_relief_discrete_collisions",
     "q44_sparse_relief_relevance",
-    "q60_sequence_packing",
-    "q73_knn_lsh_recall",
-    "q74_kmeans_step",
-    "q75_oov_rate",
-    "q76_length_histogram",
-    "q77_streaming_enrichment",
-    "q78_random_projection",
-    "q79_shuffle_shards",
-    "q80_hash_uniform_sample",
-    "q81_incremental_dedup",
-    "q83_pii_scrub",
-    "q84_canonical_selection",
-    "q85_token_truncation",
-    "q86_source_interleave",
-    "q87_temperature_mix",
-    "q88_embedding_drift",
-    "q89_streaming_outer_join",
-    "q90_deletion_propagation",
-    "q91_doc_chunking",
-    "q92_boilerplate_detection",
+    "q13_knn_join",
+    # r4-green backlog, oldest-green-first (30 of the 45 remaining r4
+    # entries fit; the other 15 carry round-8 slots in _DEFERRED and
+    # the staleness bound in test_registry forces that rotation)
+    "q01_pruned_scan",
+    "q02_groupby_agg",
+    "q03_join_revenue_by_nation",
+    "q09_minmax_norm",
+    "q10_label_priors",
+    "q11_mod_sample_agg",
+    "q12_mutual_information",
+    "q18_dedup_exact",
+    "q21_minhash_lsh_neardup",
+    "q23_simhash_neardup",
+    "q24_ann_bruteforce",
+    "q25_ann_lsh",
+    "q26_ann_ivf",
+    "q28_token_stats",
+    "q29_quality_scores",
+    "q30_language_id",
+    "q31_fingerprints",
+    "q32_tumbling_window",
+    "q33_sliding_window",
+    "q34_session_window",
+    "q35_json_extract",
+    "q42_asof_join",
+    "q43_range_join",
+    "q49_ann_recall",
+    "q54_dedup_clusters",
+    "q55_tfidf_topterms",
+    "q58_streaming_sessions",
+    "q62_repetition",
+    "q63_frame_sample",
+    "q64_streaming_interval_join",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -126,57 +125,9 @@ _PRIORITY: tuple[str, ...] = (
 #: pure-Catalyst shapes in the registry (rotate them in next round
 #: ahead of anything r4-green).
 _DEFERRED: dict[str, int] = {
-    # r3-green, deliberately held to round 7 (window overflow; q45/
-    # q52/q53/q57/q41/q59/q61 displaced late by the seven new round-6
-    # queries — all stable compositions of in-window shapes, locally
-    # swept):
-    "q38_rollup": 3,
-    "q45_analytic_windows": 3,
-    "q52_correlated_subquery": 3,
-    "q41_corpus_curation": 3,
-    "q53_mom_growth": 3,
-    "q57_stratified_sample": 3,
-    "q59_stopword_scrub": 3,
-    "q61_contamination": 3,
-    "q39_distinct_agg": 3,
-    "q40_percentiles": 3,
-    "q46_cube": 3,
-    "q47_pivot": 3,
-    "q48_setops": 3,
-    "q51_hll_distinct": 3,
-    "q56_grouping_sets": 3,
-    # r4-green:
-    "q01_pruned_scan": 4,
-    "q02_groupby_agg": 4,
-    "q03_join_revenue_by_nation": 4,
-    "q09_minmax_norm": 4,
-    "q10_label_priors": 4,
-    "q11_mod_sample_agg": 4,
-    "q12_mutual_information": 4,
-    "q13_knn_join": 4,
-    "q18_dedup_exact": 4,
-    "q21_minhash_lsh_neardup": 4,
-    "q23_simhash_neardup": 4,
-    "q24_ann_bruteforce": 4,
-    "q25_ann_lsh": 4,
-    "q26_ann_ivf": 4,
-    "q28_token_stats": 4,
-    "q29_quality_scores": 4,
-    "q30_language_id": 4,
-    "q31_fingerprints": 4,
-    "q32_tumbling_window": 4,
-    "q33_sliding_window": 4,
-    "q34_session_window": 4,
-    "q35_json_extract": 4,
-    "q42_asof_join": 4,
-    "q43_range_join": 4,
-    "q49_ann_recall": 4,
-    "q54_dedup_clusters": 4,
-    "q55_tfidf_topterms": 4,
-    "q58_streaming_sessions": 4,
-    "q62_repetition": 4,
-    "q63_frame_sample": 4,
-    "q64_streaming_interval_join": 4,
+    # r4-green (the 15 that didn't fit after the r3 cohort took its 15
+    # slots — age 3 at round 7, MUST rotate in round 8 per the
+    # staleness bound in test_registry):
     "q66_unigram_lm_quality": 4,
     "q67_deterministic_split": 4,
     "q68_domain_mix": 4,
@@ -240,6 +191,56 @@ _DEFERRED: dict[str, int] = {
     "q137_compaction_plan": 5,
     "q138_join_cardinality": 5,
     "q139_bucketed_join": 5,
+    # r6-green (rotated out of the round-7 window; all 50 of round 6's
+    # window entries were driver hash-green in CORRECTNESS_r06 except
+    # q72 rows-only-by-design — the four kept in the window above are
+    # the sentinels plus the queries whose code this round touches):
+    "q15_relief_topk": 6,
+    "q16_collision_marginal": 6,
+    "q17_collision_joint": 6,
+    "q19_dedup_jaccard": 6,
+    "q20_minhash_signatures": 6,
+    "q22_simhash_signatures": 6,
+    "q27_embedding_neardup": 6,
+    "q37_relief_discrete_collisions": 6,
+    "q60_sequence_packing": 6,
+    "q72b_relief_greedy_topk": 6,
+    "q73_knn_lsh_recall": 6,
+    "q74_kmeans_step": 6,
+    "q75_oov_rate": 6,
+    "q76_length_histogram": 6,
+    "q77_streaming_enrichment": 6,
+    "q78_random_projection": 6,
+    "q79_shuffle_shards": 6,
+    "q80_hash_uniform_sample": 6,
+    "q81_incremental_dedup": 6,
+    "q83_pii_scrub": 6,
+    "q84_canonical_selection": 6,
+    "q85_token_truncation": 6,
+    "q86_source_interleave": 6,
+    "q87_temperature_mix": 6,
+    "q88_embedding_drift": 6,
+    "q89_streaming_outer_join": 6,
+    "q90_deletion_propagation": 6,
+    "q91_doc_chunking": 6,
+    "q92_boilerplate_detection": 6,
+    "q105_mdlp_discretize": 6,
+    "q140_streaming_psi_drift": 6,
+    "q141_k_anonymity": 6,
+    "q142_pagerank": 6,
+    "q143_variant_shred": 6,
+    "q144_hybrid_rrf": 6,
+    "q145_gram_matrix": 6,
+    "q146_schema_evolution": 6,
+    "q147_rollup_cascade": 6,
+    "q148_kmv_distinct": 6,
+    "q149_event_transitions": 6,
+    "q150_merge_upsert": 6,
+    "q151_negative_sampling": 6,
+    "q152_zipf_fit": 6,
+    "q153_bpe_merge_step": 6,
+    "q154_streaming_upsert_state": 6,
+    "q155_recursive_cte": 6,
 }
 
 

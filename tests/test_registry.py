@@ -17,6 +17,7 @@ import pytest
 
 from spark_relieffc_fselection_spark import queries as q
 from spark_relieffc_fselection_spark.queries import (
+    _CURRENT_ROUND,
     _DEFERRED,
     _PRIORITY,
     all_oracles,
@@ -75,6 +76,20 @@ def test_priority_and_deferred_partition_the_registry():
     )
     stale = deferred - reg
     assert not stale, f"_DEFERRED names with no registered query: {sorted(stale)}"
+
+
+def test_deferred_staleness_bound():
+    """Rotation debt can never silently age past what one 50-slot
+    window can repay (VERDICT r6 #7): every deferred query must have
+    been driver-green within the last 3 rounds. Bumping _CURRENT_ROUND
+    without rotating the oldest cohort into _PRIORITY fails here."""
+    too_stale = {
+        n: r for n, r in _DEFERRED.items() if _CURRENT_ROUND - r > 3
+    }
+    assert not too_stale, (
+        f"deferred queries older than 3 rounds (current={_CURRENT_ROUND}); "
+        f"rotate them into _PRIORITY: {sorted(too_stale)}"
+    )
 
 
 def test_deferred_rounds_are_plausible():
