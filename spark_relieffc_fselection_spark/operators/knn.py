@@ -59,6 +59,7 @@ def knn_join(
     num_instances: int | None = None,
     lsh_bits: int | None = None,
     lsh_tables: int = 8,
+    scan_partitions: int | None = None,
 ) -> DataFrame:
     """k nearest neighbors of each query among ``instances``.
 
@@ -76,8 +77,19 @@ def knn_join(
     # candidate rows per query to the rank-merge shuffle, so cap at
     # ~256 scan rows per partition. (At real scale the input already
     # has >= parallelism partitions; this is a no-op.)
+    #
+    # ``scan_partitions``: the .rdd conversion below forces a full
+    # plan analysis on the driver per call; inside fit_relief's batch
+    # loop that is one extra driver round-trip per batch, and the batch
+    # partitioning is knowable once up front (filter/randomSplit are
+    # narrow — they preserve the parent's partition count). Callers in
+    # a loop pass it; one-shot callers let us derive it.
     sc = instances.sparkSession.sparkContext
-    n_parts = instances.rdd.getNumPartitions()
+    n_parts = (
+        scan_partitions
+        if scan_partitions is not None
+        else instances.rdd.getNumPartitions()
+    )
     if n_parts < sc.defaultParallelism:
         # `num_instances` (when the caller already knows it) saves a
         # count() job on the scan side.
