@@ -46,6 +46,57 @@ from spark_relieffc_fselection_spark.functions.vector import euclidean_distance
 #: the numpy distance matrix to bound executor memory.
 _MAX_BLOCK_CELLS = 4_000_000
 
+#: ``knn_strategy='auto'`` crossovers, in distance-kernel CELLS
+#: (n_queries x n_scan_rows x n_feat — the diff-cube volume one kNN
+#: call evaluates). Below _AUTO_GEMM_CELLS the bit-exact diff-cube
+#: kernel is sub-second and exactness is free; above it the BLAS
+#: expansion's ~10x kernel win (measured 30ms vs 300ms at 500x2000x64)
+#: dwarfs its ~1e-13 relative cancellation error. Above _AUTO_LSH_CELLS
+#: (~1e12 cells ≈ trillions of FLOPs per fit batch) even BLAS is
+#: minutes-scale — candidate generation must go sub-linear, so escalate
+#: to multi-table sign-LSH pruning. The reference's headline claim
+#: (README.md:15-17: 64M rows x 631 features) lands at ~1e17 cells per
+#: fit batch at estimationRatio 0.25 — unreachable by ANY exact scan,
+#: which is exactly why 'auto' exists.
+_AUTO_GEMM_CELLS = 1 << 25
+_AUTO_LSH_CELLS = 1 << 40
+
+
+def auto_lsh_bits(n_scan: int) -> int:
+    """Bucket bits sized to the corpus: ~256 rows per bucket keeps the
+    per-query candidate count bounded as N grows. Floor 4 preserves
+    recall on small corpora; cap 16 bounds the per-row hashing work."""
+    return max(4, min(16, math.ceil(math.log2(max(n_scan, 2) / 256 + 1))))
+
+
+def auto_lsh_tables(n_scan: int, n_feat: int) -> int:
+    """Table count for the APPROXIMATE fit tier: enough tables that the
+    sign windows cover every coordinate (tables only ever ADD candidates
+    — the cross-table union is deduped — so recall rises monotonically
+    with coverage; measured on KAIS XOR100: 8 tables -> 0.578 kNN
+    recall, 25 (full coverage of d=99) -> 0.944). Capped at 32: beyond
+    that the candidate union approaches the full scan and the pruning
+    stops paying for its hashing."""
+    return min(32, max(8, math.ceil(n_feat / auto_lsh_bits(n_scan))))
+
+
+def resolve_auto_strategy(n_queries: int, n_scan: int, n_feat: int) -> str:
+    """Pick the cheapest kNN strategy whose cost model fits the job.
+
+    Escalation: ``numpy`` (bit-exact diff cube) -> ``numpy-gemm`` (BLAS
+    expansion, exact ranks on integer grids, ~1e-13 relative error
+    otherwise) -> ``lsh`` (approximate sub-linear candidates). The
+    caller supplies the three cardinalities — they are knowable without
+    extra jobs wherever the fit already profiled the data (fit_relief
+    knows sampled_size, n_batches and n_feat from its one profiling
+    pass)."""
+    cells = max(n_queries, 1) * max(n_scan, 1) * max(n_feat, 1)
+    if cells <= _AUTO_GEMM_CELLS:
+        return "numpy"
+    if cells <= _AUTO_LSH_CELLS:
+        return "numpy-gemm"
+    return "lsh"
+
 
 def knn_join(
     instances: DataFrame,
@@ -195,13 +246,11 @@ def _candidates_lsh(
         F.col(features_col).alias("_n_features"),
     )
     if n_bits is None:
-        # Auto-size buckets to the corpus: ~256 rows per bucket keeps
-        # the per-query candidate count bounded as N grows (fixed
-        # n_bits would make candidates ~ N/2^bits — still linear in N,
-        # i.e. quadratic total). Floor of 4 preserves recall on small
-        # corpora (and reproduces the pre-auto default there).
+        # Auto-size buckets to the corpus (fixed n_bits would make
+        # candidates ~ N/2^bits — still linear in N, i.e. quadratic
+        # total).
         n = num_instances if num_instances is not None else instances.count()
-        n_bits = max(4, min(16, math.ceil(math.log2(max(n, 2) / 256 + 1))))
+        n_bits = auto_lsh_bits(n)
     q_b = _with_table_buckets(q, "_q_features", n_bits, n_tables)
     i_b = _with_table_buckets(inst, "_n_features", n_bits, n_tables)
     # distinct BEFORE the distance — a pair colliding in several tables

@@ -51,7 +51,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.functions.vector import minmax_norm
-from spark_relieffc_fselection_spark.operators.knn import knn_join
+from spark_relieffc_fselection_spark.operators.knn import (
+    auto_lsh_tables,
+    knn_join,
+    resolve_auto_strategy,
+)
 
 #: All floating-point SUMs accumulate through this decimal type: double
 #: addition is order-sensitive and shuffle arrival order is
@@ -723,6 +727,8 @@ def fit_relief(
 
     if batching not in ("random", "hash"):
         raise ValueError(f"unknown batching mode {batching!r}")
+    if knn_strategy not in ("sql", "numpy", "numpy-gemm", "lsh", "auto"):
+        raise ValueError(f"unknown knn_strategy {knn_strategy!r}")
     spark = df.sparkSession
     instances = df.select(
         F.col(id_col).alias("id"),
@@ -758,6 +764,21 @@ def fit_relief(
     max_size_allowed = (2**31 - 1) / 8.0 / (n_feat + 2) / max(sampled_size, 1)
     max_batch = min(batch_size, max_size_allowed) if max_size_allowed > 0 else batch_size
     n_batches = max(1, int(1.0 / max_batch))
+
+    batch_rows = max(1, sampled_size // n_batches)
+    if knn_strategy == "auto":
+        # Escalate numpy -> numpy-gemm -> lsh by the within-batch
+        # distance-kernel volume (VERDICT r6 #3). Every batch has the
+        # same expected size, so resolve ONCE — all cardinalities come
+        # from the single profiling job above, no extra actions. The
+        # oracle-gated fits (q72/q72c) pin exact strategies explicitly
+        # and never take this branch.
+        knn_strategy = resolve_auto_strategy(batch_rows, batch_rows, n_feat)
+    # The approximate tier sizes its table count to COVER the feature
+    # coordinates — recall rises monotonically with coverage (union of
+    # tables), and RELIEF's weights are exactly as good as the
+    # neighborhoods feeding them.
+    lsh_tables = auto_lsh_tables(batch_rows, n_feat)
     if n_batches <= 1:
         batches = [sample]
     elif batching == "random":
@@ -802,8 +823,9 @@ def fit_relief(
             id_col="id", features_col="features",
             exclude_self=exclude_self, strategy=knn_strategy,
             # partition-sizing estimate only — saves a count() job
-            num_instances=max(1, sampled_size // n_batches),
+            num_instances=batch_rows,
             scan_partitions=sample_parts,
+            lsh_tables=lsh_tables,
         )
         # Cache the COMPACT pair table (nFeat times smaller than the
         # exploded long form) and materialize it eagerly: a lazy cache

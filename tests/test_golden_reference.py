@@ -240,3 +240,46 @@ def test_sd1_continuous_signal_block_separates_from_noise(spark):
     assert sig.min() > np.percentile(noise, 85)
     worst_rank = max(int((r > s).sum()) for s in sig)
     assert worst_rank < 280, worst_rank  # all 20 inside the top ~7%
+
+
+def test_xor100_auto_resolves_exact_and_matches_numpy(spark):
+    """At KAIS scale (50 x 99 = 247k kernel cells) 'auto' must resolve
+    to the bit-exact numpy tier, so its selections are IDENTICAL to the
+    pinned-strategy fit — auto never changes small-data results."""
+    df = _load_kais(spark, "XOR100.csv")
+    pinned = _fit(df, n_top=2, k=5)
+    auto = fit_relief(
+        df, num_top_features=2, num_neighbors=5, estimation_ratio=1.0,
+        batch_size=1.0, discrete_data=True, redundancy_removal=False,
+        knn_strategy="auto", seed=123456789,
+    )
+    assert auto.std_selection == pinned.std_selection == [4, 6]
+
+
+def test_xor100_survives_the_approximate_knn_tier(spark):
+    """Recall property for auto's LSH escalation tier (VERDICT r6 #3):
+    forcing the approximate strategy on the KAIS fixtures must not lose
+    the planted signal — the XOR pair stays EXACTLY the top-2. (On
+    binary features every coordinate-sign bit is deterministic, so LSH
+    buckets partition by literal feature values; the planted pair's
+    neighborhoods survive the pruning.)"""
+    res = fit_relief(
+        _load_kais(spark, "XOR100.csv"),
+        num_top_features=2, num_neighbors=5, estimation_ratio=1.0,
+        batch_size=1.0, discrete_data=True, redundancy_removal=False,
+        knn_strategy="lsh", seed=123456789,
+    )
+    assert res.std_selection == [4, 6]
+
+
+def test_corral_survives_the_approximate_knn_tier(spark):
+    """Same property on Corral: under LSH candidates the irrelevant
+    feature still must not crack the top-4."""
+    res = fit_relief(
+        _load_kais(spark, "Corral.csv"),
+        num_top_features=4, num_neighbors=3, estimation_ratio=1.0,
+        batch_size=1.0, discrete_data=True, redundancy_removal=False,
+        knn_strategy="lsh", seed=123456789,
+    )
+    assert 4 not in res.std_selection
+    assert set(res.std_selection) <= {0, 1, 2, 3, 5}

@@ -173,3 +173,21 @@ def test_lsh_strategy_small_dims_no_ansi_crash(spark):
     for r in rows:
         d_exact = np.sqrt(((X[r["query_id"]] - X[r["neighbor_id"]]) ** 2).sum())
         assert abs(r["distance"] - d_exact) < 1e-9
+
+
+def test_auto_strategy_thresholds():
+    """knn_strategy='auto' escalation (VERDICT r6 #3): exact diff-cube
+    for small kernels, BLAS expansion for the mid range, LSH pruning
+    once exact scans become trillions of FLOPs. The last case is the
+    reference's own headline claim (README.md:15-17, 64M x 631 at
+    estimationRatio 0.25 -> ~424k-row batches under the broadcast
+    guard), unreachable by any exact scan."""
+    from spark_relieffc_fselection_spark.operators.knn import (
+        resolve_auto_strategy,
+    )
+
+    assert resolve_auto_strategy(50, 50, 99) == "numpy"  # KAIS XOR100
+    assert resolve_auto_strategy(500, 2000, 64) == "numpy-gemm"
+    assert resolve_auto_strategy(424_000, 424_000, 631) == "lsh"
+    # degenerate cardinalities never crash the cost model
+    assert resolve_auto_strategy(0, 0, 0) == "numpy"
