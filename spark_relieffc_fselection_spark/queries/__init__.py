@@ -47,71 +47,73 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: keeps its oracle either way — this only chooses which 50 the DRIVER
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
-_CURRENT_ROUND = 7
+_CURRENT_ROUND = 8
 
 _PRIORITY: tuple[str, ...] = (
-    # round 7 rotation (VERDICT r6 #1): pay the r3 rotation debt first —
-    # these 15 were last driver-green in round 3 (window overflow in
-    # rounds 4-6); all 15 passed the judge's independent local oracle
-    # sweep in round 6, but the driver gate is the hard signal.
-    "q38_rollup",
-    "q39_distinct_agg",
-    "q40_percentiles",
-    "q41_corpus_curation",
-    "q45_analytic_windows",
-    "q46_cube",
-    "q47_pivot",
-    "q48_setops",
-    "q51_hll_distinct",
-    "q52_correlated_subquery",
-    "q53_mom_growth",
-    "q56_grouping_sets",
-    "q57_stratified_sample",
-    "q59_stopword_scrub",
-    "q61_contamination",
+    # round 8 rotation (VERDICT r7 #3): the 15 r4-stale entries lead —
+    # age 4 at round 8, the staleness bound forces them in; the judge's
+    # round-7 local oracle sweep pre-cleared all 15, but the driver
+    # gate is the hard signal.
+    "q66_unigram_lm_quality",
+    "q67_deterministic_split",
+    "q68_domain_mix",
+    "q82_filter_funnel",
+    "q93_quantile_discretize",
+    "q94_substring_dedup",
+    "q95_substring_contamination",
+    "q96_bigram_lm_quality",
+    "q97_token_budget_selection",
+    "q98_cdc_chunking",
+    "q99_pq_ann",
+    "q100_weighted_sample",
+    "q101_domain_cap",
+    "q102_ivfpq_ann",
+    "q103_stratified_weighted_sample",
     # core sentinels — always in the window
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # code touched this round (VERDICT r6 #2/#3/#6: q72 driver-gap
-    # shave in knn.py/relief.py, knn_strategy='auto', sparse-fit
-    # batching) — re-verify the queries exercising those files even
-    # though they were green in r6:
+    # code touched this round (VERDICT r7 #1/#2/#6: LSH multiprobe in
+    # knn.py, fit-loop A/B adjudication in relief.py, sparse-fit
+    # batching in relief_sparse.py) — re-verify the queries exercising
+    # those files even though they were green in r6/r7:
     "q72c_relief_fit_hash_batched",
     "q44_sparse_relief_relevance",
     "q13_knn_join",
-    # r4-green backlog, oldest-green-first (30 of the 45 remaining r4
-    # entries fit; the other 15 carry round-8 slots in _DEFERRED and
-    # the staleness bound in test_registry forces that rotation)
-    "q01_pruned_scan",
-    "q02_groupby_agg",
-    "q03_join_revenue_by_nation",
-    "q09_minmax_norm",
-    "q10_label_priors",
-    "q11_mod_sample_agg",
-    "q12_mutual_information",
-    "q18_dedup_exact",
-    "q21_minhash_lsh_neardup",
-    "q23_simhash_neardup",
-    "q24_ann_bruteforce",
-    "q25_ann_lsh",
-    "q26_ann_ivf",
-    "q28_token_stats",
-    "q29_quality_scores",
-    "q30_language_id",
-    "q31_fingerprints",
-    "q32_tumbling_window",
-    "q33_sliding_window",
-    "q34_session_window",
-    "q35_json_extract",
-    "q42_asof_join",
-    "q43_range_join",
-    "q49_ann_recall",
-    "q54_dedup_clusters",
-    "q55_tfidf_topterms",
-    "q58_streaming_sessions",
-    "q62_repetition",
-    "q63_frame_sample",
-    "q64_streaming_interval_join",
+    "q73_knn_lsh_recall",
+    # new this round (never driver-checked — a new query always takes
+    # a window slot, test_registry enforces it):
+    "q156_bpe_encode",
+    "q157_knn_lsh_multiprobe_recall",
+    # r5-green backlog, oldest-green-first (27 of the 47 r5 entries
+    # fit; the other 20 carry round-9 slots in _DEFERRED and the
+    # staleness bound forces that rotation next round)
+    "q04_window_topk",
+    "q05_global_topk",
+    "q06_union_distinct",
+    "q07_semijoin",
+    "q08_antijoin",
+    "q36_multimodal_features",
+    "q50_streaming_tumbling",
+    "q65_embedding_quantization",
+    "q69_streaming_sliding",
+    "q70_streaming_dedup",
+    "q71_streaming_user_totals",
+    "q72a_relief_std_ranking",
+    "q104_streaming_list_drift",
+    "q106_semantic_dedup",
+    "q107_dsir_importance_sample",
+    "q108_editdist_neardup",
+    "q109_bloom_dedup",
+    "q110_linear_quality_classifier",
+    "q111_streaming_bloom_screen",
+    "q112_countmin_heavy_hitters",
+    "q113_source_overlap",
+    "q114_cluster_aware_split",
+    "q115_salted_skew_join",
+    "q116_snapshot_diff",
+    "q117_source_quality_calibration",
+    "q118_zorder_layout",
+    "q119_scd2_history",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -121,56 +123,12 @@ _PRIORITY: tuple[str, ...] = (
 #: (VERDICT r5 #10): tests/test_registry.py asserts _PRIORITY and
 #: _DEFERRED exactly partition the registry, so a new query CANNOT be
 #: added without either taking a driver slot or being documented here.
-#: The 8 round-7 debts are the most stable single-aggregation
-#: pure-Catalyst shapes in the registry (rotate them in next round
-#: ahead of anything r4-green).
+#: The 20 r5 holdovers are the oldest cohort (age 3 at round 8); they
+#: MUST take round-9 slots per the staleness bound.
 _DEFERRED: dict[str, int] = {
-    # r4-green (the 15 that didn't fit after the r3 cohort took its 15
-    # slots — age 3 at round 7, MUST rotate in round 8 per the
+    # r5-green (the 20 that didn't fit after the r4 cohort took its 15
+    # slots — age 3 at round 8, MUST rotate in round 9 per the
     # staleness bound in test_registry):
-    "q66_unigram_lm_quality": 4,
-    "q67_deterministic_split": 4,
-    "q68_domain_mix": 4,
-    "q82_filter_funnel": 4,
-    "q93_quantile_discretize": 4,
-    "q94_substring_dedup": 4,
-    "q95_substring_contamination": 4,
-    "q96_bigram_lm_quality": 4,
-    "q97_token_budget_selection": 4,
-    "q98_cdc_chunking": 4,
-    "q99_pq_ann": 4,
-    "q100_weighted_sample": 4,
-    "q101_domain_cap": 4,
-    "q102_ivfpq_ann": 4,
-    "q103_stratified_weighted_sample": 4,
-    # r5-green:
-    "q04_window_topk": 5,
-    "q05_global_topk": 5,
-    "q06_union_distinct": 5,
-    "q07_semijoin": 5,
-    "q08_antijoin": 5,
-    "q36_multimodal_features": 5,
-    "q50_streaming_tumbling": 5,
-    "q65_embedding_quantization": 5,
-    "q69_streaming_sliding": 5,
-    "q70_streaming_dedup": 5,
-    "q71_streaming_user_totals": 5,
-    "q72a_relief_std_ranking": 5,
-    "q104_streaming_list_drift": 5,
-    "q106_semantic_dedup": 5,
-    "q107_dsir_importance_sample": 5,
-    "q108_editdist_neardup": 5,
-    "q109_bloom_dedup": 5,
-    "q110_linear_quality_classifier": 5,
-    "q111_streaming_bloom_screen": 5,
-    "q112_countmin_heavy_hitters": 5,
-    "q113_source_overlap": 5,
-    "q114_cluster_aware_split": 5,
-    "q115_salted_skew_join": 5,
-    "q116_snapshot_diff": 5,
-    "q117_source_quality_calibration": 5,
-    "q118_zorder_layout": 5,
-    "q119_scd2_history": 5,
     "q120_hierarchy_closure": 5,
     "q121_cohort_retention": 5,
     "q122_event_funnel": 5,
@@ -205,7 +163,6 @@ _DEFERRED: dict[str, int] = {
     "q37_relief_discrete_collisions": 6,
     "q60_sequence_packing": 6,
     "q72b_relief_greedy_topk": 6,
-    "q73_knn_lsh_recall": 6,
     "q74_kmeans_step": 6,
     "q75_oov_rate": 6,
     "q76_length_histogram": 6,
@@ -241,6 +198,55 @@ _DEFERRED: dict[str, int] = {
     "q153_bpe_merge_step": 6,
     "q154_streaming_upsert_state": 6,
     "q155_recursive_cte": 6,
+    # r7-green (rotated out of the round-8 window; all 49 oracle-able
+    # entries of round 7's window were driver hash-green in
+    # CORRECTNESS_r07 — kept in the window above are the sentinels
+    # plus q72c/q44/q13, whose code this round touches again):
+    "q38_rollup": 7,
+    "q39_distinct_agg": 7,
+    "q40_percentiles": 7,
+    "q41_corpus_curation": 7,
+    "q45_analytic_windows": 7,
+    "q46_cube": 7,
+    "q47_pivot": 7,
+    "q48_setops": 7,
+    "q51_hll_distinct": 7,
+    "q52_correlated_subquery": 7,
+    "q53_mom_growth": 7,
+    "q56_grouping_sets": 7,
+    "q57_stratified_sample": 7,
+    "q59_stopword_scrub": 7,
+    "q61_contamination": 7,
+    "q01_pruned_scan": 7,
+    "q02_groupby_agg": 7,
+    "q03_join_revenue_by_nation": 7,
+    "q09_minmax_norm": 7,
+    "q10_label_priors": 7,
+    "q11_mod_sample_agg": 7,
+    "q12_mutual_information": 7,
+    "q18_dedup_exact": 7,
+    "q21_minhash_lsh_neardup": 7,
+    "q23_simhash_neardup": 7,
+    "q24_ann_bruteforce": 7,
+    "q25_ann_lsh": 7,
+    "q26_ann_ivf": 7,
+    "q28_token_stats": 7,
+    "q29_quality_scores": 7,
+    "q30_language_id": 7,
+    "q31_fingerprints": 7,
+    "q32_tumbling_window": 7,
+    "q33_sliding_window": 7,
+    "q34_session_window": 7,
+    "q35_json_extract": 7,
+    "q42_asof_join": 7,
+    "q43_range_join": 7,
+    "q49_ann_recall": 7,
+    "q54_dedup_clusters": 7,
+    "q55_tfidf_topterms": 7,
+    "q58_streaming_sessions": 7,
+    "q62_repetition": 7,
+    "q63_frame_sample": 7,
+    "q64_streaming_interval_join": 7,
 }
 
 

@@ -264,6 +264,86 @@ def q73_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q157_knn_lsh_multiprobe_recall",
+    oracle=f"""
+    WITH {_knn_cte(KNN_K, queries_pred="q.id % 10 = 0")},
+    bucketed AS (
+      SELECT id, t.tbl AS tbl, {_KNN_LSH_BUCKET_BITS} AS bucket
+      FROM inst,
+           LATERAL (SELECT unnest(generate_series(0, {KNN_LSH_TABLES - 1})) AS tbl) t
+    ),
+    qprobes AS (
+      SELECT id, tbl,
+             CASE WHEN v.j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << (v.j - 1) AS BIGINT)) END AS bucket
+      FROM bucketed,
+           LATERAL (SELECT unnest(generate_series(0, {KNN_LSH_BITS})) AS j) v
+      WHERE id % 10 = 0
+    ),
+    cands AS (
+      SELECT DISTINCT b.id AS query_id, a.id AS neighbor_id
+      FROM bucketed a JOIN qprobes b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.id <> b.id
+    ),
+    lsh_pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             sqrt(list_sum(list_transform(generate_series(1, len(q.f)),
+                  i -> (q.f[i] - x.f[i]) * (q.f[i] - x.f[i])))) AS dist
+      FROM cands c JOIN inst q ON q.id = c.query_id JOIN inst x ON x.id = c.neighbor_id
+    ),
+    lsh_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rnk
+        FROM lsh_pairs
+      ) WHERE rnk <= {KNN_K}
+    )
+    SELECT k.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(l.neighbor_id) / CAST({KNN_K} AS DOUBLE), 6) AS recall
+    FROM knn k
+    LEFT JOIN lsh_topk l
+      ON k.query_id = l.query_id AND k.neighbor_id = l.neighbor_id
+    GROUP BY k.query_id
+    """,
+    doc="Recall@k of the MULTIPROBE kNN LSH tier: q73's single-probe "
+        "candidate generation plus Hamming-1 probe expansion on the "
+        "query (broadcast) side — the remedy that restored the RELIEF "
+        "fit escalation tier's planted-signal property (KAIS kNN "
+        "recall 0.964/0.729 -> 1.000). Oracle replays the probe set "
+        "with xor() bucket flips; deterministic sign buckets keep the "
+        "approximate path exactly checkable.",
+)
+def q157_knn_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = _embeddings(spark, sf_dir)
+    queries = inst.filter(F.col("id") % 10 == 0)
+    exact = knn_join(inst, queries, KNN_K, strategy="sql").select(
+        "query_id", "neighbor_id"
+    )
+    lsh = knn_join(
+        inst,
+        queries,
+        KNN_K,
+        strategy="lsh",
+        lsh_bits=KNN_LSH_BITS,
+        lsh_tables=KNN_LSH_TABLES,
+        lsh_multiprobe=True,
+    ).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(KNN_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 # --- A2-A4: RELIEF relevance -------------------------------------------------
 
 _RELIEF_ORACLE = f"""

@@ -682,3 +682,153 @@ def q153_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return head(p1, 1).unionByName(head(p2, 2))
+
+
+#: q156: learned BPE merge rounds / top encoded tokens reported.
+BPE_ENC_MERGES = 6
+BPE_ENC_TOP = 20
+
+
+def _bpe_encode_oracle() -> str:
+    """The q156 oracle is a mechanically generated CTE chain: M
+    data-dependent merge rounds (pair count -> top-1 -> literal
+    replace, exactly q153's proven primitive) followed by the ENCODE
+    half — explode the merged vocabulary into single symbols, expand
+    placeholders back to surface strings (reverse merge order), and
+    count token frequency over the corpus via the word counts."""
+    parts = [
+        "WITH words AS (",
+        f"  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents",
+        "),",
+        "vocab0 AS (",
+        "  SELECT w, COUNT(*) AS wc FROM words WHERE length(w) >= 1 GROUP BY w",
+        "),",
+    ]
+    for m in range(1, BPE_ENC_MERGES + 1):
+        parts += [
+            f"p{m} AS (",
+            f"  SELECT substr(w, i.i, 2) AS pair, SUM(wc) AS wcnt",
+            f"  FROM vocab{m - 1}, LATERAL (",
+            "    SELECT unnest(generate_series(1, length(w) - 1)) AS i",
+            "  ) i GROUP BY 1",
+            "),",
+            f"t{m} AS (SELECT pair FROM p{m} ORDER BY wcnt DESC, pair ASC LIMIT 1),",
+            f"vocab{m} AS (",
+            # coalesce: an exhausted pair supply (tiny corpus) must be an
+            # identity replace, not a NULL-poisoned vocabulary
+            f"  SELECT replace(w, coalesce((SELECT pair FROM t{m}), chr(0)),"
+            f" chr({m})) AS w, wc FROM vocab{m - 1}",
+            "),",
+        ]
+    render = "sym"
+    for m in range(BPE_ENC_MERGES, 0, -1):
+        render = (
+            f"replace({render}, chr({m}),"
+            f" coalesce((SELECT pair FROM t{m}), chr(0)))"
+        )
+    parts += [
+        "syms AS (",
+        "  SELECT substr(w, i.i, 1) AS sym, wc",
+        f"  FROM vocab{BPE_ENC_MERGES}, LATERAL (",
+        "    SELECT unnest(generate_series(1, length(w))) AS i",
+        "  ) i",
+        "),",
+        f"rendered AS (SELECT {render} AS token, wc FROM syms),",
+        "agg AS (",
+        "  SELECT token, CAST(SUM(wc) AS BIGINT) AS cnt",
+        "  FROM rendered GROUP BY token",
+        "),",
+        f"top AS (SELECT * FROM agg ORDER BY cnt DESC, token ASC LIMIT {BPE_ENC_TOP})",
+        "SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,",
+        "       token, cnt",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q156_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODE — the apply half of tokenizer training (q153 "
+        "induces merges; this tokenizes with them): learn "
+        f"{BPE_ENC_MERGES} merges over the word-count vocabulary, "
+        "apply the full merge chain to every DISTINCT word (literal "
+        "left-to-right replace, one placeholder symbol per merge), "
+        "explode the merged words into symbols, expand the "
+        "placeholders back to surface strings, and report the corpus' "
+        f"top-{BPE_ENC_TOP} tokens by frequency. Scale: every merge "
+        "round AND the encode itself are vocab-sized (the corpus is "
+        "touched once, for the word histogram — the Zipf-bounded "
+        "distinct-word set carries frequencies through the whole "
+        "chain), so tokenizing 100 TB costs one tokenize shuffle plus "
+        "work proportional to the vocabulary, never corpus x merges.",
+)
+def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    # One corpus shuffle builds the vocab; localize it so the M merge
+    # rounds and the encode all read a LocalRelation (q129 dupe-subtree
+    # rule: many consumers => localize once).
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+
+    merges: list[tuple[str, str]] = []  # (placeholder, surface pair)
+    v = vocab
+    for m in range(1, BPE_ENC_MERGES + 1):
+        top = (
+            v.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(w) - 1),"
+                        " i -> substring(w, i, 2))"
+                    )
+                ).alias("pair"),
+                "wc",
+            )
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("wcnt"))
+            .orderBy(F.desc("wcnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # pair supply exhausted — oracle's coalesce is a no-op too
+            break
+        pair = top[0]["pair"]
+        merges.append((chr(m), pair))
+        # lazy replace chain over the LocalRelation: round m recomputes
+        # m vocab-sized replaces, never the corpus tokenize
+        v = v.select(F.replace(F.col("w"), F.lit(pair), F.lit(chr(m))).alias("w"), "wc")
+
+    syms = v.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("sym"),
+        "wc",
+    )
+    # Expand placeholders in REVERSE merge order (later pairs may
+    # contain earlier placeholders), then count by the RENDERED token:
+    # distinct symbols could in principle render identically, and the
+    # oracle groups by the surface string.
+    rendered = F.col("sym")
+    for ph, pair in reversed(merges):
+        rendered = F.replace(rendered, F.lit(ph), F.lit(pair))
+    return (
+        syms.select(rendered.alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(BPE_ENC_TOP)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("rank"),
+            "token",
+            "cnt",
+        )
+    )

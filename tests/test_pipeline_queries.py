@@ -264,3 +264,45 @@ def test_streaming_upsert_state_is_latest_per_user(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bpe_encode_top_tokens(spark):
+    """q156 ENCODE properties the oracle hash can't articulate: dense
+    ranks, non-increasing counts, distinct surface tokens, and — the
+    point of the apply half — at least one MERGED (multi-char) token
+    reaching the corpus top list, with every token drawn from the
+    corpus character stream (a token's count can never exceed the
+    corpus-wide occurrences of its constituent characters)."""
+    from spark_relieffc_fselection_spark.queries.text_q import (
+        BPE_ENC_TOP,
+        q156_bpe_encode,
+    )
+
+    df = q156_bpe_encode(spark, SF_DIR)
+    rows = sorted(df.collect(), key=lambda r: r["rank"])
+    assert len(rows) == BPE_ENC_TOP
+    assert [r["rank"] for r in rows] == list(range(1, BPE_ENC_TOP + 1))
+    cs = [r["cnt"] for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    toks = [r["token"] for r in rows]
+    assert len(set(toks)) == len(toks)
+    assert all(t for t in toks)
+    assert any(len(t) >= 2 for t in toks), "no merge survived to the top list"
+    # bounded top-k must be a TakeOrdered, not a global sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """q157 vs q73: the Hamming-1 probe set strictly CONTAINS the
+    single-probe set, so per-query candidate supersets make recall
+    monotonically >= — pinned per query_id, not just on the mean."""
+    from spark_relieffc_fselection_spark.queries.relief_q import (
+        q73_knn_lsh_recall,
+        q157_knn_lsh_multiprobe_recall,
+    )
+
+    single = {r["query_id"]: r["n_hits"] for r in q73_knn_lsh_recall(spark, SF_DIR).collect()}
+    multi = {r["query_id"]: r["n_hits"] for r in q157_knn_lsh_multiprobe_recall(spark, SF_DIR).collect()}
+    assert set(single) == set(multi)
+    assert all(multi[q] >= single[q] for q in single)
