@@ -73,10 +73,12 @@ def auto_lsh_tables(n_scan: int, n_feat: int) -> int:
     """Table count for the APPROXIMATE fit tier: enough tables that the
     sign windows cover every coordinate (tables only ever ADD candidates
     — the cross-table union is deduped — so recall rises monotonically
-    with coverage; measured on KAIS XOR100: 8 tables -> 0.578 kNN
-    recall, 25 (full coverage of d=99) -> 0.944). Capped at 32: beyond
-    that the candidate union approaches the full scan and the pruning
-    stops paying for its hashing."""
+    with coverage; measured on KAIS XOR100, single-probe: 8 tables ->
+    0.578 kNN recall, 25 (full coverage of d=99) -> 0.944; the fit tier
+    additionally multiprobes Hamming-1 buckets, which took both KAIS
+    fixtures to recall 1.000 — see _candidates_lsh). Capped at 32:
+    beyond that the candidate union approaches the full scan and the
+    pruning stops paying for its hashing."""
     return min(32, max(8, math.ceil(n_feat / auto_lsh_bits(n_scan))))
 
 

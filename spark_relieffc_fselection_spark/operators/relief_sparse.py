@@ -340,9 +340,30 @@ def fit_relief_sparse(
     redundancy_removal: bool = True,
     discrete_data: bool = False,
     top_features: list[int] | None = None,
+    batch_size: float = 1.0,
+    lower_feature_threshold: float = 3.0,
 ) -> ReliefFitResult:
-    """Single-pass sparse fit (no sampling/batching: callers sample the
-    long table upstream — at sparse scale, sampling is a filter on id).
+    """Sparse fit; single-pass by default, hash-batched on request.
+
+    ``batch_size=1.0`` (default) is the documented single-pass
+    contract: one kNN + aggregation sweep, redundancy scoped to the
+    final std ranking (or the caller's ``top_features``). No sampling:
+    callers sample the long table upstream — at sparse scale, sampling
+    is a filter on id.
+
+    ``batch_size<1.0`` runs the reference's BATCH LOOP with topFeatures
+    feedback (ReliefFRSelector.scala:273-283): the instance set splits
+    into ceil(1/batch_size) deterministic hash batches (id % n — the
+    same 'hash' batching mode the dense fit exposes, and the mode q72c
+    proved oracle-able end-to-end); batch 0 contributes no joint stats,
+    each later batch's joint-stat scope is the previous batch's raw-
+    relevance top-N, weights union-reduce across batches, and the MI
+    redundancy applies the jointTotal batch-share discount
+    (ReliefFRSelector.scala:641, with estimationRatio=1.0 — this path
+    never samples in-fit). Within-batch kNN scans the batch, not the
+    full set — the same deliberate deviation the dense fit documents.
+    ``top_features`` (when given) seeds batch 0's joint scope instead
+    of the empty reference seed.
 
     Shares the entire aggregation layer with the dense path; cites
     ReliefFRSelector.scala:483-602 for the semantics it re-expresses
@@ -354,6 +375,23 @@ def fit_relief_sparse(
         for r in labels.groupBy("label").count().collect()
     }
     k = num_neighbors * len(priors)
+    n_batches = max(1, int(1.0 / batch_size))
+    if n_batches > 1:
+        return _fit_relief_sparse_batched(
+            long_df,
+            labels,
+            n_features,
+            n_batches=n_batches,
+            n_elems=n_elems,
+            priors=priors,
+            k=k,
+            num_top_features=num_top_features,
+            lower_distance_threshold=lower_distance_threshold,
+            redundancy_removal=redundancy_removal,
+            discrete_data=discrete_data,
+            seed_top_features=top_features,
+            lower_feature_threshold=lower_feature_threshold,
+        )
     neigh = sparse_knn_join(
         long_df, labels, labels.select("id"), k, num_corpus=n_elems
     ).cache()
@@ -402,6 +440,140 @@ def fit_relief_sparse(
         n_instances=n_elems,
         priors=priors,
         redundancy_coo=red_coo,
+    )
+
+
+def _fit_relief_sparse_batched(
+    long_df: DataFrame,
+    labels: DataFrame,
+    n_features: int,
+    *,
+    n_batches: int,
+    n_elems: int,
+    priors: dict[float, float],
+    k: int,
+    num_top_features: int,
+    lower_distance_threshold: float,
+    redundancy_removal: bool,
+    discrete_data: bool,
+    seed_top_features: list[int] | None,
+    lower_feature_threshold: float,
+) -> ReliefFitResult:
+    """The hash-batched sparse loop — mirrors fit_relief's batch
+    dataflow (operators/relief.py) on the long-form representation:
+    per batch kNN -> pair feature table -> relevance/marginal/joint,
+    topFeatures feedback between batches (ReliefFRSelector.scala:
+    273-283), cross-batch union-reduce, jointTotal discount (:641)."""
+    from functools import reduce
+
+    lower_feat = max(
+        num_top_features, round(lower_feature_threshold * num_top_features)
+    )
+    # batch 0 contributes no joint stats unless the caller seeds the
+    # scope explicitly (the reference starts with an empty topFeatures)
+    tf: list[int] = list(seed_top_features) if seed_top_features else []
+    batch_weights: list[DataFrame] = []
+    margs: list[DataFrame] = []
+    joints: list[DataFrame] = []
+    total_pairs = 0
+
+    for b in range(n_batches):
+        # pmod, NOT %: Spark's % follows the dividend's sign, so
+        # negative ids would silently fall out of every batch.
+        b_labels = labels.filter(
+            F.pmod(F.col("id"), F.lit(n_batches)) == b
+        ).cache()
+        b_long = long_df.filter(
+            F.pmod(F.col("id"), F.lit(n_batches)) == b
+        ).cache()
+        b_n = b_labels.count()
+        neigh = sparse_knn_join(
+            b_long, b_labels, b_labels.select("id"), k, num_corpus=b_n
+        ).cache()
+        n_pairs = neigh.count()
+        total_pairs += n_pairs
+        lp = sparse_pair_feature_table(b_long, b_labels, neigh).cache()
+        pair_counts = _pair_bin_counts(neigh, b_labels)
+        w = relevance_weights(lp, priors, pair_counts=pair_counts).cache()
+        batch_weights.append(w)
+
+        if redundancy_removal:
+            coll = collision_table(
+                lp, not discrete_data, lower_distance_threshold
+            ).cache()
+            m_b = marginal_counts(coll).cache()
+            # no num_features hint: sparse inputs can be millions-wide,
+            # keep the O(1)-memory self-join plan
+            j_b = joint_counts(coll, tf, not discrete_data).cache()
+            # one fused action materializes both caches before their
+            # parents are unpersisted (the dense loop's union trick)
+            m_b.select(F.col("feature_idx").cast("long").alias("_k")).unionAll(
+                j_b.select(F.col("f1").cast("long").alias("_k"))
+            ).count()
+            margs.append(m_b)
+            joints.append(j_b)
+            coll.unpersist()
+
+        # batch top-N steers the NEXT batch's joint-stat scope; raw
+        # relevance ranks identically to min-max-normalized (monotone)
+        top_rows = (
+            w.orderBy(F.desc("relevance"), F.asc("feature_idx"))
+            .limit(lower_feat)
+            .collect()
+        )
+        if top_rows:  # empty batches keep the previous scope (:279-283)
+            tf = [int(r["feature_idx"]) for r in top_rows]
+        lp.unpersist()
+        neigh.unpersist()
+        b_long.unpersist()
+        b_labels.unpersist()
+
+    merged = reduce(DataFrame.unionByName, batch_weights).groupBy(
+        "feature_idx"
+    ).agg(F.sum("relevance").alias("relevance"))
+    relevance = np.zeros(n_features)
+    for r in merged.collect():
+        relevance[int(r["feature_idx"])] = float(r["relevance"])
+    mn, mx = float(relevance.min()), float(relevance.max())
+    relevance_n = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_features)
+    std_sel = std_ranking(relevance_n, num_top_features)
+
+    red_coo: dict[tuple[int, int], float] = {}
+    if redundancy_removal and joints and total_pairs:
+        joint_all = reduce(DataFrame.unionByName, joints).groupBy("f1", "f2").agg(
+            F.sum("joint").alias("joint")
+        )
+        marg_all = reduce(DataFrame.unionByName, margs).groupBy(
+            "feature_idx"
+        ).agg(F.sum("marginal").alias("marginal"))
+        # jointTotal omits batch 0's share (no joint stats there) —
+        # computeRedudancy, ReliefFRSelector.scala:641, at
+        # estimationRatio=1.0 (this path never samples in-fit)
+        joint_total = total_pairs * (1.0 - 1.0 / n_batches)
+        if joint_total > 0:
+            red_df = mi_redundancy(
+                joint_all, marg_all, float(total_pairs), joint_total
+            )
+            for r in red_df.collect():
+                red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
+
+    for cached in (*batch_weights, *margs, *joints):
+        cached.unpersist()
+
+    red_sel = (
+        greedy_select(relevance_n, red_coo, num_top_features)
+        if redundancy_removal
+        else list(std_sel)
+    )
+    return ReliefFitResult(
+        relevance=relevance_n,
+        std_selection=std_sel,
+        redundancy_selection=red_sel,
+        n_features=n_features,
+        n_instances=n_elems,
+        priors=priors,
+        redundancy_coo=red_coo,
+        n_batches=n_batches,
     )
 
 

@@ -1140,9 +1140,12 @@ b{b}_np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM b{b}_knn)"""
 Q72C_PRED = "vec_id % 8 < 2"
 
 
-@register(
-    "q72c_relief_fit_hash_batched",
-    oracle=f"""
+#: Shared by q72c (dense batched fit) and q158 (sparse batched fit):
+#: on the zero-free embeddings table the sparse long form is total, so
+#: both fits are bit-for-bit the same dataflow (pinned by
+#: tests/test_relief_sparse.py::test_sparse_batched_fit_matches_dense_
+#: hash_batched) and one oracle gates both engines' loops.
+_Q72C_ORACLE = f"""
     WITH inst AS MATERIALIZED (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
              CAST(label AS DOUBLE) AS lbl
@@ -1223,7 +1226,12 @@ Q72C_PRED = "vec_id % 8 < 2"
     FROM stdr r JOIN picks p USING (rank)
     JOIN rel0 g ON g.feature_idx = p.feature_idx
     ORDER BY r.rank
-    """,
+    """
+
+
+@register(
+    "q72c_relief_fit_hash_batched",
+    oracle=_Q72C_ORACLE,
     doc="THE FLAGSHIP, fully oracle-gated: the complete batched fit — "
         "deterministic hash split into 2 batches, per-batch within-"
         "batch kNN + class-bin relevance + collision stats, batch 0's "
@@ -1263,6 +1271,66 @@ def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"q72c oracle models exactly 2 hash batches, fit used "
             f"{res.n_batches} (broadcast guard?)"
+        )
+    rows = [
+        (
+            i + 1,
+            int(s),
+            round(float(res.relevance[s]), 6),
+            int(r),
+            round(float(res.relevance[r]), 6),
+        )
+        for i, (s, r) in enumerate(
+            zip(res.std_selection, res.redundancy_selection)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, std_feature int, std_relevance double, "
+        "redundancy_feature int, redundancy_relevance double",
+    )
+
+
+@register(
+    "q158_sparse_fit_hash_batched",
+    oracle=_Q72C_ORACLE,
+    doc="The SPARSE batched fit under the SAME oracle as q72c: the "
+        "q72c instance slice converted to long/COO form, then "
+        "fit_relief_sparse(batch_size=0.5) — per-batch inverted-index "
+        "kNN, sparse pair explode, topFeatures feedback, union-reduce, "
+        "jointTotal discount (ReliefFRSelector.scala:273-283, 641). "
+        "The embeddings table has zero exact-zero coordinates at every "
+        "SF, so the long form is total and the sparse loop is bit-for-"
+        "bit the dense batched dataflow (parity also pinned in "
+        "test_relief_sparse) — one DuckDB statement gates both. "
+        "Scale: the sparse loop's kNN cost is O(shared nonzeros), "
+        "never O(Q x N x d) — the kddb regime (30M features) the "
+        "reference claims (README.md:11).",
+)
+def q158_sparse_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief_sparse import (
+        fit_relief_sparse,
+        to_long_form,
+    )
+
+    inst = _embeddings(spark, sf_dir).filter(
+        F.expr(Q72C_PRED.replace("vec_id", "id"))
+    )
+    long_df, labels = to_long_form(inst)
+    n_feat = len(inst.select("features").first()["features"])
+    res = fit_relief_sparse(
+        long_df,
+        labels,
+        n_features=n_feat,
+        num_top_features=Q72C_TOP,
+        num_neighbors=Q72C_NEIGH,
+        redundancy_removal=True,
+        discrete_data=False,
+        batch_size=0.5,  # exactly the oracle's id%2 split
+    )
+    if res.n_batches != 2:
+        raise ValueError(
+            f"q158 oracle models exactly 2 hash batches, fit used {res.n_batches}"
         )
     rows = [
         (

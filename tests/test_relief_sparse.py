@@ -189,3 +189,62 @@ def test_sparse_fit_wide_feature_space(spark):
     # the greedy anti-redundancy pass must still surface both planted
     # features (they collide with everything, but nothing beats them)
     assert sig_a in res.redundancy_selection
+
+
+def test_sparse_batched_fit_matches_dense_hash_batched(spark):
+    """batch_size<1.0 wires the sparse path into the reference's batch
+    loop (topFeatures feedback, union-reduce, jointTotal discount —
+    ReliefFRSelector.scala:273-283, 641). On ZERO-FREE data the long
+    form is lossless, sparse kNN ranks identically to dense (proven by
+    test_sparse_knn_matches_dense) and every aggregate is decimal-
+    exact, so the batched sparse fit must reproduce the batched dense
+    fit bit-for-bit: same selections, same weights, same batch count."""
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+
+    rng = np.random.default_rng(8)
+    n, d = 48, 8
+    X = rng.normal(loc=3.0, size=(n, d))  # no zeros: long form is total
+    y = (X[:, 2] > 3.0).astype(float)
+    rows = [(i, X[i].tolist(), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    long_df, labels = to_long_form(df)
+
+    dense = fit_relief(
+        df, num_top_features=3, num_neighbors=3,
+        estimation_ratio=1.0, batch_size=0.5, batching="hash",
+        redundancy_removal=True, knn_strategy="numpy", seed=7,
+    )
+    sparse = fit_relief_sparse(
+        long_df, labels, n_features=d,
+        num_top_features=3, num_neighbors=3,
+        redundancy_removal=True, batch_size=0.5,
+    )
+    assert sparse.n_batches == dense.n_batches == 2
+    assert sparse.std_selection == dense.std_selection
+    assert sparse.redundancy_selection == dense.redundancy_selection
+    assert np.allclose(sparse.relevance, dense.relevance, atol=1e-9)
+    assert sparse.priors == dense.priors
+
+
+def test_sparse_batched_fit_on_sparse_data(spark, sparse_fixture):
+    """Batched fit on genuinely sparse input: the loop must stay
+    sparse-semantics (absent zero-zero slots) end-to-end and still
+    recover the informative feature; single-pass remains the default
+    and is untouched by the new parameter."""
+    df, X, y = sparse_fixture
+    long_df, labels = to_long_form(df)
+    res = fit_relief_sparse(
+        long_df, labels, n_features=X.shape[1],
+        num_top_features=3, num_neighbors=4,
+        redundancy_removal=True, batch_size=0.5,
+    )
+    assert res.n_batches == 2
+    assert len(res.std_selection) == 3
+    assert len(res.redundancy_selection) == 3
+    assert 0 in res.std_selection  # informative feature survives batching
+    single = fit_relief_sparse(
+        long_df, labels, n_features=X.shape[1],
+        num_top_features=3, num_neighbors=4,
+        redundancy_removal=True,
+    )
+    assert single.n_batches == 1
