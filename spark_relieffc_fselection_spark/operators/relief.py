@@ -720,6 +720,19 @@ def fit_relief(
     pair table -> relevance bins + collision stats; batch top-N feeds
     the next batch's joint-stat scope -> union-sum -> min-max -> MI ->
     greedy selection.
+
+    DELIBERATE DEVIATION (SURVEY §8.5): per batch this engine scans
+    the BATCH for neighbors, while the reference scans the FULL
+    dataset per batch (``approxNNByPartition(modelDataset,
+    bFullQuery)``, ReliefFRSelector.scala:262) — the two coincide
+    exactly at estimationRatio=1.0 with a single batch (every
+    oracle-gated config). Under batching, within-batch kNN is
+    O(sum batch_i^2) instead of O(sampled x N) — at the reference's
+    own headline scale (64M rows, README.md:15-17) scanning the full
+    corpus once per batch is the quadratic term that caps scaling,
+    and the weights remain unbiased because every batch is a uniform
+    subsample. q72c's oracle reproduces THIS engine's semantics
+    end-to-end, so the deviation itself is hash-pinned.
     """
     from spark_relieffc_fselection_spark.functions.timing import stage_timer
 
