@@ -814,6 +814,70 @@ def main() -> None:
 
     bench("upsert_state merge (2 max_by aggs + key join)", upsert_state)
 
+    # round-8 additions (VERDICT r6 #5 / r7 #5 debt) -----------------------
+
+    # q155: native recursive CTE (digit-climb over customer keys) —
+    # depth grows log10(maxkey), per-iteration work is one narrow
+    # filter+project, so total work ~ rows x depth => near-linear
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    n_cust = cust.count()
+
+    # Spark 4's recursive CTE caps accumulated rows at 1e6 by default
+    # (RECURSION_ROW_LIMIT_EXCEEDED at 16x: 240k nodes x ~6 digit
+    # levels) — at warehouse scale this conf is part of deploying the
+    # operator, exactly like shuffle partitions.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", (1 << 31) - 1)
+
+    def recursive_climb(kk: int) -> DataFrame:
+        c = replicate(cust, kk, "c_custkey", n_cust)
+        return spark.sql(
+            """
+            WITH RECURSIVE climb AS (
+              SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM {c}
+              UNION ALL
+              SELECT node, cur div 10, depth + 1 FROM climb WHERE cur >= 10
+            )
+            SELECT cur AS root_key, COUNT(*) AS n_nodes,
+                   CAST(MAX(depth) AS INT) AS max_depth
+            FROM climb WHERE cur < 10 GROUP BY cur
+            """,
+            c=c,
+        )
+
+    bench("q155 recursive CTE (digit climb, depth ~ log10 keys)", recursive_climb)
+
+    # q72b/q72c-shaped fits: the full pipeline to greedy selection.
+    # The exact within-batch kNN is the documented quadratic term (the
+    # sample grows with the corpus at fixed slice), so the honest
+    # expectation here is ~k^2 per batch — the escalation tier
+    # (resolve_auto_strategy -> lsh) is the bound at real scale, not
+    # this kernel. Slice id%8<2 mirrors q72c's Q72C_PRED sizing.
+    def fit_q72_shaped(label: str, batch_size: float, batching: str) -> None:
+        if label_filters and not any(f in label.lower() for f in label_filters):
+            return
+
+        def run(kk: int) -> float:
+            d = inst_k(kk).filter(F.col("id") % 8 < 2)
+            t0 = time.time()
+            fit_relief(
+                d, num_top_features=5, num_neighbors=3,
+                estimation_ratio=1.0, batch_size=batch_size,
+                redundancy_removal=True, discrete_data=False,
+                seed=42, knn_strategy="numpy-gemm", batching=batching,
+            )
+            return time.time() - t0
+
+        run(1)  # warm
+        t1 = min(run(1), run(1))
+        tk = min(run(k), run(k))
+        print(
+            f"{label}: 1x={t1:.2f}s {k}x={tk:.2f}s ratio={tk / t1:.1f} "
+            f"(linear would be ~{float(k):.0f}; exact kNN term is ~k^2/batch)"
+        )
+
+    fit_q72_shaped("q72b-shaped fit (1 batch -> MI -> greedy)", 1.0, "random")
+    fit_q72_shaped("q72c-shaped fit (hash-batched, feedback loop)", 0.5, "hash")
+
     spark.stop()
 
 

@@ -618,3 +618,31 @@ def test_negative_sampling_bucket_bounded(spark, qs):
     assert "Window" not in plan
     # min_by over a struct plans as SortAggregate — still partial+final
     assert plan.count("SortAggregate") >= 2
+
+
+def test_multiprobe_lsh_explodes_broadcast_side_only(spark, qs):
+    """q157: the Hamming-1 probe expansion must live on the QUERY
+    (broadcast) side — the corpus scan side carries exactly one
+    bucket-explode (its table fan-out), never the x(1+n_bits) probe
+    fan-out, and the candidate join broadcasts the probes. No
+    cartesian anywhere."""
+    plan = _plan(qs["q157_knn_lsh_multiprobe_recall"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # generator count: corpus side explodes per-table buckets once in
+    # each of the two arms (exact side has none); the probe explode
+    # adds one more on the broadcast side only => Generate nodes stay
+    # bounded (3), they don't multiply against the corpus
+    assert plan.count("Generate explode") <= 3, plan.count("Generate explode")
+
+
+def test_bpe_encode_corpus_touched_once(spark, qs):
+    """q156: the merge/encode chain runs over the LOCALIZED vocabulary
+    — the corpus parquet scan appears exactly once in the executed
+    plan (the word histogram), every merge round reads a
+    LocalTableScan, and the final top-k is a TakeOrdered."""
+    plan = _plan(qs["q156_bpe_encode"](spark, SF))
+    assert plan.count("Scan parquet") == 0  # vocab localized: no rescan
+    # localize() materializes the vocab as a local/in-memory relation
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
