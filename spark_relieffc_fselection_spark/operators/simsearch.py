@@ -111,6 +111,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Multi-table sign-LSH ANN.
 
@@ -120,10 +121,29 @@ def lsh_bucketed_topk(
     compounds to 1-(1-p^bits)^tables). Per-query scan cost ~
     n_tables * corpus / 2^n_bits. Exact cosine ranking within the
     candidate set; fully deterministic, hence SQL-oracle-able.
+
+    ``multiprobe``: Hamming-1 probe expansion on the QUERY (broadcast)
+    side — same remedy the RELIEF fit's kNN tier ships (knn.py
+    `_candidates_lsh`): each query also probes the n_bits buckets one
+    sign-flip away, so recall tolerates one disagreeing coordinate per
+    window. x(1+n_bits) broadcast rows, zero extra corpus-side work.
     """
     q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
     c = _prep_normed(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm")
     q_b = _with_table_buckets(q, "q_vec", n_bits, n_tables)
+    if multiprobe:
+        q_b = q_b.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                        for i in range(n_bits)
+                    ],
+                )
+            ),
+        )
     c_b = _with_table_buckets(c, "n_vec", n_bits, n_tables)
     cand = (
         c_b.join(F.broadcast(q_b), ["table", "bucket"])

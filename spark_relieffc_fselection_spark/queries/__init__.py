@@ -85,8 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "q156_bpe_encode",
     "q157_knn_lsh_multiprobe_recall",
     "q158_sparse_fit_hash_batched",
-    # r5-green backlog, oldest-green-first (26 of the 47 r5 entries
-    # fit; the other 21 carry round-9 slots in _DEFERRED and the
+    "q159_ann_lsh_multiprobe_recall",
+    # r5-green backlog, oldest-green-first (25 of the 47 r5 entries
+    # fit; the other 22 carry round-9 slots in _DEFERRED and the
     # staleness bound forces that rotation next round)
     "q04_window_topk",
     "q05_global_topk",
@@ -113,7 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "q115_salted_skew_join",
     "q116_snapshot_diff",
     "q117_source_quality_calibration",
-    "q118_zorder_layout",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -126,9 +126,10 @@ _PRIORITY: tuple[str, ...] = (
 #: The 20 r5 holdovers are the oldest cohort (age 3 at round 8); they
 #: MUST take round-9 slots per the staleness bound.
 _DEFERRED: dict[str, int] = {
-    # r5-green (the 20 that didn't fit after the r4 cohort took its 15
+    # r5-green (the 22 that didn't fit after the r4 cohort took its 15
     # slots — age 3 at round 8, MUST rotate in round 9 per the
     # staleness bound in test_registry):
+    "q118_zorder_layout": 5,
     "q119_scd2_history": 5,
     "q120_hierarchy_closure": 5,
     "q121_cohort_retention": 5,

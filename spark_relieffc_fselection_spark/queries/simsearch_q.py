@@ -850,3 +850,88 @@ def q145_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "i", "j", F.round(F.col("g").cast("double"), 6).alias("g")
     )
+
+
+@register(
+    "q159_ann_lsh_multiprobe_recall",
+    oracle=f"""
+    WITH {_INST},
+    exact_pairs AS (
+      SELECT b.id AS query_id, a.id AS neighbor_id, {_COSINE} AS cosine
+      FROM normed a JOIN normed b ON a.id <> b.id
+      WHERE b.{QUERY_PRED_SQL}
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM exact_pairs
+      ) WHERE rank <= {TOPK}
+    ),
+    bucketed AS (
+      SELECT id, t.tbl AS tbl,
+             {' + '.join(f'(CASE WHEN v[t.tbl * {LSH_BITS} + {i + 1}] > 0 THEN {1 << i} ELSE 0 END)' for i in range(LSH_BITS))} AS bucket
+      FROM normed, LATERAL (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS tbl) t
+    ),
+    qprobes AS (
+      SELECT id, tbl,
+             CASE WHEN p.j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << (p.j - 1) AS BIGINT)) END AS bucket
+      FROM bucketed,
+           LATERAL (SELECT unnest(generate_series(0, {LSH_BITS})) AS j) p
+      WHERE {QUERY_PRED_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT b.id AS query_id, a.id AS neighbor_id
+      FROM bucketed a JOIN qprobes b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.id <> b.id
+    ),
+    lsh_pairs AS (
+      SELECT c.query_id, c.neighbor_id, {_COSINE} AS cosine
+      FROM cands c
+      JOIN normed a ON a.id = c.neighbor_id
+      JOIN normed b ON b.id = c.query_id
+    ),
+    lsh_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM lsh_pairs
+      ) WHERE rank <= {TOPK}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(l.neighbor_id) / CAST({TOPK} AS DOUBLE), 6) AS recall
+    FROM exact_topk e
+    LEFT JOIN lsh_topk l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc="Recall@k of the MULTIPROBE ANN tier (lsh_bucketed_topk with "
+        "Hamming-1 probe expansion on the broadcast side) against the "
+        "exact brute-force top-k — q49's metric for the probe-expanded "
+        "candidate generator, the same remedy that restored the RELIEF "
+        "fit tier's planted-signal property (q157). Candidate sets "
+        "strictly contain q49's, so per-query recall is monotonically "
+        ">= single-probe at ~(1+n_bits)x broadcast rows and unchanged "
+        "corpus-side cost. Oracle replays the probe set with xor() "
+        "bucket flips.",
+)
+def q159_ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(QUERY_PRED_SPARK())
+    exact = brute_force_topk(emb, queries, k=TOPK).select("query_id", "neighbor_id")
+    lsh = lsh_bucketed_topk(
+        emb, queries, k=TOPK, n_bits=LSH_BITS, n_tables=LSH_TABLES,
+        multiprobe=True,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(TOPK)), 6
+            ).alias("recall"),
+        )
+    )

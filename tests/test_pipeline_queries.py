@@ -306,3 +306,18 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     multi = {r["query_id"]: r["n_hits"] for r in q157_knn_lsh_multiprobe_recall(spark, SF_DIR).collect()}
     assert set(single) == set(multi)
     assert all(multi[q] >= single[q] for q in single)
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """q159 vs q49: the ANN Hamming-1 probe set strictly contains the
+    single-probe candidates, so per-query recall is monotonically >=
+    (measured at sf0.01: mean 0.435 -> 0.94)."""
+    from spark_relieffc_fselection_spark.queries.simsearch_q import (
+        q49_ann_recall,
+        q159_ann_lsh_multiprobe_recall,
+    )
+
+    single = {r["query_id"]: r["n_hits"] for r in q49_ann_recall(spark, SF_DIR).collect()}
+    multi = {r["query_id"]: r["n_hits"] for r in q159_ann_lsh_multiprobe_recall(spark, SF_DIR).collect()}
+    assert set(single) == set(multi)
+    assert all(multi[q] >= single[q] for q in single)
