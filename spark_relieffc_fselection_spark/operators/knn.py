@@ -114,6 +114,7 @@ def knn_join(
     lsh_tables: int = 8,
     lsh_multiprobe: bool = False,
     scan_partitions: int | None = None,
+    num_queries: int | None = None,
 ) -> DataFrame:
     """k nearest neighbors of each query among ``instances``.
 
@@ -163,6 +164,7 @@ def knn_join(
             n_tables=lsh_tables,
             num_instances=num_instances,
             multiprobe=lsh_multiprobe,
+            num_queries=num_queries,
         )
         if exclude_self:
             cand = cand.filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -228,6 +230,7 @@ def _candidates_lsh(
     n_tables: int = 8,
     num_instances: int | None = None,
     multiprobe: bool = False,
+    num_queries: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE candidate generation: multi-table sign-LSH buckets
     (reusing the ANN machinery, simsearch._with_table_buckets) prune
@@ -286,6 +289,22 @@ def _candidates_lsh(
             ),
         )
     i_b = _with_table_buckets(inst, "_n_features", n_bits, n_tables)
+    # Broadcast the probe table only when it is provably small: at the
+    # fit's escalation scale (batch == queries, 32 tables x 17 probes)
+    # the probe table is ~544 rows PER QUERY — a 400k-row batch would
+    # be a multi-GB broadcast, while a plain shuffle join on
+    # (table, bucket) is linear in both sides and AQE still converts
+    # it back to broadcast at runtime if the built side turns out
+    # tiny. Callers that know the query count pass it; unknown counts
+    # keep the hint (the q73/q157-style bounded-query case).
+    probe_rows = (
+        num_queries * n_tables * ((1 + n_bits) if multiprobe else 1)
+        if num_queries is not None
+        else None
+    )
+    probe_tbl = q_b.select("table", "bucket", query_id_col)
+    if probe_rows is None or probe_rows <= 4_000_000:
+        probe_tbl = F.broadcast(probe_tbl)
     # distinct BEFORE the distance — a pair colliding in several tables
     # must be scored once — and over BARE ID PAIRS: deduping rows that
     # carry the two d-dim arrays shuffles ~d x 16 bytes per candidate
@@ -294,13 +313,14 @@ def _candidates_lsh(
     # (instances), and the distance collapses to a scalar before the
     # rank shuffle.
     pairs = (
-        i_b.join(
-            F.broadcast(q_b.select("table", "bucket", query_id_col)),
-            ["table", "bucket"],
-        )
+        i_b.join(probe_tbl, ["table", "bucket"])
         .select(query_id_col, "neighbor_id")
         .distinct()
     )
+    # The features side of the query broadcast IS bounded by the fit's
+    # broadcast-memory guard (rows x (nFeat+2) doubles < ~2 GiB — the
+    # same bound the reference places on its batch broadcast), so the
+    # hint stays unconditional here.
     return (
         pairs.join(F.broadcast(q), query_id_col)
         .join(inst, "neighbor_id")

@@ -837,6 +837,9 @@ def fit_relief(
             exclude_self=exclude_self, strategy=knn_strategy,
             # partition-sizing estimate only — saves a count() job
             num_instances=batch_rows,
+            # queries == batch here: lets the lsh tier drop its probe-
+            # table broadcast hint when the batch is escalation-sized
+            num_queries=batch_rows,
             scan_partitions=sample_parts,
             lsh_tables=lsh_tables,
             # Hamming-1 multiprobe: single-probe's ~4-27% neighbor loss
