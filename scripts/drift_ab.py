@@ -59,11 +59,24 @@ def main() -> None:
     repo_b = sys.argv[2]
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     sf_dir = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
-    names = "q44_sparse_relief_relevance,q72_relief_fit_rankings"
+    # optional 5th arg: comma-separated query names (default = the
+    # original r4 drift pair)
+    names = (
+        sys.argv[5]
+        if len(sys.argv) > 5
+        else "q44_sparse_relief_relevance,q72_relief_fit_rankings"
+    )
 
     acc: dict[str, dict[str, list[float]]] = {"A": {}, "B": {}}
     for r in range(rounds):
-        for side, repo in (("A", repo_a), ("B", repo_b)):
+        # Alternate leg ORDER per round: with a fixed A-then-B order the
+        # second leg rides the first's page cache / CPU-governor warmup
+        # — observed as the control moving 14% in a change that never
+        # touched its code. ABBA cancels the second-runner advantage.
+        legs = (("A", repo_a), ("B", repo_b))
+        if r % 2 == 1:
+            legs = tuple(reversed(legs))
+        for side, repo in legs:
             res = run_side(repo, sf_dir, names, reps=1)
             for q, ts in res.items():
                 acc[side].setdefault(q, []).extend(ts)

@@ -469,6 +469,17 @@ def _fit_relief_sparse_batched(
     lower_feat = max(
         num_top_features, round(lower_feature_threshold * num_top_features)
     )
+    # One upfront density probe steers every batch's kNN plan: on
+    # dense-ish input (nnz/cell > 0.25) the adaptive bottom-M probe
+    # inside sparse_knn_join would burn 2 driver actions per escalation
+    # round per batch before falling back to the norms grid anyway —
+    # tell it to go straight there (probe=False) and skip the per-batch
+    # exact corpus count the probe proof needs (the grid path never
+    # consults it). For parquet-backed long tables this count is
+    # metadata-only; for derived long forms it costs about one probe
+    # round and saves up to six per batch.
+    nnz = long_df.count()
+    dense_ish = nnz > 0.25 * n_elems * max(n_features, 1)
     # batch 0 contributes no joint stats unless the caller seeds the
     # scope explicitly (the reference starts with an empty topFeatures)
     tf: list[int] = list(seed_top_features) if seed_top_features else []
@@ -486,9 +497,12 @@ def _fit_relief_sparse_batched(
         b_long = long_df.filter(
             F.pmod(F.col("id"), F.lit(n_batches)) == b
         ).cache()
-        b_n = b_labels.count()
+        # exact per-batch count only where the probe's coverage proof
+        # consumes it; the grid path takes a uniform-split estimate
+        b_n = max(1, n_elems // n_batches) if dense_ish else b_labels.count()
         neigh = sparse_knn_join(
-            b_long, b_labels, b_labels.select("id"), k, num_corpus=b_n
+            b_long, b_labels, b_labels.select("id"), k,
+            num_corpus=b_n, probe=False if dense_ish else None,
         ).cache()
         n_pairs = neigh.count()
         total_pairs += n_pairs

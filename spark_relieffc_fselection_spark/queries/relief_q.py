@@ -1145,11 +1145,18 @@ Q72C_PRED = "vec_id % 8 < 2"
 #: both fits are bit-for-bit the same dataflow (pinned by
 #: tests/test_relief_sparse.py::test_sparse_batched_fit_matches_dense_
 #: hash_batched) and one oracle gates both engines' loops.
+#: q158 instance pre-filter: a 1-in-8 slice, SAME dataflow as q72c on
+#: a smaller set — the sparse plan's per-pair explode and inverted-
+#: index joins are the engine's most expensive shapes on DENSE data
+#: (their worst case: every pair shares every feature), so the
+#: correctness gate runs on a quarter of q72c's pairs.
+Q158_PRED = "vec_id % 16 < 2"
+
 _Q72C_ORACLE = f"""
     WITH inst AS MATERIALIZED (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
              CAST(label AS DOUBLE) AS lbl
-      FROM embeddings WHERE {Q72C_PRED}
+      FROM embeddings WHERE __PRED__
     ),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
     priors AS (SELECT lbl, COUNT(*) / total AS prior FROM inst, nn
@@ -1231,7 +1238,7 @@ _Q72C_ORACLE = f"""
 
 @register(
     "q72c_relief_fit_hash_batched",
-    oracle=_Q72C_ORACLE,
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED),
     doc="THE FLAGSHIP, fully oracle-gated: the complete batched fit — "
         "deterministic hash split into 2 batches, per-batch within-"
         "batch kNN + class-bin relevance + collision stats, batch 0's "
@@ -1293,7 +1300,7 @@ def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q158_sparse_fit_hash_batched",
-    oracle=_Q72C_ORACLE,
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q158_PRED),
     doc="The SPARSE batched fit under the SAME oracle as q72c: the "
         "q72c instance slice converted to long/COO form, then "
         "fit_relief_sparse(batch_size=0.5) — per-batch inverted-index "
@@ -1314,7 +1321,7 @@ def q158_sparse_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     inst = _embeddings(spark, sf_dir).filter(
-        F.expr(Q72C_PRED.replace("vec_id", "id"))
+        F.expr(Q158_PRED.replace("vec_id", "id"))
     )
     long_df, labels = to_long_form(inst)
     n_feat = len(inst.select("features").first()["features"])
