@@ -179,11 +179,14 @@ class ReliefFSelector(
         semantics with corrected feature indexing, SURVEY §8.1).
 
         Sampling (estimationRatio) is an id filter applied before the
-        explode. Batching is unnecessary on this path: the only
-        broadcast is the sampled queries' nonzero rows, which the
-        estimationRatio cap already bounds — there is no dense
-        (nFeat+2)-wide batch to guard (the reference's :225-228 guard
-        exists because its batches are dense rows).
+        explode. batchSize participates exactly like the reference's
+        sparse path does (ReliefFRSelector.scala:273-275: the batch
+        loop with topFeatures feedback); the split is always the
+        deterministic id%%n hash mode regardless of the `batching`
+        param (fit_relief_sparse has no engine-seeded mode — hash is
+        the re-run-stable superset of what the loop needs, and the
+        memory rationale differs too: there is no dense (nFeat+2)-wide
+        broadcast to guard here, so batching buys only the semantics).
         """
         u = F.unwrap_udt(F.col(self.getInputCol()))
         entry = lambda i, v: F.struct(  # noqa: E731
@@ -229,6 +232,8 @@ class ReliefFSelector(
             lower_distance_threshold=self.getOrDefault(self.lowerDistanceThreshold),
             redundancy_removal=self.getOrDefault(self.redundancyRemoval),
             discrete_data=self.getOrDefault(self.discreteData),
+            batch_size=float(self.getOrDefault(self.batchSize)),
+            lower_feature_threshold=self.getOrDefault(self.lowerFeatureThreshold),
         )
         base.unpersist()
         return self._make_model(res)

@@ -275,3 +275,40 @@ def test_estimator_hash_batching_is_rerun_stable(spark, vec_df):
     assert m1.getOrDefault(m1.redundancySelection) == m2.getOrDefault(
         m2.redundancySelection
     )
+
+
+def test_sparse_estimator_honors_batch_size(spark):
+    """batchSize participates on the sparse route exactly like the
+    reference's sparse path does (ReliefFRSelector.scala:273-275): on
+    ZERO-FREE data the sparse batched estimator fit must reproduce the
+    dense hash-batched fit bit-for-bit through the full API."""
+    rng = np.random.default_rng(31)
+    n, d = 48, 8
+    X = rng.normal(loc=3.0, size=(n, d)).round(3)  # no zeros
+    y = (X[:, 2] > 3.0).astype(float)
+    sparse_rows = [
+        (Vectors.sparse(d, {j: X[i, j] for j in range(d)}), float(y[i]))
+        for i in range(n)
+    ]
+    dense_rows = [(Vectors.dense(X[i]), float(y[i])) for i in range(n)]
+    sparse_df = spark.createDataFrame(sparse_rows, ["features", "label"])
+    dense_df = spark.createDataFrame(dense_rows, ["features", "label"])
+    params = dict(
+        numTopFeatures=3, numNeighbors=3, estimationRatio=1.0,
+        batchSize=0.5, redundancyRemoval=True, seed=7,
+    )
+    m_sparse = ReliefFSelector(**params).fit(sparse_df)
+    m_dense = ReliefFSelector(**params, batching="hash").fit(dense_df)
+    assert (
+        m_sparse.getOrDefault(m_sparse.stdSelection)
+        == m_dense.getOrDefault(m_dense.stdSelection)
+    )
+    assert (
+        m_sparse.getOrDefault(m_sparse.redundancySelection)
+        == m_dense.getOrDefault(m_dense.redundancySelection)
+    )
+    np.testing.assert_allclose(
+        m_sparse.getOrDefault(m_sparse.relevanceWeights),
+        m_dense.getOrDefault(m_dense.relevanceWeights),
+        atol=1e-9,
+    )
