@@ -713,6 +713,7 @@ def fit_relief(
     knn_strategy: str = "numpy",
     exclude_self: bool = True,
     batching: str = "random",
+    sampling: str = "engine",
 ) -> ReliefFitResult:
     """Full fit dataflow (ReliefFRSelector.scala:199-325, DataFrame IR).
 
@@ -740,6 +741,8 @@ def fit_relief(
 
     if batching not in ("random", "hash"):
         raise ValueError(f"unknown batching mode {batching!r}")
+    if sampling not in ("engine", "hash"):
+        raise ValueError(f"unknown sampling mode {sampling!r}")
     if knn_strategy not in ("sql", "numpy", "numpy-gemm", "lsh", "auto"):
         raise ValueError(f"unknown knn_strategy {knn_strategy!r}")
     spark = df.sparkSession
@@ -769,7 +772,25 @@ def fit_relief(
     k = num_neighbors * n_classes
     lower_feat = max(num_top_features, round(lower_feature_threshold * num_top_features))
 
-    sample = instances.sample(fraction=estimation_ratio, seed=seed) if estimation_ratio < 1.0 else instances
+    # sampling='engine': the reference's engine-seeded Bernoulli
+    # (ReliefFRSelector.scala:223) — statistically right, but its draw
+    # sequence is Spark-internal, so the sampled fit can only be
+    # rows-only checked (q72). sampling='hash': the same uniform draw
+    # from a portable md5 of the row id (operators/sampling.hash_uniform,
+    # DuckDB spelling documented there) — re-run-stable, engine-
+    # independent, which puts the SAMPLED fit under the full SQL oracle
+    # (q72d). Seed does not participate in hash mode: the draw is a
+    # function of the id, the property that makes it replayable.
+    if estimation_ratio >= 1.0:
+        sample = instances
+    elif sampling == "hash":
+        from spark_relieffc_fselection_spark.operators.sampling import (
+            hash_uniform,
+        )
+
+        sample = instances.filter(hash_uniform(F.col("id")) < estimation_ratio)
+    else:
+        sample = instances.sample(fraction=estimation_ratio, seed=seed)
     sampled_size = sample.count() if estimation_ratio < 1.0 else n_elems
     # Broadcast-memory guard (ReliefFRSelector.scala:225-228): a batch
     # rides to every executor, so its fraction is capped such that

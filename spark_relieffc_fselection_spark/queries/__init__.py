@@ -86,8 +86,9 @@ _PRIORITY: tuple[str, ...] = (
     "q157_knn_lsh_multiprobe_recall",
     "q158_sparse_fit_hash_batched",
     "q159_ann_lsh_multiprobe_recall",
-    # r5-green backlog, oldest-green-first (25 of the 47 r5 entries
-    # fit; the other 22 carry round-9 slots in _DEFERRED and the
+    "q72d_relief_fit_hash_sampled",
+    # r5-green backlog, oldest-green-first (24 of the 47 r5 entries
+    # fit; the other 23 carry round-9 slots in _DEFERRED and the
     # staleness bound forces that rotation next round)
     "q04_window_topk",
     "q05_global_topk",
@@ -113,7 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "q114_cluster_aware_split",
     "q115_salted_skew_join",
     "q116_snapshot_diff",
-    "q117_source_quality_calibration",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -126,9 +126,10 @@ _PRIORITY: tuple[str, ...] = (
 #: The 20 r5 holdovers are the oldest cohort (age 3 at round 8); they
 #: MUST take round-9 slots per the staleness bound.
 _DEFERRED: dict[str, int] = {
-    # r5-green (the 22 that didn't fit after the r4 cohort took its 15
+    # r5-green (the 23 that didn't fit after the r4 cohort took its 15
     # slots — age 3 at round 8, MUST rotate in round 9 per the
     # staleness bound in test_registry):
+    "q117_source_quality_calibration": 5,
     "q118_zorder_layout": 5,
     "q119_scd2_history": 5,
     "q120_hierarchy_closure": 5,

@@ -1080,7 +1080,7 @@ def _q72c_batch_cte(b: int) -> str:
     fit_relief's per-batch dataflow (operators/relief.py:756-841)
     with the batching='hash' split."""
     return f"""
-b{b}_inst AS MATERIALIZED (SELECT id, f, lbl FROM inst WHERE id % 2 = {b}),
+b{b}_inst AS MATERIALIZED (SELECT id, f, lbl FROM sinst WHERE id % 2 = {b}),
 b{b}_knn AS MATERIALIZED (
   SELECT query_id, q_label, neighbor_id, n_label FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1161,6 +1161,7 @@ _Q72C_ORACLE = f"""
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM inst),
     priors AS (SELECT lbl, COUNT(*) / total AS prior FROM inst, nn
                GROUP BY lbl, total),
+    sinst AS MATERIALIZED (SELECT id, f, lbl FROM inst WHERE __SAMPLE__),
     {_q72c_batch_cte(0)},
     {_q72c_batch_cte(1)},
     top15 AS MATERIALIZED (
@@ -1238,7 +1239,7 @@ _Q72C_ORACLE = f"""
 
 @register(
     "q72c_relief_fit_hash_batched",
-    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED),
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED).replace("__SAMPLE__", "TRUE"),
     doc="THE FLAGSHIP, fully oracle-gated: the complete batched fit — "
         "deterministic hash split into 2 batches, per-batch within-"
         "batch kNN + class-bin relevance + collision stats, batch 0's "
@@ -1300,7 +1301,7 @@ def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q158_sparse_fit_hash_batched",
-    oracle=_Q72C_ORACLE.replace("__PRED__", Q158_PRED),
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q158_PRED).replace("__SAMPLE__", "TRUE"),
     doc="The SPARSE batched fit under the SAME oracle as q72c: the "
         "q72c instance slice converted to long/COO form, then "
         "fit_relief_sparse(batch_size=0.5) — per-batch inverted-index "
@@ -1338,6 +1339,77 @@ def q158_sparse_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     if res.n_batches != 2:
         raise ValueError(
             f"q158 oracle models exactly 2 hash batches, fit used {res.n_batches}"
+        )
+    rows = [
+        (
+            i + 1,
+            int(s),
+            round(float(res.relevance[s]), 6),
+            int(r),
+            round(float(res.relevance[r]), 6),
+        )
+        for i, (s, r) in enumerate(
+            zip(res.std_selection, res.redundancy_selection)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, std_feature int, std_relevance double, "
+        "redundancy_feature int, redundancy_relevance double",
+    )
+
+
+#: q72d: the SAMPLED fit under the full oracle. Portable md5-uniform
+#: draw (operators/sampling.hash_uniform — 24 md5 bits offset by 0.5);
+#: the DuckDB spelling below is the one documented on hash_uniform.
+Q72D_RATIO = 0.5
+_Q72D_SAMPLE_SQL = (
+    "(('0x' || substr(md5(CAST(id AS VARCHAR)), 4, 6))::BIGINT + 0.5)"
+    f" / 16777216.0 < {Q72D_RATIO}"
+)
+
+
+@register(
+    "q72d_relief_fit_hash_sampled",
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED).replace(
+        "__SAMPLE__", _Q72D_SAMPLE_SQL
+    ),
+    doc="The SAMPLED batched fit under the full oracle — the one fit "
+        "mode q72 could only rows-only check, made hash-checkable by "
+        "swapping the engine-seeded Bernoulli for the portable "
+        "md5-uniform draw (sampling='hash', same uniform law, "
+        "re-run-stable and engine-independent): estimationRatio=0.5 "
+        "sample -> 2 hash batches -> full feedback loop -> MI -> "
+        "greedy, ONE DuckDB statement end-to-end. Priors and k come "
+        "from the PRE-sampling instance set, exactly the reference's "
+        "order (ReliefFRSelector.scala:217-223). With this, every fit "
+        "mode's dataflow is hash-gated: unsampled single-batch (q72a), "
+        "greedy (q72b), batched (q72c), sparse batched (q158), sampled "
+        "batched (here) — q72's residue is solely the engine-seeded "
+        "draw sequence itself.",
+)
+def q72d_relief_fit_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+
+    inst = _embeddings(spark, sf_dir).filter(
+        F.expr(Q72C_PRED.replace("vec_id", "id"))
+    )
+    res = fit_relief(
+        inst,
+        num_top_features=Q72C_TOP,
+        num_neighbors=Q72C_NEIGH,
+        estimation_ratio=Q72D_RATIO,
+        sampling="hash",          # portable draw -> oracle-able
+        batch_size=0.5,           # exactly 2 batches
+        redundancy_removal=True,
+        discrete_data=False,
+        seed=42,                  # inert in hash mode (documented)
+        knn_strategy="numpy",
+        batching="hash",
+    )
+    if res.n_batches != 2:
+        raise ValueError(
+            f"q72d oracle models exactly 2 hash batches, fit used {res.n_batches}"
         )
     rows = [
         (
