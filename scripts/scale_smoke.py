@@ -878,6 +878,76 @@ def main() -> None:
     fit_q72_shaped("q72b-shaped fit (1 batch -> MI -> greedy)", 1.0, "random")
     fit_q72_shaped("q72c-shaped fit (hash-batched, feedback loop)", 0.5, "hash")
 
+    # q158-shaped fit IN ITS REGIME: genuinely sparse long-form input
+    # (8 nnz of 10k features per row — the kddb shape, nnz/cell 8e-4),
+    # where the inverted-index kNN's join work is O(shared nonzeros)
+    # and the adaptive bottom-M probe covers the no-overlap pairs.
+    # Expected near-linear in rows; contrast with the dense-data bench
+    # cost SCALE.md adjudicates (every pair sharing every feature is
+    # the plan's worst case).
+    def sparse_fit_timed(label: str, scale_features: bool = False) -> None:
+        """``scale_features``: grow the feature space with the corpus
+        (D x kk — how real vocabularies behave), keeping per-feature
+        density constant; False holds D fixed, so replicas RAISE
+        density and the shared-nonzero pair count grows superlinearly
+        — the two together separate the O(shared nonzeros) claim from
+        the density confound."""
+        if label_filters and not any(f in label.lower() for f in label_filters):
+            return
+        from spark_relieffc_fselection_spark.operators.relief_sparse import (
+            fit_relief_sparse,
+        )
+
+        N0, D0, NNZ = 20_000, 10_000, 8
+
+        def run(kk: int) -> float:
+            n = N0 * kk
+            D = D0 * kk if scale_features else D0
+            base = spark.range(n)
+            long_df = (
+                base.select(
+                    "id",
+                    F.explode(F.sequence(F.lit(0), F.lit(NNZ - 1))).alias("j"),
+                )
+                .select(
+                    "id",
+                    F.pmod(F.hash(F.col("id") * 13 + F.col("j")), F.lit(D)).alias(
+                        "feature_idx"
+                    ),
+                    (
+                        (F.pmod(F.hash(F.col("id") * 7 + F.col("j")), F.lit(100)) + 1)
+                        / 50.0
+                    ).alias("value"),
+                )
+                # hash collisions can land two j's on one feature_idx
+                .groupBy("id", "feature_idx")
+                .agg(F.max("value").alias("value"))
+            )
+            labels = base.select(
+                "id", F.pmod(F.hash("id"), F.lit(2)).cast("double").alias("label")
+            )
+            t0 = time.time()
+            fit_relief_sparse(
+                long_df, labels, n_features=D,
+                num_top_features=5, num_neighbors=3,
+                redundancy_removal=True, batch_size=0.5,
+            )
+            return time.time() - t0
+
+        run(1)  # warm
+        t1 = min(run(1), run(1))
+        tk = min(run(k), run(k))
+        print(
+            f"{label}: 1x={t1:.2f}s {k}x={tk:.2f}s ratio={tk / t1:.1f} "
+            f"(linear would be ~{float(k):.0f})"
+        )
+
+    sparse_fit_timed("q158-shaped sparse fit (kddb regime, 8/10k nnz, fixed D)")
+    sparse_fit_timed(
+        "q158-shaped sparse fit (kddb regime, D scales with corpus)",
+        scale_features=True,
+    )
+
     spark.stop()
 
 
