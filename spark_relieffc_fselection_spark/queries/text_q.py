@@ -767,6 +767,11 @@ def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        bpe_render,
+        learn_bpe_merges,
+    )
     from spark_relieffc_fselection_spark.queries import localize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -777,33 +782,11 @@ def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds and the encode all read a LocalRelation (q129 dupe-subtree
     # rule: many consumers => localize once).
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
-
-    merges: list[tuple[str, str]] = []  # (placeholder, surface pair)
-    v = vocab
-    for m in range(1, BPE_ENC_MERGES + 1):
-        top = (
-            v.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, length(w) - 1),"
-                        " i -> substring(w, i, 2))"
-                    )
-                ).alias("pair"),
-                "wc",
-            )
-            .groupBy("pair")
-            .agg(F.sum("wc").alias("wcnt"))
-            .orderBy(F.desc("wcnt"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not top:  # pair supply exhausted — oracle's coalesce is a no-op too
-            break
-        pair = top[0]["pair"]
-        merges.append((chr(m), pair))
-        # lazy replace chain over the LocalRelation: round m recomputes
-        # m vocab-sized replaces, never the corpus tokenize
-        v = v.select(F.replace(F.col("w"), F.lit(pair), F.lit(chr(m))).alias("w"), "wc")
+    # If the pair supply runs dry the operator stops early — the
+    # oracle's coalesce turns the remaining rounds into identity
+    # replaces, so both engines agree.
+    merges = learn_bpe_merges(vocab, BPE_ENC_MERGES)
+    v = bpe_apply(vocab, merges)
 
     syms = v.select(
         F.explode(
@@ -811,15 +794,10 @@ def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sym"),
         "wc",
     )
-    # Expand placeholders in REVERSE merge order (later pairs may
-    # contain earlier placeholders), then count by the RENDERED token:
-    # distinct symbols could in principle render identically, and the
-    # oracle groups by the surface string.
-    rendered = F.col("sym")
-    for ph, pair in reversed(merges):
-        rendered = F.replace(rendered, F.lit(ph), F.lit(pair))
+    # Count by the RENDERED token: distinct symbols could in principle
+    # render identically, and the oracle groups by the surface string.
     return (
-        syms.select(rendered.alias("token"), "wc")
+        syms.select(bpe_render("sym", merges).alias("token"), "wc")
         .groupBy("token")
         .agg(F.sum("wc").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))

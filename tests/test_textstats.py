@@ -200,3 +200,44 @@ def test_countmin_upper_bounds_true_counts(spark):
     n_tok = tok.count()
     mass = sketch.groupBy("row").agg(F.sum("c").alias("m")).collect()
     assert all(r["m"] == n_tok for r in mass)
+
+
+def test_bpe_encode_is_lossless(spark):
+    """The BPE reconstruction law: for EVERY vocabulary word, the
+    concatenation of its rendered tokens equals the original word —
+    encoding never drops or invents characters, under any learned
+    merge chain (operators/bpe.py)."""
+    import pyspark.sql.functions as F
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        bpe_render,
+        learn_bpe_merges,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+    from spark_relieffc_fselection_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = localize(
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    merges = learn_bpe_merges(vocab, 6)
+    assert merges, "fixture corpus must support at least one merge"
+    merged = bpe_apply(vocab.withColumn("orig", F.col("w")), merges)
+    # render every symbol and re-concatenate in order
+    rebuilt = merged.select(
+        "orig",
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).cast("array<string>"),
+        ).alias("flat"),
+    ).select("orig", bpe_render("flat", merges).alias("round_trip"))
+    mismatches = rebuilt.filter(F.col("round_trip") != F.col("orig")).count()
+    assert mismatches == 0
