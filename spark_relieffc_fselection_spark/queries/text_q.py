@@ -643,17 +643,9 @@ def q153_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize (the q129 dupe-subtree rule: two consumers => localize)
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
 
-    def pairs(v):
-        return (
-            v.select(
-                F.explode(
-                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-                ).alias("pair"),
-                "wc",
-            )
-            .groupBy("pair")
-            .agg(F.sum("wc").alias("wcnt"))
-        )
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        _pair_counts as pairs,
+    )
 
     p1 = pairs(vocab)
     top1 = p1.orderBy(F.desc("wcnt"), F.asc("pair")).limit(1).collect()
