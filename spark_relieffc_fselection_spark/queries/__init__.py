@@ -47,73 +47,77 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: keeps its oracle either way — this only chooses which 50 the DRIVER
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
-_CURRENT_ROUND = 8
+_CURRENT_ROUND = 9
 
 _PRIORITY: tuple[str, ...] = (
-    # round 8 rotation (VERDICT r7 #3): the 15 r4-stale entries lead —
-    # age 4 at round 8, the staleness bound forces them in; the judge's
-    # round-7 local oracle sweep pre-cleared all 15, but the driver
-    # gate is the hard signal.
-    "q66_unigram_lm_quality",
-    "q67_deterministic_split",
-    "q68_domain_mix",
-    "q82_filter_funnel",
-    "q93_quantile_discretize",
-    "q94_substring_dedup",
-    "q95_substring_contamination",
-    "q96_bigram_lm_quality",
-    "q97_token_budget_selection",
-    "q98_cdc_chunking",
-    "q99_pq_ann",
-    "q100_weighted_sample",
-    "q101_domain_cap",
-    "q102_ivfpq_ann",
-    "q103_stratified_weighted_sample",
-    # core sentinels — always in the window
+    # round 9 rotation (VERDICT r8 #1): all 23 r5-stale entries lead —
+    # age 4 at round 9, the staleness bound forces them in.
+    "q117_source_quality_calibration",
+    "q118_zorder_layout",
+    "q119_scd2_history",
+    "q120_hierarchy_closure",
+    "q121_cohort_retention",
+    "q122_event_funnel",
+    "q123_skyline",
+    "q124_outlier_mad",
+    "q125_bm25_topk",
+    "q126_interval_merge",
+    "q127_constraint_audit",
+    "q128_winsorize",
+    "q129_skew_profile",
+    "q130_incremental_agg",
+    "q131_streaming_incremental_agg",
+    "q132_last_touch_attribution",
+    "q133_calendar_gap_fill",
+    "q134_psi_drift",
+    "q135_rolling_features",
+    "q136_ks_drift",
+    "q137_compaction_plan",
+    "q138_join_cardinality",
+    "q139_bucketed_join",
+    # core sentinels — always in the window. q72 is the PERMANENT
+    # engine-seeded-draw witness (VERDICT r8 #6 decision): its rows-only
+    # slot is kept deliberately, because it is the one registry entry
+    # exercising the reference's own sampling mode (engine-seeded
+    # Bernoulli, ReliefFRSelector.scala:223) end-to-end — every other
+    # fit mode is hash-gated (q72a/q72b/q72c/q72d/q158), so this slot
+    # is the standing proof the DEFAULT reference configuration still
+    # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # code touched this round (VERDICT r7 #1/#2/#6: LSH multiprobe in
-    # knn.py, fit-loop A/B adjudication in relief.py, sparse-fit
-    # batching in relief_sparse.py) — re-verify the queries exercising
-    # those files even though they were green in r6/r7:
+    # code touched this round (VERDICT r8 #2/#3/#5/#7 + ADVICE: resolved
+    # kNN strategy + escalation knob in knn.py/relief.py, estimation-
+    # ratio threading + sparse relevance ceiling in relief_sparse.py,
+    # q72d oracle jointTotal parameterization in relief_q.py, BPE
+    # guards in bpe.py) — re-verify the queries exercising those files:
     "q72c_relief_fit_hash_batched",
+    "q72d_relief_fit_hash_sampled",
+    "q158_sparse_fit_hash_batched",
     "q44_sparse_relief_relevance",
     "q13_knn_join",
     "q73_knn_lsh_recall",
-    # new this round (never driver-checked — a new query always takes
-    # a window slot, test_registry enforces it):
-    "q156_bpe_encode",
     "q157_knn_lsh_multiprobe_recall",
-    "q158_sparse_fit_hash_batched",
     "q159_ann_lsh_multiprobe_recall",
-    "q72d_relief_fit_hash_sampled",
-    # r5-green backlog, oldest-green-first (24 of the 47 r5 entries
-    # fit; the other 23 carry round-9 slots in _DEFERRED and the
-    # staleness bound forces that rotation next round)
-    "q04_window_topk",
-    "q05_global_topk",
-    "q06_union_distinct",
-    "q07_semijoin",
-    "q08_antijoin",
-    "q36_multimodal_features",
-    "q50_streaming_tumbling",
-    "q65_embedding_quantization",
-    "q69_streaming_sliding",
-    "q70_streaming_dedup",
-    "q71_streaming_user_totals",
-    "q72a_relief_std_ranking",
-    "q104_streaming_list_drift",
-    "q106_semantic_dedup",
-    "q107_dsir_importance_sample",
-    "q108_editdist_neardup",
-    "q109_bloom_dedup",
-    "q110_linear_quality_classifier",
-    "q111_streaming_bloom_screen",
-    "q112_countmin_heavy_hitters",
-    "q113_source_overlap",
-    "q114_cluster_aware_split",
-    "q115_salted_skew_join",
-    "q116_snapshot_diff",
+    "q156_bpe_encode",
+    "q153_bpe_merge_step",
+    # r6-green backlog, oldest-green-first (15 of the 29 remaining r6
+    # entries fit; the rest carry round-10 slots in _DEFERRED — age 3
+    # at round 9, the staleness bound forces them next round)
+    "q15_relief_topk",
+    "q16_collision_marginal",
+    "q17_collision_joint",
+    "q19_dedup_jaccard",
+    "q20_minhash_signatures",
+    "q22_simhash_signatures",
+    "q27_embedding_neardup",
+    "q37_relief_discrete_collisions",
+    "q60_sequence_packing",
+    "q72b_relief_greedy_topk",
+    "q74_kmeans_step",
+    "q75_oov_rate",
+    "q76_length_histogram",
+    "q77_streaming_enrichment",
+    "q78_random_projection",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -123,54 +127,12 @@ _PRIORITY: tuple[str, ...] = (
 #: (VERDICT r5 #10): tests/test_registry.py asserts _PRIORITY and
 #: _DEFERRED exactly partition the registry, so a new query CANNOT be
 #: added without either taking a driver slot or being documented here.
-#: The 20 r5 holdovers are the oldest cohort (age 3 at round 8); they
-#: MUST take round-9 slots per the staleness bound.
+#: The 29 r6 holdovers are the oldest cohort (age 3 at round 9); they
+#: MUST take round-10 slots per the staleness bound.
 _DEFERRED: dict[str, int] = {
-    # r5-green (the 23 that didn't fit after the r4 cohort took its 15
-    # slots — age 3 at round 8, MUST rotate in round 9 per the
+    # r6-green (the 29 that didn't fit after the r5-stale cohort took
+    # its 23 slots — age 3 at round 9, MUST rotate in round 10 per the
     # staleness bound in test_registry):
-    "q117_source_quality_calibration": 5,
-    "q118_zorder_layout": 5,
-    "q119_scd2_history": 5,
-    "q120_hierarchy_closure": 5,
-    "q121_cohort_retention": 5,
-    "q122_event_funnel": 5,
-    "q123_skyline": 5,
-    "q124_outlier_mad": 5,
-    "q125_bm25_topk": 5,
-    "q126_interval_merge": 5,
-    "q127_constraint_audit": 5,
-    "q128_winsorize": 5,
-    "q129_skew_profile": 5,
-    "q130_incremental_agg": 5,
-    "q131_streaming_incremental_agg": 5,
-    "q132_last_touch_attribution": 5,
-    "q133_calendar_gap_fill": 5,
-    "q134_psi_drift": 5,
-    "q135_rolling_features": 5,
-    "q136_ks_drift": 5,
-    "q137_compaction_plan": 5,
-    "q138_join_cardinality": 5,
-    "q139_bucketed_join": 5,
-    # r6-green (rotated out of the round-7 window; all 50 of round 6's
-    # window entries were driver hash-green in CORRECTNESS_r06 except
-    # q72 rows-only-by-design — the four kept in the window above are
-    # the sentinels plus the queries whose code this round touches):
-    "q15_relief_topk": 6,
-    "q16_collision_marginal": 6,
-    "q17_collision_joint": 6,
-    "q19_dedup_jaccard": 6,
-    "q20_minhash_signatures": 6,
-    "q22_simhash_signatures": 6,
-    "q27_embedding_neardup": 6,
-    "q37_relief_discrete_collisions": 6,
-    "q60_sequence_packing": 6,
-    "q72b_relief_greedy_topk": 6,
-    "q74_kmeans_step": 6,
-    "q75_oov_rate": 6,
-    "q76_length_histogram": 6,
-    "q77_streaming_enrichment": 6,
-    "q78_random_projection": 6,
     "q79_shuffle_shards": 6,
     "q80_hash_uniform_sample": 6,
     "q81_incremental_dedup": 6,
@@ -198,7 +160,6 @@ _DEFERRED: dict[str, int] = {
     "q150_merge_upsert": 6,
     "q151_negative_sampling": 6,
     "q152_zipf_fit": 6,
-    "q153_bpe_merge_step": 6,
     "q154_streaming_upsert_state": 6,
     "q155_recursive_cte": 6,
     # r7-green (rotated out of the round-8 window; all 49 oracle-able
@@ -250,6 +211,49 @@ _DEFERRED: dict[str, int] = {
     "q62_repetition": 7,
     "q63_frame_sample": 7,
     "q64_streaming_interval_join": 7,
+    # r8-green (rotated out of the round-9 window; all 49 oracle-able
+    # entries of round 8's window were driver hash-green in
+    # CORRECTNESS_r08 — kept in the window above are the sentinels
+    # plus the queries whose code this round touches again):
+    "q66_unigram_lm_quality": 8,
+    "q67_deterministic_split": 8,
+    "q68_domain_mix": 8,
+    "q82_filter_funnel": 8,
+    "q93_quantile_discretize": 8,
+    "q94_substring_dedup": 8,
+    "q95_substring_contamination": 8,
+    "q96_bigram_lm_quality": 8,
+    "q97_token_budget_selection": 8,
+    "q98_cdc_chunking": 8,
+    "q99_pq_ann": 8,
+    "q100_weighted_sample": 8,
+    "q101_domain_cap": 8,
+    "q102_ivfpq_ann": 8,
+    "q103_stratified_weighted_sample": 8,
+    "q04_window_topk": 8,
+    "q05_global_topk": 8,
+    "q06_union_distinct": 8,
+    "q07_semijoin": 8,
+    "q08_antijoin": 8,
+    "q36_multimodal_features": 8,
+    "q50_streaming_tumbling": 8,
+    "q65_embedding_quantization": 8,
+    "q69_streaming_sliding": 8,
+    "q70_streaming_dedup": 8,
+    "q71_streaming_user_totals": 8,
+    "q72a_relief_std_ranking": 8,
+    "q104_streaming_list_drift": 8,
+    "q106_semantic_dedup": 8,
+    "q107_dsir_importance_sample": 8,
+    "q108_editdist_neardup": 8,
+    "q109_bloom_dedup": 8,
+    "q110_linear_quality_classifier": 8,
+    "q111_streaming_bloom_screen": 8,
+    "q112_countmin_heavy_hitters": 8,
+    "q113_source_overlap": 8,
+    "q114_cluster_aware_split": 8,
+    "q115_salted_skew_join": 8,
+    "q116_snapshot_diff": 8,
 }
 
 
