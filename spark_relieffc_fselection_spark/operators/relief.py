@@ -693,6 +693,14 @@ class ReliefFitResult:
     #: can fail loudly instead of silently desynchronizing when the
     #: broadcast-memory guard raises it at scale.
     n_batches: int = 1
+    #: the kNN strategy the fit ACTUALLY ran (== the requested one
+    #: unless 'auto' was requested, in which case it is the escalation
+    #: tier resolve_auto_strategy picked). 'lsh' means the neighbor-
+    #: hoods — and therefore the weights — are approximate; 'auto'
+    #: resolving there also emits a warnings.warn so a 100 TB fit can
+    #: never silently degrade exactness (VERDICT r8 #2). The sparse
+    #: fit reports 'sparse-inverted' (its exact inverted-index path).
+    resolved_knn_strategy: str = "numpy"
 
 
 def fit_relief(
@@ -808,6 +816,24 @@ def fit_relief(
         # oracle-gated fits (q72/q72c) pin exact strategies explicitly
         # and never take this branch.
         knn_strategy = resolve_auto_strategy(batch_rows, batch_rows, n_feat)
+        if knn_strategy == "lsh":
+            # The one resolution that changes RESULTS, not just cost:
+            # LSH candidates are approximate (multiprobe recall 1.0 on
+            # discrete KAIS regimes, ~0.70 on continuous data at auto-
+            # sized tables — SCALE.md). An ops team running 'auto' at
+            # 100 TB must see the exactness boundary get crossed, not
+            # discover it in the weights (VERDICT r8 #2).
+            import warnings
+
+            warnings.warn(
+                "fit_relief: knn_strategy='auto' escalated to the "
+                "APPROXIMATE 'lsh' tier (~%.1e distance-kernel cells "
+                "per batch exceeds the exact-scan budget). Weights are "
+                "now approximate; raise lsh_tables / keep multiprobe "
+                "for recall, or pin knn_strategy='numpy-gemm' to force "
+                "an exact (slower) fit." % (batch_rows * batch_rows * n_feat),
+                stacklevel=2,
+            )
     # The approximate tier sizes its table count to COVER the feature
     # coordinates — recall rises monotonically with coverage (union of
     # tables), and RELIEF's weights are exactly as good as the
@@ -1004,4 +1030,5 @@ def fit_relief(
         priors=priors,
         redundancy_coo=red_coo,
         n_batches=n_batches,
+        resolved_knn_strategy=knn_strategy,
     )

@@ -440,6 +440,7 @@ def fit_relief_sparse(
         n_instances=n_elems,
         priors=priors,
         redundancy_coo=red_coo,
+        resolved_knn_strategy="sparse-inverted",
     )
 
 
@@ -588,6 +589,7 @@ def _fit_relief_sparse_batched(
         priors=priors,
         redundancy_coo=red_coo,
         n_batches=n_batches,
+        resolved_knn_strategy="sparse-inverted",
     )
 
 

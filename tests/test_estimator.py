@@ -312,3 +312,29 @@ def test_sparse_estimator_honors_batch_size(spark):
         m_dense.getOrDefault(m_dense.relevanceWeights),
         atol=1e-9,
     )
+
+
+def test_model_records_resolved_knn_strategy(fitted, tmp_path):
+    """The model mirrors ReliefFitResult.resolved_knn_strategy as a
+    persisted Param (VERDICT r8 #2): a saved model always records
+    whether its weights were computed exactly."""
+    assert fitted.getOrDefault(fitted.resolvedKnnStrategy) == "numpy"
+    path = str(tmp_path / "resolved-model")
+    fitted.write().overwrite().save(path)
+    loaded = ReliefFSelectorModel.load(path)
+    assert loaded.getOrDefault(loaded.resolvedKnnStrategy) == "numpy"
+
+
+def test_sparse_model_records_inverted_strategy(spark):
+    from pyspark.ml.linalg import Vectors as V
+
+    rows = [
+        (V.sparse(6, [(i % 6, 1.0 + i), ((i + 1) % 6, 0.5)]), float(i % 2))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    m = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=2, estimationRatio=1.0,
+        batchSize=1.0, redundancyRemoval=False,
+    ).fit(df)
+    assert m.getOrDefault(m.resolvedKnnStrategy) == "sparse-inverted"

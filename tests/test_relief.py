@@ -290,3 +290,43 @@ def test_fit_relief_hash_batching_mode(spark):
     assert np.array_equal(a.relevance, b.relevance)
     with pytest.raises(ValueError, match="batching"):
         fit_relief(inst, batching="nope")
+
+
+def test_auto_escalation_to_lsh_is_surfaced(spark, labeled, monkeypatch):
+    """knn_strategy='auto' resolving to the approximate LSH tier must
+    be RECORDED on the result and WARNED about (VERDICT r8 #2): the
+    escalation changes answers (recall ~0.70 on continuous data), so a
+    100 TB fit may never cross the exactness boundary silently."""
+    import warnings
+
+    from spark_relieffc_fselection_spark.operators import knn as knn_mod
+
+    df, _, _ = labeled
+    kwargs = dict(
+        num_top_features=2, num_neighbors=3, estimation_ratio=1.0,
+        batch_size=1.0, redundancy_removal=False, seed=42,
+        knn_strategy="auto",
+    )
+    # tiny data resolves to the exact tier: NO warning, field says so
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        res = fit_relief(df, **kwargs)
+    assert res.resolved_knn_strategy == "numpy"
+
+    # collapse the escalation boundaries: 'auto' now lands on 'lsh'
+    monkeypatch.setattr(knn_mod, "_AUTO_GEMM_CELLS", 0)
+    monkeypatch.setattr(knn_mod, "_AUTO_LSH_CELLS", 0)
+    with pytest.warns(UserWarning, match="escalated to the APPROXIMATE 'lsh'"):
+        res = fit_relief(df, **kwargs)
+    assert res.resolved_knn_strategy == "lsh"
+
+
+def test_pinned_strategy_is_echoed_back(spark, labeled):
+    """A pinned (non-auto) strategy reports itself verbatim — the audit
+    field is total, not escalation-only."""
+    df, _, _ = labeled
+    res = fit_relief(
+        df, num_top_features=2, num_neighbors=3, estimation_ratio=1.0,
+        batch_size=1.0, redundancy_removal=False, seed=42, knn_strategy="sql",
+    )
+    assert res.resolved_knn_strategy == "sql"
