@@ -234,6 +234,10 @@ class ReliefFSelector(
             discrete_data=self.getOrDefault(self.discreteData),
             batch_size=float(self.getOrDefault(self.batchSize)),
             lower_feature_threshold=self.getOrDefault(self.lowerFeatureThreshold),
+            # declares the upstream sample so the batched loop's
+            # jointTotal discount replays the reference's
+            # (1 - ratio * batchPerc), ReliefFRSelector.scala:642
+            estimation_ratio=ratio,
         )
         base.unpersist()
         return self._make_model(res)

@@ -342,6 +342,7 @@ def fit_relief_sparse(
     top_features: list[int] | None = None,
     batch_size: float = 1.0,
     lower_feature_threshold: float = 3.0,
+    estimation_ratio: float = 1.0,
 ) -> ReliefFitResult:
     """Sparse fit; single-pass by default, hash-batched on request.
 
@@ -349,7 +350,14 @@ def fit_relief_sparse(
     contract: one kNN + aggregation sweep, redundancy scoped to the
     final std ranking (or the caller's ``top_features``). No sampling:
     callers sample the long table upstream — at sparse scale, sampling
-    is a filter on id.
+    is a filter on id. ``estimation_ratio`` is the DECLARATION of that
+    upstream sampling (it filters nothing here): the batched loop's
+    jointTotal discount is ratio-dependent in the reference
+    (totalPairs * (1 - ratio * batchPerc), ReliefFRSelector.scala:642),
+    so a sampled+batched sparse fit must be told the ratio or its MI
+    redundancy deviates (ADVICE r8). Single-pass fits ignore it (their
+    jointTotal is the undiscounted pair count, matching the dense
+    single-batch path).
 
     ``batch_size<1.0`` runs the reference's BATCH LOOP with topFeatures
     feedback (ReliefFRSelector.scala:273-283): the instance set splits
@@ -391,6 +399,7 @@ def fit_relief_sparse(
             discrete_data=discrete_data,
             seed_top_features=top_features,
             lower_feature_threshold=lower_feature_threshold,
+            estimation_ratio=estimation_ratio,
         )
     neigh = sparse_knn_join(
         long_df, labels, labels.select("id"), k, num_corpus=n_elems
@@ -459,6 +468,7 @@ def _fit_relief_sparse_batched(
     discrete_data: bool,
     seed_top_features: list[int] | None,
     lower_feature_threshold: float,
+    estimation_ratio: float = 1.0,
 ) -> ReliefFitResult:
     """The hash-batched sparse loop — mirrors fit_relief's batch
     dataflow (operators/relief.py) on the long-form representation:
@@ -562,9 +572,12 @@ def _fit_relief_sparse_batched(
             "feature_idx"
         ).agg(F.sum("marginal").alias("marginal"))
         # jointTotal omits batch 0's share (no joint stats there) —
-        # computeRedudancy, ReliefFRSelector.scala:641, at
-        # estimationRatio=1.0 (this path never samples in-fit)
-        joint_total = total_pairs * (1.0 - 1.0 / n_batches)
+        # computeRedudancy, ReliefFRSelector.scala:641-642. The
+        # discount is estimationRatio-dependent: this path never
+        # samples in-fit, but callers that sampled the long table
+        # upstream declare the ratio so the discount replays the
+        # reference's (1 - ratio * batchPerc) exactly (ADVICE r8).
+        joint_total = total_pairs * (1.0 - estimation_ratio / n_batches)
         if joint_total > 0:
             red_df = mi_redundancy(
                 joint_all, marg_all, float(total_pairs), joint_total

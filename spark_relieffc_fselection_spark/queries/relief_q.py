@@ -1152,6 +1152,18 @@ Q72C_PRED = "vec_id % 8 < 2"
 #: correctness gate runs on a quarter of q72c's pairs.
 Q158_PRED = "vec_id % 16 < 2"
 
+#: jointTotal discount factor, parameterized per fit config (ADVICE
+#: r8): the engine computes jointTotal = totalPairs * (1 -
+#: estimationRatio * batchPerc) (operators/relief.py, mirroring
+#: computeRedudancy, ReliefFRSelector.scala:641-642). With 2 hash
+#: batches batchPerc = 0.5, so q72c/q158 (ratio 1.0) discount by 0.5
+#: while q72d (ratio 0.5) discounts by 1 - 0.25 = 0.75. The oracle
+#: must replay the ratio-dependent value: the 1.5x jprob scale is a
+#: NON-affine change to the MI transform, so a hard-coded 0.5 would
+#: gate q72d only coincidentally (greedy picks happening to agree).
+_JT_FULL = "0.5"    # estimationRatio = 1.0, 2 batches
+_JT_SAMPLED = "0.75"  # estimationRatio = 0.5, 2 batches
+
 _Q72C_ORACLE = f"""
     WITH inst AS MATERIALIZED (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS f,
@@ -1192,8 +1204,8 @@ _Q72C_ORACLE = f"""
     red_raw AS (
       SELECT j.f1, j.f2,
              CASE WHEN m1.marginal * m2.marginal = 0.0 THEN 0.0
-                  ELSE (j.joint / (np * 0.5))
-                       * log2((j.joint / (np * 0.5))
+                  ELSE (j.joint / (np * __JT__))
+                       * log2((j.joint / (np * __JT__))
                               / ((m1.marginal / np) * (m2.marginal / np)))
              END AS rr
       FROM joint j, ntot
@@ -1239,7 +1251,9 @@ _Q72C_ORACLE = f"""
 
 @register(
     "q72c_relief_fit_hash_batched",
-    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED).replace("__SAMPLE__", "TRUE"),
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED)
+    .replace("__SAMPLE__", "TRUE")
+    .replace("__JT__", _JT_FULL),
     doc="THE FLAGSHIP, fully oracle-gated: the complete batched fit — "
         "deterministic hash split into 2 batches, per-batch within-"
         "batch kNN + class-bin relevance + collision stats, batch 0's "
@@ -1301,7 +1315,9 @@ def q72c_relief_fit_hash_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q158_sparse_fit_hash_batched",
-    oracle=_Q72C_ORACLE.replace("__PRED__", Q158_PRED).replace("__SAMPLE__", "TRUE"),
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q158_PRED)
+    .replace("__SAMPLE__", "TRUE")
+    .replace("__JT__", _JT_FULL),
     doc="The SPARSE batched fit under the SAME oracle as q72c: the "
         "q72c instance slice converted to long/COO form, then "
         "fit_relief_sparse(batch_size=0.5) — per-batch inverted-index "
@@ -1371,9 +1387,9 @@ _Q72D_SAMPLE_SQL = (
 
 @register(
     "q72d_relief_fit_hash_sampled",
-    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED).replace(
-        "__SAMPLE__", _Q72D_SAMPLE_SQL
-    ),
+    oracle=_Q72C_ORACLE.replace("__PRED__", Q72C_PRED)
+    .replace("__SAMPLE__", _Q72D_SAMPLE_SQL)
+    .replace("__JT__", _JT_SAMPLED),
     doc="The SAMPLED batched fit under the full oracle — the one fit "
         "mode q72 could only rows-only check, made hash-checkable by "
         "swapping the engine-seeded Bernoulli for the portable "

@@ -248,3 +248,64 @@ def test_sparse_batched_fit_on_sparse_data(spark, sparse_fixture):
         redundancy_removal=True,
     )
     assert single.n_batches == 1
+
+
+def test_sparse_sampled_batched_fit_matches_dense(spark):
+    """estimation_ratio threading (ADVICE r8): a sparse fit whose long
+    table was hash-sampled upstream at ratio r must discount jointTotal
+    by (1 - r * batchPerc) like the reference (ReliefFRSelector.scala:
+    642) — on zero-free data the result is then bit-for-bit the dense
+    sampled+batched hash fit (the q72d-gated mode).
+
+    The dense fit computes priors PRE-sampling while the sparse caller
+    hands in post-sampling labels, so the fixture assigns labels such
+    that the md5 draw preserves the exact 50/50 class balance — priors
+    coincide by construction and the only ratio-sensitive quantity
+    left is the jointTotal discount under test."""
+    import hashlib
+
+    from spark_relieffc_fselection_spark.operators.relief import fit_relief
+    from spark_relieffc_fselection_spark.operators.sampling import hash_uniform
+
+    ratio = 0.5
+
+    def draw(i: int) -> float:  # hash_uniform's documented law
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[3:9], 16) + 0.5) / 16777216.0
+
+    ids = list(range(400))
+    sampled_ids = [i for i in ids if draw(i) < ratio]
+    unsampled_ids = [i for i in ids if draw(i) >= ratio]
+    # 24 ids per (sampled?, class) cell -> pre == post priors == 0.5
+    chosen = sampled_ids[:48] + unsampled_ids[:48]
+    label = {}
+    for pool in (sampled_ids[:48], unsampled_ids[:48]):
+        for j, i in enumerate(pool):
+            label[i] = float(j % 2)
+
+    rng = np.random.default_rng(13)
+    d = 8
+    rows = [
+        (i, (rng.normal(loc=3.0, size=d) + label[i]).round(3).tolist(), label[i])
+        for i in chosen
+    ]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+
+    dense = fit_relief(
+        df, num_top_features=3, num_neighbors=3,
+        estimation_ratio=ratio, sampling="hash",
+        batch_size=0.5, batching="hash",
+        redundancy_removal=True, knn_strategy="numpy", seed=7,
+    )
+    sampled = df.filter(hash_uniform(F.col("id")) < ratio)
+    long_df, labels = to_long_form(sampled)
+    sparse = fit_relief_sparse(
+        long_df, labels, n_features=d,
+        num_top_features=3, num_neighbors=3,
+        redundancy_removal=True, batch_size=0.5,
+        estimation_ratio=ratio,
+    )
+    assert dense.priors == sparse.priors == {0.0: 0.5, 1.0: 0.5}
+    assert sparse.n_batches == dense.n_batches == 2
+    assert sparse.std_selection == dense.std_selection
+    assert sparse.redundancy_selection == dense.redundancy_selection
+    assert np.allclose(sparse.relevance, dense.relevance, atol=1e-9)
