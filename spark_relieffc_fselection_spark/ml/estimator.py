@@ -96,6 +96,17 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
         "q72c full-fit oracle gates).",
         typeConverter=TypeConverters.toString,
     )
+    samplingMode = Param(
+        Params._dummy(), "samplingMode",
+        "'engine' (the reference's engine-seeded Bernoulli sample, "
+        "ReliefFRSelector.scala:223 — the default) or 'hash' (the "
+        "portable md5-uniform draw, operators/sampling.hash_uniform: "
+        "same uniform law, but a pure function of the row id — "
+        "re-run-stable and cross-engine replayable, the mode the q72d "
+        "sampled-fit oracle gates). Only consulted when "
+        "estimationRatio < 1.",
+        typeConverter=TypeConverters.toString,
+    )
 
     def __init__(self) -> None:
         super().__init__()
@@ -104,7 +115,7 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
             batchSize=0.25, lowerFeatureThreshold=3.0,
             lowerDistanceThreshold=0.8, redundancyRemoval=False,
             discreteData=False, seed=12345, knnStrategy="numpy",
-            batching="random",
+            batching="random", samplingMode="engine",
             inputCol="features", outputCol="selectedFeatures", labelCol="label",
         )
 
@@ -167,6 +178,7 @@ class ReliefFSelector(
             seed=self.getOrDefault(self.seed),
             knn_strategy=self.getOrDefault(self.knnStrategy),
             batching=self.getOrDefault(self.batching),
+            sampling=self.getOrDefault(self.samplingMode),
         )
         prepared.unpersist()
         return self._make_model(res)
@@ -212,11 +224,18 @@ class ReliefFSelector(
             F.col(self.getLabelCol()).cast("double").alias("label"),
         ).cache()
         ratio = float(self.getOrDefault(self.estimationRatio))
-        sample = (
-            base.sample(fraction=ratio, seed=self.getOrDefault(self.seed))
-            if ratio < 1.0
-            else base
-        )
+        if ratio >= 1.0:
+            sample = base
+        elif self.getOrDefault(self.samplingMode) == "hash":
+            # the portable draw (q72d's mode) — same uniform law as the
+            # engine-seeded sample, but re-run-stable
+            from spark_relieffc_fselection_spark.operators.sampling import (
+                hash_uniform,
+            )
+
+            sample = base.filter(hash_uniform(F.col("id")) < ratio)
+        else:
+            sample = base.sample(fraction=ratio, seed=self.getOrDefault(self.seed))
         labels = sample.select("id", "label")
         long_df = (
             sample.select("id", F.explode("__entries").alias("e"))

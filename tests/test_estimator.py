@@ -338,3 +338,52 @@ def test_sparse_model_records_inverted_strategy(spark):
         batchSize=1.0, redundancyRemoval=False,
     ).fit(df)
     assert m.getOrDefault(m.resolvedKnnStrategy) == "sparse-inverted"
+
+
+def test_sampling_mode_param_reaches_the_fit(spark, vec_df, tmp_path):
+    """samplingMode='hash' (VERDICT r8 #4): pipeline users can reach
+    the re-run-stable sampled fit (q72d's mode) — two sampled fits
+    agree exactly, and the param persistence-round-trips."""
+    from spark_relieffc_fselection_spark.ml.estimator import ReliefFSelector
+
+    sel = ReliefFSelector().setParams(
+        numTopFeatures=3, numNeighbors=3, estimationRatio=0.5,
+        batchSize=0.5, batching="hash", samplingMode="hash",
+        redundancyRemoval=True,
+    )
+    m1, m2 = sel.fit(vec_df), sel.fit(vec_df)
+    assert m1.getOrDefault(m1.stdSelection) == m2.getOrDefault(m2.stdSelection)
+    assert m1.getOrDefault(m1.redundancySelection) == m2.getOrDefault(
+        m2.redundancySelection
+    )
+    path = str(tmp_path / "sampling-mode-est")
+    sel.write().overwrite().save(path)
+    loaded = ReliefFSelector.load(path)
+    assert loaded.getOrDefault(loaded.samplingMode) == "hash"
+    # invalid mode fails loudly at fit time (fit_relief validates)
+    with pytest.raises(ValueError, match="sampling"):
+        ReliefFSelector(
+            numTopFeatures=2, numNeighbors=2, estimationRatio=0.5,
+            samplingMode="nope",
+        ).fit(vec_df)
+
+
+def test_sparse_estimator_honors_sampling_mode(spark):
+    """The sparse route honors samplingMode='hash' too: the upstream
+    id filter is the portable draw, so two fits agree exactly."""
+    rng = np.random.default_rng(5)
+    n, d = 80, 6
+    X = rng.normal(loc=2.0, size=(n, d)).round(3)
+    y = (X[:, 1] > 2.0).astype(float)
+    rows = [
+        (Vectors.sparse(d, {j: X[i, j] for j in range(d)}), float(y[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    sel = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=3, estimationRatio=0.5,
+        batchSize=0.5, samplingMode="hash", redundancyRemoval=False,
+    )
+    m1, m2 = sel.fit(df), sel.fit(df)
+    assert m1.getOrDefault(m1.stdSelection) == m2.getOrDefault(m2.stdSelection)
+    assert m1.getOrDefault(m1.resolvedKnnStrategy) == "sparse-inverted"
