@@ -644,7 +644,7 @@ def q153_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
 
     from spark_relieffc_fselection_spark.operators.bpe import (
-        _pair_counts as pairs,
+        pair_counts as pairs,
     )
 
     p1 = pairs(vocab)

@@ -241,3 +241,29 @@ def test_bpe_encode_is_lossless(spark):
     ).select("orig", bpe_render("flat", merges).alias("round_trip"))
     mismatches = rebuilt.filter(F.col("round_trip") != F.col("orig")).count()
     assert mismatches == 0
+
+
+def test_bpe_placeholder_alphabet_is_guarded(spark):
+    """The placeholder alphabet is chr(1)..chr(31) (VERDICT r8 #5):
+    more merges would emit printable placeholders (chr(32) = space)
+    and silently corrupt tokenization — reject loudly. A vocabulary
+    already containing C0 characters would alias placeholders and
+    break the bpe_render reconstruction law — reject that too."""
+    import pytest
+
+    from spark_relieffc_fselection_spark.operators.bpe import learn_bpe_merges
+
+    vocab = spark.createDataFrame(
+        [("hello", 3), ("help", 2)], "w string, wc long"
+    )
+    with pytest.raises(ValueError, match="at most 31 merges"):
+        learn_bpe_merges(vocab, 40)
+    dirty = spark.createDataFrame(
+        [("he\x01lo", 3), ("help", 2)], "w string, wc long"
+    )
+    with pytest.raises(ValueError, match="C0 control characters"):
+        learn_bpe_merges(dirty, 3)
+    # the boundary itself is legal (chr(31) is still a control char);
+    # a tiny vocab just exhausts its pair supply early
+    merges = learn_bpe_merges(vocab, 31)
+    assert len(merges) <= 31
