@@ -113,6 +113,7 @@ def knn_join(
     lsh_bits: int | None = None,
     lsh_tables: int = 8,
     lsh_multiprobe: bool = False,
+    lsh_probe_radius: int = 1,
     scan_partitions: int | None = None,
     num_queries: int | None = None,
 ) -> DataFrame:
@@ -120,6 +121,19 @@ def knn_join(
 
     Returns ``(query_id, neighbor_id, distance, rank)`` with
     ``rank`` in 1..k ordered by (distance, neighbor_id).
+
+    The approximate tier's RECALL CONTRACT (strategy='lsh'): candidates
+    are the union over ``lsh_tables`` sign-hash tables of same-bucket
+    rows, optionally multiprobed to every bucket within Hamming
+    distance ``lsh_probe_radius`` of the query's bucket
+    (``lsh_multiprobe=True``). Each extra table or probe only ADDS
+    candidates (the union is deduped), so recall is monotone
+    non-decreasing in both knobs — measured on the continuous
+    1e6 x 32 regime: ~0.70 at auto-sized tables with Hamming-1, with
+    radius 2 buying the next recall step at ~(n_bits^2)/2 more probe
+    rows per query-table (broadcast-side only; zero extra scan work).
+    When the default tier's recall is not enough, raise
+    ``lsh_probe_radius`` to 2 first (cheapest), then ``lsh_tables``.
 
     ``exclude_self`` drops pairs with equal ids: the reference includes
     the query itself as a zero-distance neighbor (ReliefFRSelector.scala:
@@ -164,6 +178,7 @@ def knn_join(
             n_tables=lsh_tables,
             num_instances=num_instances,
             multiprobe=lsh_multiprobe,
+            probe_radius=lsh_probe_radius,
             num_queries=num_queries,
         )
         if exclude_self:
@@ -230,6 +245,7 @@ def _candidates_lsh(
     n_tables: int = 8,
     num_instances: int | None = None,
     multiprobe: bool = False,
+    probe_radius: int = 1,
     num_queries: int | None = None,
 ) -> DataFrame:
     """APPROXIMATE candidate generation: multi-table sign-LSH buckets
@@ -271,19 +287,34 @@ def _candidates_lsh(
         # total).
         n = num_instances if num_instances is not None else instances.count()
         n_bits = auto_lsh_bits(n)
+    if probe_radius not in (1, 2):
+        raise ValueError(f"probe_radius must be 1 or 2, got {probe_radius}")
     q_b = _with_table_buckets(q, "_q_features", n_bits, n_tables)
+    n_probes = 1
     if multiprobe:
-        # Hamming-1 probe set: the bucket itself plus each single-bit
-        # flip. explode() multiplies only the broadcast side; the
-        # downstream pair-distinct absorbs cross-probe duplicates.
+        # Probe set: the bucket itself plus every bucket within Hamming
+        # distance `probe_radius` (Lv et al., VLDB'07 shape) — each
+        # single-bit flip, and at radius 2 each two-bit flip as well
+        # (the escalation knob when radius-1 recall isn't enough:
+        # candidates only grow, so recall is monotone in the radius).
+        # explode() multiplies only the broadcast side; the downstream
+        # pair-distinct absorbs cross-probe duplicates.
+        masks = [1 << i for i in range(n_bits)]
+        if probe_radius >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_bits)
+                for j in range(i + 1, n_bits)
+            ]
+        n_probes = 1 + len(masks)
         q_b = q_b.withColumn(
             "bucket",
             F.explode(
                 F.array(
                     F.col("bucket"),
                     *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-                        for i in range(n_bits)
+                        F.col("bucket").bitwiseXOR(F.lit(m).cast("bigint"))
+                        for m in masks
                     ],
                 )
             ),
@@ -298,9 +329,7 @@ def _candidates_lsh(
     # tiny. Callers that know the query count pass it; unknown counts
     # keep the hint (the q73/q157-style bounded-query case).
     probe_rows = (
-        num_queries * n_tables * ((1 + n_bits) if multiprobe else 1)
-        if num_queries is not None
-        else None
+        num_queries * n_tables * n_probes if num_queries is not None else None
     )
     probe_tbl = q_b.select("table", "bucket", query_id_col)
     if probe_rows is None or probe_rows <= 4_000_000:

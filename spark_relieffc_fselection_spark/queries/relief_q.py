@@ -344,6 +344,101 @@ def q157_knn_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+#: q160: the radius-2 probe mask set (bucket itself, every 1-bit flip,
+#: every 2-bit flip) — generated from the same formula as the engine's
+#: _candidates_lsh mask list, so the oracle replays the identical
+#: probe expansion via xor().
+_H2_MASKS = (
+    [0]
+    + [1 << i for i in range(KNN_LSH_BITS)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(KNN_LSH_BITS)
+        for j in range(i + 1, KNN_LSH_BITS)
+    ]
+)
+
+
+@register(
+    "q160_knn_lsh_hamming2_recall",
+    oracle=f"""
+    WITH {_knn_cte(KNN_K, queries_pred="q.id % 10 = 0")},
+    bucketed AS (
+      SELECT id, t.tbl AS tbl, {_KNN_LSH_BUCKET_BITS} AS bucket
+      FROM inst,
+           LATERAL (SELECT unnest(generate_series(0, {KNN_LSH_TABLES - 1})) AS tbl) t
+    ),
+    qprobes AS (
+      SELECT id, tbl, xor(bucket, CAST(v.m AS BIGINT)) AS bucket
+      FROM bucketed,
+           LATERAL (SELECT unnest({_H2_MASKS}) AS m) v
+      WHERE id % 10 = 0
+    ),
+    cands AS (
+      SELECT DISTINCT b.id AS query_id, a.id AS neighbor_id
+      FROM bucketed a JOIN qprobes b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.id <> b.id
+    ),
+    lsh_pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             sqrt(list_sum(list_transform(generate_series(1, len(q.f)),
+                  i -> (q.f[i] - x.f[i]) * (q.f[i] - x.f[i])))) AS dist
+      FROM cands c JOIN inst q ON q.id = c.query_id JOIN inst x ON x.id = c.neighbor_id
+    ),
+    lsh_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rnk
+        FROM lsh_pairs
+      ) WHERE rnk <= {KNN_K}
+    )
+    SELECT k.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(l.neighbor_id) / CAST({KNN_K} AS DOUBLE), 6) AS recall
+    FROM knn k
+    LEFT JOIN lsh_topk l
+      ON k.query_id = l.query_id AND k.neighbor_id = l.neighbor_id
+    GROUP BY k.query_id
+    """,
+    doc="Recall@k of the RADIUS-2 multiprobe kNN LSH tier "
+        "(knn_join lsh_probe_radius=2, VERDICT r8 #3's escalation "
+        "knob): q157's Hamming-1 probe set extended with every 2-bit "
+        "bucket flip — the cheapest recall escalation when Hamming-1 "
+        "is not enough, still query(broadcast)-side only (x(1 + b + "
+        "b(b-1)/2) probe rows, zero extra scan work; candidates only "
+        "grow, so recall is monotone in the radius). Oracle replays "
+        "the exact mask set via xor() bucket flips.",
+)
+def q160_knn_lsh_hamming2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inst = _embeddings(spark, sf_dir)
+    queries = inst.filter(F.col("id") % 10 == 0)
+    exact = knn_join(inst, queries, KNN_K, strategy="sql").select(
+        "query_id", "neighbor_id"
+    )
+    lsh = knn_join(
+        inst,
+        queries,
+        KNN_K,
+        strategy="lsh",
+        lsh_bits=KNN_LSH_BITS,
+        lsh_tables=KNN_LSH_TABLES,
+        lsh_multiprobe=True,
+        lsh_probe_radius=2,
+    ).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(KNN_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 # --- A2-A4: RELIEF relevance -------------------------------------------------
 
 _RELIEF_ORACLE = f"""
