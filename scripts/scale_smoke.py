@@ -948,6 +948,78 @@ def main() -> None:
         scale_features=True,
     )
 
+    # driver-width family (VERDICT r8 #7): corpus FIXED, declared
+    # feature width grows 16x past the COO threshold — the driver's
+    # peak python allocation during the fit must stay flat (the old
+    # dense finalize allocated O(n_features) ndarrays; the COO
+    # finalize is bounded by ACTIVE features, i.e. nnz).
+    def sparse_fit_width(label: str) -> None:
+        if label_filters and not any(f in label.lower() for f in label_filters):
+            return
+        import tracemalloc
+
+        from spark_relieffc_fselection_spark.operators.relief_sparse import (
+            fit_relief_sparse,
+        )
+
+        N0, NNZ, ACTIVE = 20_000, 8, 62_500
+
+        def run(D: int) -> tuple[float, float]:
+            # the ACTIVE feature set is held constant (62.5k ids,
+            # strided across the declared width) so the two runs differ
+            # ONLY in declared width — otherwise hash saturation at the
+            # narrow width would change the active count and confound
+            # the O(active)-vs-O(declared) question under test
+            base = spark.range(N0)
+            long_df = (
+                base.select(
+                    "id",
+                    F.explode(F.sequence(F.lit(0), F.lit(NNZ - 1))).alias("j"),
+                )
+                .select(
+                    "id",
+                    (
+                        F.pmod(
+                            F.hash(F.col("id") * 13 + F.col("j")), F.lit(ACTIVE)
+                        )
+                        * F.lit(D // ACTIVE)
+                    ).alias("feature_idx"),
+                    (
+                        (F.pmod(F.hash(F.col("id") * 7 + F.col("j")), F.lit(100)) + 1)
+                        / 50.0
+                    ).alias("value"),
+                )
+                .groupBy("id", "feature_idx")
+                .agg(F.max("value").alias("value"))
+            )
+            labels = base.select(
+                "id", F.pmod(F.hash("id"), F.lit(2)).cast("double").alias("label")
+            )
+            t0 = time.time()
+            tracemalloc.start()
+            fit_relief_sparse(
+                long_df, labels, n_features=D,
+                num_top_features=5, num_neighbors=3,
+                redundancy_removal=True, batch_size=0.5,
+            )
+            _, peak = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            return time.time() - t0, peak / 1e6
+
+        run(62_500)  # warm
+        t1, m1 = run(62_500)
+        t16, m16 = run(1_000_000)
+        t256, m256 = run(16_000_000)
+        print(
+            f"{label}: D=62.5k wall={t1:.2f}s peak={m1:.1f}MB | "
+            f"D=1M wall={t16:.2f}s peak={m16:.1f}MB | "
+            f"D=16M wall={t256:.2f}s peak={m256:.1f}MB "
+            f"(declared-width flatness = the two COO points: "
+            f"wall={t256 / t16:.2f} mem={m256 / m16:.2f} at 16x width)"
+        )
+
+    sparse_fit_width("sparse fit driver width (corpus fixed, D 62.5k -> 16M)")
+
     spark.stop()
 
 

@@ -677,11 +677,165 @@ def std_ranking(relevance: np.ndarray, num_top_features: int) -> list[int]:
     return [int(i) for i in order[: min(num_top_features, len(relevance))]]
 
 
+#: Feature-space width beyond which the SPARSE fit keeps its driver
+#: state COO (dict keyed by active feature) instead of dense ndarrays:
+#: at the reference's own 30M-feature claim (README.md:11, kddb) a
+#: np.zeros(n_features) is a ~240 MB allocation PER ARRAY on the
+#: driver for a frame that is sparse by construction (VERDICT r8 #7).
+#: Below the threshold dense numpy is both faster and simpler.
+DENSE_RELEVANCE_MAX_FEATURES = 1 << 18
+
+
+class SparseRelevance:
+    """O(active-features) stand-in for the dense relevance ndarray past
+    ``DENSE_RELEVANCE_MAX_FEATURES``: a normalized-value dict plus the
+    shared default every absent (never-active) feature takes — absent
+    features all carry raw relevance 0.0, which min-max normalizes to
+    one common value. Supports the two consumer operations the result
+    contract needs (indexing and len); iterating densifies and is only
+    for narrow-width consumers."""
+
+    __slots__ = ("data", "default", "n")
+
+    def __init__(self, data: dict[int, float], default: float, n: int) -> None:
+        self.data = data
+        self.default = default
+        self.n = int(n)
+
+    def __getitem__(self, i: int) -> float:
+        return self.data.get(int(i), self.default)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield self.data.get(i, self.default)
+
+
+def normalize_relevance_coo(
+    present: dict[int, float], n_features: int
+) -> tuple[dict[int, float], float]:
+    """Min-max normalize raw relevance held as a COO dict — the global
+    extrema include the implicit raw 0.0 of absent features whenever
+    any exist, exactly like the dense ``relevance.min()/.max()`` over
+    an array initialized to zeros. Returns (normalized dict, the
+    normalized value of absent features). Degenerate range -> all 0.0
+    (dense-path behavior)."""
+    has_absent = len(present) < n_features
+    vals = present.values()
+    mn = min(vals, default=0.0)
+    mx = max(vals, default=0.0)
+    if has_absent:
+        mn, mx = min(mn, 0.0), max(mx, 0.0)
+    if mx <= mn:
+        return ({f: 0.0 for f in present}, 0.0)
+    scale = mx - mn
+    return (
+        {f: (v - mn) / scale for f, v in present.items()},
+        (0.0 - mn) / scale if has_absent else 0.0,
+    )
+
+
+def std_ranking_coo(
+    rel: dict[int, float], default: float, n_features: int, num_top_features: int
+) -> list[int]:
+    """:func:`std_ranking` over COO relevance without densifying:
+    absent features all tie at ``default``, so only the k smallest
+    absent indices can ever reach the top-k — merge them with the
+    present entries and rank by (-value, index)."""
+    k = min(num_top_features, n_features)
+    absent: list[int] = []
+    i = 0
+    while len(absent) < k and i < n_features:
+        if i not in rel:
+            absent.append(i)
+        i += 1
+    cands = list(rel.items()) + [(f, default) for f in absent]
+    cands.sort(key=lambda kv: (-kv[1], kv[0]))
+    return [int(f) for f, _ in cands[:k]]
+
+
+def greedy_select_coo(
+    rel: dict[int, float],
+    default: float,
+    n_features: int,
+    redundancy_coo: dict[tuple[int, int], float],
+    num_top_features: int,
+) -> list[int]:
+    """:func:`greedy_select` over COO relevance — identical semantics
+    (per-feature update counters, relevance fallback while untouched,
+    lowest-index tie break), O(active + |COO|) driver state instead of
+    three O(n_features) arrays. The arg-max each round only needs the
+    present/penalized features plus ONE representative untouched-absent
+    feature: all such features score exactly ``default``, and ties
+    resolve to the lowest index."""
+    k = min(num_top_features, n_features)
+    if k <= 0:
+        return []
+    by_f1: dict[int, list[tuple[int, float]]] = {}
+    for (f1, f2), v in redundancy_coo.items():
+        by_f1.setdefault(f1, []).append((f2, v))
+    red_acc: dict[int, float] = {}
+    upd_cnt: dict[int, int] = {}
+    selected: list[int] = []
+    selected_set: set[int] = set()
+
+    def score(f: int) -> float:
+        c = upd_cnt.get(f, 0)
+        base = rel.get(f, default)
+        return base - red_acc.get(f, 0.0) / c if c > 0 else base
+
+    def first_clean_absent() -> int | None:
+        # smallest index that is unselected, inactive AND unpenalized —
+        # the canonical representative of every feature scoring default
+        i = 0
+        while i < n_features:
+            if i not in selected_set and i not in rel and i not in upd_cnt:
+                return i
+            i += 1
+        return None
+
+    def argmax() -> int | None:
+        best_f, best_s = None, -math.inf
+        for f in rel.keys() | upd_cnt.keys():
+            if f in selected_set:
+                continue
+            s = score(f)
+            if s > best_s or (s == best_s and (best_f is None or f < best_f)):
+                best_f, best_s = f, s
+        fa = first_clean_absent()
+        if fa is not None and (
+            best_f is None
+            or default > best_s
+            or (default == best_s and fa < best_f)
+        ):
+            best_f = fa
+        return best_f
+
+    while len(selected) < k:
+        best = argmax()
+        if best is None:
+            break
+        selected.append(best)
+        selected_set.add(best)
+        for f2, v in by_f1.get(best, ()):
+            if f2 not in selected_set:
+                red_acc[f2] = red_acc.get(f2, 0.0) + v
+                upd_cnt[f2] = upd_cnt.get(f2, 0) + 1
+    return selected
+
+
 @dataclass
 class ReliefFitResult:
-    """Everything fit produces; arrays are indexed by feature_idx."""
+    """Everything fit produces; arrays are indexed by feature_idx.
 
-    relevance: np.ndarray              # min-max normalized relief weight
+    ``relevance`` is a dense ndarray except on the sparse path past
+    ``DENSE_RELEVANCE_MAX_FEATURES``, where it is a
+    :class:`SparseRelevance` (same indexing/len contract, O(active)
+    driver memory — VERDICT r8 #7)."""
+
+    relevance: "np.ndarray | SparseRelevance"  # min-max normalized weight
     std_selection: list[int]           # top-k by relevance
     redundancy_selection: list[int]    # greedy relevance-vs-redundancy
     n_features: int

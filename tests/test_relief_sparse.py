@@ -309,3 +309,104 @@ def test_sparse_sampled_batched_fit_matches_dense(spark):
     assert sparse.std_selection == dense.std_selection
     assert sparse.redundancy_selection == dense.redundancy_selection
     assert np.allclose(sparse.relevance, dense.relevance, atol=1e-9)
+
+
+def test_coo_ranking_and_greedy_match_dense():
+    """The COO finalize (VERDICT r8 #7) is semantics-identical to the
+    dense ndarray path: normalization (absent features carry raw 0.0),
+    std ranking, and the greedy per-feature-counter selection all agree
+    on randomized fixtures spanning empty/partial/full activity."""
+    from spark_relieffc_fselection_spark.operators.relief import (
+        greedy_select,
+        greedy_select_coo,
+        normalize_relevance_coo,
+        std_ranking,
+        std_ranking_coo,
+    )
+
+    rng = np.random.default_rng(17)
+    for _ in range(40):
+        n = int(rng.integers(4, 40))
+        n_active = int(rng.integers(0, n + 1))
+        active = rng.choice(n, size=n_active, replace=False)
+        raw = {int(f): float(rng.normal()) for f in active}
+        dense_raw = np.zeros(n)
+        for f, v in raw.items():
+            dense_raw[f] = v
+        mn, mx = dense_raw.min(), dense_raw.max()
+        dense = (dense_raw - mn) / (mx - mn) if mx > mn else np.zeros(n)
+        coo, default = normalize_relevance_coo(raw, n)
+        for i in range(n):
+            assert abs(dense[i] - coo.get(i, default)) < 1e-12
+        k = int(rng.integers(1, n + 1))
+        assert std_ranking(dense, k) == std_ranking_coo(coo, default, n, k)
+        red = {}
+        for _ in range(int(rng.integers(0, 30))):
+            f1, f2 = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if f1 != f2:
+                red[(f1, f2)] = float(rng.random())
+        assert greedy_select(dense, red, k) == greedy_select_coo(
+            coo, default, n, red, k
+        )
+
+
+def test_sparse_fit_coo_mode_matches_dense_mode(spark, monkeypatch):
+    """Past the width threshold the sparse fit's driver state goes COO;
+    forcing the threshold to 4 on a small batched fit must reproduce
+    the dense-mode result exactly (selections and every indexed
+    relevance value)."""
+    from spark_relieffc_fselection_spark.operators import relief_sparse as rs
+    from spark_relieffc_fselection_spark.operators.relief import SparseRelevance
+
+    rng = np.random.default_rng(23)
+    n, d = 40, 8
+    X = rng.normal(loc=2.0, size=(n, d)).round(3)
+    y = (X[:, 1] > 2.0).astype(float)
+    rows = [(i, X[i].tolist(), float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, features array<double>, label double")
+    long_df, labels = to_long_form(df)
+    kwargs = dict(
+        n_features=d, num_top_features=3, num_neighbors=3,
+        redundancy_removal=True, batch_size=0.5,
+    )
+    dense_res = fit_relief_sparse(long_df, labels, **kwargs)
+    monkeypatch.setattr(rs, "DENSE_RELEVANCE_MAX_FEATURES", 4)
+    coo_res = fit_relief_sparse(long_df, labels, **kwargs)
+    assert isinstance(coo_res.relevance, SparseRelevance)
+    assert not isinstance(dense_res.relevance, SparseRelevance)
+    assert coo_res.std_selection == dense_res.std_selection
+    assert coo_res.redundancy_selection == dense_res.redundancy_selection
+    for i in range(d):
+        assert abs(coo_res.relevance[i] - dense_res.relevance[i]) < 1e-12
+
+
+def test_sparse_fit_kddb_width_driver_stays_coo(spark):
+    """A declared width of 1M features (the kddb direction) must not
+    allocate O(n_features) driver arrays: the result's relevance is the
+    COO view, bounded by ACTIVE features."""
+    from spark_relieffc_fselection_spark.operators.relief import SparseRelevance
+
+    rng = np.random.default_rng(29)
+    n, nnz, D = 120, 5, 1_000_000
+    rows = []
+    for i in range(n):
+        feats = sorted(int(f) for f in rng.choice(D, size=nnz, replace=False))
+        vals = rng.normal(loc=1.0, size=nnz).round(3)
+        rows.append((i, [(f, float(v)) for f, v in zip(feats, vals)], float(i % 2)))
+    long_rows = [(i, f, v) for i, fv, _ in rows for f, v in fv]
+    long_df = spark.createDataFrame(
+        long_rows, "id long, feature_idx int, value double"
+    )
+    labels = spark.createDataFrame(
+        [(i, lbl) for i, _, lbl in rows], "id long, label double"
+    )
+    res = fit_relief_sparse(
+        long_df, labels, n_features=D,
+        num_top_features=5, num_neighbors=2,
+        redundancy_removal=True, batch_size=0.5,
+    )
+    assert isinstance(res.relevance, SparseRelevance)
+    assert len(res.relevance) == D
+    assert len(res.relevance.data) <= n * nnz  # bounded by active features
+    assert len(res.std_selection) == 5
+    assert len(res.redundancy_selection) == 5
