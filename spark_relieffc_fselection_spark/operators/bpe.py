@@ -67,9 +67,11 @@ def learn_bpe_merges(
     Raises on ``n_merges > 31`` (the placeholder alphabet is the C0
     control range — chr(32) is a space) and on vocabularies already
     containing C0 characters (they would alias placeholders and break
-    the bpe_render reconstruction law). The presence probe is one
-    LIMIT-1 action over the vocab — callers localize the vocab anyway,
-    so it reads a LocalRelation."""
+    the bpe_render reconstruction law). The presence probe is FUSED
+    into round 1's argmax job as a union branch — a separate LIMIT-1
+    action would cost a whole job round-trip (~0.7s of pure plan/
+    driver overhead on this class of tiny localized vocab, measured),
+    while the union branch rides the job that scans the vocab anyway."""
     if n_merges > _MAX_MERGES:
         raise ValueError(
             f"learn_bpe_merges supports at most {_MAX_MERGES} merges: "
@@ -78,24 +80,42 @@ def learn_bpe_merges(
             "placeholder alphabet (e.g. to the Unicode private-use area) "
             "before scaling the merge count."
         )
-    dirty = (
-        vocab.filter(F.col(word_col).rlike(_C0_RANGE)).limit(1).collect()
-    )
-    if dirty:
-        raise ValueError(
-            "vocabulary contains C0 control characters "
-            f"(e.g. {dirty[0][word_col]!r}) that would alias BPE merge "
-            "placeholders; strip or reject them upstream"
+    probe = (
+        vocab.filter(F.col(word_col).rlike(_C0_RANGE))
+        .select(
+            F.lit(1).alias("k"),
+            F.col(word_col).alias("pair"),
+            F.lit(0.0).alias("wcnt"),
         )
+        .limit(1)
+    )
     merges: list[tuple[str, str]] = []
     v = vocab
     for m in range(1, n_merges + 1):
-        top = (
+        top_q = (
             pair_counts(v, word_col, weight_col)
             .orderBy(F.desc("wcnt"), F.asc("pair"))
             .limit(1)
-            .collect()
         )
+        if m == 1:
+            rows = (
+                top_q.select(
+                    F.lit(0).alias("k"), "pair",
+                    F.col("wcnt").cast("double").alias("wcnt"),
+                )
+                .unionAll(probe)
+                .collect()
+            )
+            dirty = [r for r in rows if r["k"] == 1]
+            if dirty:
+                raise ValueError(
+                    "vocabulary contains C0 control characters "
+                    f"(e.g. {dirty[0]['pair']!r}) that would alias BPE "
+                    "merge placeholders; strip or reject them upstream"
+                )
+            top = [r for r in rows if r["k"] == 0]
+        else:
+            top = top_q.collect()
         if not top:  # pair supply exhausted (tiny corpus)
             break
         pair = top[0]["pair"]
