@@ -96,6 +96,17 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
         "q72c full-fit oracle gates).",
         typeConverter=TypeConverters.toString,
     )
+    lshProbeRadius = Param(
+        Params._dummy(), "lshProbeRadius",
+        "Multiprobe Hamming radius of the approximate kNN tier (only "
+        "consulted when the fit runs strategy 'lsh', pinned or via "
+        "'auto' escalation): 1 = each single-bit bucket flip (default; "
+        "recall ~0.70 on continuous data at auto-sized tables), 2 = "
+        "adds every 2-bit flip (measured recall 0.96 at ~1.5x the "
+        "radius-1 wall, SCALE.md) — the cheapest escalation, "
+        "broadcast-side only.",
+        typeConverter=TypeConverters.toInt,
+    )
     samplingMode = Param(
         Params._dummy(), "samplingMode",
         "'engine' (the reference's engine-seeded Bernoulli sample, "
@@ -115,7 +126,7 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
             batchSize=0.25, lowerFeatureThreshold=3.0,
             lowerDistanceThreshold=0.8, redundancyRemoval=False,
             discreteData=False, seed=12345, knnStrategy="numpy",
-            batching="random", samplingMode="engine",
+            batching="random", samplingMode="engine", lshProbeRadius=1,
             inputCol="features", outputCol="selectedFeatures", labelCol="label",
         )
 
@@ -179,6 +190,7 @@ class ReliefFSelector(
             knn_strategy=self.getOrDefault(self.knnStrategy),
             batching=self.getOrDefault(self.batching),
             sampling=self.getOrDefault(self.samplingMode),
+            lsh_probe_radius=self.getOrDefault(self.lshProbeRadius),
         )
         prepared.unpersist()
         return self._make_model(res)

@@ -876,6 +876,7 @@ def fit_relief(
     exclude_self: bool = True,
     batching: str = "random",
     sampling: str = "engine",
+    lsh_probe_radius: int = 1,
 ) -> ReliefFitResult:
     """Full fit dataflow (ReliefFRSelector.scala:199-325, DataFrame IR).
 
@@ -1046,8 +1047,12 @@ def fit_relief(
             # Hamming-1 multiprobe: single-probe's ~4-27% neighbor loss
             # measurably breaks planted-signal selection (XOR100 top-2
             # [4,75] vs [4,6]); multiprobe restores kNN recall to 1.000
-            # on the KAIS fixtures at broadcast-side-only cost.
+            # on the KAIS fixtures at broadcast-side-only cost. Callers
+            # needing better than the ~0.70 continuous-data recall of
+            # radius 1 escalate via lsh_probe_radius=2 (measured 0.96,
+            # SCALE.md round-9 row).
             lsh_multiprobe=True,
+            lsh_probe_radius=lsh_probe_radius,
         )
         # Cache the COMPACT pair table (nFeat times smaller than the
         # exploded long form) and materialize it eagerly: a lazy cache

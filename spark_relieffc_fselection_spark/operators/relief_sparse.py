@@ -385,6 +385,7 @@ def fit_relief_sparse(
     batch_size: float = 1.0,
     lower_feature_threshold: float = 3.0,
     estimation_ratio: float = 1.0,
+    knn_probe: bool | None = None,
 ) -> ReliefFitResult:
     """Sparse fit; single-pass by default, hash-batched on request.
 
@@ -400,6 +401,15 @@ def fit_relief_sparse(
     redundancy deviates (ADVICE r8). Single-pass fits ignore it (their
     jointTotal is the undiscounted pair count, matching the dense
     single-batch path).
+
+    ``knn_probe`` overrides the batched loop's nnz-density heuristic
+    for sparse_knn_join's no-overlap probe (None = decide from
+    density; False = straight to the norms grid; True = force the
+    probe). The heuristic reads nominal density, which a caller can
+    know to be misleading — e.g. narrow-active data strided across a
+    huge declared width is nominally ultra-sparse but every pair
+    shares every active feature, so the probe only burns driver
+    rounds before falling back to the grid it should have started on.
 
     ``batch_size<1.0`` runs the reference's BATCH LOOP with topFeatures
     feedback (ReliefFRSelector.scala:273-283): the instance set splits
@@ -442,6 +452,7 @@ def fit_relief_sparse(
             seed_top_features=top_features,
             lower_feature_threshold=lower_feature_threshold,
             estimation_ratio=estimation_ratio,
+            knn_probe=knn_probe,
         )
     neigh = sparse_knn_join(
         long_df, labels, labels.select("id"), k, num_corpus=n_elems
@@ -506,6 +517,7 @@ def _fit_relief_sparse_batched(
     seed_top_features: list[int] | None,
     lower_feature_threshold: float,
     estimation_ratio: float = 1.0,
+    knn_probe: bool | None = None,
 ) -> ReliefFitResult:
     """The hash-batched sparse loop — mirrors fit_relief's batch
     dataflow (operators/relief.py) on the long-form representation:
@@ -526,8 +538,15 @@ def _fit_relief_sparse_batched(
     # consults it). For parquet-backed long tables this count is
     # metadata-only; for derived long forms it costs about one probe
     # round and saves up to six per batch.
-    nnz = long_df.count()
-    dense_ish = nnz > 0.25 * n_elems * max(n_features, 1)
+    if knn_probe is None:
+        nnz = long_df.count()
+        dense_ish = nnz > 0.25 * n_elems * max(n_features, 1)
+        probe_arg = False if dense_ish else None
+    else:
+        # caller knows better than nominal density (see fit_relief_sparse
+        # docstring) — also saves the nnz count job
+        dense_ish = not knn_probe
+        probe_arg = knn_probe
     # batch 0 contributes no joint stats unless the caller seeds the
     # scope explicitly (the reference starts with an empty topFeatures)
     tf: list[int] = list(seed_top_features) if seed_top_features else []
@@ -550,7 +569,7 @@ def _fit_relief_sparse_batched(
         b_n = max(1, n_elems // n_batches) if dense_ish else b_labels.count()
         neigh = sparse_knn_join(
             b_long, b_labels, b_labels.select("id"), k,
-            num_corpus=b_n, probe=False if dense_ish else None,
+            num_corpus=b_n, probe=probe_arg,
         ).cache()
         n_pairs = neigh.count()
         total_pairs += n_pairs

@@ -1539,3 +1539,133 @@ def q72d_relief_fit_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, std_feature int, std_relevance double, "
         "redundancy_feature int, redundancy_relevance double",
     )
+
+
+# --- q161: the COO-finalize sparse fit (kddb-width driver path) ---------------
+
+#: q161 stretches the q158 dataflow across a DECLARED width past the
+#: COO threshold: every active feature f is re-indexed to f * STRIDE,
+#: so the fit runs with n_features = 64 * STRIDE = 524,288 (> 2^18)
+#: and the driver finalize takes the SparseRelevance/COO path
+#: (normalize_relevance_coo + std_ranking_coo + greedy_select_coo —
+#: the kddb-regime code VERDICT r8 #7 demanded). Semantics differ from
+#: q158 in exactly one way the oracle must replay: absent features
+#: exist now, carrying raw relevance 0.0 — the min-max extrema include
+#: that 0.0, and ONE absent representative (index 1, the smallest
+#: absent id; active ids are multiples of STRIDE) joins the ranking
+#: and greedy candidate sets at the shared normalized-zero value. The
+#: engine raises loudly if a selection ever includes an absent feature
+#: other than that representative (two absents in a top-5 would need a
+#: second rep the oracle does not model).
+Q161_STRIDE = 8192
+Q161_PRED = "vec_id % 64 < 2"
+
+_Q161_ORACLE = (
+    _Q72C_ORACLE.replace("__PRED__", Q161_PRED)
+    .replace("__SAMPLE__", "TRUE")
+    .replace("__JT__", _JT_FULL)
+    .replace(
+        "u.i - 1 AS feature_idx",
+        f"(u.i - 1) * {Q161_STRIDE} AS feature_idx",
+    )
+    .replace(
+        """extrema AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx FROM relsum),
+    rel0 AS MATERIALIZED (
+      SELECT feature_idx,
+             CASE WHEN mx > mn THEN (raw - mn) / (mx - mn) ELSE 0.0 END AS rel
+      FROM relsum, extrema
+    ),""",
+        """extrema AS (SELECT MIN(raw) AS mn, MAX(raw) AS mx
+                FROM (SELECT raw FROM relsum UNION ALL SELECT 0.0)),
+    rel0 AS MATERIALIZED (
+      SELECT feature_idx,
+             CASE WHEN mx > mn THEN (raw - mn) / (mx - mn) ELSE 0.0 END AS rel
+      FROM relsum, extrema
+      UNION ALL
+      SELECT 1 AS feature_idx,
+             CASE WHEN mx > mn THEN (0.0 - mn) / (mx - mn) ELSE 0.0 END AS rel
+      FROM extrema
+    ),""",
+    )
+)
+
+
+@register(
+    "q161_sparse_fit_coo_width",
+    oracle=_Q161_ORACLE,
+    doc="The COO-finalize sparse fit under the q72c-family oracle: the "
+        "q158 dataflow with every feature re-indexed f -> f*8192 and a "
+        "declared width of 524,288 (> the 2^18 COO threshold), so the "
+        "driver finalize runs normalize_relevance_coo / std_ranking_coo "
+        "/ greedy_select_coo on O(active) dicts — the kddb-width path "
+        "(30M features, README.md:11) hash-gated end-to-end, absent-"
+        "feature normalization included (the min-max now spans the "
+        "implicit raw-0.0 of never-active features; the oracle carries "
+        "one absent-representative row at the shared normalized-zero "
+        "value, and the engine fails loudly if a selection would need "
+        "a second one).",
+)
+def q161_sparse_fit_coo_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.relief import SparseRelevance
+    from spark_relieffc_fselection_spark.operators.relief_sparse import (
+        fit_relief_sparse,
+        to_long_form,
+    )
+
+    inst = _embeddings(spark, sf_dir).filter(
+        F.expr(Q161_PRED.replace("vec_id", "id"))
+    )
+    long_df, labels = to_long_form(inst)
+    long_df = long_df.withColumn(
+        "feature_idx", F.col("feature_idx") * Q161_STRIDE
+    )
+    n_feat_active = len(inst.select("features").first()["features"])
+    res = fit_relief_sparse(
+        long_df,
+        labels,
+        n_features=n_feat_active * Q161_STRIDE,
+        num_top_features=Q72C_TOP,
+        num_neighbors=Q72C_NEIGH,
+        redundancy_removal=True,
+        discrete_data=False,
+        batch_size=0.5,  # exactly the oracle's id%2 split
+        # nominal density here is 1/8192 but every pair shares every
+        # ACTIVE feature — tell the loop to skip the no-overlap probe
+        # (it would escalate m for nothing and fall back to the grid),
+        # saving ~6 driver round-trips per batch. Exactness unchanged:
+        # probe and grid produce the same candidate set.
+        knn_probe=False,
+    )
+    if res.n_batches != 2:
+        raise ValueError(
+            f"q161 oracle models exactly 2 hash batches, fit used {res.n_batches}"
+        )
+    if not isinstance(res.relevance, SparseRelevance):
+        raise ValueError(
+            "q161 exists to gate the COO finalize — the fit returned a "
+            "dense relevance, so the width threshold was not crossed"
+        )
+    for sel in (res.std_selection, res.redundancy_selection):
+        bad = [f for f in sel if f % Q161_STRIDE != 0 and f != 1]
+        if bad:
+            raise ValueError(
+                f"selection includes absent features {bad} beyond the "
+                "single representative (index 1) the oracle models"
+            )
+    rows = [
+        (
+            i + 1,
+            int(s),
+            round(float(res.relevance[s]), 6),
+            int(r),
+            round(float(res.relevance[r]), 6),
+        )
+        for i, (s, r) in enumerate(
+            zip(res.std_selection, res.redundancy_selection)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, std_feature int, std_relevance double, "
+        "redundancy_feature int, redundancy_relevance double",
+    )

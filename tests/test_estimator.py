@@ -387,3 +387,11 @@ def test_sparse_estimator_honors_sampling_mode(spark):
     m1, m2 = sel.fit(df), sel.fit(df)
     assert m1.getOrDefault(m1.stdSelection) == m2.getOrDefault(m2.stdSelection)
     assert m1.getOrDefault(m1.resolvedKnnStrategy) == "sparse-inverted"
+
+
+def test_lsh_probe_radius_param_roundtrip(tmp_path):
+    est = ReliefFSelector(numTopFeatures=3, lshProbeRadius=2)
+    path = str(tmp_path / "radius-est")
+    est.write().overwrite().save(path)
+    loaded = ReliefFSelector.load(path)
+    assert loaded.getOrDefault(loaded.lshProbeRadius) == 2

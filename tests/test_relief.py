@@ -330,3 +330,17 @@ def test_pinned_strategy_is_echoed_back(spark, labeled):
         batch_size=1.0, redundancy_removal=False, seed=42, knn_strategy="sql",
     )
     assert res.resolved_knn_strategy == "sql"
+
+
+def test_fit_lsh_probe_radius_escalation(spark, labeled):
+    """lsh_probe_radius reaches the fit's approximate tier: radius 2
+    still recovers the planted signal on the labeled fixture, and the
+    resolved strategy records the approximate tier."""
+    df, _, _ = labeled
+    res = fit_relief(
+        df, num_top_features=2, num_neighbors=5, estimation_ratio=1.0,
+        batch_size=1.0, redundancy_removal=False, seed=42,
+        knn_strategy="lsh", lsh_probe_radius=2,
+    )
+    assert set(res.std_selection) == {0, 1}
+    assert res.resolved_knn_strategy == "lsh"
