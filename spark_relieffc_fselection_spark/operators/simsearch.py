@@ -112,6 +112,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     multiprobe: bool = False,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Multi-table sign-LSH ANN.
 
@@ -122,24 +123,35 @@ def lsh_bucketed_topk(
     n_tables * corpus / 2^n_bits. Exact cosine ranking within the
     candidate set; fully deterministic, hence SQL-oracle-able.
 
-    ``multiprobe``: Hamming-1 probe expansion on the QUERY (broadcast)
+    ``multiprobe``: Hamming-probe expansion on the QUERY (broadcast)
     side — same remedy the RELIEF fit's kNN tier ships (knn.py
-    `_candidates_lsh`): each query also probes the n_bits buckets one
-    sign-flip away, so recall tolerates one disagreeing coordinate per
-    window. x(1+n_bits) broadcast rows, zero extra corpus-side work.
+    `_candidates_lsh`): each query also probes every bucket within
+    Hamming distance ``probe_radius`` (1 = each sign-flip; 2 adds
+    every two-bit flip — the recall escalation knob, candidates only
+    grow so recall is monotone in the radius). x(1 + b [+ b(b-1)/2])
+    broadcast rows, zero extra corpus-side work.
     """
+    if probe_radius not in (1, 2):
+        raise ValueError(f"probe_radius must be 1 or 2, got {probe_radius}")
     q = _prep_normed(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
     c = _prep_normed(corpus, id_col, vec_col, "neighbor_id", "n_vec", "n_nrm")
     q_b = _with_table_buckets(q, "q_vec", n_bits, n_tables)
     if multiprobe:
+        masks = [1 << i for i in range(n_bits)]
+        if probe_radius >= 2:
+            masks += [
+                (1 << i) | (1 << j)
+                for i in range(n_bits)
+                for j in range(i + 1, n_bits)
+            ]
         q_b = q_b.withColumn(
             "bucket",
             F.explode(
                 F.array(
                     F.col("bucket"),
                     *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-                        for i in range(n_bits)
+                        F.col("bucket").bitwiseXOR(F.lit(m).cast("bigint"))
+                        for m in masks
                     ],
                 )
             ),

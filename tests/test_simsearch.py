@@ -635,3 +635,26 @@ def test_pca_project_plan_no_join_no_python(spark):
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_ann_multiprobe_recall_monotone_in_radius(emb, queries):
+    """The ANN tier's probe-radius knob mirrors knn.py's: candidates
+    only grow with the radius, so recall@k is monotone non-decreasing
+    single-probe -> Hamming-1 -> Hamming-2."""
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10).collect())
+
+    def recall(**kw):
+        approx = _topk_sets(
+            lsh_bucketed_topk(emb, queries, k=10, n_bits=4, n_tables=4, **kw).collect()
+        )
+        return np.mean([len(exact[q] & approx.get(q, set())) / 10 for q in exact])
+
+    r0 = recall()
+    r1 = recall(multiprobe=True, probe_radius=1)
+    r2 = recall(multiprobe=True, probe_radius=2)
+    assert r0 <= r1 <= r2
+    assert r2 > r0  # the knob buys something real on this fixture
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe_radius"):
+        lsh_bucketed_topk(emb, queries, k=10, multiprobe=True, probe_radius=3)
