@@ -1,0 +1,130 @@
+"""Unigram-LM (SentencePiece-style) tokenizer primitives over a
+word-count vocabulary — the DP counterpart of operators/bpe.py in the
+tokenizer-training family (SURVEY §7.4 direction: every step after the
+one corpus tokenize is VOCAB-sized, which Zipf bounds far below corpus
+size at 100 TB).
+
+* :func:`piece_table` — candidate pieces = every substring (up to
+  ``max_piece_len``) of every distinct word, weighted by word
+  frequency; score = log2 of the piece's share of total piece mass,
+  ROUNDED to 6 decimals. The rounding is load-bearing for
+  cross-engine exactness: post-round values parse to the identical
+  double in Spark and DuckDB (the q66 log2 precedent), so the
+  segmentation DP below — identical recurrence, identical operand
+  order — produces bit-identical scores in both engines and its
+  arg-max never diverges on libm's last ulp.
+* :func:`viterbi_segment` — per-word best segmentation under the
+  piece scores (the E-step of SentencePiece's EM, Kudo 2018 shape):
+  s[i] = max over piece lengths l of s[i-l] + lp(w[i-l:i]), ties to
+  fewer pieces then shorter last piece. Arrow-batched ``mapInPandas``
+  with the (vocab-sized) piece dict broadcast; emits the best score
+  and piece count per word — backtrack-free, so the state is two
+  scalars per position.
+
+Scale: the corpus is touched once (the word histogram the caller
+builds); piece counting, scoring, and segmentation are all vocab- or
+pieces-sized. Segmentation of the CORPUS then joins words back on the
+(word -> pieces) table, never re-running the DP per occurrence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Score assigned to an absent piece: effectively -inf, but a finite
+#: literal so both engines add the SAME double (length-1 pieces always
+#: exist, so no feasible word ever keeps this in its best path).
+MISSING_PIECE_SCORE = -1e9
+
+
+def piece_table(
+    vocab: DataFrame,
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    weight_col: str = "wc",
+) -> DataFrame:
+    """``(piece, c, lp)``: every substring of length 1..max_piece_len
+    of every vocab word, count-weighted by word frequency; lp =
+    ROUND(log2(c / total), 6). Vocab-sized x max_piece_len work."""
+    w = F.col(word_col)
+    subs = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.length(w) >= l,
+                    F.expr(
+                        f"transform(sequence(1, length({word_col}) - {l} + 1),"
+                        f" i -> substring({word_col}, i, {l}))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+                for l in range(1, max_piece_len + 1)
+            ]
+        )
+    )
+    counts = (
+        vocab.select(F.explode(subs).alias("piece"), weight_col)
+        .groupBy("piece")
+        .agg(F.sum(weight_col).alias("c"))
+    )
+    total = float(counts.agg(F.sum("c")).first()[0] or 0.0)
+    return counts.withColumn(
+        "lp", F.round(F.log2(F.col("c") / F.lit(total)), 6)
+    )
+
+
+def viterbi_segment(
+    vocab: DataFrame,
+    pieces: DataFrame,
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    weight_col: str = "wc",
+) -> DataFrame:
+    """Best segmentation per word: ``(w, wc, best_lp, n_pieces)``.
+
+    DP per word (identical recurrence and operand order as the DuckDB
+    oracle's unrolled CTE chain, hence bit-identical doubles given the
+    rounded piece scores): s[0] = 0; s[i] = max over l in
+    1..min(max_piece_len, i) of s[i-l] + lp(w[i-l:i]); ties prefer
+    fewer pieces, then a shorter last piece. The piece dict is
+    driver-collected and broadcast — pieces are vocab-substring-
+    bounded, the same budget the BPE operators spend.
+    """
+    spark = vocab.sparkSession
+    lp_map = {r["piece"]: float(r["lp"]) for r in pieces.select("piece", "lp").collect()}
+    bc = spark.sparkContext.broadcast(lp_map)
+    out_schema = f"{word_col} string, {weight_col} long, best_lp double, n_pieces int"
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp = bc.value
+        for pdf in batches:
+            words, weights, bests, counts = [], [], [], []
+            for w, wc in zip(pdf[word_col], pdf[weight_col]):
+                n = len(w)
+                s = [0.0] * (n + 1)
+                npc = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    best = None
+                    for l in range(1, min(max_piece_len, i) + 1):
+                        v = s[i - l] + lp.get(w[i - l : i], MISSING_PIECE_SCORE)
+                        key = (v, -(npc[i - l] + 1), -l)
+                        if best is None or key > best[0]:
+                            best = (key, v, npc[i - l] + 1)
+                    s[i], npc[i] = best[1], best[2]
+                words.append(w)
+                weights.append(int(wc))
+                bests.append(s[n])
+                counts.append(npc[n])
+            yield pd.DataFrame(
+                {
+                    word_col: words,
+                    weight_col: weights,
+                    "best_lp": bests,
+                    "n_pieces": counts,
+                }
+            )
+
+    return vocab.select(word_col, weight_col).mapInPandas(seg, schema=out_schema)

@@ -802,3 +802,112 @@ def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+#: q162: unigram-LM Viterbi segmentation bounds.
+UNI_MAX_WORD = 16   # words longer than this are excluded (both engines)
+UNI_MAX_PIECE = 4   # candidate pieces = substrings up to this length
+UNI_TOP = 20
+
+
+def _unigram_viterbi_oracle() -> str:
+    """Mechanically generated CTE chain replaying viterbi_segment's DP
+    exactly (the q156 generated-oracle technique): piece scores are
+    ROUND(log2(share), 6) — identical doubles across engines — and one
+    CTE per word position takes the (s DESC, np ASC, l ASC) arg-max
+    over the same candidates in the same operand order, so the scores
+    are bit-identical and the arg-max cannot diverge."""
+    P, W, K = UNI_MAX_PIECE, UNI_MAX_WORD, UNI_TOP
+    parts = [
+        "WITH toks AS (",
+        f"  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents",
+        "),",
+        "vocab AS (SELECT w, COUNT(*) AS wc FROM toks",
+        f"          WHERE length(w) BETWEEN 1 AND {W} GROUP BY w),",
+        "rawp AS (",
+        "  SELECT substr(w, u.i, l.l) AS piece, SUM(wc) AS c",
+        f"  FROM vocab, LATERAL (SELECT unnest(generate_series(1, {P})) AS l) l,",
+        "       LATERAL (SELECT unnest(generate_series(1, length(w) - l.l + 1)) AS i) u",
+        "  GROUP BY 1",
+        "),",
+        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM rawp),",
+        "pieces AS MATERIALIZED (SELECT piece, ROUND(log2(c / t), 6) AS lp FROM rawp, tot),",
+        "d0 AS (SELECT w, wc, CAST(0.0 AS DOUBLE) AS s0, 0 AS np0 FROM vocab),",
+    ]
+    for i in range(1, W + 1):
+        cands = " UNION ALL ".join(
+            f"SELECT d.s{i - l} + COALESCE((SELECT lp FROM pieces p WHERE "
+            f"p.piece = substr(d.w, {i - l + 1}, {l})), -1000000000.0) AS s, "
+            f"d.np{i - l} + 1 AS np, {l} AS l"
+            for l in range(1, min(P, i) + 1)
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT d.*, b.s AS s{i}, b.np AS np{i} "
+            f"FROM d{i - 1} d, LATERAL (SELECT s, np FROM ({cands}) "
+            f"ORDER BY s DESC, np ASC, l ASC LIMIT 1) b),"
+        )
+    final_s = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    final_np = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN np{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    parts += [
+        f"top AS (SELECT w, wc, {final_s} AS bs, {final_np} AS np FROM d{W}",
+        f"        ORDER BY wc DESC, w ASC LIMIT {K})",
+        "SELECT ROW_NUMBER() OVER (ORDER BY wc DESC, w ASC) AS rank,",
+        "       w AS word, wc, ROUND(bs, 6) AS best_lp, np AS n_pieces",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q162_unigram_viterbi",
+    oracle=_unigram_viterbi_oracle(),
+    doc="Unigram-LM (SentencePiece-style) Viterbi segmentation — the "
+        "DP counterpart of BPE in the tokenizer-training family "
+        "(Kudo 2018 E-step shape): candidate pieces = corpus-weighted "
+        "substrings of the distinct-word vocabulary, piece score = "
+        "rounded log2 share of total piece mass, then per-word best "
+        "segmentation s[i] = max_l s[i-l] + lp(w[i-l:i]) with "
+        "fewer-pieces/shorter-last tie-breaks; reports the top words' "
+        "best score and piece count. Scale: the corpus is touched once "
+        "(word histogram); piece counting and the DP are vocab-sized "
+        "(Zipf-bounded at 100 TB), the DP an Arrow-batched mapInPandas "
+        "with the piece dict broadcast. The score rounding makes the "
+        "cross-engine DP bit-identical (see the oracle generator).",
+)
+def q162_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        viterbi_segment,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    # one corpus shuffle -> vocab; localize so piece counting and the
+    # DP read a LocalRelation (the q129 dupe-subtree rule)
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    seg = viterbi_segment(vocab, pieces, max_piece_len=UNI_MAX_PIECE)
+    top = seg.orderBy(F.desc("wc"), F.asc("w")).limit(UNI_TOP)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("wc"), F.asc("w")))
+        .alias("rank"),
+        F.col("w").alias("word"),
+        "wc",
+        F.round("best_lp", 6).alias("best_lp"),
+        "n_pieces",
+    )

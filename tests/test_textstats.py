@@ -267,3 +267,49 @@ def test_bpe_placeholder_alphabet_is_guarded(spark):
     # a tiny vocab just exhausts its pair supply early
     merges = learn_bpe_merges(vocab, 31)
     assert len(merges) <= 31
+
+
+def test_viterbi_segment_matches_bruteforce(spark):
+    """The backtrack-free Viterbi DP (operators/unigram_lm.py) agrees
+    with exhaustive enumeration of every segmentation under the same
+    scoring and tie-breaks (better score, then fewer pieces)."""
+    from itertools import combinations
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        MISSING_PIECE_SCORE,
+        piece_table,
+        viterbi_segment,
+    )
+
+    vocab = spark.createDataFrame(
+        [("abab", 5), ("aba", 3), ("bb", 2), ("a", 7), ("abba", 1)],
+        "w string, wc long",
+    )
+    pieces = piece_table(vocab, max_piece_len=3)
+    lp = {r["piece"]: r["lp"] for r in pieces.collect()}
+    got = {
+        r["w"]: (r["best_lp"], r["n_pieces"])
+        for r in viterbi_segment(vocab, pieces, max_piece_len=3).collect()
+    }
+
+    def brute(w):
+        n = len(w)
+        best = None
+        for cuts in range(n):  # choose cut positions among 1..n-1
+            for cpos in combinations(range(1, n), cuts):
+                bounds = [0, *cpos, n]
+                segs = [w[bounds[i]: bounds[i + 1]] for i in range(len(bounds) - 1)]
+                if any(len(s) > 3 for s in segs):
+                    continue
+                score = 0.0
+                for s in segs:
+                    score = score + lp.get(s, MISSING_PIECE_SCORE)
+                key = (score, -len(segs))
+                if best is None or key > best[0]:
+                    best = (key, score, len(segs))
+        return best[1], best[2]
+
+    for w in ("abab", "aba", "bb", "a", "abba"):
+        bs, bn = brute(w)
+        assert abs(got[w][0] - bs) < 1e-9, w
+        assert got[w][1] == bn, w
