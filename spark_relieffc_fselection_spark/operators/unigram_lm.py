@@ -76,6 +76,34 @@ def piece_table(
     )
 
 
+def _dp(w: str, lp: dict, max_piece_len: int) -> tuple[float, int, list[str]]:
+    """The per-word Viterbi recurrence (shared by both emit shapes):
+    s[0] = 0; s[i] = max over l in 1..min(max_piece_len, i) of
+    s[i-l] + lp(w[i-l:i]); ties prefer fewer pieces, then a shorter
+    last piece — a TOTAL order, so the chosen PATH (not just the
+    score) is deterministic and oracle-replayable. Returns
+    (best score, piece count, pieces in order)."""
+    n = len(w)
+    s = [0.0] * (n + 1)
+    npc = [0] * (n + 1)
+    bl = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        for l in range(1, min(max_piece_len, i) + 1):
+            v = s[i - l] + lp.get(w[i - l : i], MISSING_PIECE_SCORE)
+            key = (v, -(npc[i - l] + 1), -l)
+            if best is None or key > best[0]:
+                best = (key, v, npc[i - l] + 1, l)
+        s[i], npc[i], bl[i] = best[1], best[2], best[3]
+    path = []
+    pos = n
+    while pos > 0:
+        path.append(w[pos - bl[pos] : pos])
+        pos -= bl[pos]
+    path.reverse()
+    return s[n], npc[n], path
+
+
 def viterbi_segment(
     vocab: DataFrame,
     pieces: DataFrame,
@@ -83,15 +111,14 @@ def viterbi_segment(
     word_col: str = "w",
     weight_col: str = "wc",
 ) -> DataFrame:
-    """Best segmentation per word: ``(w, wc, best_lp, n_pieces)``.
+    """Best segmentation per word: ``(w, wc, best_lp, n_pieces)`` —
+    the E-step summary (Kudo 2018 shape).
 
     DP per word (identical recurrence and operand order as the DuckDB
     oracle's unrolled CTE chain, hence bit-identical doubles given the
-    rounded piece scores): s[0] = 0; s[i] = max over l in
-    1..min(max_piece_len, i) of s[i-l] + lp(w[i-l:i]); ties prefer
-    fewer pieces, then a shorter last piece. The piece dict is
-    driver-collected and broadcast — pieces are vocab-substring-
-    bounded, the same budget the BPE operators spend.
+    rounded piece scores). The piece dict is driver-collected and
+    broadcast — pieces are vocab-substring-bounded, the same budget
+    the BPE operators spend.
     """
     spark = vocab.sparkSession
     lp_map = {r["piece"]: float(r["lp"]) for r in pieces.select("piece", "lp").collect()}
@@ -103,21 +130,11 @@ def viterbi_segment(
         for pdf in batches:
             words, weights, bests, counts = [], [], [], []
             for w, wc in zip(pdf[word_col], pdf[weight_col]):
-                n = len(w)
-                s = [0.0] * (n + 1)
-                npc = [0] * (n + 1)
-                for i in range(1, n + 1):
-                    best = None
-                    for l in range(1, min(max_piece_len, i) + 1):
-                        v = s[i - l] + lp.get(w[i - l : i], MISSING_PIECE_SCORE)
-                        key = (v, -(npc[i - l] + 1), -l)
-                        if best is None or key > best[0]:
-                            best = (key, v, npc[i - l] + 1)
-                    s[i], npc[i] = best[1], best[2]
+                best_lp, n_pieces, _ = _dp(w, lp, max_piece_len)
                 words.append(w)
                 weights.append(int(wc))
-                bests.append(s[n])
-                counts.append(npc[n])
+                bests.append(best_lp)
+                counts.append(n_pieces)
             yield pd.DataFrame(
                 {
                     word_col: words,
@@ -128,3 +145,39 @@ def viterbi_segment(
             )
 
     return vocab.select(word_col, weight_col).mapInPandas(seg, schema=out_schema)
+
+
+def viterbi_piece_counts(
+    vocab: DataFrame,
+    pieces: DataFrame,
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    weight_col: str = "wc",
+) -> DataFrame:
+    """The M-step recount: ``(piece, uses)`` where uses = sum over
+    words of word_frequency x times-the-piece-appears-in-the-word's
+    best segmentation — the expected piece counts SentencePiece's EM
+    feeds back into the next piece-probability estimate. The DP path
+    is backtracked per word (deterministic: the tie order is total),
+    pieces explode to (piece, wc) rows, and Catalyst's partial
+    aggregation collapses them map-side before one pieces-sized
+    shuffle."""
+    spark = vocab.sparkSession
+    lp_map = {r["piece"]: float(r["lp"]) for r in pieces.select("piece", "lp").collect()}
+    bc = spark.sparkContext.broadcast(lp_map)
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp = bc.value
+        for pdf in batches:
+            ps, ws = [], []
+            for w, wc in zip(pdf[word_col], pdf[weight_col]):
+                _, _, path = _dp(w, lp, max_piece_len)
+                for p in path:
+                    ps.append(p)
+                    ws.append(int(wc))
+            yield pd.DataFrame({"piece": ps, weight_col: ws})
+
+    exploded = vocab.select(word_col, weight_col).mapInPandas(
+        seg, schema=f"piece string, {weight_col} long"
+    )
+    return exploded.groupBy("piece").agg(F.sum(weight_col).alias("uses"))

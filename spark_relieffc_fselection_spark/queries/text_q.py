@@ -810,14 +810,16 @@ UNI_MAX_PIECE = 4   # candidate pieces = substrings up to this length
 UNI_TOP = 20
 
 
-def _unigram_viterbi_oracle() -> str:
-    """Mechanically generated CTE chain replaying viterbi_segment's DP
-    exactly (the q156 generated-oracle technique): piece scores are
+def _unigram_dp_prefix() -> list[str]:
+    """Shared generated-oracle prefix replaying the Viterbi DP exactly
+    (the q156 generated-oracle technique): piece scores are
     ROUND(log2(share), 6) — identical doubles across engines — and one
     CTE per word position takes the (s DESC, np ASC, l ASC) arg-max
     over the same candidates in the same operand order, so the scores
-    are bit-identical and the arg-max cannot diverge."""
-    P, W, K = UNI_MAX_PIECE, UNI_MAX_WORD, UNI_TOP
+    are bit-identical and the arg-max (hence the chosen PATH — the
+    tie order is total) cannot diverge. Each d{i} also records the
+    chosen last-piece length l{i}, which the q163 tail walks back."""
+    P, W = UNI_MAX_PIECE, UNI_MAX_WORD
     parts = [
         "WITH toks AS (",
         f"  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents",
@@ -832,7 +834,7 @@ def _unigram_viterbi_oracle() -> str:
         "),",
         "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM rawp),",
         "pieces AS MATERIALIZED (SELECT piece, ROUND(log2(c / t), 6) AS lp FROM rawp, tot),",
-        "d0 AS (SELECT w, wc, CAST(0.0 AS DOUBLE) AS s0, 0 AS np0 FROM vocab),",
+        "d0 AS (SELECT w, wc, CAST(0.0 AS DOUBLE) AS s0, 0 AS np0, 0 AS l0 FROM vocab),",
     ]
     for i in range(1, W + 1):
         cands = " UNION ALL ".join(
@@ -842,10 +844,16 @@ def _unigram_viterbi_oracle() -> str:
             for l in range(1, min(P, i) + 1)
         )
         parts.append(
-            f"d{i} AS MATERIALIZED (SELECT d.*, b.s AS s{i}, b.np AS np{i} "
-            f"FROM d{i - 1} d, LATERAL (SELECT s, np FROM ({cands}) "
+            f"d{i} AS MATERIALIZED (SELECT d.*, b.s AS s{i}, b.np AS np{i}, "
+            f"b.l AS l{i} "
+            f"FROM d{i - 1} d, LATERAL (SELECT s, np, l FROM ({cands}) "
             f"ORDER BY s DESC, np ASC, l ASC LIMIT 1) b),"
         )
+    return parts
+
+
+def _unigram_viterbi_oracle() -> str:
+    W, K = UNI_MAX_WORD, UNI_TOP
     final_s = (
         "CASE length(w) "
         + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, W + 1))
@@ -856,11 +864,52 @@ def _unigram_viterbi_oracle() -> str:
         + " ".join(f"WHEN {i} THEN np{i}" for i in range(1, W + 1))
         + " END"
     )
-    parts += [
+    parts = _unigram_dp_prefix() + [
         f"top AS (SELECT w, wc, {final_s} AS bs, {final_np} AS np FROM d{W}",
         f"        ORDER BY wc DESC, w ASC LIMIT {K})",
         "SELECT ROW_NUMBER() OVER (ORDER BY wc DESC, w ASC) AS rank,",
         "       w AS word, wc, ROUND(bs, 6) AS best_lp, np AS n_pieces",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+def _unigram_mstep_oracle() -> str:
+    """q163 tail: walk the recorded l{i} chain back from length(w),
+    cutting one piece per step (a word of length W has at most W
+    pieces, so W unrolled steps cover every path), then recount piece
+    mass weighted by word frequency — the EM M-step."""
+    W, K = UNI_MAX_WORD, UNI_TOP
+    l_at_pos = (
+        "CASE x.pos{j} "
+        + " ".join(f"WHEN {i} THEN x.l{i}" for i in range(1, W + 1))
+        + " ELSE 0 END"
+    )
+    parts = _unigram_dp_prefix()
+    parts.append(
+        f"w0 AS (SELECT w, wc, "
+        + ", ".join(f"l{i}" for i in range(1, W + 1))
+        + f", length(w) AS pos0 FROM d{W}),"
+    )
+    for j in range(1, W + 1):
+        sel_l = l_at_pos.format(j=j - 1)
+        parts.append(
+            f"w{j} AS (SELECT x.*, "
+            f"CASE WHEN x.pos{j - 1} > 0 THEN "
+            f"substr(x.w, x.pos{j - 1} - c.l + 1, c.l) END AS p{j}, "
+            f"CASE WHEN x.pos{j - 1} > 0 THEN x.pos{j - 1} - c.l ELSE 0 END AS pos{j} "
+            f"FROM w{j - 1} x, LATERAL (SELECT ({sel_l}) AS l) c),"
+        )
+    used = " UNION ALL ".join(
+        f"SELECT p{j} AS piece, wc FROM w{W} WHERE p{j} IS NOT NULL"
+        for j in range(1, W + 1)
+    )
+    parts += [
+        f"used AS ({used}),",
+        "agg AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS uses FROM used GROUP BY piece),",
+        f"top AS (SELECT * FROM agg ORDER BY uses DESC, piece ASC LIMIT {K})",
+        "SELECT ROW_NUMBER() OVER (ORDER BY uses DESC, piece ASC) AS rank,",
+        "       piece, uses",
         "FROM top",
     ]
     return "\n".join(parts)
@@ -910,4 +959,45 @@ def q162_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wc",
         F.round("best_lp", 6).alias("best_lp"),
         "n_pieces",
+    )
+
+
+@register(
+    "q163_unigram_mstep_counts",
+    oracle=_unigram_mstep_oracle(),
+    doc="Unigram-LM EM M-step: backtrack each word's Viterbi-best "
+        "segmentation (q162's DP — the tie order is total, so the "
+        "chosen path is deterministic and oracle-replayable) and "
+        "recount piece mass weighted by word frequency — the expected "
+        "counts SentencePiece feeds into the next piece-probability "
+        "estimate. Scale: corpus touched once (word histogram); the "
+        "DP + backtrack are vocab-sized mapInPandas; the recount is a "
+        "pieces-sized groupBy with map-side partial aggregation. The "
+        "oracle walks the recorded per-position arg-max lengths with "
+        "one unrolled CTE per step.",
+)
+def q163_unigram_mstep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        viterbi_piece_counts,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    counts = viterbi_piece_counts(vocab, pieces, max_piece_len=UNI_MAX_PIECE)
+    top = counts.orderBy(F.desc("uses"), F.asc("piece")).limit(UNI_TOP)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("uses"), F.asc("piece")))
+        .alias("rank"),
+        "piece",
+        F.col("uses").cast("bigint").alias("uses"),
     )

@@ -313,3 +313,40 @@ def test_viterbi_segment_matches_bruteforce(spark):
         bs, bn = brute(w)
         assert abs(got[w][0] - bs) < 1e-9, w
         assert got[w][1] == bn, w
+
+
+def test_viterbi_piece_counts_match_bruteforce_paths(spark):
+    """The M-step recount agrees with exhaustively enumerated best
+    paths under the full tie order (score, fewer pieces, shorter last
+    piece — resolved left-to-right like the DP)."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        viterbi_piece_counts,
+        viterbi_segment,
+        _dp,
+    )
+
+    vocab = spark.createDataFrame(
+        [("abab", 5), ("aba", 3), ("bb", 2), ("a", 7), ("abba", 1)],
+        "w string, wc long",
+    )
+    pieces = piece_table(vocab, max_piece_len=3)
+    lp = {r["piece"]: r["lp"] for r in pieces.collect()}
+    got = {
+        r["piece"]: r["uses"]
+        for r in viterbi_piece_counts(vocab, pieces, max_piece_len=3).collect()
+    }
+    expected: dict[str, int] = {}
+    for w, wc in [("abab", 5), ("aba", 3), ("bb", 2), ("a", 7), ("abba", 1)]:
+        score, npieces, path = _dp(w, lp, 3)
+        assert "".join(path) == w  # the path is a true segmentation
+        assert len(path) == npieces
+        seg_summary = viterbi_segment(
+            vocab.filter(F.col("w") == w), pieces, max_piece_len=3
+        ).collect()[0]
+        assert abs(seg_summary["best_lp"] - score) < 1e-12
+        for p in path:
+            expected[p] = expected.get(p, 0) + wc
+    assert got == expected
