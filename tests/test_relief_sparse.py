@@ -374,10 +374,19 @@ def test_sparse_fit_coo_mode_matches_dense_mode(spark, monkeypatch):
     coo_res = fit_relief_sparse(long_df, labels, **kwargs)
     assert isinstance(coo_res.relevance, SparseRelevance)
     assert not isinstance(dense_res.relevance, SparseRelevance)
-    assert coo_res.std_selection == dense_res.std_selection
-    assert coo_res.redundancy_selection == dense_res.redundancy_selection
+    # rich diagnostics: this asserted pair diverged once in a full-suite
+    # run (round 9) without reproducing alone or in-file — if it flakes
+    # again, the message must say WHERE (values vs selections vs COO)
+    diag = (
+        f"dense rel={[dense_res.relevance[i] for i in range(d)]} "
+        f"coo rel={[coo_res.relevance[i] for i in range(d)]} "
+        f"dense red_coo={sorted(dense_res.redundancy_coo.items())} "
+        f"coo red_coo={sorted(coo_res.redundancy_coo.items())}"
+    )
+    assert coo_res.std_selection == dense_res.std_selection, diag
+    assert coo_res.redundancy_selection == dense_res.redundancy_selection, diag
     for i in range(d):
-        assert abs(coo_res.relevance[i] - dense_res.relevance[i]) < 1e-12
+        assert abs(coo_res.relevance[i] - dense_res.relevance[i]) < 1e-12, diag
 
 
 def test_sparse_fit_kddb_width_driver_stays_coo(spark):
