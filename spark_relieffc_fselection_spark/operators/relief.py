@@ -877,6 +877,7 @@ def fit_relief(
     batching: str = "random",
     sampling: str = "engine",
     lsh_probe_radius: int = 1,
+    lsh_tables: int | None = None,
 ) -> ReliefFitResult:
     """Full fit dataflow (ReliefFRSelector.scala:199-325, DataFrame IR).
 
@@ -992,8 +993,12 @@ def fit_relief(
     # The approximate tier sizes its table count to COVER the feature
     # coordinates — recall rises monotonically with coverage (union of
     # tables), and RELIEF's weights are exactly as good as the
-    # neighborhoods feeding them.
-    lsh_tables = auto_lsh_tables(batch_rows, n_feat)
+    # neighborhoods feeding them. A caller override (`lsh_tables`) is
+    # the second escalation knob next to `lsh_probe_radius`: tables
+    # re-hash the SCAN side (corpus-sized cost), so escalate the probe
+    # radius first.
+    if lsh_tables is None:
+        lsh_tables = auto_lsh_tables(batch_rows, n_feat)
     if n_batches <= 1:
         batches = [sample]
     elif batching == "random":

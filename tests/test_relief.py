@@ -344,3 +344,22 @@ def test_fit_lsh_probe_radius_escalation(spark, labeled):
     )
     assert set(res.std_selection) == {0, 1}
     assert res.resolved_knn_strategy == "lsh"
+
+
+def test_fit_lsh_tables_override(spark, labeled):
+    """lsh_tables is the second escalation knob (tables re-hash the
+    scan side): an override reaches the fit's approximate tier and
+    full coverage still recovers the planted signal."""
+    df, _, _ = labeled
+    res = fit_relief(
+        df, num_top_features=2, num_neighbors=5, estimation_ratio=1.0,
+        batch_size=1.0, redundancy_removal=False, seed=42,
+        knn_strategy="lsh", lsh_tables=2, lsh_probe_radius=2,
+    )
+    assert len(res.std_selection) == 2  # runs end-to-end at 2 tables
+    res_full = fit_relief(
+        df, num_top_features=2, num_neighbors=5, estimation_ratio=1.0,
+        batch_size=1.0, redundancy_removal=False, seed=42,
+        knn_strategy="lsh", lsh_tables=8, lsh_probe_radius=2,
+    )
+    assert set(res_full.std_selection) == {0, 1}
