@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "q161_sparse_fit_coo_width",
     "q162_unigram_viterbi",
     "q163_unigram_mstep_counts",
+    "q164_unigram_tokenize_corpus",
     # r6-green backlog, oldest-green-first (15 of the 29 remaining r6
     # entries fit; the rest carry round-10 slots in _DEFERRED — age 3
     # at round 9, the staleness bound forces them next round)
@@ -119,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "q37_relief_discrete_collisions",
     "q60_sequence_packing",
     "q72b_relief_greedy_topk",
-    "q74_kmeans_step",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -135,6 +135,7 @@ _DEFERRED: dict[str, int] = {
     # r6-green (the 29 that didn't fit after the r5-stale cohort took
     # its 23 slots — age 3 at round 9, MUST rotate in round 10 per the
     # staleness bound in test_registry):
+    "q74_kmeans_step": 6,
     "q75_oov_rate": 6,
     "q76_length_histogram": 6,
     "q77_streaming_enrichment": 6,

@@ -1001,3 +1001,74 @@ def q163_unigram_mstep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "piece",
         F.col("uses").cast("bigint").alias("uses"),
     )
+
+
+def _unigram_corpus_oracle() -> str:
+    """q164 tail: per-word piece counts from the DP (the final-position
+    CASE), joined back to the CORPUS tokens by word — the vocab-join
+    pattern that tokenizes 100 TB without re-running the DP per
+    occurrence."""
+    W = UNI_MAX_WORD
+    final_np = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN np{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    parts = _unigram_dp_prefix() + [
+        f"perword AS (SELECT w, {final_np} AS np FROM d{W}),",
+        "dtoks AS (",
+        f"  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents",
+        "),",
+        f"scoped AS (SELECT doc_id, w FROM dtoks WHERE length(w) BETWEEN 1 AND {W})",
+        "SELECT s.doc_id,",
+        "       COUNT(*) AS n_words,",
+        "       CAST(SUM(p.np) AS BIGINT) AS n_pieces,",
+        "       ROUND(SUM(p.np) / CAST(COUNT(*) AS DOUBLE), 6) AS pieces_per_word",
+        "FROM scoped s JOIN perword p USING (w)",
+        "GROUP BY s.doc_id",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q164_unigram_tokenize_corpus",
+    oracle=_unigram_corpus_oracle(),
+    doc="Corpus tokenization under the learned unigram LM — the "
+        "serving half of q162/q163: the per-word Viterbi piece counts "
+        "(vocab-sized, computed once) join back to the corpus tokens "
+        "by WORD, yielding per-document piece counts and "
+        "pieces-per-word (the compression-rate signal quality "
+        "pipelines threshold on). Scale: this is THE pattern that "
+        "makes tokenizer application 100 TB-safe — the DP never runs "
+        "per occurrence; the corpus-sized side only joins against a "
+        "broadcast vocab-sized table and partially aggregates "
+        "map-side.",
+)
+def q164_unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        viterbi_segment,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select("doc_id", F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    vocab = localize(dtoks.groupBy("w").agg(F.count("*").alias("wc")))
+    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    perword = viterbi_segment(vocab, pieces, max_piece_len=UNI_MAX_PIECE).select(
+        "w", "n_pieces"
+    )
+    return (
+        dtoks.join(F.broadcast(perword), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces") / F.count("*").cast("double"), 6
+            ).alias("pieces_per_word"),
+        )
+    )
