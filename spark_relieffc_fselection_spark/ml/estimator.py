@@ -274,12 +274,36 @@ class ReliefFSelector(
         return self._make_model(res)
 
     def _make_model(self, res) -> "ReliefFSelectorModel":
-        model = ReliefFSelectorModel(
+        from spark_relieffc_fselection_spark.operators.relief import (
+            SparseRelevance,
+        )
+
+        common = dict(
             stdSelection=[int(i) for i in res.std_selection],
             redundancySelection=[int(i) for i in res.redundancy_selection],
-            relevanceWeights=[float(x) for x in res.relevance],
             resolvedKnnStrategy=res.resolved_knn_strategy,
         )
+        if isinstance(res.relevance, SparseRelevance):
+            # Keep the model COO like the fit that produced it: iterating
+            # a SparseRelevance densifies to n_features floats, which at
+            # the kddb width the sparse path exists for (30M features,
+            # README.md:11) is a ~600 MB metadata JSON on save. Active
+            # entries + the shared absent-feature default carry the same
+            # information in O(active).
+            active = sorted(res.relevance.data)
+            model = ReliefFSelectorModel(
+                relevanceActiveIndices=active,
+                relevanceActiveValues=[
+                    float(res.relevance.data[i]) for i in active
+                ],
+                relevanceDefault=float(res.relevance.default),
+                relevanceNumFeatures=int(res.relevance.n),
+                **common,
+            )
+        else:
+            model = ReliefFSelectorModel(
+                relevanceWeights=[float(x) for x in res.relevance], **common
+            )
         model._resetUid(self.uid)
         return self._copyValues(model)
 
@@ -308,8 +332,36 @@ class ReliefFSelectorModel(
     )
     relevanceWeights = Param(
         Params._dummy(), "relevanceWeights",
-        "Min-max normalized relevance per feature index.",
+        "Min-max normalized relevance per feature index (dense layout; "
+        "empty when the fit kept COO driver state — see "
+        "relevanceActiveIndices).",
         typeConverter=TypeConverters.toListFloat,
+    )
+    relevanceActiveIndices = Param(
+        Params._dummy(), "relevanceActiveIndices",
+        "COO layout (sparse fits past DENSE_RELEVANCE_MAX_FEATURES): "
+        "ascending feature indices that were ever active; every other "
+        "index takes relevanceDefault. Keeps model metadata O(active) "
+        "at kddb-scale declared widths instead of densifying what the "
+        "fit deliberately kept sparse.",
+        typeConverter=TypeConverters.toListInt,
+    )
+    relevanceActiveValues = Param(
+        Params._dummy(), "relevanceActiveValues",
+        "Normalized relevance per relevanceActiveIndices entry "
+        "(positionally aligned).",
+        typeConverter=TypeConverters.toListFloat,
+    )
+    relevanceDefault = Param(
+        Params._dummy(), "relevanceDefault",
+        "Normalized relevance shared by every never-active feature in "
+        "the COO layout (raw 0.0 after min-max normalization).",
+        typeConverter=TypeConverters.toFloat,
+    )
+    relevanceNumFeatures = Param(
+        Params._dummy(), "relevanceNumFeatures",
+        "Declared feature-space width of the COO layout.",
+        typeConverter=TypeConverters.toInt,
     )
     selectionSize = Param(
         Params._dummy(), "selectionSize",
@@ -333,6 +385,8 @@ class ReliefFSelectorModel(
         super().__init__()
         self._setDefault(
             stdSelection=[], redundancySelection=[], relevanceWeights=[],
+            relevanceActiveIndices=[], relevanceActiveValues=[],
+            relevanceDefault=0.0, relevanceNumFeatures=0,
             resolvedKnnStrategy="numpy",
         )
         self._set(**kwargs)
@@ -350,21 +404,40 @@ class ReliefFSelectorModel(
             sel = sel[: self.getOrDefault(self.selectionSize)]
         return sorted(sel)
 
+    def relevance_for(self, idx: int) -> float | None:
+        """Normalized relevance of one feature index, whichever layout
+        the model stores (dense relevanceWeights, or the COO
+        active-indices layout a kddb-width sparse fit persists).
+        None for an index outside the fitted width."""
+        dense = self.getOrDefault(self.relevanceWeights)
+        if dense:
+            return float(dense[idx]) if 0 <= idx < len(dense) else None
+        n = self.getOrDefault(self.relevanceNumFeatures)
+        if not (0 <= idx < n):
+            return None
+        active = self.getOrDefault(self.relevanceActiveIndices)
+        vals = self.getOrDefault(self.relevanceActiveValues)
+        import bisect
+
+        pos = bisect.bisect_left(active, idx)
+        if pos < len(active) and active[pos] == idx:
+            return float(vals[pos])
+        return float(self.getOrDefault(self.relevanceDefault))
+
     def ranking(self, spark) -> DataFrame:
         """Dual ranking as a DataFrame — the engine's form of the
         reference's console TSV dump (S5, ReliefFRSelector.scala:
         318-321): one row per rank with both selection orders and
         their normalized relevance."""
-        rel = self.getOrDefault(self.relevanceWeights)
         std = self.getOrDefault(self.stdSelection)
         red = self.getOrDefault(self.redundancySelection)
         rows = [
             (
                 i + 1,
                 int(s),
-                float(rel[s]) if s < len(rel) else None,
+                self.relevance_for(int(s)),
                 int(r),
-                float(rel[r]) if r < len(rel) else None,
+                self.relevance_for(int(r)),
             )
             for i, (s, r) in enumerate(zip(std, red))
         ]

@@ -395,3 +395,57 @@ def test_lsh_probe_radius_param_roundtrip(tmp_path):
     est.write().overwrite().save(path)
     loaded = ReliefFSelector.load(path)
     assert loaded.getOrDefault(loaded.lshProbeRadius) == 2
+
+
+def test_sparse_model_stores_coo_relevance(spark, monkeypatch, tmp_path):
+    """A sparse fit that kept COO driver state must NOT densify at the
+    model boundary: at the kddb widths the COO path exists for
+    (VERDICT r8 #7), `[float(x) for x in SparseRelevance]` would put
+    n_features floats into the params JSON (~600 MB at 30M features).
+    The model stores active indices/values + the shared absent default,
+    persists in O(active), and answers relevance_for identically to a
+    dense-layout control fit of the same data."""
+    from spark_relieffc_fselection_spark.operators import relief_sparse as rs
+
+    rng = np.random.default_rng(29)
+    n, d = 50, 10
+    X = rng.normal(loc=3.0, size=(n, d)).round(3)
+    X[rng.random((n, d)) < 0.6] = 0.0
+    y = (X[:, 1] > 0).astype(float)
+    rows = [
+        (
+            Vectors.sparse(d, {j: X[i, j] for j in range(d) if X[i, j] != 0.0}),
+            float(y[i]),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    params = dict(
+        numTopFeatures=3, numNeighbors=3, estimationRatio=1.0,
+        batchSize=1.0, redundancyRemoval=True, seed=11,
+    )
+    dense_model = ReliefFSelector(**params).fit(df)
+    monkeypatch.setattr(rs, "DENSE_RELEVANCE_MAX_FEATURES", 4)
+    coo_model = ReliefFSelector(**params).fit(df)
+
+    assert coo_model.getOrDefault(coo_model.relevanceWeights) == []
+    active = coo_model.getOrDefault(coo_model.relevanceActiveIndices)
+    assert active and active == sorted(active)
+    assert coo_model.getOrDefault(coo_model.relevanceNumFeatures) == d
+    for i in range(d):
+        assert coo_model.relevance_for(i) == pytest.approx(
+            dense_model.relevance_for(i), abs=1e-9
+        )
+    assert coo_model.relevance_for(d) is None
+    assert coo_model.getOrDefault(
+        coo_model.stdSelection
+    ) == dense_model.getOrDefault(dense_model.stdSelection)
+
+    # persistence round-trips the COO layout, and ranking() reads it
+    path = str(tmp_path / "coo-model")
+    coo_model.write().overwrite().save(path)
+    loaded = ReliefFSelectorModel.load(path)
+    assert loaded.getOrDefault(loaded.relevanceActiveIndices) == active
+    got = loaded.ranking(spark).collect()
+    want = dense_model.ranking(spark).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
