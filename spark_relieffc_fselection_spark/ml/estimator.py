@@ -107,6 +107,26 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
         "broadcast-side only.",
         typeConverter=TypeConverters.toInt,
     )
+    lshTables = Param(
+        Params._dummy(), "lshTables",
+        "Hash-table count of the approximate kNN tier; 0 (default) = "
+        "auto-size to cover the feature coordinates (auto_lsh_tables). "
+        "The second escalation knob next to lshProbeRadius: extra "
+        "tables re-hash the SCAN side (corpus-sized cost), so raise the "
+        "probe radius first. Only consulted when the fit runs strategy "
+        "'lsh'.",
+        typeConverter=TypeConverters.toInt,
+    )
+    sparseKnnProbe = Param(
+        Params._dummy(), "sparseKnnProbe",
+        "Sparse route only — sparse_knn_join's no-overlap probe: "
+        "'auto' (default) decides from nominal nnz density, 'grid' "
+        "skips straight to the norms grid (for data whose nominal "
+        "density is misleading, e.g. narrow-active rows strided across "
+        "a huge declared width — the probe would only burn driver "
+        "rounds before falling back), 'probe' forces it.",
+        typeConverter=TypeConverters.toString,
+    )
     samplingMode = Param(
         Params._dummy(), "samplingMode",
         "'engine' (the reference's engine-seeded Bernoulli sample, "
@@ -127,6 +147,7 @@ class _ReliefFParams(HasInputCol, HasOutputCol, HasLabelCol, HasSeed):
             lowerDistanceThreshold=0.8, redundancyRemoval=False,
             discreteData=False, seed=12345, knnStrategy="numpy",
             batching="random", samplingMode="engine", lshProbeRadius=1,
+            lshTables=0, sparseKnnProbe="auto",
             inputCol="features", outputCol="selectedFeatures", labelCol="label",
         )
 
@@ -191,6 +212,7 @@ class ReliefFSelector(
             batching=self.getOrDefault(self.batching),
             sampling=self.getOrDefault(self.samplingMode),
             lsh_probe_radius=self.getOrDefault(self.lshProbeRadius),
+            lsh_tables=self.getOrDefault(self.lshTables) or None,
         )
         prepared.unpersist()
         return self._make_model(res)
@@ -269,6 +291,9 @@ class ReliefFSelector(
             # jointTotal discount replays the reference's
             # (1 - ratio * batchPerc), ReliefFRSelector.scala:642
             estimation_ratio=ratio,
+            knn_probe={"auto": None, "probe": True, "grid": False}[
+                self.getOrDefault(self.sparseKnnProbe)
+            ],
         )
         base.unpersist()
         return self._make_model(res)

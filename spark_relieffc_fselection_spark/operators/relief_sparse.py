@@ -402,10 +402,10 @@ def fit_relief_sparse(
     jointTotal is the undiscounted pair count, matching the dense
     single-batch path).
 
-    ``knn_probe`` overrides the batched loop's nnz-density heuristic
-    for sparse_knn_join's no-overlap probe (None = decide from
-    density; False = straight to the norms grid; True = force the
-    probe). The heuristic reads nominal density, which a caller can
+    ``knn_probe`` overrides sparse_knn_join's no-overlap probe on BOTH
+    routes — the batched loop's nnz-density heuristic and the
+    single-pass call (None = decide from density; False = straight to
+    the norms grid; True = force the probe). The heuristic reads nominal density, which a caller can
     know to be misleading — e.g. narrow-active data strided across a
     huge declared width is nominally ultra-sparse but every pair
     shares every active feature, so the probe only burns driver
@@ -455,7 +455,8 @@ def fit_relief_sparse(
             knn_probe=knn_probe,
         )
     neigh = sparse_knn_join(
-        long_df, labels, labels.select("id"), k, num_corpus=n_elems
+        long_df, labels, labels.select("id"), k, num_corpus=n_elems,
+        probe=knn_probe,
     ).cache()
     # materialize NOW: both lp and pair_counts consume neigh, and a lazy
     # cache computes the kNN subplan once per consumer concurrently

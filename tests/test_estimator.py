@@ -449,3 +449,53 @@ def test_sparse_model_stores_coo_relevance(spark, monkeypatch, tmp_path):
     got = loaded.ranking(spark).collect()
     want = dense_model.ranking(spark).collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_lsh_tables_param_reaches_the_fit(vec_df, tmp_path):
+    """lshTables (0 = auto) persistence-round-trips and reaches
+    fit_relief as the table-count override of the approximate tier."""
+    est = ReliefFSelector(
+        numTopFeatures=2, numNeighbors=3, estimationRatio=1.0,
+        batchSize=1.0, knnStrategy="lsh", lshTables=4, seed=99,
+    )
+    path = str(tmp_path / "tables-est")
+    est.write().overwrite().save(path)
+    loaded = ReliefFSelector.load(path)
+    assert loaded.getOrDefault(loaded.lshTables) == 4
+    model = est.fit(vec_df)
+    assert model.getOrDefault(model.resolvedKnnStrategy) == "lsh"
+    assert len(model.getOrDefault(model.stdSelection)) == 2
+
+
+def test_sparse_knn_probe_param_reaches_the_fit(spark, tmp_path):
+    """sparseKnnProbe='grid' skips the no-overlap probe (the q161
+    lesson: nominal density can mislead the heuristic). Both probe
+    modes are EXACT candidate strategies, so the selections must
+    agree with the default fit."""
+    rng = np.random.default_rng(31)
+    n, d = 60, 10
+    X = rng.normal(loc=3.0, size=(n, d)).round(3)
+    X[rng.random((n, d)) < 0.7] = 0.0
+    y = (X[:, 0] > 0).astype(float)
+    rows = [
+        (
+            Vectors.sparse(d, {j: X[i, j] for j in range(d) if X[i, j] != 0.0}),
+            float(y[i]),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    params = dict(
+        numTopFeatures=3, numNeighbors=3, estimationRatio=1.0,
+        batchSize=1.0, redundancyRemoval=False, seed=7,
+    )
+    m_auto = ReliefFSelector(**params).fit(df)
+    m_grid = ReliefFSelector(**params, sparseKnnProbe="grid").fit(df)
+    assert m_grid.getOrDefault(m_grid.stdSelection) == m_auto.getOrDefault(
+        m_auto.stdSelection
+    )
+    path = str(tmp_path / "probe-est")
+    sel = ReliefFSelector(sparseKnnProbe="grid")
+    sel.write().overwrite().save(path)
+    loaded = ReliefFSelector.load(path)
+    assert loaded.getOrDefault(loaded.sparseKnnProbe) == "grid"
