@@ -646,3 +646,30 @@ def test_bpe_encode_corpus_touched_once(spark, qs):
     # localize() materializes the vocab as a local/in-memory relation
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_corpus_tokenize_broadcasts_vocab_side(spark, qs):
+    """q164: the serving-side scale pattern — the corpus-sized token
+    stream joins the per-word piece counts as a BROADCAST (vocab-sized
+    side), never a shuffle join, and the per-document rollup partially
+    aggregates map-side (HashAggregate pair around one exchange). The
+    DP itself never appears on the corpus side: exactly one corpus
+    parquet scan feeds the join arm (the vocab arm is localized)."""
+    plan = _plan(qs["q164_unigram_tokenize_corpus"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    # partial+final aggregate pair on the doc rollup
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_unigram_viterbi_vocab_sized_dp(spark, qs):
+    """q162: everything after the one corpus shuffle (the word
+    histogram feeding localize()) is vocab-sized — the DP's
+    mapInPandas reads a LocalTableScan, no second parquet scan, and
+    the top-k is bounded (TakeOrdered), not a global sort."""
+    plan = _plan(qs["q162_unigram_viterbi"](spark, SF))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
