@@ -76,13 +76,21 @@ def piece_table(
     )
 
 
-def _dp(w: str, lp: dict, max_piece_len: int) -> tuple[float, int, list[str]]:
+def _dp(
+    w: str, lp: dict, max_piece_len: int, masked: str | None = None
+) -> tuple[float, int, list[str]]:
     """The per-word Viterbi recurrence (shared by both emit shapes):
     s[0] = 0; s[i] = max over l in 1..min(max_piece_len, i) of
     s[i-l] + lp(w[i-l:i]); ties prefer fewer pieces, then a shorter
     last piece — a TOTAL order, so the chosen PATH (not just the
     score) is deterministic and oracle-replayable. Returns
-    (best score, piece count, pieces in order)."""
+    (best score, piece count, pieces in order).
+
+    ``masked`` treats ONE piece as absent — the prune-loss probe
+    (SentencePiece's vocabulary-refinement step asks what the corpus
+    likelihood loses if a piece is removed). Masking can only lower
+    the max; length-1 pieces are never masked, so every word stays
+    feasible."""
     n = len(w)
     s = [0.0] * (n + 1)
     npc = [0] * (n + 1)
@@ -90,7 +98,13 @@ def _dp(w: str, lp: dict, max_piece_len: int) -> tuple[float, int, list[str]]:
     for i in range(1, n + 1):
         best = None
         for l in range(1, min(max_piece_len, i) + 1):
-            v = s[i - l] + lp.get(w[i - l : i], MISSING_PIECE_SCORE)
+            piece = w[i - l : i]
+            score = (
+                MISSING_PIECE_SCORE
+                if piece == masked
+                else lp.get(piece, MISSING_PIECE_SCORE)
+            )
+            v = s[i - l] + score
             key = (v, -(npc[i - l] + 1), -l)
             if best is None or key > best[0]:
                 best = (key, v, npc[i - l] + 1, l)
@@ -181,3 +195,55 @@ def viterbi_piece_counts(
         seg, schema=f"piece string, {weight_col} long"
     )
     return exploded.groupBy("piece").agg(F.sum(weight_col).alias("uses"))
+
+
+def prune_loss(
+    vocab: DataFrame,
+    pieces: DataFrame,
+    candidates: list[str],
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    weight_col: str = "wc",
+) -> DataFrame:
+    """The EM prune step's loss table: ``(piece, loss)`` where loss =
+    sum over words of wc x (best_lp - best_lp_without_piece) — the
+    corpus log-likelihood drop if ``piece`` were removed from the
+    vocabulary (SentencePiece's vocabulary-refinement criterion; the
+    least-loss pieces are pruned first). Candidates must be length >= 2
+    (the base alphabet is never pruned, so every word stays feasible).
+
+    Scale: vocab-sized like the other EM steps. Per word, ONE unmasked
+    DP; a masked re-run only for the candidates actually ON the word's
+    best path (words whose path avoids a piece contribute exactly 0 —
+    their optimal path survives the removal). Cross-word summation is
+    decimal(38,18), so the per-piece total is order-independent and
+    cross-engine exact: each per-word term is a product/difference of
+    bit-identical doubles (the rounded piece scores make the DP itself
+    bit-identical; see piece_table)."""
+    for p in candidates:
+        if len(p) < 2:
+            raise ValueError(f"prune candidates must have length >= 2, got {p!r}")
+    spark = vocab.sparkSession
+    lp_map = {r["piece"]: float(r["lp"]) for r in pieces.select("piece", "lp").collect()}
+    bc = spark.sparkContext.broadcast((lp_map, set(candidates)))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp, cand = bc.value
+        for pdf in batches:
+            ps, losses = [], []
+            for w, wc in zip(pdf[word_col], pdf[weight_col]):
+                best, _, path = _dp(w, lp, max_piece_len)
+                for p in set(path) & cand:
+                    masked_best, _, _ = _dp(w, lp, max_piece_len, masked=p)
+                    ps.append(p)
+                    losses.append(float(wc) * (best - masked_best))
+            yield pd.DataFrame({"piece": ps, "loss": losses})
+
+    exploded = vocab.select(word_col, weight_col).mapInPandas(
+        probe, schema="piece string, loss double"
+    )
+    return exploded.groupBy("piece").agg(
+        F.round(
+            F.sum(F.col("loss").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("loss")
+    )

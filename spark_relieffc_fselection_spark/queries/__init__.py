@@ -107,9 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "q162_unigram_viterbi",
     "q163_unigram_mstep_counts",
     "q164_unigram_tokenize_corpus",
-    # r6-green backlog, oldest-green-first (15 of the 29 remaining r6
-    # entries fit; the rest carry round-10 slots in _DEFERRED — age 3
-    # at round 9, the staleness bound forces them next round)
+    "q165_unigram_prune_loss",
+    # r6-green backlog, oldest-green-first (14 of the 29 remaining r6
+    # entries fit after q165 took a new-query slot; the rest carry
+    # round-10 slots in _DEFERRED — age 3 at round 9, the staleness
+    # bound forces them next round)
     "q15_relief_topk",
     "q16_collision_marginal",
     "q17_collision_joint",
@@ -118,7 +120,6 @@ _PRIORITY: tuple[str, ...] = (
     "q22_simhash_signatures",
     "q27_embedding_neardup",
     "q37_relief_discrete_collisions",
-    "q60_sequence_packing",
     "q72b_relief_greedy_topk",
 )
 
@@ -133,8 +134,10 @@ _PRIORITY: tuple[str, ...] = (
 #: MUST take round-10 slots per the staleness bound.
 _DEFERRED: dict[str, int] = {
     # r6-green (the 29 that didn't fit after the r5-stale cohort took
-    # its 23 slots — age 3 at round 9, MUST rotate in round 10 per the
-    # staleness bound in test_registry):
+    # its 23 slots, plus q60 displaced when q165 took a new-query slot
+    # — age 3 at round 9, MUST rotate in round 10 per the staleness
+    # bound in test_registry):
+    "q60_sequence_packing": 6,
     "q74_kmeans_step": 6,
     "q75_oov_rate": 6,
     "q76_length_histogram": 6,

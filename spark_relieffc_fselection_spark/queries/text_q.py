@@ -874,12 +874,14 @@ def _unigram_viterbi_oracle() -> str:
     return "\n".join(parts)
 
 
-def _unigram_mstep_oracle() -> str:
-    """q163 tail: walk the recorded l{i} chain back from length(w),
-    cutting one piece per step (a word of length W has at most W
-    pieces, so W unrolled steps cover every path), then recount piece
-    mass weighted by word frequency — the EM M-step."""
-    W, K = UNI_MAX_WORD, UNI_TOP
+def _unigram_mstep_chain() -> list[str]:
+    """Shared tail chain: walk the recorded l{i} arg-max lengths back
+    from length(w), cutting one piece per step (a word of length W has
+    at most W pieces, so W unrolled steps cover every path), then
+    recount piece mass weighted by word frequency into ``agg`` — the
+    EM M-step counts q163 reports and q165 selects prune candidates
+    from."""
+    W = UNI_MAX_WORD
     l_at_pos = (
         "CASE x.pos{j} "
         + " ".join(f"WHEN {i} THEN x.l{i}" for i in range(1, W + 1))
@@ -907,6 +909,13 @@ def _unigram_mstep_oracle() -> str:
     parts += [
         f"used AS ({used}),",
         "agg AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS uses FROM used GROUP BY piece),",
+    ]
+    return parts
+
+
+def _unigram_mstep_oracle() -> str:
+    K = UNI_TOP
+    parts = _unigram_mstep_chain() + [
         f"top AS (SELECT * FROM agg ORDER BY uses DESC, piece ASC LIMIT {K})",
         "SELECT ROW_NUMBER() OVER (ORDER BY uses DESC, piece ASC) AS rank,",
         "       piece, uses",
@@ -1071,4 +1080,126 @@ def q164_unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_pieces") / F.count("*").cast("double"), 6
             ).alias("pieces_per_word"),
         )
+    )
+
+
+#: q165: prune-loss candidates — top-N M-step pieces of length >= 2
+#: (the base alphabet is never pruned, SentencePiece-style, so every
+#: word stays feasible under any single removal).
+UNI_PRUNE_CAND = 12
+
+
+def _unigram_prune_oracle() -> str:
+    """q165 tail: for each prune candidate (top M-step pieces, len>=2)
+    re-run the DP with that piece masked over every word CONTAINING it
+    — score-only, so each masked step is a GREATEST over the same
+    candidates (no arg-max lateral needed; tie-breaks only choose the
+    PATH, never the max). Words whose best path avoids the candidate
+    contribute exactly 0 (their optimal path survives the removal and
+    the masked max recomputes the same double), which is why the
+    engine may skip them and the oracle may include them: the sums
+    agree term-for-term. Loss terms are bit-identical doubles
+    (rounded piece scores, fixed DP operand order) summed as
+    decimal(38,18), so the per-piece total is order-independent."""
+    P, W, NC = UNI_MAX_PIECE, UNI_MAX_WORD, UNI_PRUNE_CAND
+    final_bs = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    parts = _unigram_mstep_chain() + [
+        f"cand AS (SELECT piece, uses FROM agg WHERE length(piece) >= 2 "
+        f"ORDER BY uses DESC, piece ASC LIMIT {NC}),",
+        f"best AS (SELECT w, wc, {final_bs} AS bs FROM d{W}),",
+        "m0 AS (SELECT b.w, b.wc, b.bs, c.piece AS mask, "
+        "CAST(0.0 AS DOUBLE) AS ms0 "
+        "FROM best b JOIN cand c ON instr(b.w, c.piece) > 0),",
+    ]
+    for i in range(1, W + 1):
+        exprs = ", ".join(
+            f"m.ms{i - l} + COALESCE((SELECT lp FROM pieces p WHERE "
+            f"p.piece = substr(m.w, {i - l + 1}, {l}) "
+            f"AND p.piece <> m.mask), -1000000000.0)"
+            for l in range(1, min(P, i) + 1)
+        )
+        greatest = exprs if i == 1 else f"GREATEST({exprs})"
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT m.*, {greatest} AS ms{i} "
+            f"FROM m{i - 1} m),"
+        )
+    final_ms = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN ms{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    parts += [
+        f"msf AS (SELECT mask, wc, bs, {final_ms} AS ms FROM m{W}),",
+        "lossagg AS (SELECT mask AS piece, "
+        "ROUND(CAST(SUM(CAST(wc * (bs - ms) AS DECIMAL(38,18))) AS DOUBLE), 6) "
+        "AS loss FROM msf GROUP BY mask)",
+        "SELECT ROW_NUMBER() OVER (ORDER BY l.loss ASC, c.piece ASC) AS rank,",
+        "       c.piece, c.uses, l.loss",
+        "FROM cand c JOIN lossagg l ON l.piece = c.piece",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q165_unigram_prune_loss",
+    oracle=_unigram_prune_oracle(),
+    doc="Unigram-LM EM prune step — completes the SentencePiece loop "
+        "(q162 E-step, q163 M-step recount, q165 vocabulary "
+        "refinement): for the top M-step pieces (length >= 2; the "
+        "base alphabet is never pruned) compute the corpus "
+        "log-likelihood LOSS of removing the piece — sum over words "
+        "of wc x (best_lp - best_lp_without_piece) — and rank "
+        "least-loss-first, the prune order. Scale: vocab-sized like "
+        "the other EM steps; per word one unmasked DP plus a masked "
+        "re-run ONLY for candidates on its best path (other words "
+        "contribute exactly 0); cross-word sums are decimal, so the "
+        "total is shuffle-order-independent and cross-engine exact.",
+)
+def q165_unigram_prune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        prune_loss,
+        viterbi_piece_counts,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    uses = viterbi_piece_counts(vocab, pieces, max_piece_len=UNI_MAX_PIECE)
+    # candidate list is NC rows — driver-sized by construction (the
+    # BPE-argmax precedent: one tiny collect to parameterize the next
+    # vocab-sized job)
+    cand = (
+        uses.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("uses"), F.asc("piece"))
+        .limit(UNI_PRUNE_CAND)
+        .collect()
+    )
+    candidates = [r["piece"] for r in cand]
+    loss = prune_loss(vocab, pieces, candidates, max_piece_len=UNI_MAX_PIECE)
+    cand_df = localize(
+        docs.sparkSession.createDataFrame(
+            [(r["piece"], int(r["uses"])) for r in cand],
+            "piece string, uses bigint",
+        )
+    )
+    joined = cand_df.join(loss, "piece")
+    return joined.select(
+        F.row_number()
+        .over(Window.orderBy(F.asc("loss"), F.asc("piece")))
+        .alias("rank"),
+        "piece",
+        "uses",
+        "loss",
     )

@@ -350,3 +350,68 @@ def test_viterbi_piece_counts_match_bruteforce_paths(spark):
         for p in path:
             expected[p] = expected.get(p, 0) + wc
     assert got == expected
+
+
+def test_prune_loss_matches_bruteforce_masked_rescore(spark):
+    """The EM prune step's loss table (operators/unigram_lm.py
+    prune_loss) agrees with brute force: for each candidate piece,
+    re-enumerate every segmentation of every word with the piece
+    forbidden and sum wc x (best - masked_best). Words whose best path
+    avoids the candidate must contribute exactly zero (the operator
+    skips them; the definition includes them)."""
+    from itertools import combinations
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        MISSING_PIECE_SCORE,
+        piece_table,
+        prune_loss,
+        _dp,
+    )
+
+    words = [("abab", 5), ("aba", 3), ("bb", 2), ("a", 7), ("abba", 1)]
+    vocab = spark.createDataFrame(words, "w string, wc long")
+    pieces = piece_table(vocab, max_piece_len=3)
+    lp = {r["piece"]: r["lp"] for r in pieces.collect()}
+    candidates = ["ab", "ba", "bb", "aba"]
+    got = {
+        r["piece"]: r["loss"]
+        for r in prune_loss(vocab, pieces, candidates, max_piece_len=3).collect()
+    }
+
+    def brute_best(w, forbidden=None):
+        n = len(w)
+        best = None
+        for cuts in range(n):
+            for cpos in combinations(range(1, n), cuts):
+                bounds = [0, *cpos, n]
+                segs = [w[bounds[i]: bounds[i + 1]] for i in range(len(bounds) - 1)]
+                if any(len(s) > 3 for s in segs):
+                    continue
+                score = 0.0
+                for s in segs:
+                    v = MISSING_PIECE_SCORE if s == forbidden else lp.get(
+                        s, MISSING_PIECE_SCORE
+                    )
+                    score = score + v
+                if best is None or score > best:
+                    best = score
+        return best
+
+    expected: dict[str, float] = {}
+    for p in candidates:
+        tot = 0.0
+        for w, wc in words:
+            tot += wc * (brute_best(w) - brute_best(w, forbidden=p))
+        expected[p] = round(tot, 6)
+    # the operator only emits candidates on >= 1 best path; absent
+    # candidates have brute loss 0 by the zero-contribution argument
+    for p in candidates:
+        assert abs(got.get(p, 0.0) - expected[p]) < 1e-9, (p, got, expected)
+    # sanity: at least one candidate has strictly positive loss, and
+    # zero-contribution words really contribute zero
+    assert any(v > 0 for v in expected.values())
+    for w, _ in words:
+        _, _, path = _dp(w, lp, 3)
+        for p in candidates:
+            if p not in path:
+                assert brute_best(w) == brute_best(w, forbidden=p), (w, p)
