@@ -1020,6 +1020,46 @@ def main() -> None:
 
     sparse_fit_width("sparse fit driver width (corpus fixed, D 62.5k -> 16M)")
 
+    # unigram-LM tokenizer family: replicated docs repeat the SAME
+    # words, so the vocabulary is IDENTICAL at every K — the one
+    # corpus-sized stage (the word histogram) should grow ~linearly
+    # while the vocab-sized EM stages (piece table, DP, masked prune
+    # probes) stay FLAT. This is the measured form of the q162-q165
+    # scale claim: at 100 TB only the histogram sees the corpus.
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        prune_loss,
+        viterbi_piece_counts,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+    from spark_relieffc_fselection_spark.functions.text import tokens
+
+    def uni_hist(kk: int) -> DataFrame:
+        return (
+            docs_k(kk)
+            .select(F.explode(tokens("text")).alias("w"))
+            .filter((F.length("w") >= 1) & (F.length("w") <= 16))
+            .groupBy("w")
+            .agg(F.count("*").alias("wc"))
+        )
+
+    bench("unigram word histogram (corpus-sized)", uni_hist)
+
+    def uni_em(kk: int) -> DataFrame:
+        v = localize(uni_hist(kk))
+        p = piece_table(v, max_piece_len=4)
+        uses = viterbi_piece_counts(v, p, max_piece_len=4)
+        cand = [
+            r["piece"]
+            for r in uses.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("uses"), F.asc("piece"))
+            .limit(12)
+            .collect()
+        ]
+        return prune_loss(v, p, cand, max_piece_len=4)
+
+    bench("unigram EM steps incl. prune (vocab-sized; flat-ish expected)", uni_em)
+
     spark.stop()
 
 
