@@ -1194,7 +1194,9 @@ def q165_unigram_prune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "piece string, uses bigint",
         )
     )
-    joined = cand_df.join(loss, "piece")
+    # NC-row side: hint it broadcast so the join never shuffles the
+    # loss aggregate, with or without AQE
+    joined = loss.join(F.broadcast(cand_df), "piece")
     return joined.select(
         F.row_number()
         .over(Window.orderBy(F.asc("loss"), F.asc("piece")))

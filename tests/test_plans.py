@@ -673,3 +673,16 @@ def test_unigram_viterbi_vocab_sized_dp(spark, qs):
     assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_prune_vocab_sized_probes(spark, qs):
+    """q165: like the rest of the EM family, everything after the one
+    corpus histogram is vocab-sized — the returned plan reads only the
+    localized vocab (zero parquet scans), joins the 12-row candidate
+    list without a shuffle join, and the masked-DP probes live in one
+    mapInPandas over the local relation."""
+    plan = _plan(qs["q165_unigram_prune_loss"](spark, SF))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
