@@ -167,6 +167,19 @@ class ReliefFSelector(
         return self._set(**kwargs)
 
     def _fit(self, dataset: DataFrame) -> "ReliefFSelectorModel":
+        # validate the estimator-level enum/range Params up front and
+        # on BOTH routes (fit_relief validates its own enums; these two
+        # never reach it) — a typo'd value must fail loudly before the
+        # prepare/cache pipeline runs, not as a KeyError mid-fit or a
+        # silent no-op on the route that doesn't consult it
+        probe_mode = self.getOrDefault(self.sparseKnnProbe)
+        if probe_mode not in ("auto", "probe", "grid"):
+            raise ValueError(f"unknown sparseKnnProbe mode {probe_mode!r}")
+        if self.getOrDefault(self.lshTables) < 0:
+            raise ValueError(
+                f"lshTables must be >= 0 (0 = auto), got "
+                f"{self.getOrDefault(self.lshTables)}"
+            )
         input_col = self.getInputCol()
         is_vector = isinstance(dataset.schema[input_col].dataType, VectorUDT)
         if is_vector:
@@ -498,9 +511,11 @@ class ReliefFSelectorModel(
             out_attrs.setdefault(kind, []).append(entry)
         return {
             "ml_attr": {"attrs": out_attrs, "num_attrs": len(indices)},
-            # provenance extras (this engine's addition)
+            # provenance extras (this engine's addition); COO-layout
+            # models carry the declared width in relevanceNumFeatures
             "selected_features": indices,
             "num_original_features": len(self.getOrDefault(self.relevanceWeights))
+            or self.getOrDefault(self.relevanceNumFeatures)
             or None,
         }
 

@@ -450,6 +450,14 @@ def test_sparse_model_stores_coo_relevance(spark, monkeypatch, tmp_path):
     want = dense_model.ranking(spark).collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
 
+    # transform metadata still reports the declared width (it used to
+    # come from len(relevanceWeights), which the COO layout leaves
+    # empty — the width now falls back to relevanceNumFeatures)
+    out_meta = (
+        coo_model.transform(df).schema["selectedFeatures"].metadata
+    )
+    assert out_meta["num_original_features"] == d
+
 
 def test_lsh_tables_param_reaches_the_fit(vec_df, tmp_path):
     """lshTables (0 = auto) persistence-round-trips and reaches
@@ -499,3 +507,17 @@ def test_sparse_knn_probe_param_reaches_the_fit(spark, tmp_path):
     sel.write().overwrite().save(path)
     loaded = ReliefFSelector.load(path)
     assert loaded.getOrDefault(loaded.sparseKnnProbe) == "grid"
+
+
+def test_estimator_param_validation_fails_loudly(vec_df):
+    """Typo'd enum / out-of-range Params raise a descriptive ValueError
+    up front on BOTH routes (neither reaches fit_relief's own enum
+    validation): no KeyError mid-fit, no silent no-op."""
+    with pytest.raises(ValueError, match="sparseKnnProbe"):
+        ReliefFSelector(
+            numTopFeatures=2, numNeighbors=2, sparseKnnProbe="gird"
+        ).fit(vec_df)
+    with pytest.raises(ValueError, match="lshTables"):
+        ReliefFSelector(
+            numTopFeatures=2, numNeighbors=2, lshTables=-2
+        ).fit(vec_df)
