@@ -69,3 +69,77 @@ def test_greedy_per_feature_update_count_not_diluted():
     # selects 2; round 3: feature 1's score must STAY -0.3 (upd_cnt=1),
     # not dilute to 0.5-0.8/2 = 0.1 > 0.05, so feature 3 wins.
     assert greedy_select(r, coo, 4) == [0, 2, 3, 1]
+
+
+# --- unigram-LM DP properties (pure Python, no Spark) -----------------
+
+
+def _brute_segmentations(w: str, max_len: int):
+    """Every segmentation of w into pieces of length <= max_len."""
+    if not w:
+        yield []
+        return
+    for l in range(1, min(max_len, len(w)) + 1):
+        for rest in _brute_segmentations(w[l:], max_len):
+            yield [w[:l], *rest]
+
+
+_words = st.text(alphabet="ab", min_size=1, max_size=7)
+_scores = st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=3),
+    st.floats(min_value=-10.0, max_value=-0.01, allow_nan=False).map(
+        lambda x: round(x, 6)
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_words, _scores)
+@settings(max_examples=100, deadline=None)
+def test_unigram_dp_is_optimal_and_total_ordered(w, lp):
+    """_dp's score equals the brute-force max over all segmentations,
+    its piece count matches the tie order (fewer pieces first among
+    score-ties), and the returned path reconstructs the word with the
+    claimed score."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        MISSING_PIECE_SCORE,
+        _dp,
+    )
+
+    # guarantee feasibility like piece_table does: every single char
+    # of the word is always a piece
+    for ch in set(w):
+        lp.setdefault(ch, -5.0)
+    best, n_pieces, path = _dp(w, lp, 3)
+    assert "".join(path) == w
+    assert len(path) == n_pieces
+    assert abs(sum(lp.get(p, MISSING_PIECE_SCORE) for p in path) - best) < 1e-9
+
+    scored = [
+        (sum(lp.get(p, MISSING_PIECE_SCORE) for p in segs), len(segs))
+        for segs in _brute_segmentations(w, 3)
+    ]
+    brute_best = max(s for s, _ in scored)
+    assert abs(best - brute_best) < 1e-9
+    # among score-optimal segmentations, _dp returns the fewest pieces
+    min_pieces = min(n for s, n in scored if abs(s - brute_best) < 1e-9)
+    assert n_pieces == min_pieces
+
+
+@given(_words, _scores)
+@settings(max_examples=60, deadline=None)
+def test_unigram_masked_dp_never_improves_and_off_path_is_exact_zero(w, lp):
+    """Masking a piece can only lower the best score, and masking a
+    piece NOT on the best path leaves the score bit-identical — the
+    zero-contribution identity q165's engine/oracle split relies on."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import _dp
+
+    for ch in set(w):
+        lp.setdefault(ch, -5.0)
+    best, _, path = _dp(w, lp, 3)
+    for cand in {p for p in lp if len(p) >= 2}:
+        masked, _, _ = _dp(w, lp, 3, masked=cand)
+        assert masked <= best
+        if cand not in path:
+            assert masked == best  # exact, not approximate
