@@ -143,3 +143,58 @@ def test_unigram_masked_dp_never_improves_and_off_path_is_exact_zero(w, lp):
         assert masked <= best
         if cand not in path:
             assert masked == best  # exact, not approximate
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_viterbi_em_iteration_never_decreases_likelihood(vocab):
+    """One hard-EM round climbs: segment under the substring-count
+    scores (q162's E-step), recount piece mass along the best paths
+    (q163's M-step), re-estimate scores from the counts, re-segment —
+    the corpus Viterbi log-likelihood must not decrease (Gibbs: the ML
+    re-estimate maximizes the old paths' likelihood, and re-
+    segmentation only improves it). Tolerance covers the 6dp score
+    rounding both engines share."""
+    import math
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import _dp
+
+    max_len = 3
+    # piece_table's law: counts = corpus-weighted substring counts
+    counts: dict[str, int] = {}
+    for w, wc in vocab:
+        for l in range(1, max_len + 1):
+            for i in range(len(w) - l + 1):
+                counts[w[i : i + l]] = counts.get(w[i : i + l], 0) + wc
+    total = sum(counts.values())
+    lp1 = {p: round(math.log2(c / total), 6) for p, c in counts.items()}
+
+    ll1 = 0.0
+    uses: dict[str, int] = {}
+    for w, wc in vocab:
+        best, _, path = _dp(w, lp1, max_len)
+        ll1 += wc * best
+        for p in path:
+            uses[p] = uses.get(p, 0) + wc
+    t2 = sum(uses.values())
+    lp2 = {p: round(math.log2(u / t2), 6) for p, u in uses.items()}
+    # coverage guarantee: every single char of every word stays a piece
+    for w, _ in vocab:
+        for ch in w:
+            assert ch in lp2 or any(ch in p for p in lp2), w
+
+    ll2 = 0.0
+    for w, wc in vocab:
+        best, _, _ = _dp(w, lp2, max_len)
+        ll2 += wc * best
+    assert ll2 >= ll1 - 1e-3 * max(1.0, abs(ll1)), (ll1, ll2)
