@@ -9,6 +9,12 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("engine-tests")
+        # the whole suite (350+ tests) shares this one JVM; the 1g
+        # default heap intermittently OOMs late in the run (observed as
+        # Py4JJavaError: java.lang.OutOfMemoryError during collects in
+        # test_relief_sparse, reproducible under concurrent host load
+        # when GC throughput drops) — size it like a real driver
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

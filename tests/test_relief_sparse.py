@@ -384,9 +384,14 @@ def test_sparse_fit_coo_mode_matches_dense_mode(spark, monkeypatch):
     coo_res = fit_relief_sparse(long_df, labels, **kwargs)
     assert isinstance(coo_res.relevance, SparseRelevance)
     assert not isinstance(dense_res.relevance, SparseRelevance)
-    # rich diagnostics: this asserted pair diverged once in a full-suite
-    # run (round 9) without reproducing alone or in-file — if it flakes
-    # again, the message must say WHERE (values vs selections vs COO)
+    # rich diagnostics, kept for forensics: the round-9 full-suite
+    # flakes here were ROOT-CAUSED to JVM heap OOM in the shared test
+    # session (Py4JJavaError: java.lang.OutOfMemoryError during
+    # collects, reproducible under concurrent host load; the suite ran
+    # in the 1g default heap until conftest sized it) — not a value
+    # divergence. The pipeline itself is decimal-accumulated and
+    # bit-deterministic; if this ever fails as an ASSERT, the message
+    # must say WHERE (values vs selections vs COO)
     diag = (
         f"dense rel={[dense_res.relevance[i] for i in range(d)]} "
         f"coo rel={[coo_res.relevance[i] for i in range(d)]} "
