@@ -320,6 +320,7 @@ class ReliefFSelector(
             stdSelection=[int(i) for i in res.std_selection],
             redundancySelection=[int(i) for i in res.redundancy_selection],
             resolvedKnnStrategy=res.resolved_knn_strategy,
+            fitNBatches=int(res.n_batches),
         )
         if isinstance(res.relevance, SparseRelevance):
             # Keep the model COO like the fit that produced it: iterating
@@ -407,6 +408,14 @@ class ReliefFSelectorModel(
         "(reference :794-805).",
         typeConverter=TypeConverters.toInt,
     )
+    fitNBatches = Param(
+        Params._dummy(), "fitNBatches",
+        "How many batches the fit ACTUALLY ran (the broadcast-memory "
+        "guard can raise it above what batchSize implies) — persisted "
+        "with the model so the training dataflow stays auditable next "
+        "to resolvedKnnStrategy.",
+        typeConverter=TypeConverters.toInt,
+    )
     resolvedKnnStrategy = Param(
         Params._dummy(), "resolvedKnnStrategy",
         "The kNN strategy the fit ACTUALLY ran — knnStrategy='auto' "
@@ -425,7 +434,7 @@ class ReliefFSelectorModel(
             stdSelection=[], redundancySelection=[], relevanceWeights=[],
             relevanceActiveIndices=[], relevanceActiveValues=[],
             relevanceDefault=0.0, relevanceNumFeatures=0,
-            resolvedKnnStrategy="numpy",
+            resolvedKnnStrategy="numpy", fitNBatches=1,
         )
         self._set(**kwargs)
 

@@ -319,10 +319,12 @@ def test_model_records_resolved_knn_strategy(fitted, tmp_path):
     persisted Param (VERDICT r8 #2): a saved model always records
     whether its weights were computed exactly."""
     assert fitted.getOrDefault(fitted.resolvedKnnStrategy) == "numpy"
+    assert fitted.getOrDefault(fitted.fitNBatches) == 1  # batchSize=1.0
     path = str(tmp_path / "resolved-model")
     fitted.write().overwrite().save(path)
     loaded = ReliefFSelectorModel.load(path)
     assert loaded.getOrDefault(loaded.resolvedKnnStrategy) == "numpy"
+    assert loaded.getOrDefault(loaded.fitNBatches) == 1
 
 
 def test_sparse_model_records_inverted_strategy(spark):
