@@ -124,6 +124,7 @@ def viterbi_segment(
     max_piece_len: int = 4,
     word_col: str = "w",
     weight_col: str = "wc",
+    emit_pieces: bool = False,
 ) -> DataFrame:
     """Best segmentation per word: ``(w, wc, best_lp, n_pieces)`` —
     the E-step summary (Kudo 2018 shape).
@@ -133,30 +134,40 @@ def viterbi_segment(
     rounded piece scores). The piece dict is driver-collected and
     broadcast — pieces are vocab-substring-bounded, the same budget
     the BPE operators spend.
+
+    ``emit_pieces`` adds the chosen path as a ``pieces array<string>``
+    column — one DP pass then serves BOTH the E-step summary and the
+    M-step recount (explode + weighted sum), instead of re-running the
+    DP per consumer (the q166 fusion).
     """
     spark = vocab.sparkSession
     lp_map = {r["piece"]: float(r["lp"]) for r in pieces.select("piece", "lp").collect()}
     bc = spark.sparkContext.broadcast(lp_map)
     out_schema = f"{word_col} string, {weight_col} long, best_lp double, n_pieces int"
+    if emit_pieces:
+        out_schema += ", pieces array<string>"
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lp = bc.value
         for pdf in batches:
-            words, weights, bests, counts = [], [], [], []
+            words, weights, bests, counts, paths = [], [], [], [], []
             for w, wc in zip(pdf[word_col], pdf[weight_col]):
-                best_lp, n_pieces, _ = _dp(w, lp, max_piece_len)
+                best_lp, n_pieces, path = _dp(w, lp, max_piece_len)
                 words.append(w)
                 weights.append(int(wc))
                 bests.append(best_lp)
                 counts.append(n_pieces)
-            yield pd.DataFrame(
-                {
-                    word_col: words,
-                    weight_col: weights,
-                    "best_lp": bests,
-                    "n_pieces": counts,
-                }
-            )
+                if emit_pieces:
+                    paths.append(path)
+            out = {
+                word_col: words,
+                weight_col: weights,
+                "best_lp": bests,
+                "n_pieces": counts,
+            }
+            if emit_pieces:
+                out["pieces"] = paths
+            yield pd.DataFrame(out)
 
     return vocab.select(word_col, weight_col).mapInPandas(seg, schema=out_schema)
 
@@ -195,6 +206,24 @@ def viterbi_piece_counts(
         seg, schema=f"piece string, {weight_col} long"
     )
     return exploded.groupBy("piece").agg(F.sum(weight_col).alias("uses"))
+
+
+def reestimate_piece_table(
+    uses: DataFrame, uses_col: str = "uses"
+) -> DataFrame:
+    """The EM re-estimation: new piece scores from the M-step's
+    expected counts — lp = ROUND(log2(uses / total_uses), 6), same
+    rounding contract as :func:`piece_table` (bit-identical doubles
+    across engines, so the next E-step's DP cannot diverge). Support
+    shrinks to pieces actually used on best paths; every word stays
+    feasible because its previous best path's pieces all survive
+    (the Gibbs step of hard EM — see
+    test_viterbi_em_iteration_never_decreases_likelihood)."""
+    total = float(uses.agg(F.sum(uses_col)).first()[0] or 0.0)
+    return uses.select(
+        "piece",
+        F.round(F.log2(F.col(uses_col) / F.lit(total)), 6).alias("lp"),
+    )
 
 
 def prune_loss(

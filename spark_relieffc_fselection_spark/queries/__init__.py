@@ -108,8 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "q163_unigram_mstep_counts",
     "q164_unigram_tokenize_corpus",
     "q165_unigram_prune_loss",
-    # r6-green backlog, oldest-green-first (14 of the 29 remaining r6
-    # entries fit after q165 took a new-query slot; the rest carry
+    "q166_unigram_em_iteration",
+    # r6-green backlog, oldest-green-first (13 of the 29 remaining r6
+    # entries fit after q165/q166 took new-query slots; the rest carry
     # round-10 slots in _DEFERRED — age 3 at round 9, the staleness
     # bound forces them next round)
     "q15_relief_topk",
@@ -120,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "q22_simhash_signatures",
     "q27_embedding_neardup",
     "q37_relief_discrete_collisions",
-    "q72b_relief_greedy_topk",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -138,6 +138,7 @@ _DEFERRED: dict[str, int] = {
     # — age 3 at round 9, MUST rotate in round 10 per the staleness
     # bound in test_registry):
     "q60_sequence_packing": 6,
+    "q72b_relief_greedy_topk": 6,
     "q74_kmeans_step": 6,
     "q75_oov_rate": 6,
     "q76_length_histogram": 6,

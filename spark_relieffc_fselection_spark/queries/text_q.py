@@ -834,19 +834,31 @@ def _unigram_dp_prefix() -> list[str]:
         "),",
         "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM rawp),",
         "pieces AS MATERIALIZED (SELECT piece, ROUND(log2(c / t), 6) AS lp FROM rawp, tot),",
-        "d0 AS (SELECT w, wc, CAST(0.0 AS DOUBLE) AS s0, 0 AS np0, 0 AS l0 FROM vocab),",
+    ]
+    return parts + _dp_argmax_chain("d", "vocab", "pieces")
+
+
+def _dp_argmax_chain(prefix: str, src: str, pieces_cte: str) -> list[str]:
+    """CTE chain ``{prefix}0..{prefix}W`` replaying the arg-max Viterbi
+    DP over ``src`` (w, wc) against the scores in ``pieces_cte`` —
+    parameterized so q166's second E-step can re-run the identical
+    recurrence against the RE-ESTIMATED piece table."""
+    P, W = UNI_MAX_PIECE, UNI_MAX_WORD
+    parts = [
+        f"{prefix}0 AS (SELECT w, wc, CAST(0.0 AS DOUBLE) AS s0, "
+        f"0 AS np0, 0 AS l0 FROM {src}),"
     ]
     for i in range(1, W + 1):
         cands = " UNION ALL ".join(
-            f"SELECT d.s{i - l} + COALESCE((SELECT lp FROM pieces p WHERE "
+            f"SELECT d.s{i - l} + COALESCE((SELECT lp FROM {pieces_cte} p WHERE "
             f"p.piece = substr(d.w, {i - l + 1}, {l})), -1000000000.0) AS s, "
             f"d.np{i - l} + 1 AS np, {l} AS l"
             for l in range(1, min(P, i) + 1)
         )
         parts.append(
-            f"d{i} AS MATERIALIZED (SELECT d.*, b.s AS s{i}, b.np AS np{i}, "
+            f"{prefix}{i} AS MATERIALIZED (SELECT d.*, b.s AS s{i}, b.np AS np{i}, "
             f"b.l AS l{i} "
-            f"FROM d{i - 1} d, LATERAL (SELECT s, np, l FROM ({cands}) "
+            f"FROM {prefix}{i - 1} d, LATERAL (SELECT s, np, l FROM ({cands}) "
             f"ORDER BY s DESC, np ASC, l ASC LIMIT 1) b),"
         )
     return parts
@@ -1204,4 +1216,115 @@ def q165_unigram_prune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "piece",
         "uses",
         "loss",
+    )
+
+
+def _unigram_em_iteration_oracle() -> str:
+    """q166 tail: the SECOND EM iteration end-to-end — re-estimate
+    piece scores from the M-step's expected counts (the same
+    ROUND(log2(share), 6) contract as round 1, so the re-estimated
+    doubles are bit-identical across engines) and re-run the identical
+    arg-max DP chain against the new table. Per word the output pairs
+    round-1 and round-2 likelihood/piece-count; hard EM guarantees
+    lp_round2 >= lp_round1 (the old path's pieces all survive into the
+    new support — pinned by the EM-monotonicity property test)."""
+    W, K = UNI_MAX_WORD, UNI_TOP
+
+    def final(col: str) -> str:
+        return (
+            "CASE length(w) "
+            + " ".join(f"WHEN {i} THEN {col}{i}" for i in range(1, W + 1))
+            + " END"
+        )
+
+    parts = _unigram_mstep_chain() + [
+        "t2 AS (SELECT CAST(SUM(uses) AS DOUBLE) AS t FROM agg),",
+        "pieces2 AS MATERIALIZED (SELECT piece, ROUND(log2(uses / t), 6) "
+        "AS lp FROM agg, t2),",
+    ]
+    parts += _dp_argmax_chain("e", "vocab", "pieces2")
+    parts += [
+        f"r1 AS (SELECT w, wc, {final('s')} AS lp1, "
+        f"{final('np')} AS np1 FROM d{W}),",
+        f"r2 AS (SELECT w, {final('s')} AS lp2, "
+        f"{final('np')} AS np2 FROM e{W}),",
+        "paired AS (SELECT r1.w, r1.wc, r1.lp1, r1.np1, r2.lp2, r2.np2",
+        "           FROM r1 JOIN r2 ON r1.w = r2.w),",
+        f"top AS (SELECT * FROM paired ORDER BY wc DESC, w ASC LIMIT {K})",
+        "SELECT ROW_NUMBER() OVER (ORDER BY wc DESC, w ASC) AS rank,",
+        "       w AS word, wc,",
+        "       ROUND(lp1, 6) AS lp_round1, np1 AS np_round1,",
+        "       ROUND(lp2, 6) AS lp_round2, np2 AS np_round2",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q166_unigram_em_iteration",
+    oracle=_unigram_em_iteration_oracle(),
+    doc="A full unigram-LM EM iteration end-to-end: segment under the "
+        "substring-count scores (round-1 E-step), recount piece mass "
+        "along the best paths (M-step), re-estimate scores from the "
+        "expected counts, and RE-SEGMENT under the new table (round-2 "
+        "E-step) — per word the paired round-1/round-2 likelihood and "
+        "piece counts. Hard EM guarantees lp_round2 >= lp_round1 "
+        "(property-tested). Scale: the corpus is still touched exactly "
+        "once (the word histogram); all four EM stages are vocab- or "
+        "pieces-sized, so iterating the loop costs corpus-zero.",
+)
+def q166_unigram_em_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        reestimate_piece_table,
+        viterbi_segment,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    # ONE round-1 DP pass serves both the E-step summary and the
+    # M-step recount: emit the chosen path alongside the summary,
+    # localize (vocab-sized), and derive uses by explode + weighted
+    # sum over the LOCAL relation — no second DP job, no re-run per
+    # consumer
+    seg = localize(
+        viterbi_segment(
+            vocab, pieces, max_piece_len=UNI_MAX_PIECE, emit_pieces=True
+        )
+    )
+    seg1 = seg.select(
+        "w", "wc", F.col("best_lp").alias("lp1"), F.col("n_pieces").alias("np1")
+    )
+    uses = (
+        seg.select(F.explode("pieces").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("uses"))
+    )
+    pieces2 = reestimate_piece_table(uses)
+    seg2 = viterbi_segment(vocab, pieces2, max_piece_len=UNI_MAX_PIECE).select(
+        "w", F.col("best_lp").alias("lp2"), F.col("n_pieces").alias("np2")
+    )
+    top = (
+        seg1.join(seg2, "w")
+        .orderBy(F.desc("wc"), F.asc("w"))
+        .limit(UNI_TOP)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("wc"), F.asc("w")))
+        .alias("rank"),
+        F.col("w").alias("word"),
+        "wc",
+        F.round("lp1", 6).alias("lp_round1"),
+        F.col("np1").alias("np_round1"),
+        F.round("lp2", 6).alias("lp_round2"),
+        F.col("np2").alias("np_round2"),
     )

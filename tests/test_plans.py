@@ -686,3 +686,15 @@ def test_unigram_prune_vocab_sized_probes(spark, qs):
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_em_iteration_single_dp_feed(spark, qs):
+    """q166: the round-1 DP runs ONCE (path-emitting, localized) and
+    feeds both the E-step summary and the M-step recount from the
+    local relation — the returned plan reads no parquet (the corpus
+    histogram happened at localize time) and joins without a shuffle
+    (AQE converts the vocab-sized sides)."""
+    plan = _plan(qs["q166_unigram_em_iteration"](spark, SF))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
