@@ -935,3 +935,73 @@ def q159_ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("recall"),
         )
     )
+
+
+#: q167 late-interaction shape: consecutive embedding rows group into
+#: multi-vector "documents" (TPD token vectors each); every QMOD-th
+#: document's token set is a query.
+MAXSIM_TPD = 8
+MAXSIM_QMOD = 25
+MAXSIM_K = 5
+
+
+@register(
+    "q167_maxsim_rerank",
+    oracle=f"""
+    WITH tok AS (
+      SELECT CAST(vec_id // {MAXSIM_TPD} AS BIGINT) AS doc_id,
+             CAST(vec_id % {MAXSIM_TPD} AS INT) AS tok_idx,
+             CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings
+    ),
+    docs AS (
+      SELECT doc_id, list(vec ORDER BY tok_idx) AS d_toks FROM tok GROUP BY doc_id
+    ),
+    qtok AS (SELECT doc_id AS query_id, tok_idx, vec FROM tok
+             WHERE doc_id % {MAXSIM_QMOD} = 0),
+    per_token AS (
+      SELECT q.query_id, d.doc_id,
+             list_max(list_transform(d.d_toks, dt ->
+               list_sum(list_transform(generate_series(1, len(q.vec)),
+                                       i -> q.vec[i] * dt[i])))) AS max_dot
+      FROM qtok q JOIN docs d ON d.doc_id <> q.query_id
+    ),
+    scores AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(max_dot AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS score
+      FROM per_token GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scores
+    ) WHERE rank <= {MAXSIM_K}
+    """,
+    doc="Late-interaction (ColBERT-style MaxSim) reranking: documents "
+        "are MULTI-VECTOR (consecutive embedding rows as token "
+        "vectors), score(q, d) = sum over query tokens of max over doc "
+        "tokens of the dot product — the multi-aspect relevance model "
+        "single-vector cosine misses. Scale: doc tokens assemble "
+        "map-side into one deterministic array per doc (sort_array), "
+        "query tokens broadcast row-wise, the max-dot is a whole-stage-"
+        "codegen HOF (no token-pair explosion), the per-pair score is "
+        "a decimal sum (shuffle-order-independent), and the top-k "
+        "window is bounded per query. Composes with a BM25/ANN first "
+        "stage by feeding a candidate-set doc_tokens frame.",
+)
+def q167_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
+    from spark_relieffc_fselection_spark.queries import localize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = emb.select(
+        (F.col("vec_id") / MAXSIM_TPD).cast("long").alias("doc_id"),
+        (F.col("vec_id") % MAXSIM_TPD).cast("int").alias("tok_idx"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    # query tokens are the bounded side (QMOD-th docs): localize so the
+    # corpus parquet is scanned ONCE (the doc-token assembly), not once
+    # per join arm
+    queries = localize(tok.filter(F.col("doc_id") % MAXSIM_QMOD == 0))
+    return maxsim_rerank(tok, queries, k=MAXSIM_K)

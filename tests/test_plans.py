@@ -698,3 +698,15 @@ def test_unigram_em_iteration_single_dp_feed(spark, qs):
     assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_maxsim_rerank_single_scan_no_token_pair_explosion(spark, qs):
+    """q167: one corpus scan (doc-token assembly; the query side is
+    localized), query tokens broadcast against the assembled docs, the
+    max-dot as a HOF projection (no Generate/token-pair join), decimal
+    partial+final aggregation, bounded per-query window."""
+    plan = _plan(qs["q167_maxsim_rerank"](spark, SF))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" not in plan  # HOF, not a token-pair blow-up

@@ -658,3 +658,41 @@ def test_ann_multiprobe_recall_monotone_in_radius(emb, queries):
 
     with _pytest.raises(ValueError, match="probe_radius"):
         lsh_bucketed_topk(emb, queries, k=10, multiprobe=True, probe_radius=3)
+
+
+def test_maxsim_rerank_matches_numpy_bruteforce(spark):
+    """maxsim_rerank == numpy: score(q, d) = sum over query tokens of
+    max over doc tokens of the dot product; ranking ties break by
+    doc_id; self-pairs excluded."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
+
+    rng = np.random.default_rng(17)
+    n_docs, tpd, dim, k = 7, 3, 4, 3
+    vecs = rng.normal(size=(n_docs, tpd, dim)).round(3)
+    rows = [
+        (d, t, vecs[d, t].tolist())
+        for d in range(n_docs)
+        for t in range(tpd)
+    ]
+    tok = spark.createDataFrame(rows, "doc_id long, tok_idx int, vec array<double>")
+    queries = tok.filter("doc_id IN (0, 4)")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in maxsim_rerank(tok, queries, k=k).collect()
+    }
+    for q in (0, 4):
+        scores = []
+        for d in range(n_docs):
+            if d == q:
+                continue
+            s = sum(
+                max(float(np.dot(vecs[q, t], vecs[d, u])) for u in range(tpd))
+                for t in range(tpd)
+            )
+            scores.append((round(s, 6), d))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, d) in enumerate(scores[:k], start=1):
+            assert got[(q, rank)][0] == d, (q, rank, got, scores)
+            assert abs(got[(q, rank)][1] - s) < 1e-9
