@@ -1060,6 +1060,25 @@ def main() -> None:
 
     bench("unigram EM steps incl. prune (vocab-sized; flat-ish expected)", uni_em)
 
+    # late-interaction rerank: corpus (doc tokens) grows, the query
+    # token set is FIXED — the scoring pass is a broadcast projection
+    # over the assembled docs, so wall should track the corpus
+    # ~linearly with no shuffle growth beyond the assembly groupBy.
+    from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
+
+    def maxsim_k(kk: int) -> DataFrame:
+        tok = emb_k(kk).select(
+            (F.col("vec_id") / 8).cast("long").alias("doc_id"),
+            (F.col("vec_id") % 8).cast("int").alias("tok_idx"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        )
+        queries = tok.filter(F.col("doc_id") % 250 == 0).filter(
+            F.col("doc_id") < n_inst // 8  # fixed query set at every K
+        )
+        return maxsim_rerank(tok, queries, k=5)
+
+    bench("maxsim rerank (corpus grows, queries fixed)", maxsim_k)
+
     spark.stop()
 
 
