@@ -1066,16 +1066,21 @@ def main() -> None:
     # ~linearly with no shuffle growth beyond the assembly groupBy.
     from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
 
-    def maxsim_k(kk: int) -> DataFrame:
-        tok = emb_k(kk).select(
+    def _emb_toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
             (F.col("vec_id") / 8).cast("long").alias("doc_id"),
             (F.col("vec_id") % 8).cast("int").alias("tok_idx"),
             F.col("embedding").cast("array<double>").alias("vec"),
         )
-        queries = tok.filter(F.col("doc_id") % 250 == 0).filter(
-            F.col("doc_id") < n_inst // 8  # fixed query set at every K
-        )
-        return maxsim_rerank(tok, queries, k=5)
+
+    # queries come from the UN-replicated emb (the emb_queries pattern
+    # at the pq benches): deriving them from emb_k(kk) would drag all K
+    # scan branches into the broadcast arm — doc_id is derived, so the
+    # filters cannot push down and the "fixed" side would grow with K
+    maxsim_queries = _emb_toks(emb).filter(F.col("doc_id") % 250 == 0)
+
+    def maxsim_k(kk: int) -> DataFrame:
+        return maxsim_rerank(_emb_toks(emb_k(kk)), maxsim_queries, k=5)
 
     bench("maxsim rerank (corpus grows, queries fixed)", maxsim_k)
 

@@ -413,7 +413,9 @@ class ReliefFSelectorModel(
         "How many batches the fit ACTUALLY ran (the broadcast-memory "
         "guard can raise it above what batchSize implies) — persisted "
         "with the model so the training dataflow stays auditable next "
-        "to resolvedKnnStrategy.",
+        "to resolvedKnnStrategy. 0 = not recorded: models saved before "
+        "this Param existed load with the 0 default rather than a "
+        "fabricated batch count.",
         typeConverter=TypeConverters.toInt,
     )
     resolvedKnnStrategy = Param(
@@ -434,7 +436,7 @@ class ReliefFSelectorModel(
             stdSelection=[], redundancySelection=[], relevanceWeights=[],
             relevanceActiveIndices=[], relevanceActiveValues=[],
             relevanceDefault=0.0, relevanceNumFeatures=0,
-            resolvedKnnStrategy="numpy", fitNBatches=1,
+            resolvedKnnStrategy="numpy", fitNBatches=0,
         )
         self._set(**kwargs)
 

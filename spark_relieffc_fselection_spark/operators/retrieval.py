@@ -155,8 +155,10 @@ def maxsim_rerank(
     """Late-interaction (ColBERT-style MaxSim) reranking.
 
     ``doc_tokens``: (doc_id, tok_idx, vec array<double>) — multiple
-    token vectors per document; ``query_tokens``: same shape, keyed
-    query_id. Score(q, d) = sum over query tokens of max over doc
+    token vectors per document; ``query_tokens``: the SAME columns
+    (doc_id, tok_idx, vec) — the query documents' token rows, whose
+    doc ids become ``query_id`` in the output.
+    Score(q, d) = sum over query tokens of max over doc
     tokens of <q_tok, d_tok> — the multi-vector relevance model that
     beats single-vector cosine when queries match documents on
     DIFFERENT aspects.
@@ -200,7 +202,9 @@ def maxsim_rerank(
     q_rows = query_tokens.select(
         F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
     )
-    pairs = docs_arr.join(F.broadcast(q_rows))
+    # explicit crossJoin (the bm25_topk spelling): immune to
+    # spark.sql.crossJoin.enabled=false sessions and self-documenting
+    pairs = docs_arr.crossJoin(F.broadcast(q_rows))
     if exclude_self:
         pairs = pairs.filter(F.col("doc_id") != F.col("query_id"))
     per_token = pairs.select(

@@ -1225,9 +1225,13 @@ def _unigram_em_iteration_oracle() -> str:
     ROUND(log2(share), 6) contract as round 1, so the re-estimated
     doubles are bit-identical across engines) and re-run the identical
     arg-max DP chain against the new table. Per word the output pairs
-    round-1 and round-2 likelihood/piece-count; hard EM guarantees
-    lp_round2 >= lp_round1 (the old path's pieces all survive into the
-    new support — pinned by the EM-monotonicity property test)."""
+    round-1 and round-2 likelihood/piece-count. Hard EM's monotonicity
+    is CORPUS-level only — the wc-weighted SUM of best scores never
+    decreases (Gibbs for the ML re-estimate + every old path's pieces
+    survive into the new support; pinned by the EM-monotonicity
+    property test). Individual words CAN lose likelihood when the
+    re-estimate shifts mass toward pieces other words use (e.g. a rare
+    word whose pieces barely appear on any best path)."""
     W, K = UNI_MAX_WORD, UNI_TOP
 
     def final(col: str) -> str:
@@ -1268,8 +1272,9 @@ def _unigram_em_iteration_oracle() -> str:
         "along the best paths (M-step), re-estimate scores from the "
         "expected counts, and RE-SEGMENT under the new table (round-2 "
         "E-step) — per word the paired round-1/round-2 likelihood and "
-        "piece counts. Hard EM guarantees lp_round2 >= lp_round1 "
-        "(property-tested). Scale: the corpus is still touched exactly "
+        "piece counts. Hard EM guarantees the wc-weighted CORPUS "
+        "likelihood never decreases (property-tested); individual "
+        "words can lose. Scale: the corpus is still touched exactly "
         "once (the word histogram); all four EM stages are vocab- or "
         "pieces-sized, so iterating the loop costs corpus-zero.",
 )
