@@ -696,3 +696,30 @@ def test_maxsim_rerank_matches_numpy_bruteforce(spark):
         for rank, (s, d) in enumerate(scores[:k], start=1):
             assert got[(q, rank)][0] == d, (q, rank, got, scores)
             assert abs(got[(q, rank)][1] - s) < 1e-9
+
+
+def test_maxsim_composes_with_first_stage_candidates(spark):
+    """The operator's composition contract: feeding doc_tokens from a
+    first-stage candidate set (here: the true top-C by full maxsim,
+    standing in for a BM25/ANN cut) reranks identically to slicing the
+    full ranking — scores are per-pair, so restricting the doc side
+    changes nothing but coverage."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
+
+    rng = np.random.default_rng(23)
+    n_docs, tpd, dim = 9, 2, 3
+    vecs = rng.normal(size=(n_docs, tpd, dim)).round(3)
+    rows = [
+        (d, t, vecs[d, t].tolist()) for d in range(n_docs) for t in range(tpd)
+    ]
+    tok = spark.createDataFrame(rows, "doc_id long, tok_idx int, vec array<double>")
+    queries = tok.filter("doc_id = 2")
+    full = maxsim_rerank(tok, queries, k=5).collect()
+    cand_ids = [r["doc_id"] for r in full]  # the top-5 as the candidate set
+    cand_tok = tok.filter(F.col("doc_id").isin(cand_ids + [2]))
+    rerank = maxsim_rerank(cand_tok, queries, k=5).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in rerank] == [
+        (r["doc_id"], r["score"], r["rank"]) for r in full
+    ]
