@@ -723,3 +723,31 @@ def test_maxsim_composes_with_first_stage_candidates(spark):
     assert [(r["doc_id"], r["score"], r["rank"]) for r in rerank] == [
         (r["doc_id"], r["score"], r["rank"]) for r in full
     ]
+
+
+def test_maxsim_is_input_order_invariant_bitwise(spark):
+    """Shuffling the input ROW order changes nothing, bit-for-bit: the
+    sort_array token assembly pins the fold order, which is the whole
+    reason it exists (collect_list has no order contract and fold-left
+    float sums are order-sensitive)."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
+
+    rng = np.random.default_rng(31)
+    n_docs, tpd, dim = 6, 3, 4
+    vecs = rng.normal(size=(n_docs, tpd, dim)).round(3)
+    rows = [
+        (d, t, vecs[d, t].tolist()) for d in range(n_docs) for t in range(tpd)
+    ]
+    tok_fwd = spark.createDataFrame(
+        rows, "doc_id long, tok_idx int, vec array<double>"
+    )
+    tok_rev = spark.createDataFrame(
+        rows[::-1], "doc_id long, tok_idx int, vec array<double>"
+    ).repartition(7)
+    q_fwd = tok_fwd.filter("doc_id = 1")
+    q_rev = tok_rev.filter("doc_id = 1")
+    a = sorted(map(tuple, maxsim_rerank(tok_fwd, q_fwd, k=4).collect()))
+    b = sorted(map(tuple, maxsim_rerank(tok_rev, q_rev, k=4).collect()))
+    assert a == b  # EXACT equality, scores included
