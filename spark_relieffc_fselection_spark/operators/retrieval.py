@@ -229,3 +229,117 @@ def maxsim_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def doc_centroids(doc_tokens: DataFrame) -> DataFrame:
+    """Per-document mean token vector — the single-vector summary the
+    cheap first retrieval stage scores against. Components are
+    fold-left sums over the tok_idx-sorted token list (the maxsim
+    determinism posture), divided by the token count."""
+    assembled = (
+        doc_tokens.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tok_idx", "vec"))
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("toks"), lambda s: s["vec"]).alias("d_toks"),
+        )
+    )
+    dim = F.size(F.element_at("d_toks", 1))
+    centroid = F.transform(
+        F.sequence(F.lit(1), dim),
+        lambda i: F.aggregate(
+            F.col("d_toks"), F.lit(0.0), lambda acc, t: acc + F.element_at(t, i)
+        )
+        / F.size("d_toks"),
+    )
+    return assembled.select("doc_id", centroid.alias("centroid"))
+
+
+def two_stage_maxsim(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    first_stage_c: int,
+    k: int,
+) -> DataFrame:
+    """The production retrieval shape: a CHEAP single-vector first
+    stage cuts the corpus to ``first_stage_c`` candidates per query
+    (centroid dot product — swap in ANN buckets at real scale, the
+    plan composes unchanged), then the EXPENSIVE late-interaction
+    MaxSim scores only the candidate pairs.
+
+    Returns (query_id, doc_id, score, rank) like :func:`maxsim_rerank`
+    — rank over the candidate set by MaxSim. Self-pairs excluded in
+    stage 1, so they never reach stage 2.
+
+    Scale: stage 1 is one corpus pass over centroids (broadcast query
+    centroids, bounded top-C window); stage 2's work is
+    O(queries x C x token-pairs) — corpus-independent. The candidate
+    list is (queries x C) rows: broadcast back against the assembled
+    doc tokens, so the corpus-sized side is touched by exactly two
+    passes total (centroid build shares the token-assembly aggregate
+    shape with the rerank's).
+    """
+    cents = doc_centroids(doc_tokens)
+    q_cents = doc_centroids(query_tokens).select(
+        F.col("doc_id").alias("query_id"), F.col("centroid").alias("q_cent")
+    )
+    from spark_relieffc_fselection_spark.functions.vector import dot_product
+
+    stage1 = (
+        cents.crossJoin(F.broadcast(q_cents))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(dot_product("q_cent", "centroid"), 6).alias("s1"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("s1"), F.asc("doc_id"))
+    candidates = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= first_stage_c)
+        .select("query_id", "doc_id")
+    )
+    # stage 2: MaxSim on candidate pairs only — join the (small)
+    # candidate list against the assembled docs, then score per
+    # (query token, candidate doc) row exactly like maxsim_rerank
+    docs_arr = (
+        doc_tokens.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tok_idx", "vec"))
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("toks"), lambda s: s["vec"]).alias("d_toks"),
+        )
+    )
+    cand_docs = docs_arr.join(F.broadcast(candidates), "doc_id")
+    q_rows = query_tokens.select(
+        F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
+    )
+    per_token = cand_docs.join(F.broadcast(q_rows), "query_id").select(
+        "query_id",
+        "doc_id",
+        F.array_max(
+            F.transform(
+                F.col("d_toks"), lambda dt: dot_product(F.col("q_vec"), dt)
+            )
+        ).alias("max_dot"),
+    )
+    scores = per_token.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("max_dot").cast(DEC)).cast("double"), 6
+        ).alias("score")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -110,17 +110,17 @@ _PRIORITY: tuple[str, ...] = (
     "q165_unigram_prune_loss",
     "q166_unigram_em_iteration",
     "q167_maxsim_rerank",
-    # r6-green backlog, oldest-green-first (12 of the 29 remaining r6
-    # entries fit after q165/q166/q167 took new-query slots; the rest
-    # carry round-10 slots in _DEFERRED — age 3 at round 9, the
-    # staleness bound forces them next round)
+    "q168_two_stage_retrieval",
+    # r6-green backlog, oldest-green-first (11 of the 29 remaining r6
+    # entries fit after q165-q168 took new-query slots; the rest carry
+    # round-10 slots in _DEFERRED — age 3 at round 9, the staleness
+    # bound forces them next round)
     "q15_relief_topk",
     "q16_collision_marginal",
     "q17_collision_joint",
     "q19_dedup_jaccard",
     "q20_minhash_signatures",
     "q22_simhash_signatures",
-    "q27_embedding_neardup",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -137,6 +137,7 @@ _DEFERRED: dict[str, int] = {
     # its 23 slots, plus q60 displaced when q165 took a new-query slot
     # — age 3 at round 9, MUST rotate in round 10 per the staleness
     # bound in test_registry):
+    "q27_embedding_neardup": 6,
     "q37_relief_discrete_collisions": 6,
     "q60_sequence_packing": 6,
     "q72b_relief_greedy_topk": 6,

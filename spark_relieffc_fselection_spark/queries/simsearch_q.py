@@ -1005,3 +1005,87 @@ def q167_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per join arm
     queries = localize(tok.filter(F.col("doc_id") % MAXSIM_QMOD == 0))
     return maxsim_rerank(tok, queries, k=MAXSIM_K)
+
+
+MAXSIM_STAGE1_C = 10
+
+
+@register(
+    "q168_two_stage_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT CAST(vec_id // {MAXSIM_TPD} AS BIGINT) AS doc_id,
+             CAST(vec_id % {MAXSIM_TPD} AS INT) AS tok_idx,
+             CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings
+    ),
+    docs AS (
+      SELECT doc_id, list(vec ORDER BY tok_idx) AS d_toks FROM tok GROUP BY doc_id
+    ),
+    cents AS (
+      SELECT doc_id, d_toks,
+             list_transform(generate_series(1, len(d_toks[1])), i ->
+               list_sum(list_transform(d_toks, t -> t[i])) / len(d_toks)) AS c
+      FROM docs
+    ),
+    qc AS (SELECT doc_id AS query_id, c AS q_c FROM cents
+           WHERE doc_id % {MAXSIM_QMOD} = 0),
+    s1 AS (
+      SELECT q.query_id, d.doc_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(q.q_c)),
+                                           i -> q.q_c[i] * d.c[i])), 6) AS s1
+      FROM qc q JOIN cents d ON d.doc_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, doc_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s1 DESC, doc_id) AS r1
+        FROM s1
+      ) WHERE r1 <= {MAXSIM_STAGE1_C}
+    ),
+    qtok AS (SELECT doc_id AS query_id, tok_idx, vec FROM tok
+             WHERE doc_id % {MAXSIM_QMOD} = 0),
+    per_token AS (
+      SELECT c.query_id, c.doc_id,
+             list_max(list_transform(d.d_toks, dt ->
+               list_sum(list_transform(generate_series(1, len(q.vec)),
+                                       i -> q.vec[i] * dt[i])))) AS max_dot
+      FROM cand c
+      JOIN docs d ON d.doc_id = c.doc_id
+      JOIN qtok q ON q.query_id = c.query_id
+    ),
+    scores AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(max_dot AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS score
+      FROM per_token GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scores
+    ) WHERE rank <= {MAXSIM_K}
+    """,
+    doc="The production two-stage retrieval shape end-to-end: a cheap "
+        "single-vector first stage (per-doc centroid dot product, "
+        "top-C per query — swap in ANN buckets at real scale, the "
+        "plan composes unchanged) feeds the expensive late-interaction "
+        "MaxSim, which scores ONLY the candidate pairs. Scale: stage 1 "
+        "is one corpus pass over centroids with broadcast query "
+        "centroids and a bounded top-C window; stage 2's work is "
+        "O(queries x C x token-pairs), corpus-INDEPENDENT — the whole "
+        "point of staging. Centroids and dots share the deterministic "
+        "sorted fold order, per-pair scores are decimal sums.",
+)
+def q168_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.retrieval import two_stage_maxsim
+    from spark_relieffc_fselection_spark.queries import localize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = emb.select(
+        (F.col("vec_id") / MAXSIM_TPD).cast("long").alias("doc_id"),
+        (F.col("vec_id") % MAXSIM_TPD).cast("int").alias("tok_idx"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    queries = localize(tok.filter(F.col("doc_id") % MAXSIM_QMOD == 0))
+    return two_stage_maxsim(tok, queries, first_stage_c=MAXSIM_STAGE1_C, k=MAXSIM_K)

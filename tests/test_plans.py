@@ -710,3 +710,13 @@ def test_maxsim_rerank_single_scan_no_token_pair_explosion(spark, qs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Generate explode" not in plan  # HOF, not a token-pair blow-up
+
+
+def test_two_stage_retrieval_two_corpus_passes(spark, qs):
+    """q168: exactly the documented TWO corpus passes (centroid build
+    + token assembly), candidates and query tokens broadcast, no
+    cartesian on the corpus, no token-pair explosion."""
+    plan = _plan(qs["q168_two_stage_retrieval"](spark, SF))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" not in plan

@@ -751,3 +751,46 @@ def test_maxsim_is_input_order_invariant_bitwise(spark):
     a = sorted(map(tuple, maxsim_rerank(tok_fwd, q_fwd, k=4).collect()))
     b = sorted(map(tuple, maxsim_rerank(tok_rev, q_rev, k=4).collect()))
     assert a == b  # EXACT equality, scores included
+
+
+def test_two_stage_maxsim_matches_numpy(spark):
+    """two_stage_maxsim == numpy: stage 1 cuts to top-C by centroid
+    dot (rounded, doc_id ties), stage 2 is exact MaxSim over the
+    candidates only."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.retrieval import two_stage_maxsim
+
+    rng = np.random.default_rng(41)
+    n_docs, tpd, dim, C, k = 12, 3, 4, 4, 3
+    vecs = rng.normal(size=(n_docs, tpd, dim)).round(3)
+    rows = [
+        (d, t, vecs[d, t].tolist()) for d in range(n_docs) for t in range(tpd)
+    ]
+    tok = spark.createDataFrame(rows, "doc_id long, tok_idx int, vec array<double>")
+    queries = tok.filter("doc_id IN (0, 7)")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in two_stage_maxsim(tok, queries, first_stage_c=C, k=k).collect()
+    }
+    cents = vecs.mean(axis=1)
+    for q in (0, 7):
+        s1 = sorted(
+            (
+                (-round(float(np.dot(cents[q], cents[d])), 6), d)
+                for d in range(n_docs)
+                if d != q
+            ),
+        )
+        cand = [d for _, d in s1[:C]]
+        s2 = []
+        for d in cand:
+            s = sum(
+                max(float(np.dot(vecs[q, t], vecs[d, u])) for u in range(tpd))
+                for t in range(tpd)
+            )
+            s2.append((round(s, 6), d))
+        s2.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, d) in enumerate(s2[:k], start=1):
+            assert got[(q, rank)][0] == d, (q, rank, got, s2)
+            assert abs(got[(q, rank)][1] - s) < 1e-9
