@@ -146,6 +146,25 @@ def bm25_topk(
     )
 
 
+def assemble_doc_tokens(doc_tokens: DataFrame) -> DataFrame:
+    """(doc_id, d_toks array<array<double>>): per-doc token vectors in
+    tok_idx order — sort_array on (tok_idx, vec) structs, because
+    collect_list has no order contract and every downstream fold-left
+    sum must be bit-identical across engines."""
+    return (
+        doc_tokens.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tok_idx", "vec"))
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("toks"), lambda s: s["vec"]).alias("d_toks"),
+        )
+    )
+
+
 def maxsim_rerank(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,
@@ -187,18 +206,7 @@ def maxsim_rerank(
     """
     from spark_relieffc_fselection_spark.functions.vector import dot_product
 
-    docs_arr = (
-        doc_tokens.groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("tok_idx", "vec"))
-            ).alias("toks")
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("toks"), lambda s: s["vec"]).alias("d_toks"),
-        )
-    )
+    docs_arr = assemble_doc_tokens(doc_tokens)
     q_rows = query_tokens.select(
         F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
     )
@@ -236,18 +244,7 @@ def doc_centroids(doc_tokens: DataFrame) -> DataFrame:
     cheap first retrieval stage scores against. Components are
     fold-left sums over the tok_idx-sorted token list (the maxsim
     determinism posture), divided by the token count."""
-    assembled = (
-        doc_tokens.groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("tok_idx", "vec"))
-            ).alias("toks")
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("toks"), lambda s: s["vec"]).alias("d_toks"),
-        )
-    )
+    assembled = assemble_doc_tokens(doc_tokens)
     dim = F.size(F.element_at("d_toks", 1))
     centroid = F.transform(
         F.sequence(F.lit(1), dim),
@@ -307,18 +304,7 @@ def two_stage_maxsim(
     # stage 2: MaxSim on candidate pairs only — join the (small)
     # candidate list against the assembled docs, then score per
     # (query token, candidate doc) row exactly like maxsim_rerank
-    docs_arr = (
-        doc_tokens.groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("tok_idx", "vec"))
-            ).alias("toks")
-        )
-        .select(
-            "doc_id",
-            F.transform(F.col("toks"), lambda s: s["vec"]).alias("d_toks"),
-        )
-    )
+    docs_arr = assemble_doc_tokens(doc_tokens)
     cand_docs = docs_arr.join(F.broadcast(candidates), "doc_id")
     q_rows = query_tokens.select(
         F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
