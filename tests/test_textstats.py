@@ -415,3 +415,19 @@ def test_prune_loss_matches_bruteforce_masked_rescore(spark):
         for p in candidates:
             if p not in path:
                 assert brute_best(w) == brute_best(w, forbidden=p), (w, p)
+
+
+def test_prune_loss_rejects_base_alphabet_candidates(spark):
+    """Length-1 candidates must be rejected up front: pruning a base
+    character could make words infeasible (SentencePiece never prunes
+    the alphabet), so the operator fails loudly instead of emitting a
+    -1e9-poisoned loss."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        prune_loss,
+    )
+
+    vocab = spark.createDataFrame([("ab", 2)], "w string, wc long")
+    pieces = piece_table(vocab, max_piece_len=2)
+    with pytest.raises(ValueError, match="length >= 2"):
+        prune_loss(vocab, pieces, ["ab", "a"], max_piece_len=2)
