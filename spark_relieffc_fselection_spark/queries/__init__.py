@@ -111,10 +111,12 @@ _PRIORITY: tuple[str, ...] = (
     "q166_unigram_em_iteration",
     "q167_maxsim_rerank",
     "q168_two_stage_retrieval",
-    # r6-green backlog, oldest-green-first (11 of the 29 remaining r6
-    # entries fit after q165-q168 took new-query slots; the rest carry
-    # round-10 slots in _DEFERRED — age 3 at round 9, the staleness
-    # bound forces them next round)
+    # r6-green backlog, oldest-green-first: 6 of the r6 cohort fit
+    # after q165-q168 took new-query slots (each displaced one); the
+    # other 38 r6-green entries sit in _DEFERRED at age 3 — the
+    # staleness bound forces ALL 38 into the round-10 window. Round-10
+    # math: 38 forced + 2 sentinels = 40 of 50 slots, leaving 10 for
+    # round-10 additions and touched-code re-verification.
     "q15_relief_topk",
     "q16_collision_marginal",
     "q17_collision_joint",
