@@ -340,16 +340,19 @@ def hashing_trick_weights(
     hashing trick fixes its size at ``n_features`` rows) and therefore
     always broadcastable.
     """
+    milli = (
+        md5_hash64(F.concat(F.lit(f"{seed_tag}#"), F.col("id").cast("string")))
+        % 2001
+        - 1000
+    )
     return spark.range(n_features).select(
         F.col("id").alias("fidx"),
-        (
-            (
-                md5_hash64(F.concat(F.lit(f"{seed_tag}#"), F.col("id").cast("string")))
-                % 2001
-                - 1000
-            )
-            / 1000.0
-        ).alias("w"),
+        (milli / 1000.0).alias("w"),
+        # integer milli-units: the scoring path works in EXACT integer
+        # arithmetic end-to-end (see hashed_linear_scores), so a logit
+        # landing exactly on a .5e-6 boundary rounds the same way in
+        # every engine
+        milli.cast("long").alias("w_milli"),
     )
 
 
@@ -374,12 +377,20 @@ def hashed_linear_scores(
     aggregated map-side); the weight join is a BROADCAST of
     ``n_features`` rows — there is no per-(doc, feature) intermediate
     at all, because sum(tf_j * w_j) == sum over tokens of w(token),
-    so the tf table is never materialized. Per-token weights
-    accumulate in DECIMAL(38,18), making the per-doc sum
-    order-invariant (exact: every w is k/1000), so logit and label
-    are bit-deterministic with no libm call anywhere.
+    so the tf table is never materialized.
+
+    EXACT integer arithmetic end-to-end: every weight is k/1000, so
+    the per-doc sum is an exact bigint of milli-units and the rounded
+    logit is computed from the exact rational with an explicit
+    HALF-AWAY-FROM-ZERO rule — logits landing exactly on a .5e-6
+    boundary (a real sf0.001 doc does: 0.05 + s/96 = -1249/16000 =
+    -0.0780625) round identically in every engine, which double
+    rounding cannot promise (Spark's BigDecimal HALF_UP on the nearest
+    double vs DuckDB's float rounding disagreed on that doc). The
+    label reads the exact sign, no rounding at all.
     """
-    dec = "decimal(38,18)"
+    bias_milli = round(bias * 1000)
+    assert abs(bias - bias_milli / 1000) < 1e-12, "bias must be a milli unit"
     tok = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -387,19 +398,29 @@ def hashed_linear_scores(
     feat = tok.select(
         "doc_id", (md5_hash64(F.col("tok")) % n_features).alias("fidx")
     )
-    logit = F.lit(bias) + F.col("s").cast("double") / F.col("n_toks")
+    # exact micro-units numerator: logit = (bias_milli*n + s_milli) /
+    # (1000*n)  =>  x 1e6 = 1000*(bias_milli*n + s_milli) / n
+    m = (F.lit(int(bias_milli)) * F.col("n_toks") + F.col("s_milli")) * F.lit(1000)
+    n = F.col("n_toks")
+    logit_e6 = F.when(m >= 0, F.expr("(2*__m + n_toks) div (2*n_toks)")).otherwise(
+        -F.expr("(2*(-__m) + n_toks) div (2*n_toks)")
+    )
     return (
         feat.join(F.broadcast(weights), "fidx")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_toks"),
-            F.sum(F.col("w").cast(dec)).alias("s"),
+            F.sum(F.col("w_milli")).alias("s_milli"),
         )
+        .withColumn("__m", m)
+        .withColumn("__le6", logit_e6)
         .select(
             "doc_id",
             "n_toks",
-            F.round(logit, 6).alias("logit"),
-            F.when(logit >= 0, "keep").otherwise("drop").alias("quality_label"),
+            (F.col("__le6").cast("double") / F.lit(1000000.0)).alias("logit"),
+            F.when(F.col("__m") >= 0, "keep").otherwise("drop").alias(
+                "quality_label"
+            ),
         )
     )
 

@@ -102,6 +102,11 @@ _PRIORITY: tuple[str, ...] = (
     "q153_bpe_merge_step",
     # new this round (never driver-checked — a new query always takes
     # a window slot, test_registry enforces it):
+    # semantically changed this continuation (the exact integer
+    # half-away-from-zero logit rounding — a real sf0.001 boundary doc
+    # diverged between engines under double rounding): the driver must
+    # re-hash it this round
+    "q110_linear_quality_classifier",
     "q160_knn_lsh_hamming2_recall",
     "q161_sparse_fit_coo_width",
     "q162_unigram_viterbi",
@@ -111,18 +116,17 @@ _PRIORITY: tuple[str, ...] = (
     "q166_unigram_em_iteration",
     "q167_maxsim_rerank",
     "q168_two_stage_retrieval",
-    # r6-green backlog, oldest-green-first: 6 of the r6 cohort fit
+    # r6-green backlog, oldest-green-first: 5 of the r6 cohort fit
     # after q165-q168 took new-query slots (each displaced one); the
-    # other 38 r6-green entries sit in _DEFERRED at age 3 — the
-    # staleness bound forces ALL 38 into the round-10 window. Round-10
-    # math: 38 forced + 2 sentinels = 40 of 50 slots, leaving 10 for
+    # other 39 r6-green entries sit in _DEFERRED at age 3 — the
+    # staleness bound forces ALL 39 into the round-10 window. Round-10
+    # math: 39 forced + 2 sentinels = 41 of 50 slots, leaving 9 for
     # round-10 additions and touched-code re-verification.
     "q15_relief_topk",
     "q16_collision_marginal",
     "q17_collision_joint",
     "q19_dedup_jaccard",
     "q20_minhash_signatures",
-    "q22_simhash_signatures",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -139,6 +143,7 @@ _DEFERRED: dict[str, int] = {
     # its 23 slots, plus q60 displaced when q165 took a new-query slot
     # — age 3 at round 9, MUST rotate in round 10 per the staleness
     # bound in test_registry):
+    "q22_simhash_signatures": 6,
     "q27_embedding_neardup": 6,
     "q37_relief_discrete_collisions": 6,
     "q60_sequence_packing": 6,
@@ -262,7 +267,6 @@ _DEFERRED: dict[str, int] = {
     "q107_dsir_importance_sample": 8,
     "q108_editdist_neardup": 8,
     "q109_bloom_dedup": 8,
-    "q110_linear_quality_classifier": 8,
     "q111_streaming_bloom_screen": 8,
     "q112_countmin_heavy_hitters": 8,
     "q113_source_overlap": 8,

@@ -373,20 +373,31 @@ CLF_D, CLF_BIAS = 1024, 0.05
     w AS (
       SELECT i AS fidx,
              ((('0x' || substr(md5('w#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
-               % 2001) - 1000) / 1000.0 AS w
+               % 2001) - 1000) AS w_milli
       FROM range({CLF_D}) t(i)
     ),
     agg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-             SUM(CAST(w.w AS DECIMAL(38,18))) AS s
+             CAST(SUM(w.w_milli) AS BIGINT) AS s_milli
       FROM feat JOIN w USING (fidx)
       GROUP BY doc_id
+    ),
+    -- exact integer HALF-AWAY-FROM-ZERO at 6dp: m = micro-units
+    -- numerator, denominator n_toks; a logit exactly on a .5e-6
+    -- boundary (doc 374 at sf0.001: -1249/16000) rounds identically
+    -- in both engines this way, which double ROUND cannot promise
+    ex AS (
+      SELECT doc_id, n_toks,
+             ({round(CLF_BIAS * 1000)} * n_toks + s_milli) * 1000 AS m
+      FROM agg
     )
     SELECT doc_id, n_toks,
-           ROUND({CLF_BIAS} + CAST(s AS DOUBLE) / n_toks, 6) AS logit,
-           CASE WHEN {CLF_BIAS} + CAST(s AS DOUBLE) / n_toks >= 0
-                THEN 'keep' ELSE 'drop' END AS quality_label
-    FROM agg
+           CAST(CASE WHEN m >= 0
+                     THEN (2*m + n_toks) // (2*n_toks)
+                     ELSE -((2*(-m) + n_toks) // (2*n_toks)) END AS DOUBLE)
+             / 1000000.0 AS logit,
+           CASE WHEN m >= 0 THEN 'keep' ELSE 'drop' END AS quality_label
+    FROM ex
     """,
     doc="Linear text-classifier INFERENCE via the hashing trick — the "
         "fastText-style quality-filter stage (CCNet/RefinedWeb/FineWeb "
@@ -396,9 +407,11 @@ CLF_D, CLF_BIAS = 1024, 0.05
         "published model artifact (hash-derived here so both engines "
         "materialize it bit-identically). ONE corpus shuffle: "
         "sum(tf_j*w_j) == sum over tokens of w(token), so no "
-        "(doc, feature) tf table exists; weights accumulate in exact "
-        "DECIMAL (every w is k/1000) — logit and label are "
-        "bit-deterministic with zero libm calls.",
+        "(doc, feature) tf table exists; weights accumulate as exact "
+        "integer milli-units and the 6dp logit rounds the exact "
+        "rational half-away-from-zero in BOTH engines — even a logit "
+        "landing exactly on a .5e-6 boundary (doc 374 at sf0.001) is "
+        "bit-deterministic, with zero libm calls.",
 )
 def q110_linear_quality_classifier(
     spark: SparkSession, sf_dir: str

@@ -130,8 +130,8 @@ def test_budget_select_matches_global_cumsum(spark):
 def test_hashed_linear_classifier_plan_and_values(spark):
     """q110 shape: the weight join must be broadcast (no shuffle on the
     token side before the per-doc aggregate) and the logit must equal a
-    per-doc Python recomputation exactly (decimal accumulation)."""
-    from decimal import Decimal
+    per-doc Python recomputation exactly (exact integer milli-unit
+    accumulation + the explicit half-away-from-zero 6dp rule)."""
     from hashlib import md5 as _md5
 
     from pyspark.sql import functions as F
@@ -153,20 +153,24 @@ def test_hashed_linear_classifier_plan_and_values(spark):
     def h64(s: str) -> int:
         return int(_md5(s.encode()).hexdigest()[:15], 16)
 
-    def w(fidx: int) -> Decimal:
-        return Decimal(h64(f"w#{fidx}") % 2001 - 1000) / Decimal(1000)
+    def w_milli(fidx: int) -> int:
+        return h64(f"w#{fidx}") % 2001 - 1000
 
     import re
 
     got = {r["doc_id"]: r for r in out.collect()}
     for row in docs.limit(20).collect():
         toks = re.sub(r"\s+", " ", row["text"].strip().lower()).split(" ")
-        s = sum((w(h64(t) % 1024) for t in toks), Decimal(0))
-        logit = 0.05 + float(s) / len(toks)
+        n = len(toks)
+        s_milli = sum(w_milli(h64(t) % 1024) for t in toks)
+        # the operator's exact half-away-from-zero rule on the exact
+        # rational (50*n + s_milli) * 1000 / n in micro-units
+        m = (50 * n + s_milli) * 1000
+        le6 = (2 * abs(m) + n) // (2 * n) * (1 if m >= 0 else -1)
         r = got[row["doc_id"]]
-        assert r["n_toks"] == len(toks)
-        assert abs(r["logit"] - round(logit, 6)) < 1e-9
-        assert r["quality_label"] == ("keep" if logit >= 0 else "drop")
+        assert r["n_toks"] == n
+        assert r["logit"] == le6 / 1_000_000
+        assert r["quality_label"] == ("keep" if m >= 0 else "drop")
 
 
 def test_countmin_upper_bounds_true_counts(spark):
