@@ -7,7 +7,13 @@ Cross-engine determinism conventions (see TESTDATA comparison gate):
 * Any SUM/AVG over doubles goes through DECIMAL(38,18) in BOTH engines
   — double addition is order-sensitive and shuffle order is
   nondeterministic, decimal addition is exact.
-* Every float output column is ROUND(x, 6) in both engines.
+* Every float output column is ROUND(x, 6) in both engines. CAVEAT
+  (learned from q110, round 9): when the EXACT value can land on a
+  .5e-6 half boundary (coarse rationals like k/1000 divided by a
+  count), ROUND of the nearest double is engine-dependent — Spark's
+  BigDecimal HALF_UP vs DuckDB's float rounding disagreed on a real
+  doc. Derive the 6dp value from exact integer/decimal arithmetic
+  with an explicit tie rule in both engines when that is reachable.
 * Every ranking has a total tiebreak (unique key last).
 * Bernoulli sampling / randomSplit are engine-seeded, so sampled
   queries use deterministic modulo predicates instead.
