@@ -170,6 +170,7 @@ def maxsim_rerank(
     query_tokens: DataFrame,
     k: int,
     exclude_self: bool = True,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) reranking.
 
@@ -181,6 +182,13 @@ def maxsim_rerank(
     tokens of <q_tok, d_tok> — the multi-vector relevance model that
     beats single-vector cosine when queries match documents on
     DIFFERENT aspects.
+
+    ``candidates`` (query_id, doc_id) restricts scoring to those
+    pairs — the first-stage-then-rerank pattern: the token assembly
+    semi-joins the candidate doc ids BEFORE its groupBy, so the
+    expensive stage aggregates and scores only candidate-sized data
+    (corpus-independent). One scoring implementation serves both
+    modes, keeping the score semantics bit-identical by construction.
 
     Spark-first dataflow, one corpus pass:
 
@@ -200,19 +208,27 @@ def maxsim_rerank(
     At 100 TB: the corpus-side work is one groupBy (token assembly,
     map-side combined) + a broadcast-join projection; queries are the
     bounded side, exactly like knn_join's contract. For corpora where
-    even the projection pass is too hot, feed ``doc_tokens`` from a
-    first-stage candidate set (BM25 / ANN top-C per query) — the
-    operator composes unchanged.
+    even the projection pass is too hot, pass ``candidates`` from a
+    first-stage cut (BM25 / ANN / centroid top-C per query).
     """
     from spark_relieffc_fselection_spark.functions.vector import dot_product
 
-    docs_arr = assemble_doc_tokens(doc_tokens)
     q_rows = query_tokens.select(
         F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
     )
-    # explicit crossJoin (the bm25_topk spelling): immune to
-    # spark.sql.crossJoin.enabled=false sessions and self-documenting
-    pairs = docs_arr.crossJoin(F.broadcast(q_rows))
+    if candidates is None:
+        docs_arr = assemble_doc_tokens(doc_tokens)
+        # explicit crossJoin (the bm25_topk spelling): immune to
+        # spark.sql.crossJoin.enabled=false sessions, self-documenting
+        pairs = docs_arr.crossJoin(F.broadcast(q_rows))
+    else:
+        cand_ids = candidates.select("doc_id").distinct()
+        docs_arr = assemble_doc_tokens(
+            doc_tokens.join(F.broadcast(cand_ids), "doc_id")
+        )
+        pairs = docs_arr.join(F.broadcast(candidates), "doc_id").join(
+            F.broadcast(q_rows), "query_id"
+        )
     if exclude_self:
         pairs = pairs.filter(F.col("doc_id") != F.col("query_id"))
     per_token = pairs.select(
@@ -273,12 +289,19 @@ def two_stage_maxsim(
     stage 1, so they never reach stage 2.
 
     Scale: stage 1 is one corpus pass over centroids (broadcast query
-    centroids, bounded top-C window); stage 2's work is
-    O(queries x C x token-pairs) — corpus-independent. The candidate
-    list is (queries x C) rows: broadcast back against the assembled
-    doc tokens, so the corpus-sized side is touched by exactly two
-    passes total (centroid build shares the token-assembly aggregate
-    shape with the rerank's).
+    centroids, bounded top-C window); stage 2's token assembly
+    semi-joins the candidate doc ids before its groupBy, so the
+    expensive stage is O(queries x C x token-pairs) end-to-end —
+    corpus-independent, including the shuffle (maxsim_rerank's
+    ``candidates`` mode; one scoring implementation for q167 and
+    q168, bit-identical by construction).
+
+    Stage-1 ranking compares the RAW fold-left dot (bit-identical
+    across engines by the sorted-assembly argument) — deliberately
+    NOT rounded: a centroid dot of dyadic rationals CAN land exactly
+    on a .5e-6 boundary (e.g. 1/128), where 6dp double rounding is
+    engine-dependent (the q110 lesson); the raw doubles are identical,
+    so comparisons on them are safe where rounding is not.
     """
     cents = doc_centroids(doc_tokens)
     q_cents = doc_centroids(query_tokens).select(
@@ -292,7 +315,7 @@ def two_stage_maxsim(
         .select(
             "query_id",
             "doc_id",
-            F.round(dot_product("q_cent", "centroid"), 6).alias("s1"),
+            dot_product("q_cent", "centroid").alias("s1"),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("s1"), F.asc("doc_id"))
@@ -301,31 +324,17 @@ def two_stage_maxsim(
         .filter(F.col("r1") <= first_stage_c)
         .select("query_id", "doc_id")
     )
-    # stage 2: MaxSim on candidate pairs only — join the (small)
-    # candidate list against the assembled docs, then score per
-    # (query token, candidate doc) row exactly like maxsim_rerank
-    docs_arr = assemble_doc_tokens(doc_tokens)
-    cand_docs = docs_arr.join(F.broadcast(candidates), "doc_id")
-    q_rows = query_tokens.select(
-        F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
+    # Materialize the candidate list as a LocalRelation (the
+    # sparse_knn_join probe-artifact pattern): it is DRIVER-BOUNDED by
+    # contract (|queries| x C rows), and stage 2 references it twice
+    # (the assembly semi-join and the pair join) — a lazy frame would
+    # re-run the whole stage-1 corpus pass per reference (ReuseExchange
+    # does not unify aliased subtrees; SCALE.md round 5).
+    spark = doc_tokens.sparkSession
+    cand_local = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["doc_id"])) for r in candidates.collect()],
+        "query_id long, doc_id long",
     )
-    per_token = cand_docs.join(F.broadcast(q_rows), "query_id").select(
-        "query_id",
-        "doc_id",
-        F.array_max(
-            F.transform(
-                F.col("d_toks"), lambda dt: dot_product(F.col("q_vec"), dt)
-            )
-        ).alias("max_dot"),
-    )
-    scores = per_token.groupBy("query_id", "doc_id").agg(
-        F.round(
-            F.sum(F.col("max_dot").cast(DEC)).cast("double"), 6
-        ).alias("score")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
+    return maxsim_rerank(
+        doc_tokens, query_tokens, k, exclude_self=True, candidates=cand_local
     )

@@ -390,7 +390,11 @@ def hashed_linear_scores(
     label reads the exact sign, no rounding at all.
     """
     bias_milli = round(bias * 1000)
-    assert abs(bias - bias_milli / 1000) < 1e-12, "bias must be a milli unit"
+    if abs(bias - bias_milli / 1000) > 1e-12:
+        raise ValueError(
+            f"bias must be a multiple of 0.001 (exact integer milli-unit "
+            f"arithmetic), got {bias}"
+        )
     tok = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -401,7 +405,6 @@ def hashed_linear_scores(
     # exact micro-units numerator: logit = (bias_milli*n + s_milli) /
     # (1000*n)  =>  x 1e6 = 1000*(bias_milli*n + s_milli) / n
     m = (F.lit(int(bias_milli)) * F.col("n_toks") + F.col("s_milli")) * F.lit(1000)
-    n = F.col("n_toks")
     logit_e6 = F.when(m >= 0, F.expr("(2*__m + n_toks) div (2*n_toks)")).otherwise(
         -F.expr("(2*(-__m) + n_toks) div (2*n_toks)")
     )

@@ -142,13 +142,14 @@ _PRIORITY: tuple[str, ...] = (
 #: (VERDICT r5 #10): tests/test_registry.py asserts _PRIORITY and
 #: _DEFERRED exactly partition the registry, so a new query CANNOT be
 #: added without either taking a driver slot or being documented here.
-#: The 29 r6 holdovers are the oldest cohort (age 3 at round 9); they
-#: MUST take round-10 slots per the staleness bound.
+#: The r6 holdovers (39 after the continuation's displacements) are
+#: the oldest cohort (age 3 at round 9); ALL of them MUST take
+#: round-10 slots per the staleness bound.
 _DEFERRED: dict[str, int] = {
-    # r6-green (the 29 that didn't fit after the r5-stale cohort took
-    # its 23 slots, plus q60 displaced when q165 took a new-query slot
-    # — age 3 at round 9, MUST rotate in round 10 per the staleness
-    # bound in test_registry):
+    # r6-green: the cohort that didn't fit after the r5-stale entries
+    # took their 23 slots, plus the entries displaced when
+    # q110/q165-q168 took window slots — 39 total, age 3 at round 9,
+    # ALL forced into round 10 by the staleness bound in test_registry:
     "q22_simhash_signatures": 6,
     "q27_embedding_neardup": 6,
     "q37_relief_discrete_collisions": 6,

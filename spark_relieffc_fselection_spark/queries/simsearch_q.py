@@ -1030,10 +1030,14 @@ MAXSIM_STAGE1_C = 10
     ),
     qc AS (SELECT doc_id AS query_id, c AS q_c FROM cents
            WHERE doc_id % {MAXSIM_QMOD} = 0),
+    -- stage-1 ranks on the RAW fold-left dot (bit-identical across
+    -- engines), deliberately NOT rounded: a dyadic-rational dot can
+    -- land exactly on a .5e-6 boundary where 6dp double rounding is
+    -- engine-dependent (the q110 lesson)
     s1 AS (
       SELECT q.query_id, d.doc_id,
-             ROUND(list_sum(list_transform(generate_series(1, len(q.q_c)),
-                                           i -> q.q_c[i] * d.c[i])), 6) AS s1
+             list_sum(list_transform(generate_series(1, len(q.q_c)),
+                                     i -> q.q_c[i] * d.c[i])) AS s1
       FROM qc q JOIN cents d ON d.doc_id <> q.query_id
     ),
     cand AS (

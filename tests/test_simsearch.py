@@ -773,11 +773,28 @@ def test_two_stage_maxsim_matches_numpy(spark):
         (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
         for r in two_stage_maxsim(tok, queries, first_stage_c=C, k=k).collect()
     }
-    cents = vecs.mean(axis=1)
+    # mirror the operator: centroid components are fold-left sums over
+    # tok_idx order / count, and stage 1 ranks the RAW fold-left dot
+    # (deliberately unrounded — the q110 half-boundary lesson)
+    def fold_centroid(d):
+        c = [0.0] * dim
+        for t in range(tpd):
+            for i in range(dim):
+                c[i] += vecs[d, t, i]
+        return [x / tpd for x in c]
+
+    cents = [fold_centroid(d) for d in range(n_docs)]
+
+    def fold_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
     for q in (0, 7):
         s1 = sorted(
             (
-                (-round(float(np.dot(cents[q], cents[d])), 6), d)
+                (-fold_dot(cents[q], cents[d]), d)
                 for d in range(n_docs)
                 if d != q
             ),
