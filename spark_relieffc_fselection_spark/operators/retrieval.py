@@ -222,11 +222,16 @@ def maxsim_rerank(
         # spark.sql.crossJoin.enabled=false sessions, self-documenting
         pairs = docs_arr.crossJoin(F.broadcast(q_rows))
     else:
-        cand_ids = candidates.select("doc_id").distinct()
+        # defensive distinct: a duplicated (query_id, doc_id) row would
+        # silently DOUBLE that pair's score (each query token counted
+        # twice into the decimal sum); the frame is candidate-sized, so
+        # the dedup is cheap insurance on an arbitrary caller input
+        cand_pairs = candidates.select("query_id", "doc_id").distinct()
+        cand_ids = cand_pairs.select("doc_id").distinct()
         docs_arr = assemble_doc_tokens(
             doc_tokens.join(F.broadcast(cand_ids), "doc_id")
         )
-        pairs = docs_arr.join(F.broadcast(candidates), "doc_id").join(
+        pairs = docs_arr.join(F.broadcast(cand_pairs), "doc_id").join(
             F.broadcast(q_rows), "query_id"
         )
     if exclude_self:

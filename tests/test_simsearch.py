@@ -811,3 +811,26 @@ def test_two_stage_maxsim_matches_numpy(spark):
         for rank, (s, d) in enumerate(s2[:k], start=1):
             assert got[(q, rank)][0] == d, (q, rank, got, s2)
             assert abs(got[(q, rank)][1] - s) < 1e-9
+
+
+def test_maxsim_candidates_mode_dedupes_pairs(spark):
+    """A duplicated (query_id, doc_id) candidate row must not double
+    the pair's score — the operator dedupes defensively."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.retrieval import maxsim_rerank
+
+    rng = np.random.default_rng(47)
+    vecs = rng.normal(size=(4, 2, 3)).round(3)
+    rows = [(d, t, vecs[d, t].tolist()) for d in range(4) for t in range(2)]
+    tok = spark.createDataFrame(rows, "doc_id long, tok_idx int, vec array<double>")
+    queries = tok.filter("doc_id = 0")
+    cand_clean = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, doc_id long"
+    )
+    cand_dup = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2)], "query_id long, doc_id long"
+    )
+    a = sorted(map(tuple, maxsim_rerank(tok, queries, 3, candidates=cand_clean).collect()))
+    b = sorted(map(tuple, maxsim_rerank(tok, queries, 3, candidates=cand_dup).collect()))
+    assert a == b
