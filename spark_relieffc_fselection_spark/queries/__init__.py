@@ -145,6 +145,13 @@ _PRIORITY: tuple[str, ...] = (
 #: The r6 holdovers (39 after the continuation's displacements) are
 #: the oldest cohort (age 3 at round 9); ALL of them MUST take
 #: round-10 slots per the staleness bound.
+#: Rounding-robustness note (round 9 continuation): q02/q46/q47 moved
+#: to decimal-first rounding (ROUND the decimal sum, THEN cast double)
+#: and q100/q103 normalize -0.0, fixing sf0.1-only divergences found
+#: by the all-SF sweep. Their sf0.01 outputs are BIT-IDENTICAL under
+#: both formulations (verified value-for-value in DuckDB), so the
+#: driver hashes are unchanged and no window slot is required — the
+#: sf0.001/sf0.1 sweeps are the evidence for the changed boundaries.
 _DEFERRED: dict[str, int] = {
     # r6-green: the cohort that didn't fit after the r5-stale entries
     # took their 23 slots, plus the entries displaced when

@@ -297,7 +297,7 @@ def q45_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,18))), 6) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -310,9 +310,12 @@ def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
+            # decimal-first rounding: at ~1e9 magnitudes a 6dp round of
+            # the post-cast double straddles .5e-6 boundaries on 1-ulp
+            # engine differences (the q02 sf0.1 lesson)
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,18)")).cast("double"), 6
-            ).alias("sum_price"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,18)")), 6
+            ).cast("double").alias("sum_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -330,8 +333,8 @@ def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
            COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
            COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18)))
-                 FILTER (o_orderstatus = 'O') AS DOUBLE), 6) AS open_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,18)))
+                 FILTER (o_orderstatus = 'O'), 6) AS DOUBLE) AS open_price
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Pivot (explicit value list => no extra distinct scan; Spark "
@@ -352,7 +355,7 @@ def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_n").alias("n_open"),
         F.col("F_n").alias("n_filled"),
         F.col("P_n").alias("n_pending"),
-        F.round(F.col("O_sp").cast("double"), 6).alias("open_price"),
+        F.round(F.col("O_sp"), 6).cast("double").alias("open_price"),
     )
 
 

@@ -24,7 +24,14 @@ def dsum(c) -> F.Column:
 
 
 def r6(c) -> F.Column:
-    return F.round(c.cast("double"), 6)
+    """Round-then-cast for DECIMAL aggregates: rounding happens in
+    EXACT decimal arithmetic (HALF_UP, identical in DuckDB), and only
+    the already-rounded value converts to double — at 1e9 magnitudes a
+    6dp round of the post-cast double needs ~16 significant digits
+    from a 15.95-digit type, so a 1-ulp conversion difference between
+    engines can straddle a .5e-6 boundary (observed: q02 sf0.1
+    sum_base_price). Decimal-first rounding removes the boundary."""
+    return F.round(c, 6).cast("double")
 
 
 # --- S4 + P1/P2: pruned parquet scan, filter + projection ------------------
@@ -58,9 +65,9 @@ def q01_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_groupby_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,18))), 6) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,18))), 6) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,18))), 6) AS DOUBLE) AS sum_disc_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -91,7 +98,7 @@ def q02_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_join_revenue_by_nation",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,18))) AS DOUBLE), 6) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,18))), 6) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -300,7 +307,7 @@ def q10_label_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE), 6) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,18))), 6) AS DOUBLE) AS sum_price
     FROM orders
     WHERE o_orderkey % 97 < 13
     GROUP BY o_orderpriority

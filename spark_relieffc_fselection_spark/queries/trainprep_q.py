@@ -1249,7 +1249,7 @@ _U_SQL = (
              ln({_U_SQL}) / n_chars AS ln_key
       FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, source, n_chars, ROUND(ln_key, 6) AS ln_key, rank FROM (
+    SELECT doc_id, source, n_chars, ROUND(ln_key, 6) + 0.0 AS ln_key, rank FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY ln_key DESC, doc_id ASC) AS rank
       FROM keyed
     ) WHERE rank <= {_WS_K}
@@ -1273,7 +1273,7 @@ def q100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = weighted_sample_without_replacement(docs, "n_chars", _WS_K)
     return out.select(
-        "doc_id", "source", "n_chars", F.round("ln_key", 6).alias("ln_key"), "rank"
+        "doc_id", "source", "n_chars", (F.round("ln_key", 6) + F.lit(0.0)).alias("ln_key"), "rank"
     )
 
 
@@ -1337,7 +1337,7 @@ _WSG_K = 5
              ln({_U_SQL}) / n_chars AS ln_key
       FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, source, n_chars, ROUND(ln_key, 6) AS ln_key, rank FROM (
+    SELECT doc_id, source, n_chars, ROUND(ln_key, 6) + 0.0 AS ln_key, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY source
                                    ORDER BY ln_key DESC, doc_id ASC) AS rank
       FROM keyed
@@ -1362,7 +1362,7 @@ def q103_stratified_weighted_sample(
     )
     out = weighted_sample_per_group(docs, "source", "n_chars", _WSG_K)
     return out.select(
-        "doc_id", "source", "n_chars", F.round("ln_key", 6).alias("ln_key"), "rank"
+        "doc_id", "source", "n_chars", (F.round("ln_key", 6) + F.lit(0.0)).alias("ln_key"), "rank"
     )
 
 
