@@ -198,3 +198,23 @@ def test_viterbi_em_iteration_never_decreases_likelihood(vocab):
         best, _, _ = _dp(w, lp2, max_len)
         ll2 += wc * best
     assert ll2 >= ll1 - 1e-3 * max(1.0, abs(ll1)), (ll1, ll2)
+
+
+@given(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=300, deadline=None)
+def test_half_away_integer_rounding_matches_exact_decimal(m, n):
+    """The q110-family integer rounding rule — sign(m) * ((2|m| + n)
+    div (2n)) for the rational m/n in micro-units — equals exact
+    ROUND_HALF_UP (= half away from zero) decimal arithmetic. This is
+    the rule both engines spell identically where ROUND(double, 6)
+    is engine-dependent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    le6 = (2 * abs(m) + n) // (2 * n) * (1 if m >= 0 else -1)
+    exact = (Decimal(m) / Decimal(n)).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP
+    )
+    assert le6 == int(exact), (m, n, le6, exact)
