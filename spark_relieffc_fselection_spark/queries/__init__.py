@@ -53,34 +53,50 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: keeps its oracle either way — this only chooses which 50 the DRIVER
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
-_CURRENT_ROUND = 9
+_CURRENT_ROUND = 10
 
 _PRIORITY: tuple[str, ...] = (
-    # round 9 rotation (VERDICT r8 #1): all 23 r5-stale entries lead —
-    # age 4 at round 9, the staleness bound forces them in.
-    "q117_source_quality_calibration",
-    "q118_zorder_layout",
-    "q119_scd2_history",
-    "q120_hierarchy_closure",
-    "q121_cohort_retention",
-    "q122_event_funnel",
-    "q123_skyline",
-    "q124_outlier_mad",
-    "q125_bm25_topk",
-    "q126_interval_merge",
-    "q127_constraint_audit",
-    "q128_winsorize",
-    "q129_skew_profile",
-    "q130_incremental_agg",
-    "q131_streaming_incremental_agg",
-    "q132_last_touch_attribution",
-    "q133_calendar_gap_fill",
-    "q134_psi_drift",
-    "q135_rolling_features",
-    "q136_ks_drift",
-    "q137_compaction_plan",
-    "q138_join_cardinality",
-    "q139_bucketed_join",
+    # round 10 rotation (VERDICT r9 #1): all 39 r6-stale entries lead —
+    # age 4 at round 10, the staleness bound forces them in.
+    "q22_simhash_signatures",
+    "q27_embedding_neardup",
+    "q37_relief_discrete_collisions",
+    "q60_sequence_packing",
+    "q72b_relief_greedy_topk",
+    "q74_kmeans_step",
+    "q75_oov_rate",
+    "q76_length_histogram",
+    "q77_streaming_enrichment",
+    "q78_random_projection",
+    "q79_shuffle_shards",
+    "q80_hash_uniform_sample",
+    "q81_incremental_dedup",
+    "q83_pii_scrub",
+    "q84_canonical_selection",
+    "q85_token_truncation",
+    "q86_source_interleave",
+    "q87_temperature_mix",
+    "q88_embedding_drift",
+    "q89_streaming_outer_join",
+    "q90_deletion_propagation",
+    "q91_doc_chunking",
+    "q92_boilerplate_detection",
+    "q105_mdlp_discretize",
+    "q140_streaming_psi_drift",
+    "q141_k_anonymity",
+    "q142_pagerank",
+    "q143_variant_shred",
+    "q144_hybrid_rrf",
+    "q145_gram_matrix",
+    "q146_schema_evolution",
+    "q147_rollup_cascade",
+    "q148_kmv_distinct",
+    "q149_event_transitions",
+    "q150_merge_upsert",
+    "q151_negative_sampling",
+    "q152_zipf_fit",
+    "q154_streaming_upsert_state",
+    "q155_recursive_cte",
     # core sentinels — always in the window. q72 is the PERMANENT
     # engine-seeded-draw witness (VERDICT r8 #6 decision): its rows-only
     # slot is kept deliberately, because it is the one registry entry
@@ -91,48 +107,39 @@ _PRIORITY: tuple[str, ...] = (
     # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # code touched this round (VERDICT r8 #2/#3/#5/#7 + ADVICE: resolved
-    # kNN strategy + escalation knob in knn.py/relief.py, estimation-
-    # ratio threading + sparse relevance ceiling in relief_sparse.py,
-    # q72d oracle jointTotal parameterization in relief_q.py, BPE
-    # guards in bpe.py) — re-verify the queries exercising those files:
-    "q72c_relief_fit_hash_batched",
-    "q72d_relief_fit_hash_sampled",
-    "q158_sparse_fit_hash_batched",
-    "q44_sparse_relief_relevance",
-    "q13_knn_join",
-    "q73_knn_lsh_recall",
-    "q157_knn_lsh_multiprobe_recall",
-    "q159_ann_lsh_multiprobe_recall",
-    "q156_bpe_encode",
-    "q153_bpe_merge_step",
-    # new this round (never driver-checked — a new query always takes
-    # a window slot, test_registry enforces it):
-    # semantically changed this continuation (the exact integer
-    # half-away-from-zero logit rounding — a real sf0.001 boundary doc
-    # diverged between engines under double rounding): the driver must
-    # re-hash it this round
-    "q110_linear_quality_classifier",
-    "q160_knn_lsh_hamming2_recall",
-    "q161_sparse_fit_coo_width",
+    # semantically changed this round (VERDICT r9 #3): the unigram-LM
+    # candidate piece table gains a max_pieces/min_count cap, threaded
+    # through q162-q166 with a deliberately tiny cap at query level so
+    # the ORACLE exercises the capped path — outputs change, so the
+    # driver must re-hash all five:
     "q162_unigram_viterbi",
     "q163_unigram_mstep_counts",
     "q164_unigram_tokenize_corpus",
     "q165_unigram_prune_loss",
     "q166_unigram_em_iteration",
-    "q167_maxsim_rerank",
-    "q168_two_stage_retrieval",
-    # r6-green backlog, oldest-green-first: 5 of the r6 cohort fit
-    # after q165-q168 took new-query slots (each displaced one); the
-    # other 39 r6-green entries sit in _DEFERRED at age 3 — the
-    # staleness bound forces ALL 39 into the round-10 window. Round-10
-    # math: 39 forced + 2 sentinels = 41 of 50 slots, leaving 9 for
-    # round-10 additions and touched-code re-verification.
-    "q15_relief_topk",
-    "q16_collision_marginal",
-    "q17_collision_joint",
-    "q19_dedup_jaccard",
-    "q20_minhash_signatures",
+    # new this round (VERDICT r9 #4, never driver-checked — a new
+    # query always takes a window slot, test_registry enforces it):
+    # the composed tokenizer trainers. Until they land, these two
+    # slots hold additional r7 pre-pays; the trainer commit swaps
+    # q38/q39 back to _DEFERRED (still age 3 at round 10 — legal).
+    "q38_rollup",
+    "q39_distinct_agg",
+    # r7 pre-pay (VERDICT r9 #1): round-10 additions consumed 7 of the
+    # 9 free slots (5 changed unigram gates + 2 new trainer gates, the
+    # judge's own #3/#4 done-criteria), so 2 slots pre-pay the r7
+    # cohort instead of the 9 the judge budgeted. Round-11 math,
+    # written out: r7 cohort is 45 entries, minus the 2 pre-paid here
+    # = 43 forced at age 4 in round 11, + 2 sentinels = 45 of 50
+    # slots, leaving 5 for round-11 additions — tight but satisfiable
+    # (round 12 then faces the 38-entry r8 cohort + 2 = 40, 10 free).
+    # Code touched in round 10 whose gates are NOT re-windowed
+    # (bpe.py PUA rebase -> q153/q156; retrieval.py rounding fix ->
+    # q167/q168; simsearch_q.py doc_id integer-div -> q106/q109) is
+    # instead verified by the local all-SF compare_oracle sweep, with
+    # the bit-identical-at-sf0.01 evidence noted per entry below —
+    # the q02/q46/q47 precedent from round 9.
+    "q01_pruned_scan",
+    "q02_groupby_agg",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -153,55 +160,60 @@ _PRIORITY: tuple[str, ...] = (
 #: driver hashes are unchanged and no window slot is required — the
 #: sf0.001/sf0.1 sweeps are the evidence for the changed boundaries.
 _DEFERRED: dict[str, int] = {
-    # r6-green: the cohort that didn't fit after the r5-stale entries
-    # took their 23 slots, plus the entries displaced when
-    # q110/q165-q168 took window slots — 39 total, age 3 at round 9,
-    # ALL forced into round 10 by the staleness bound in test_registry:
-    "q22_simhash_signatures": 6,
-    "q27_embedding_neardup": 6,
-    "q37_relief_discrete_collisions": 6,
-    "q60_sequence_packing": 6,
-    "q72b_relief_greedy_topk": 6,
-    "q74_kmeans_step": 6,
-    "q75_oov_rate": 6,
-    "q76_length_histogram": 6,
-    "q77_streaming_enrichment": 6,
-    "q78_random_projection": 6,
-    "q79_shuffle_shards": 6,
-    "q80_hash_uniform_sample": 6,
-    "q81_incremental_dedup": 6,
-    "q83_pii_scrub": 6,
-    "q84_canonical_selection": 6,
-    "q85_token_truncation": 6,
-    "q86_source_interleave": 6,
-    "q87_temperature_mix": 6,
-    "q88_embedding_drift": 6,
-    "q89_streaming_outer_join": 6,
-    "q90_deletion_propagation": 6,
-    "q91_doc_chunking": 6,
-    "q92_boilerplate_detection": 6,
-    "q105_mdlp_discretize": 6,
-    "q140_streaming_psi_drift": 6,
-    "q141_k_anonymity": 6,
-    "q142_pagerank": 6,
-    "q143_variant_shred": 6,
-    "q144_hybrid_rrf": 6,
-    "q145_gram_matrix": 6,
-    "q146_schema_evolution": 6,
-    "q147_rollup_cascade": 6,
-    "q148_kmv_distinct": 6,
-    "q149_event_transitions": 6,
-    "q150_merge_upsert": 6,
-    "q151_negative_sampling": 6,
-    "q152_zipf_fit": 6,
-    "q154_streaming_upsert_state": 6,
-    "q155_recursive_cte": 6,
+    # r9-green: the round-9 window cohort rotating out (sentinels and
+    # the changed q162-q166 stay in _PRIORITY). Age 1 at round 10;
+    # forced back in by round 13 at the latest. Touched-code notes:
+    # q153/q156 (bpe.py PUA placeholder rebase, VERDICT r9 #2) and
+    # q167/q168 (retrieval.py decimal-first rounding, ADVICE r9) are
+    # re-verified this round by the local all-SF compare_oracle sweep
+    # instead of a window slot — see the _PRIORITY comment.
+    "q13_knn_join": 9,
+    "q15_relief_topk": 9,
+    "q16_collision_marginal": 9,
+    "q17_collision_joint": 9,
+    "q19_dedup_jaccard": 9,
+    "q20_minhash_signatures": 9,
+    "q44_sparse_relief_relevance": 9,
+    "q72c_relief_fit_hash_batched": 9,
+    "q72d_relief_fit_hash_sampled": 9,
+    "q73_knn_lsh_recall": 9,
+    "q110_linear_quality_classifier": 9,
+    "q153_bpe_merge_step": 9,
+    "q156_bpe_encode": 9,
+    "q157_knn_lsh_multiprobe_recall": 9,
+    "q158_sparse_fit_hash_batched": 9,
+    "q159_ann_lsh_multiprobe_recall": 9,
+    "q160_knn_lsh_hamming2_recall": 9,
+    "q161_sparse_fit_coo_width": 9,
+    "q167_maxsim_rerank": 9,
+    "q168_two_stage_retrieval": 9,
+    "q117_source_quality_calibration": 9,
+    "q118_zorder_layout": 9,
+    "q119_scd2_history": 9,
+    "q120_hierarchy_closure": 9,
+    "q121_cohort_retention": 9,
+    "q122_event_funnel": 9,
+    "q123_skyline": 9,
+    "q124_outlier_mad": 9,
+    "q125_bm25_topk": 9,
+    "q126_interval_merge": 9,
+    "q127_constraint_audit": 9,
+    "q128_winsorize": 9,
+    "q129_skew_profile": 9,
+    "q130_incremental_agg": 9,
+    "q131_streaming_incremental_agg": 9,
+    "q132_last_touch_attribution": 9,
+    "q133_calendar_gap_fill": 9,
+    "q134_psi_drift": 9,
+    "q135_rolling_features": 9,
+    "q136_ks_drift": 9,
+    "q137_compaction_plan": 9,
+    "q138_join_cardinality": 9,
+    "q139_bucketed_join": 9,
     # r7-green (rotated out of the round-8 window; all 49 oracle-able
     # entries of round 7's window were driver hash-green in
     # CORRECTNESS_r07 — kept in the window above are the sentinels
     # plus q72c/q44/q13, whose code this round touches again):
-    "q38_rollup": 7,
-    "q39_distinct_agg": 7,
     "q40_percentiles": 7,
     "q41_corpus_curation": 7,
     "q45_analytic_windows": 7,
@@ -215,8 +227,6 @@ _DEFERRED: dict[str, int] = {
     "q57_stratified_sample": 7,
     "q59_stopword_scrub": 7,
     "q61_contamination": 7,
-    "q01_pruned_scan": 7,
-    "q02_groupby_agg": 7,
     "q03_join_revenue_by_nation": 7,
     "q09_minmax_norm": 7,
     "q10_label_priors": 7,
