@@ -30,6 +30,7 @@ pieces-sized. Segmentation of the CORPUS then joins words back on the
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -46,10 +47,28 @@ def piece_table(
     max_piece_len: int = 4,
     word_col: str = "w",
     weight_col: str = "wc",
+    max_pieces: int | None = None,
+    min_count: int = 1,
 ) -> DataFrame:
     """``(piece, c, lp)``: every substring of length 1..max_piece_len
     of every vocab word, count-weighted by word frequency; lp =
-    ROUND(log2(c / total), 6). Vocab-sized x max_piece_len work."""
+    ROUND(log2(c / total), 6). Vocab-sized x max_piece_len work.
+
+    ``max_pieces`` / ``min_count`` bound the CANDIDATE table
+    (VERDICT r9 #3): at 100 TB, Heaps' law puts distinct words at
+    1e8-1e9 and the raw substring table at that x max_piece_len — an
+    unbounded table here becomes the multi-GB driver dict every
+    downstream DP broadcasts. ``min_count`` drops rare multi-char
+    candidates; ``max_pieces`` keeps only the top-N multi-char
+    candidates by (c DESC, piece ASC) — a deterministic bounded
+    top-N (TakeOrderedAndProject, the q152 shape), which is exactly
+    how SentencePiece seeds its vocabulary. LENGTH-1 PIECES ARE
+    EXEMPT from both knobs unconditionally: the base alphabet is what
+    keeps every word segmentable (the MISSING_PIECE_SCORE sentinel
+    must never appear on a feasible best path), so a cap may shrink
+    quality but can never break totality. ``lp`` renormalizes over
+    the SURVIVING pieces, so the capped table is a proper
+    distribution, not a truncated one."""
     w = F.col(word_col)
     subs = F.flatten(
         F.array(
@@ -70,7 +89,27 @@ def piece_table(
         .groupBy("piece")
         .agg(F.sum(weight_col).alias("c"))
     )
+    if min_count > 1:
+        counts = counts.filter(
+            (F.length("piece") == 1) | (F.col("c") >= min_count)
+        )
+    if max_pieces is not None:
+        # base alphabet unconditionally + bounded top-N multi-char
+        # candidates; the tie order (c DESC, piece ASC) is total, so
+        # the boundary is deterministic and cross-engine replayable
+        multi = (
+            counts.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("c"), F.asc("piece"))
+            .limit(max_pieces)
+        )
+        counts = counts.filter(F.length("piece") == 1).unionByName(multi)
     total = float(counts.agg(F.sum("c")).first()[0] or 0.0)
+    if total == 0.0:
+        # an empty candidate table would silently score every piece
+        # log2(c/0) = NaN downstream (ADVICE r9) — fail loudly
+        raise ValueError(
+            "piece_table: empty vocabulary (total piece mass is 0)"
+        )
     return counts.withColumn(
         "lp", F.round(F.log2(F.col("c") / F.lit(total)), 6)
     )
@@ -220,6 +259,13 @@ def reestimate_piece_table(
     (the Gibbs step of hard EM — see
     test_viterbi_em_iteration_never_decreases_likelihood)."""
     total = float(uses.agg(F.sum(uses_col)).first()[0] or 0.0)
+    if total == 0.0:
+        # an empty M-step must fail loudly, not propagate NaN piece
+        # scores into the next E-step (ADVICE r9)
+        raise ValueError(
+            "reestimate_piece_table: total expected piece count is 0 "
+            "(empty M-step) — the previous E-step produced no paths"
+        )
     return uses.select(
         "piece",
         F.round(F.log2(F.col(uses_col) / F.lit(total)), 6).alias("lp"),
@@ -271,8 +317,172 @@ def prune_loss(
     exploded = vocab.select(word_col, weight_col).mapInPandas(
         probe, schema="piece string, loss double"
     )
+    # decimal-FIRST rounding (the r6 convention, extended here by
+    # ADVICE r9): round the exact decimal sum, then cast — rounding
+    # the nearest double instead is engine-dependent on .5e-6
+    # boundaries
     return exploded.groupBy("piece").agg(
-        F.round(
-            F.sum(F.col("loss").cast("decimal(38,18)")).cast("double"), 6
-        ).alias("loss")
+        F.round(F.sum(F.col("loss").cast("decimal(38,18)")), 6)
+        .cast("double")
+        .alias("loss")
+    )
+
+
+def em_step_counts(
+    vocab: DataFrame,
+    pieces: DataFrame | None,
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    weight_col: str = "wc",
+    lp_map: dict[str, float] | None = None,
+) -> DataFrame:
+    """ONE fused E+M pass: ``(piece, uses, ll)`` where uses are the
+    M-step expected counts (viterbi_piece_counts semantics) and ll is
+    the piece group's share of the corpus log-likelihood — each word's
+    wc x best_lp is attached to its FIRST path piece, so SUM(ll) over
+    the whole table is the corpus LL and the DP runs exactly once for
+    both outputs (the q166 fusion, applied to training). ll is summed
+    as decimal(38,18) so the total is shuffle-order-independent.
+
+    ``lp_map`` skips the internal pieces collect when the caller
+    already holds the (bounded) score dict — train_unigram reuses its
+    seed collect this way, one driver job fewer per iteration."""
+    spark = vocab.sparkSession
+    if lp_map is None:
+        lp_map = {
+            r["piece"]: float(r["lp"])
+            for r in pieces.select("piece", "lp").collect()
+        }
+    bc = spark.sparkContext.broadcast(lp_map)
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp = bc.value
+        for pdf in batches:
+            ps, ws, lls = [], [], []
+            for w, wc in zip(pdf[word_col], pdf[weight_col]):
+                best, _, path = _dp(w, lp, max_piece_len)
+                for j, p in enumerate(path):
+                    ps.append(p)
+                    ws.append(int(wc))
+                    lls.append(float(wc) * best if j == 0 else 0.0)
+            yield pd.DataFrame({"piece": ps, "wcu": ws, "ll": lls})
+
+    exploded = vocab.select(word_col, weight_col).mapInPandas(
+        seg, schema="piece string, wcu long, ll double"
+    )
+    return exploded.groupBy("piece").agg(
+        F.sum("wcu").alias("uses"),
+        F.sum(F.col("ll").cast("decimal(38,18)")).alias("ll"),
+    )
+
+
+@dataclass
+class UnigramTrainResult:
+    """Outcome of :func:`train_unigram`: the trained piece table
+    ``(piece, uses, lp)`` (at most ``vocab_target`` rows plus any
+    alphabet overflow), the corpus log-likelihood per EM iteration
+    (hard EM: non-decreasing — property-tested), and size
+    diagnostics."""
+
+    pieces: DataFrame
+    ll_history: list[float]
+    seed_multi: int
+    pruned_multi: int
+    final_size: int
+
+
+def train_unigram(
+    vocab: DataFrame,
+    vocab_target: int,
+    n_iters: int = 2,
+    max_piece_len: int = 4,
+    seed_max_pieces: int | None = None,
+    seed_min_count: int = 1,
+    word_col: str = "w",
+    weight_col: str = "wc",
+) -> UnigramTrainResult:
+    """The COMPOSED SentencePiece-style trainer (VERDICT r9 #4) on top
+    of the gated primitives: seed a (capped) candidate table
+    (:func:`piece_table`), run ``n_iters`` hard-EM iterations — each
+    one fused E+M pass (:func:`em_step_counts`) plus a re-estimate
+    (:func:`reestimate_piece_table`) — then prune by likelihood loss
+    (:func:`prune_loss`) down to ``vocab_target`` pieces, keeping the
+    HIGHEST-loss (most useful) multi-char pieces; ties (loss DESC,
+    piece ASC). The alphabet (length-1 seed pieces) is never pruned
+    and survives even at uses=0 via a GREATEST(uses, 1) smoothing
+    floor, so the trained vocabulary can segment any word over the
+    seed alphabet. Final scores renormalize over the survivors.
+
+    Scale: the corpus is touched once (the caller's word histogram);
+    every EM iteration is one vocab-sized Arrow DP pass with a
+    PIECES-sized (seed-capped, bounded) collect — the driver never
+    holds anything larger than the capped piece table, the knob that
+    holds at Heaps'-law vocabularies (VERDICT r9 #3)."""
+    from decimal import Decimal
+
+    spark = vocab.sparkSession
+    pieces = piece_table(
+        vocab,
+        max_piece_len,
+        word_col,
+        weight_col,
+        max_pieces=seed_max_pieces,
+        min_count=seed_min_count,
+    )
+    # ONE seed collect serves the alphabet, iteration 1's broadcast
+    # dict, and the seed diagnostics — pieces is bounded by the cap
+    lp_map: dict[str, float] | None = {
+        r["piece"]: float(r["lp"])
+        for r in pieces.select("piece", "lp").collect()
+    }
+    alphabet = sorted(p for p in lp_map if len(p) == 1)
+    seed_multi = None  # diagnostics only; filled from iteration 1 support
+    ll_history: list[float] = []
+    support: dict[str, int] = {}
+    for i in range(n_iters):
+        rows = em_step_counts(
+            vocab, pieces, max_piece_len, word_col, weight_col, lp_map=lp_map
+        ).collect()
+        lp_map = None  # later iterations' tables come from reestimate
+        ll_history.append(float(sum((r["ll"] for r in rows), Decimal(0))))
+        support = {r["piece"]: int(r["uses"]) for r in rows}
+        if seed_multi is None:
+            seed_multi = sum(1 for p in support if len(p) >= 2)
+        if i < n_iters - 1:
+            uses_df = spark.createDataFrame(
+                [(p, c) for p, c in support.items()], "piece string, uses long"
+            )
+            pieces = reestimate_piece_table(uses_df)
+    candidates = sorted(p for p in support if len(p) >= 2)
+    keep_k = max(vocab_target - len(alphabet), 0)
+    if len(candidates) > keep_k:
+        loss_rows = prune_loss(
+            vocab, pieces, candidates, max_piece_len, word_col, weight_col
+        ).collect()
+        loss = {r["piece"]: float(r["loss"]) for r in loss_rows}
+        # highest loss = most useful; a candidate missing from the
+        # loss table (possible only if it left every best path) costs
+        # nothing to remove
+        kept = sorted(candidates, key=lambda p: (-loss.get(p, 0.0), p))[:keep_k]
+    else:
+        kept = candidates
+    final = [(p, support.get(p, 0)) for p in alphabet] + [
+        (p, support[p]) for p in sorted(kept)
+    ]
+    out = spark.createDataFrame(final, "piece string, uses long")
+    # GREATEST(uses, 1): the smoothing floor that keeps zero-use
+    # alphabet pieces scoreable (SentencePiece's required_chars)
+    up = F.greatest(F.col("uses"), F.lit(1))
+    total = sum(max(u, 1) for _, u in final)
+    trained = out.select(
+        "piece",
+        "uses",
+        F.round(F.log2(up / F.lit(float(total))), 6).alias("lp"),
+    )
+    return UnigramTrainResult(
+        pieces=trained,
+        ll_history=ll_history,
+        seed_multi=seed_multi or 0,
+        pruned_multi=len(candidates) - len(kept),
+        final_size=len(final),
     )

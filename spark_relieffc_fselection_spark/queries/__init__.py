@@ -119,11 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     "q166_unigram_em_iteration",
     # new this round (VERDICT r9 #4, never driver-checked — a new
     # query always takes a window slot, test_registry enforces it):
-    # the composed tokenizer trainers. Until they land, these two
-    # slots hold additional r7 pre-pays; the trainer commit swaps
-    # q38/q39 back to _DEFERRED (still age 3 at round 10 — legal).
-    "q38_rollup",
-    "q39_distinct_agg",
+    # the composed tokenizer trainers.
+    "q169_unigram_train",
+    "q170_bpe_train",
     # r7 pre-pay (VERDICT r9 #1): round-10 additions consumed 7 of the
     # 9 free slots (5 changed unigram gates + 2 new trainer gates, the
     # judge's own #3/#4 done-criteria), so 2 slots pre-pay the r7
@@ -227,6 +225,8 @@ _DEFERRED: dict[str, int] = {
     "q57_stratified_sample": 7,
     "q59_stopword_scrub": 7,
     "q61_contamination": 7,
+    "q38_rollup": 7,
+    "q39_distinct_agg": 7,
     "q03_join_revenue_by_nation": 7,
     "q09_minmax_norm": 7,
     "q10_label_priors": 7,

@@ -694,47 +694,81 @@ BPE_ENC_MERGES = 6
 BPE_ENC_TOP = 20
 
 
-def _bpe_encode_oracle() -> str:
-    """The q156 oracle is a mechanically generated CTE chain: M
+def _bpe_encode_oracle(
+    n_merges: int = BPE_ENC_MERGES,
+    vocab_cap: int | None = None,
+    top: int = BPE_ENC_TOP,
+) -> str:
+    """Mechanically generated CTE chain shared by q156 and q170: M
     data-dependent merge rounds (pair count -> top-1 -> literal
     replace, exactly q153's proven primitive) followed by the ENCODE
     half — explode the merged vocabulary into single symbols, expand
     placeholders back to surface strings (reverse merge order), and
-    count token frequency over the corpus via the word counts."""
+    count token frequency over the corpus via the word counts.
+
+    ``vocab_cap`` replays learn_bpe's capped-histogram architecture
+    (the top-N (wc DESC, w ASC) words train the merges; the FULL
+    vocabulary is then encoded with them). Merge-round CTEs are
+    MATERIALIZED: at ~100 rounds an inlined chain re-evaluates
+    vocab{m-1} once per reference (vocab{m} + t{m}) — exponential
+    blowup, the DuckDB twin of the Catalyst lineage blowup the Spark
+    trainer hit."""
     parts = [
         "WITH words AS (",
         f"  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents",
         "),",
-        "vocab0 AS (",
+        "fullvocab AS (",
         "  SELECT w, COUNT(*) AS wc FROM words WHERE length(w) >= 1 GROUP BY w",
         "),",
     ]
-    for m in range(1, BPE_ENC_MERGES + 1):
+    if vocab_cap is None:
+        parts.append("vocab0 AS (SELECT w, wc FROM fullvocab),")
+    else:
+        parts.append(
+            f"vocab0 AS (SELECT w, wc FROM fullvocab "
+            f"ORDER BY wc DESC, w ASC LIMIT {vocab_cap}),"
+        )
+    for m in range(1, n_merges + 1):
         parts += [
             f"p{m} AS (",
             f"  SELECT substr(w, i.i, 2) AS pair, SUM(wc) AS wcnt",
             f"  FROM vocab{m - 1}, LATERAL (",
             "    SELECT unnest(generate_series(1, length(w) - 1)) AS i",
-            "  ) i GROUP BY 1",
+            "  ) i WHERE length(w) >= 2 GROUP BY 1",
             "),",
-            f"t{m} AS (SELECT pair FROM p{m} ORDER BY wcnt DESC, pair ASC LIMIT 1),",
-            f"vocab{m} AS (",
+            f"t{m} AS MATERIALIZED "
+            f"(SELECT pair FROM p{m} ORDER BY wcnt DESC, pair ASC LIMIT 1),",
+            f"vocab{m} AS MATERIALIZED (",
             # coalesce: an exhausted pair supply (tiny corpus) must be an
             # identity replace, not a NULL-poisoned vocabulary
+            # chr(57344 + m): the U+E000 PUA placeholder alphabet —
+            # must track operators/bpe.py merge_placeholder exactly
             f"  SELECT replace(w, coalesce((SELECT pair FROM t{m}), chr(0)),"
-            f" chr({m})) AS w, wc FROM vocab{m - 1}",
+            f" chr({0xE000 + m})) AS w, wc FROM vocab{m - 1}",
             "),",
         ]
+    if vocab_cap is None:
+        parts.append(f"applied AS (SELECT w, wc FROM vocab{n_merges}),")
+    else:
+        # encode the FULL vocabulary with the capped-trained merges:
+        # one nested replace chain in merge order (linear size)
+        chain = "w"
+        for m in range(1, n_merges + 1):
+            chain = (
+                f"replace({chain}, coalesce((SELECT pair FROM t{m}),"
+                f" chr(0)), chr({0xE000 + m}))"
+            )
+        parts.append(f"applied AS (SELECT {chain} AS w, wc FROM fullvocab),")
     render = "sym"
-    for m in range(BPE_ENC_MERGES, 0, -1):
+    for m in range(n_merges, 0, -1):
         render = (
-            f"replace({render}, chr({m}),"
+            f"replace({render}, chr({0xE000 + m}),"
             f" coalesce((SELECT pair FROM t{m}), chr(0)))"
         )
     parts += [
         "syms AS (",
         "  SELECT substr(w, i.i, 1) AS sym, wc",
-        f"  FROM vocab{BPE_ENC_MERGES}, LATERAL (",
+        "  FROM applied, LATERAL (",
         "    SELECT unnest(generate_series(1, length(w))) AS i",
         "  ) i",
         "),",
@@ -743,7 +777,7 @@ def _bpe_encode_oracle() -> str:
         "  SELECT token, CAST(SUM(wc) AS BIGINT) AS cnt",
         "  FROM rendered GROUP BY token",
         "),",
-        f"top AS (SELECT * FROM agg ORDER BY cnt DESC, token ASC LIMIT {BPE_ENC_TOP})",
+        f"top AS (SELECT * FROM agg ORDER BY cnt DESC, token ASC LIMIT {top})",
         "SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,",
         "       token, cnt",
         "FROM top",
@@ -821,6 +855,16 @@ def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNI_MAX_WORD = 16   # words longer than this are excluded (both engines)
 UNI_MAX_PIECE = 4   # candidate pieces = substrings up to this length
 UNI_TOP = 20
+#: Candidate piece-table cap (VERDICT r9 #3): multi-char candidates
+#: are bounded top-N by (c DESC, piece ASC); the base alphabet is
+#: exempt so every word stays segmentable. DELIBERATELY tiny at the
+#: driver's sf0.01 gate (the raw multi-char candidate table there is
+#: ~50x larger) so the oracle exercises the CAPPED path — the knob
+#: that keeps the broadcast piece dict bounded when Heaps' law puts
+#: distinct words at 1e9 on a 100 TB corpus. 120 drops ~40% of the
+#: ~204 raw multi-char candidates at sf0.01, so the boundary (and its
+#: (c DESC, piece ASC) tie rule) is genuinely load-bearing there.
+UNI_PIECE_CAP = 120
 
 
 def _unigram_dp_prefix() -> list[str]:
@@ -845,8 +889,19 @@ def _unigram_dp_prefix() -> list[str]:
         "       LATERAL (SELECT unnest(generate_series(1, length(w) - l.l + 1)) AS i) u",
         "  GROUP BY 1",
         "),",
-        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM rawp),",
-        "pieces AS MATERIALIZED (SELECT piece, ROUND(log2(c / t), 6) AS lp FROM rawp, tot),",
+        # the piece-table cap (VERDICT r9 #3): base alphabet exempt,
+        # multi-char candidates bounded top-N by (c DESC, piece ASC) —
+        # mirrors operators/unigram_lm.py piece_table(max_pieces=...),
+        # and lp renormalizes over the SURVIVORS in both engines
+        "keep AS (",
+        "  SELECT piece, c FROM rawp WHERE length(piece) = 1",
+        "  UNION ALL",
+        "  SELECT piece, c FROM (",
+        "    SELECT piece, c FROM rawp WHERE length(piece) >= 2",
+        f"    ORDER BY c DESC, piece ASC LIMIT {UNI_PIECE_CAP}) capped",
+        "),",
+        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM keep),",
+        "pieces AS MATERIALIZED (SELECT piece, ROUND(log2(c / t), 6) AS lp FROM keep, tot),",
     ]
     return parts + _dp_argmax_chain("d", "vocab", "pieces")
 
@@ -899,43 +954,54 @@ def _unigram_viterbi_oracle() -> str:
     return "\n".join(parts)
 
 
-def _unigram_mstep_chain() -> list[str]:
-    """Shared tail chain: walk the recorded l{i} arg-max lengths back
-    from length(w), cutting one piece per step (a word of length W has
-    at most W pieces, so W unrolled steps cover every path), then
-    recount piece mass weighted by word frequency into ``agg`` — the
-    EM M-step counts q163 reports and q165 selects prune candidates
-    from."""
+def _mstep_walk(dp_prefix: str, out: str) -> list[str]:
+    """Generated M-step walk over an arg-max DP chain named
+    ``{dp_prefix}0..{dp_prefix}W``: walk the recorded l{i} arg-max
+    lengths back from length(w), cutting one piece per step (a word
+    of length W has at most W pieces, so W unrolled steps cover every
+    path), then recount piece mass weighted by word frequency into
+    ``{out}agg`` — the EM M-step counts. Parameterized on the DP
+    chain and an output-name prefix so q169's second EM iteration can
+    walk the re-segmented chain alongside the first."""
     W = UNI_MAX_WORD
     l_at_pos = (
         "CASE x.pos{j} "
         + " ".join(f"WHEN {i} THEN x.l{i}" for i in range(1, W + 1))
         + " ELSE 0 END"
     )
-    parts = _unigram_dp_prefix()
-    parts.append(
-        f"w0 AS (SELECT w, wc, "
+    parts = [
+        f"{out}w0 AS (SELECT w, wc, "
         + ", ".join(f"l{i}" for i in range(1, W + 1))
-        + f", length(w) AS pos0 FROM d{W}),"
-    )
+        + f", length(w) AS pos0 FROM {dp_prefix}{W}),"
+    ]
     for j in range(1, W + 1):
         sel_l = l_at_pos.format(j=j - 1)
         parts.append(
-            f"w{j} AS (SELECT x.*, "
+            f"{out}w{j} AS (SELECT x.*, "
             f"CASE WHEN x.pos{j - 1} > 0 THEN "
             f"substr(x.w, x.pos{j - 1} - c.l + 1, c.l) END AS p{j}, "
             f"CASE WHEN x.pos{j - 1} > 0 THEN x.pos{j - 1} - c.l ELSE 0 END AS pos{j} "
-            f"FROM w{j - 1} x, LATERAL (SELECT ({sel_l}) AS l) c),"
+            f"FROM {out}w{j - 1} x, LATERAL (SELECT ({sel_l}) AS l) c),"
         )
     used = " UNION ALL ".join(
-        f"SELECT p{j} AS piece, wc FROM w{W} WHERE p{j} IS NOT NULL"
+        f"SELECT p{j} AS piece, wc FROM {out}w{W} WHERE p{j} IS NOT NULL"
         for j in range(1, W + 1)
     )
     parts += [
-        f"used AS ({used}),",
-        "agg AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS uses FROM used GROUP BY piece),",
+        f"{out}used AS ({used}),",
+        f"{out}agg AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS uses "
+        f"FROM {out}used GROUP BY piece),",
     ]
     return parts
+
+
+def _unigram_mstep_chain() -> list[str]:
+    """Round-1 prefix + M-step walk into ``agg`` (q163/q165/q166)."""
+    parts = _unigram_dp_prefix()
+    # legacy names: the round-1 walk is unprefixed (w0..wW, used, agg)
+    return parts + [
+        p.replace("w0 AS", "w0 AS", 1) for p in _mstep_walk("d", "")
+    ]
 
 
 def _unigram_mstep_oracle() -> str:
@@ -982,7 +1048,9 @@ def q162_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corpus shuffle -> vocab; localize so piece counting and the
     # DP read a LocalRelation (the q129 dupe-subtree rule)
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
-    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    pieces = piece_table(
+        vocab, max_piece_len=UNI_MAX_PIECE, max_pieces=UNI_PIECE_CAP
+    )
     seg = viterbi_segment(vocab, pieces, max_piece_len=UNI_MAX_PIECE)
     top = seg.orderBy(F.desc("wc"), F.asc("w")).limit(UNI_TOP)
     return top.select(
@@ -1025,7 +1093,9 @@ def q163_unigram_mstep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
     )
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
-    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    pieces = piece_table(
+        vocab, max_piece_len=UNI_MAX_PIECE, max_pieces=UNI_PIECE_CAP
+    )
     counts = viterbi_piece_counts(vocab, pieces, max_piece_len=UNI_MAX_PIECE)
     top = counts.orderBy(F.desc("uses"), F.asc("piece")).limit(UNI_TOP)
     return top.select(
@@ -1091,7 +1161,9 @@ def q164_unigram_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
     )
     vocab = localize(dtoks.groupBy("w").agg(F.count("*").alias("wc")))
-    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    pieces = piece_table(
+        vocab, max_piece_len=UNI_MAX_PIECE, max_pieces=UNI_PIECE_CAP
+    )
     perword = viterbi_segment(vocab, pieces, max_piece_len=UNI_MAX_PIECE).select(
         "w", "n_pieces"
     )
@@ -1159,8 +1231,10 @@ def _unigram_prune_oracle() -> str:
     )
     parts += [
         f"msf AS (SELECT mask, wc, bs, {final_ms} AS ms FROM m{W}),",
+        # decimal-FIRST rounding (ADVICE r9): round the exact decimal
+        # sum, then cast to double — mirrors operators/unigram_lm.py
         "lossagg AS (SELECT mask AS piece, "
-        "ROUND(CAST(SUM(CAST(wc * (bs - ms) AS DECIMAL(38,18))) AS DOUBLE), 6) "
+        "CAST(ROUND(SUM(CAST(wc * (bs - ms) AS DECIMAL(38,18))), 6) AS DOUBLE) "
         "AS loss FROM msf GROUP BY mask)",
         "SELECT ROW_NUMBER() OVER (ORDER BY l.loss ASC, c.piece ASC) AS rank,",
         "       c.piece, c.uses, l.loss",
@@ -1200,7 +1274,9 @@ def q165_unigram_prune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
     )
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
-    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    pieces = piece_table(
+        vocab, max_piece_len=UNI_MAX_PIECE, max_pieces=UNI_PIECE_CAP
+    )
     uses = viterbi_piece_counts(vocab, pieces, max_piece_len=UNI_MAX_PIECE)
     # candidate list is NC rows — driver-sized by construction (the
     # BPE-argmax precedent: one tiny collect to parameterize the next
@@ -1307,7 +1383,9 @@ def q166_unigram_em_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
     )
     vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
-    pieces = piece_table(vocab, max_piece_len=UNI_MAX_PIECE)
+    pieces = piece_table(
+        vocab, max_piece_len=UNI_MAX_PIECE, max_pieces=UNI_PIECE_CAP
+    )
     # ONE round-1 DP pass serves both the E-step summary and the
     # M-step recount: emit the chosen path alongside the summary,
     # localize (vocab-sized), and derive uses by explode + weighted
@@ -1345,4 +1423,209 @@ def q166_unigram_em_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np1").alias("np_round1"),
         F.round("lp2", 6).alias("lp_round2"),
         F.col("np2").alias("np_round2"),
+    )
+
+
+#: q169: the COMPOSED unigram trainer (VERDICT r9 #4) — EM iterations
+#: then prune-by-loss down to a target vocabulary. The target forces
+#: real pruning at every SF: the post-EM multi-char support on the
+#: fixture corpus is ~28 against a 40 - 24 = 16 multi-char budget,
+#: so the loss ranking (and its loss DESC, piece ASC tie rule) is
+#: load-bearing in the gate.
+UNI_TRAIN_TARGET = 40
+UNI_TRAIN_ITERS = 2
+
+
+def _unigram_train_oracle() -> str:
+    """Replays train_unigram(n_iters=2) end-to-end: seed (capped)
+    pieces -> E1 arg-max DP -> M1 walk -> re-estimate -> E2 DP under
+    the new scores -> M2 walk -> prune-loss (masked GREATEST DP vs
+    the E2 table, q165's machinery) -> keep the alphabet plus the
+    highest-loss multi-char pieces up to the target -> renormalized
+    final scores with the GREATEST(uses, 1) smoothing floor."""
+    P, W, T = UNI_MAX_PIECE, UNI_MAX_WORD, UNI_TRAIN_TARGET
+    final_bs = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    parts = _unigram_dp_prefix()
+    parts += _mstep_walk("d", "")
+    parts += [
+        "t2 AS (SELECT CAST(SUM(uses) AS DOUBLE) AS t FROM agg),",
+        "pieces2 AS MATERIALIZED (SELECT piece, ROUND(log2(uses / t), 6) "
+        "AS lp FROM agg, t2),",
+    ]
+    parts += _dp_argmax_chain("e", "vocab", "pieces2")
+    parts += _mstep_walk("e", "x")
+    parts += [
+        "alpha AS (SELECT piece FROM keep WHERE length(piece) = 1),",
+        "cand AS (SELECT piece, uses FROM xagg WHERE length(piece) >= 2),",
+        f"best2 AS (SELECT w, wc, {final_bs} AS bs FROM e{W}),",
+        "m0 AS (SELECT b.w, b.wc, b.bs, c.piece AS mask, "
+        "CAST(0.0 AS DOUBLE) AS ms0 "
+        "FROM best2 b JOIN cand c ON instr(b.w, c.piece) > 0),",
+    ]
+    for i in range(1, W + 1):
+        exprs = ", ".join(
+            f"m.ms{i - l} + COALESCE((SELECT lp FROM pieces2 p WHERE "
+            f"p.piece = substr(m.w, {i - l + 1}, {l}) "
+            f"AND p.piece <> m.mask), -1000000000.0)"
+            for l in range(1, min(P, i) + 1)
+        )
+        greatest = exprs if i == 1 else f"GREATEST({exprs})"
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT m.*, {greatest} AS ms{i} "
+            f"FROM m{i - 1} m),"
+        )
+    final_ms = (
+        "CASE length(w) "
+        + " ".join(f"WHEN {i} THEN ms{i}" for i in range(1, W + 1))
+        + " END"
+    )
+    parts += [
+        f"msf AS (SELECT mask, wc, bs, {final_ms} AS ms FROM m{W}),",
+        # decimal-FIRST rounding (ADVICE r9), as in q165
+        "lossagg AS (SELECT mask AS piece, "
+        "CAST(ROUND(SUM(CAST(wc * (bs - ms) AS DECIMAL(38,18))), 6) AS DOUBLE) "
+        "AS loss FROM msf GROUP BY mask),",
+        "keepm AS (SELECT c.piece, c.uses, "
+        "ROW_NUMBER() OVER (ORDER BY l.loss DESC, c.piece ASC) AS rn "
+        "FROM cand c JOIN lossagg l ON l.piece = c.piece),",
+        f"surv AS (SELECT piece, uses FROM keepm "
+        f"WHERE rn <= {T} - (SELECT COUNT(*) FROM alpha)",
+        "  UNION ALL",
+        "  SELECT a.piece, COALESCE(x.uses, 0) AS uses "
+        "FROM alpha a LEFT JOIN xagg x ON x.piece = a.piece),",
+        "tots AS (SELECT CAST(SUM(GREATEST(uses, 1)) AS DOUBLE) AS t FROM surv)",
+        "SELECT ROW_NUMBER() OVER (ORDER BY uses DESC, piece ASC) AS rank,",
+        "       piece, CAST(uses AS BIGINT) AS uses,",
+        "       ROUND(log2(GREATEST(uses, 1) / t), 6) AS lp",
+        "FROM surv, tots",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q169_unigram_train",
+    oracle=_unigram_train_oracle(),
+    doc="The COMPOSED unigram-LM trainer (the loop q162-q166 supply "
+        "primitives for): seed a CAPPED candidate table, run "
+        f"{UNI_TRAIN_ITERS} hard-EM iterations (each ONE fused E+M "
+        "Arrow DP pass + re-estimate), then prune by corpus-"
+        "likelihood loss down to a "
+        f"{UNI_TRAIN_TARGET}-piece vocabulary — alphabet never "
+        "pruned, highest-loss (most useful) multi-char pieces kept, "
+        "final scores renormalized over the survivors with a "
+        "GREATEST(uses,1) floor so required alphabet stays scoreable "
+        "(SentencePiece's required_chars). Scale: the corpus is "
+        "touched once (word histogram); every EM iteration is one "
+        "vocab-sized DP pass whose driver state is the CAPPED piece "
+        "table (VERDICT r9 #3's knob) — iterating to a 32k-piece "
+        "production vocab costs n_iters corpus-zero passes.",
+)
+def q169_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        train_unigram,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    res = train_unigram(
+        vocab,
+        vocab_target=UNI_TRAIN_TARGET,
+        n_iters=UNI_TRAIN_ITERS,
+        max_piece_len=UNI_MAX_PIECE,
+        seed_max_pieces=UNI_PIECE_CAP,
+    )
+    return res.pieces.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("uses"), F.asc("piece")))
+        .alias("rank"),
+        "piece",
+        F.col("uses").cast("bigint").alias("uses"),
+        "lp",
+    )
+
+
+#: q170: the COMPOSED BPE trainer (VERDICT r9 #4) at a merge depth
+#: that crosses the retired 31-slot C0 ceiling three times over. The
+#: fixture corpus' pair supply exhausts around merge ~90, so the
+#: exhaustion path (engine break vs oracle identity-replace rounds)
+#: is itself under the hash gate at every SF.
+BPE_TRAIN_MERGES = 100
+BPE_TRAIN_VOCAB_CAP = 24
+BPE_TRAIN_TOP = 30
+
+
+@register(
+    "q170_bpe_train",
+    oracle=_bpe_encode_oracle(
+        n_merges=BPE_TRAIN_MERGES,
+        vocab_cap=BPE_TRAIN_VOCAB_CAP,
+        top=BPE_TRAIN_TOP,
+    ),
+    doc=f"The COMPOSED BPE trainer: learn {BPE_TRAIN_MERGES} merges "
+        "against the CAPPED word histogram (top "
+        f"{BPE_TRAIN_VOCAB_CAP} words by (wc DESC, w ASC) — the "
+        "SentencePiece/HF architecture: one corpus shuffle builds "
+        "the histogram, one bounded collect brings it to the "
+        "driver, the merge loop runs locally with NO per-merge "
+        "cluster round-trip), then ENCODE the FULL vocabulary with "
+        "the trained chain and report the corpus' top tokens. The "
+        "per-round (wcnt DESC, pair ASC) argmax, the left-to-right "
+        "literal replace, and the pair-supply-exhaustion behavior "
+        "are all pinned against the oracle's sequential CTE replay. "
+        "Scale: training cost is merges x capped-histogram — "
+        "corpus-independent; the one corpus-sized stage (the word "
+        "histogram) is a single partial-aggregated shuffle.",
+)
+def q170_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        bpe_render,
+        learn_bpe,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    merges = learn_bpe(
+        vocab,
+        n_merges=BPE_TRAIN_MERGES,
+        max_vocab_words=BPE_TRAIN_VOCAB_CAP,
+    )
+    v = bpe_apply(vocab, merges)
+    syms = v.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("sym"),
+        "wc",
+    )
+    return (
+        syms.select(bpe_render("sym", merges).alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(BPE_TRAIN_TOP)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("rank"),
+            "token",
+            "cnt",
+        )
     )

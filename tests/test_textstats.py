@@ -248,29 +248,72 @@ def test_bpe_encode_is_lossless(spark):
 
 
 def test_bpe_placeholder_alphabet_is_guarded(spark):
-    """The placeholder alphabet is chr(1)..chr(31) (VERDICT r8 #5):
-    more merges would emit printable placeholders (chr(32) = space)
+    """The placeholder alphabet is the BMP private-use area
+    U+E001..U+F8FF (VERDICT r9 #2 rebased it from the 31-slot C0
+    range): merges past 6399 would emit surrogates / assigned text
     and silently corrupt tokenization — reject loudly. A vocabulary
-    already containing C0 characters would alias placeholders and
-    break the bpe_render reconstruction law — reject that too."""
+    already containing C0 or PUA characters would alias placeholders
+    (or is garbage input) and break the bpe_render reconstruction
+    law — reject those too."""
     import pytest
 
-    from spark_relieffc_fselection_spark.operators.bpe import learn_bpe_merges
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        _MAX_MERGES,
+        learn_bpe_merges,
+        merge_placeholder,
+    )
 
+    assert _MAX_MERGES == 6399
+    assert merge_placeholder(1) == "\uE001"
+    assert merge_placeholder(_MAX_MERGES) == "\uF8FF"
     vocab = spark.createDataFrame(
         [("hello", 3), ("help", 2)], "w string, wc long"
     )
-    with pytest.raises(ValueError, match="at most 31 merges"):
-        learn_bpe_merges(vocab, 40)
-    dirty = spark.createDataFrame(
-        [("he\x01lo", 3), ("help", 2)], "w string, wc long"
+    with pytest.raises(ValueError, match="at most 6399 merges"):
+        learn_bpe_merges(vocab, 6400)
+    for bad in ("he\x01lo", "he\uE001lo", "he\uF8FFlo"):
+        dirty = spark.createDataFrame(
+            [(bad, 3), ("help", 2)], "w string, wc long"
+        )
+        with pytest.raises(ValueError, match="C0 control or private-use"):
+            learn_bpe_merges(dirty, 3)
+    # a merge budget past the old 31-slot ceiling is now legal; a tiny
+    # vocab just exhausts its pair supply early
+    merges = learn_bpe_merges(vocab, 40)
+    assert len(merges) <= 40
+
+
+def test_bpe_lossless_past_31_merges(spark):
+    """The reconstruction law survives a merge chain DEEPER than the
+    retired 31-slot C0 alphabet (VERDICT r9 #2's done-criterion:
+    ``learn_bpe_merges(vocab, 1000)`` must work). 11 four-char words
+    over disjoint alphabets supply 33 merges (3 per word: each word
+    collapses pair-by-pair to one symbol), so the chain provably
+    crosses the old ceiling, every placeholder lands in the PUA, and
+    every word still round-trips exactly."""
+    import pyspark.sql.functions as F
+
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        bpe_render,
+        learn_bpe_merges,
     )
-    with pytest.raises(ValueError, match="C0 control characters"):
-        learn_bpe_merges(dirty, 3)
-    # the boundary itself is legal (chr(31) is still a control char);
-    # a tiny vocab just exhausts its pair supply early
-    merges = learn_bpe_merges(vocab, 31)
-    assert len(merges) <= 31
+
+    alphabet = [chr(ord("0") + i) for i in range(10)] + [
+        chr(ord("A") + i) for i in range(26)
+    ] + [chr(ord("a") + i) for i in range(26)]
+    words = [
+        ("".join(alphabet[4 * i : 4 * i + 4]), 100 - i) for i in range(11)
+    ]
+    vocab = spark.createDataFrame(words, "w string, wc long")
+    merges = learn_bpe_merges(vocab, 1000)
+    assert len(merges) == 33, "11 disjoint 4-char words supply 3 merges each"
+    assert all("\uE000" < ph <= "\uF8FF" for ph, _ in merges)
+    merged = bpe_apply(vocab.withColumn("orig", F.col("w")), merges)
+    rebuilt = merged.select(
+        "orig", bpe_render("w", merges).alias("round_trip")
+    )
+    assert rebuilt.filter(F.col("round_trip") != F.col("orig")).count() == 0
 
 
 def test_viterbi_segment_matches_bruteforce(spark):
@@ -435,3 +478,163 @@ def test_prune_loss_rejects_base_alphabet_candidates(spark):
     pieces = piece_table(vocab, max_piece_len=2)
     with pytest.raises(ValueError, match="length >= 2"):
         prune_loss(vocab, pieces, ["ab", "a"], max_piece_len=2)
+
+
+def test_piece_table_cap_preserves_segmentation_totality(spark):
+    """The max_pieces cap (VERDICT r9 #3) bounds the MULTI-char
+    candidate table only: length-1 pieces survive unconditionally, so
+    even a cap of 0 leaves every word segmentable (no feasible best
+    path ever scores MISSING_PIECE_SCORE), and the surviving scores
+    renormalize to a proper distribution over the kept pieces."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        MISSING_PIECE_SCORE,
+        piece_table,
+        viterbi_segment,
+    )
+
+    vocab = spark.createDataFrame(
+        [("abab", 5), ("aba", 3), ("bb", 2), ("a", 7), ("abba", 1),
+         ("cccc", 4)],
+        "w string, wc long",
+    )
+    for cap in (0, 1, 2, 10**6):
+        pieces = piece_table(vocab, max_piece_len=3, max_pieces=cap)
+        rows = pieces.collect()
+        alphabet = {r["piece"] for r in rows if len(r["piece"]) == 1}
+        assert alphabet == {"a", "b", "c"}, f"cap={cap} dropped alphabet"
+        n_multi = sum(1 for r in rows if len(r["piece"]) >= 2)
+        assert n_multi <= max(cap, 0)
+        # renormalized: kept-piece probabilities sum to ~1 (scores are
+        # rounded to 6dp, so allow that much slack per piece)
+        mass = sum(2 ** r["lp"] for r in rows)
+        assert abs(mass - 1.0) < 1e-4 * len(rows)
+        seg = viterbi_segment(vocab, pieces, max_piece_len=3).collect()
+        assert len(seg) == vocab.count()
+        for r in seg:
+            assert r["best_lp"] > MISSING_PIECE_SCORE / 2, (
+                f"cap={cap}: word {r['w']!r} became infeasible"
+            )
+        # the cap boundary is deterministic: (c DESC, piece ASC)
+        if cap == 2:
+            kept = sorted(
+                (r["piece"] for r in rows if len(r["piece"]) >= 2)
+            )
+            uncapped = piece_table(vocab, max_piece_len=3).collect()
+            expect = sorted(
+                (r["piece"] for r in uncapped if len(r["piece"]) >= 2),
+                key=lambda p: (
+                    -next(x["c"] for x in uncapped if x["piece"] == p),
+                    p,
+                ),
+            )[:2]
+            assert kept == sorted(expect)
+
+
+def test_piece_table_min_count_and_empty_vocab_guard(spark):
+    """min_count drops rare multi-char candidates (base alphabet
+    exempt); an empty vocabulary fails loudly instead of scoring
+    every piece NaN (ADVICE r9)."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+    )
+
+    vocab = spark.createDataFrame(
+        [("abab", 5), ("xy", 1)], "w string, wc long"
+    )
+    rows = piece_table(vocab, max_piece_len=2, min_count=2).collect()
+    pieces = {r["piece"] for r in rows}
+    assert "xy" not in pieces            # rare multi-char dropped
+    assert {"x", "y"} <= pieces          # alphabet survives min_count
+    assert "ab" in pieces and "ba" in pieces
+
+    empty = spark.createDataFrame([], "w string, wc long")
+    with pytest.raises(ValueError, match="total piece mass is 0"):
+        piece_table(empty, max_piece_len=2)
+
+
+def test_reestimate_empty_mstep_fails_loudly(spark):
+    """reestimate_piece_table on an empty/zero M-step raises instead
+    of propagating NaN scores into the next E-step (ADVICE r9)."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        reestimate_piece_table,
+    )
+
+    empty = spark.createDataFrame([], "piece string, uses long")
+    with pytest.raises(ValueError, match="empty M-step"):
+        reestimate_piece_table(empty)
+
+
+def test_learn_bpe_matches_distributed_trainer(spark):
+    """The driver-local histogram trainer (learn_bpe) and the
+    fully-distributed per-round trainer (learn_bpe_merges) implement
+    the SAME argmax tie rule and replace semantics — identical merge
+    lists on the same vocabulary."""
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        learn_bpe,
+        learn_bpe_merges,
+    )
+
+    vocab = spark.createDataFrame(
+        [("banana", 7), ("bandana", 5), ("cabana", 4), ("anagram", 2)],
+        "w string, wc long",
+    )
+    assert learn_bpe(vocab, n_merges=10) == learn_bpe_merges(vocab, 10)
+
+
+def test_learn_bpe_guards_and_target_derivation(spark):
+    """Exactly one of n_merges / vocab_target; vocab_target derives
+    merges as target - |alphabet|; forbidden characters rejected; the
+    vocab cap is deterministic (wc DESC, w ASC)."""
+    from spark_relieffc_fselection_spark.operators.bpe import learn_bpe
+
+    vocab = spark.createDataFrame(
+        [("banana", 7), ("bandana", 5)], "w string, wc long"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        learn_bpe(vocab)
+    with pytest.raises(ValueError, match="exactly one"):
+        learn_bpe(vocab, n_merges=2, vocab_target=10)
+    # alphabet = {b,a,n,d} = 4; target 6 -> 2 merges
+    assert len(learn_bpe(vocab, vocab_target=6)) == 2
+    dirty = spark.createDataFrame([("he\uE001lo", 1)], "w string, wc long")
+    with pytest.raises(ValueError, match="C0 control or private-use"):
+        learn_bpe(dirty, n_merges=1)
+    # cap keeps the top word only -> merges come from "banana" alone
+    merges = learn_bpe(vocab, n_merges=2, max_vocab_words=1)
+    assert merges[0][1] == "an"
+
+
+def test_train_unigram_contract(spark):
+    """The composed trainer (VERDICT r9 #4): corpus log-likelihood is
+    non-decreasing across EM iterations (hard EM), the final
+    vocabulary respects the target with the alphabet unpruned, and
+    the trained scores renormalize over the survivors."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        train_unigram,
+    )
+
+    vocab = spark.createDataFrame(
+        [("abab", 9), ("aba", 6), ("bb", 4), ("a", 11), ("abba", 3),
+         ("cab", 5), ("bac", 2)],
+        "w string, wc long",
+    )
+    res = train_unigram(vocab, vocab_target=6, n_iters=3, max_piece_len=3)
+    assert len(res.ll_history) == 3
+    for prev, cur in zip(res.ll_history, res.ll_history[1:]):
+        assert cur >= prev - 1e-3 * max(1.0, abs(prev)), res.ll_history
+    rows = res.pieces.collect()
+    pieces = {r["piece"] for r in rows}
+    assert {"a", "b", "c"} <= pieces           # alphabet never pruned
+    assert len(rows) == 6 == res.final_size    # target hit exactly
+    assert res.pruned_multi > 0                # pruning actually bit
+    # scores renormalize over survivors (GREATEST(uses,1) floor)
+    mass = sum(2 ** r["lp"] for r in rows)
+    assert abs(mass - 1.0) < 1e-4 * len(rows)
+    # a target below the alphabet size keeps the whole alphabet anyway
+    res2 = train_unigram(vocab, vocab_target=2, n_iters=1, max_piece_len=3)
+    got = {r["piece"] for r in res2.pieces.collect()}
+    assert got == {"a", "b", "c"}
