@@ -1068,7 +1068,7 @@ def main() -> None:
 
     def _emb_toks(frame: DataFrame) -> DataFrame:
         return frame.select(
-            (F.col("vec_id") / 8).cast("long").alias("doc_id"),
+            F.expr("vec_id div 8").alias("doc_id"),
             (F.col("vec_id") % 8).cast("int").alias("tok_idx"),
             F.col("embedding").cast("array<double>").alias("vec"),
         )
@@ -1083,6 +1083,78 @@ def main() -> None:
         return maxsim_rerank(_emb_toks(emb_k(kk)), maxsim_queries, k=5)
 
     bench("maxsim rerank (corpus grows, queries fixed)", maxsim_k)
+
+    # maxsim QUERY-count scaling (VERDICT r9 #6): corpus FIXED, the
+    # query-token broadcast grows ~Kx — wall should track the query
+    # count ~linearly (the per-pair decimal-sum shuffle is queries x
+    # corpus-bounded). The broadcast hint itself holds to
+    # retrieval.MAX_BROADCAST_QUERY_TOKENS (500k vector rows); past
+    # it maxsim_rerank drops the hint in candidates mode and refuses
+    # rerank-all outright.
+    def maxsim_q(kk: int) -> DataFrame:
+        q = _emb_toks(emb).filter(F.col("doc_id") % (250 // kk) == 0)
+        return maxsim_rerank(_emb_toks(emb), q, k=5)
+
+    bench("maxsim rerank (queries grow, corpus fixed)", maxsim_q)
+
+    # capped piece table (VERDICT r9 #3): the VOCABULARY grows Kx
+    # (synthetic distinct words — the replicated corpus can't grow
+    # it), the CAPPED candidate table must stay flat: it IS the
+    # driver dict every DP pass broadcasts, the thing that would
+    # otherwise be Heaps'-law-sized at 100 TB.
+    def synth_vocab(kk: int) -> DataFrame:
+        return spark.range(20_000 * kk).select(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8).alias("w"),
+            (F.col("id") % 97 + 1).alias("wc"),
+        )
+
+    cap_rows = {
+        kk: piece_table(
+            localize(synth_vocab(kk)), max_piece_len=4, max_pieces=256
+        ).count()
+        for kk in (1, k)
+    }
+    raw_rows = {
+        kk: piece_table(localize(synth_vocab(kk)), max_piece_len=4).count()
+        for kk in (1, k)
+    }
+    print(
+        f"unigram piece-table driver dict (vocab grows {k}x): "
+        f"capped 1x={cap_rows[1]} {k}x={cap_rows[k]} (flat = bounded "
+        f"broadcast); uncapped 1x={raw_rows[1]} {k}x={raw_rows[k]} "
+        f"(grows with vocab — the 100 TB hazard the cap removes)"
+    )
+
+    # composed trainers (VERDICT r9 #4): corpus grows Kx but the
+    # fixture vocabulary is fixed, so train_unigram (EM + prune) and
+    # learn_bpe (capped-histogram local loop) should be FLAT past the
+    # histogram build.
+    from spark_relieffc_fselection_spark.operators.bpe import learn_bpe
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        train_unigram,
+    )
+
+    def uni_train(kk: int) -> DataFrame:
+        res = train_unigram(
+            localize(uni_hist(kk)),
+            vocab_target=40,
+            n_iters=2,
+            max_piece_len=4,
+            seed_max_pieces=120,
+        )
+        return res.pieces
+
+    bench("unigram trainer 2 EM iters + prune (vocab-sized; flat-ish)", uni_train)
+
+    def bpe_train(kk: int) -> DataFrame:
+        merges = learn_bpe(
+            uni_hist(kk), n_merges=100, max_vocab_words=24
+        )
+        return spark.createDataFrame(
+            [(ph,) for ph, _ in merges], "ph string"
+        )
+
+    bench("bpe trainer 100 merges on capped histogram (flat-ish)", bpe_train)
 
     spark.stop()
 

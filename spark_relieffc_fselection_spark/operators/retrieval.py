@@ -165,12 +165,24 @@ def assemble_doc_tokens(doc_tokens: DataFrame) -> DataFrame:
     )
 
 
+#: Query-token rows carry a d-dim vector each, so the broadcast-hint
+#: ceiling sits well below knn.py's 4M-row id-only probe threshold:
+#: 500k rows x 32 dims x 8 B is already ~128 MB of broadcast per
+#: executor. Past it, the candidates-mode equi-join drops the hint
+#: (sort-merge is linear in both sides; AQE re-broadcasts at runtime
+#: if the built side turns out tiny) and rerank-ALL refuses outright —
+#: a non-broadcast CROSS join is a shuffled cartesian product, which
+#: is never the right plan; the two-stage path is the remedy.
+MAX_BROADCAST_QUERY_TOKENS = 500_000
+
+
 def maxsim_rerank(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,
     k: int,
     exclude_self: bool = True,
     candidates: DataFrame | None = None,
+    num_query_tokens: int | None = None,
 ) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) reranking.
 
@@ -216,7 +228,19 @@ def maxsim_rerank(
     q_rows = query_tokens.select(
         F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
     )
+    q_fits_broadcast = (
+        num_query_tokens is None
+        or num_query_tokens <= MAX_BROADCAST_QUERY_TOKENS
+    )
     if candidates is None:
+        if not q_fits_broadcast:
+            raise ValueError(
+                f"maxsim_rerank over ALL docs needs a broadcastable "
+                f"query-token table ({num_query_tokens} rows > "
+                f"{MAX_BROADCAST_QUERY_TOKENS}): a non-broadcast cross "
+                "join is a shuffled cartesian product. Cut candidates "
+                "first (two_stage_maxsim / the candidates argument)."
+            )
         docs_arr = assemble_doc_tokens(doc_tokens)
         # explicit crossJoin (the bm25_topk spelling): immune to
         # spark.sql.crossJoin.enabled=false sessions, self-documenting
@@ -232,7 +256,7 @@ def maxsim_rerank(
             doc_tokens.join(F.broadcast(cand_ids), "doc_id")
         )
         pairs = docs_arr.join(F.broadcast(cand_pairs), "doc_id").join(
-            F.broadcast(q_rows), "query_id"
+            F.broadcast(q_rows) if q_fits_broadcast else q_rows, "query_id"
         )
     if exclude_self:
         pairs = pairs.filter(F.col("doc_id") != F.col("query_id"))
@@ -245,10 +269,14 @@ def maxsim_rerank(
             )
         ).alias("max_dot"),
     )
+    # decimal-FIRST rounding (ADVICE r9): round the exact decimal sum,
+    # then cast — rounding the nearest DOUBLE instead is
+    # engine-dependent when the exact score lands on a .5e-6 half
+    # boundary, and this score feeds a ranking
     scores = per_token.groupBy("query_id", "doc_id").agg(
-        F.round(
-            F.sum(F.col("max_dot").cast(DEC)).cast("double"), 6
-        ).alias("score")
+        F.round(F.sum(F.col("max_dot").cast(DEC)), 6)
+        .cast("double")
+        .alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -275,6 +303,14 @@ def doc_centroids(doc_tokens: DataFrame) -> DataFrame:
         / F.size("d_toks"),
     )
     return assembled.select("doc_id", centroid.alias("centroid"))
+
+
+#: two_stage_maxsim refuses to collect more candidate pairs than this
+#: (|queries| x first_stage_c by contract): a corpus-sized
+#: query_tokens input must surface as a clear error, not a driver OOM
+#: (ADVICE r9). 10M id-pairs is ~160 MB collected — generous for any
+#: legitimate query batch, far below heap death.
+MAX_CANDIDATE_COLLECT_ROWS = 10_000_000
 
 
 def two_stage_maxsim(
@@ -336,8 +372,20 @@ def two_stage_maxsim(
     # re-run the whole stage-1 corpus pass per reference (ReuseExchange
     # does not unify aliased subtrees; SCALE.md round 5).
     spark = doc_tokens.sparkSession
+    # LIMIT bound+1 BEFORE the collect: the driver never materializes
+    # more than the sanity bound even when the contract is violated —
+    # the violation surfaces as the ValueError below, not an OOM
+    rows = candidates.limit(MAX_CANDIDATE_COLLECT_ROWS + 1).collect()
+    if len(rows) > MAX_CANDIDATE_COLLECT_ROWS:
+        raise ValueError(
+            f"two_stage_maxsim stage-1 produced more than "
+            f"{MAX_CANDIDATE_COLLECT_ROWS} candidate pairs — "
+            "query_tokens looks corpus-sized, violating the "
+            "|queries| x C driver-bound contract; shrink the query "
+            "batch or first_stage_c"
+        )
     cand_local = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["doc_id"])) for r in candidates.collect()],
+        [(int(r["query_id"]), int(r["doc_id"])) for r in rows],
         "query_id long, doc_id long",
     )
     return maxsim_rerank(

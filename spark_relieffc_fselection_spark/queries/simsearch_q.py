@@ -968,7 +968,7 @@ MAXSIM_K = 5
     ),
     scores AS (
       SELECT query_id, doc_id,
-             ROUND(CAST(SUM(CAST(max_dot AS DECIMAL(38,18))) AS DOUBLE), 6)
+             CAST(ROUND(SUM(CAST(max_dot AS DECIMAL(38,18))), 6) AS DOUBLE)
                AS score
       FROM per_token GROUP BY query_id, doc_id
     )
@@ -996,7 +996,10 @@ def q167_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     tok = emb.select(
-        (F.col("vec_id") / MAXSIM_TPD).cast("long").alias("doc_id"),
+        # integer division, NOT double division: vec_id/8 through a
+        # DOUBLE truncates past 2^53 while the oracle's // is exact
+        # at any id magnitude (ADVICE r9)
+        F.expr(f"vec_id div {MAXSIM_TPD}").cast("long").alias("doc_id"),
         (F.col("vec_id") % MAXSIM_TPD).cast("int").alias("tok_idx"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
@@ -1060,7 +1063,7 @@ MAXSIM_STAGE1_C = 10
     ),
     scores AS (
       SELECT query_id, doc_id,
-             ROUND(CAST(SUM(CAST(max_dot AS DECIMAL(38,18))) AS DOUBLE), 6)
+             CAST(ROUND(SUM(CAST(max_dot AS DECIMAL(38,18))), 6) AS DOUBLE)
                AS score
       FROM per_token GROUP BY query_id, doc_id
     )
@@ -1087,7 +1090,10 @@ def q168_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     tok = emb.select(
-        (F.col("vec_id") / MAXSIM_TPD).cast("long").alias("doc_id"),
+        # integer division, NOT double division: vec_id/8 through a
+        # DOUBLE truncates past 2^53 while the oracle's // is exact
+        # at any id magnitude (ADVICE r9)
+        F.expr(f"vec_id div {MAXSIM_TPD}").cast("long").alias("doc_id"),
         (F.col("vec_id") % MAXSIM_TPD).cast("int").alias("tok_idx"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
