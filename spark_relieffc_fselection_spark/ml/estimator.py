@@ -423,7 +423,9 @@ class ReliefFSelectorModel(
         "The kNN strategy the fit ACTUALLY ran — knnStrategy='auto' "
         "resolves by data volume, and a resolution to 'lsh' means the "
         "model's weights are approximate (fit_relief also warns at "
-        "that boundary). 'sparse-inverted' = the exact sparse path. "
+        "that boundary). 'sparse-inverted/probe' or '/grid' = the "
+        "exact sparse path, suffixed with the no-overlap route its "
+        "density heuristic took (cost-only; VERDICT r9 #5). "
         "Persisted with the model: a saved model always records "
         "whether its weights were computed exactly (VERDICT r8 #2).",
         typeConverter=TypeConverters.toString,

@@ -853,7 +853,9 @@ class ReliefFitResult:
     #: hoods — and therefore the weights — are approximate; 'auto'
     #: resolving there also emits a warnings.warn so a 100 TB fit can
     #: never silently degrade exactness (VERDICT r8 #2). The sparse
-    #: fit reports 'sparse-inverted' (its exact inverted-index path).
+    #: fit reports 'sparse-inverted/probe' or '/grid' — which
+    #: no-overlap route its density heuristic actually took (both
+    #: exact; cost-only, VERDICT r9 #5).
     resolved_knn_strategy: str = "numpy"
 
 

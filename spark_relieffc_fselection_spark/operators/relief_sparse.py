@@ -113,6 +113,7 @@ def sparse_knn_join(
     exclude_self: bool = True,
     num_corpus: int | None = None,
     probe: bool | None = None,
+    resolution_out: dict | None = None,
 ) -> DataFrame:
     """kNN via inverted-index dot products + the norm expansion —
     WITHOUT ever materializing the O(|queries| x |corpus|) grid.
@@ -141,6 +142,13 @@ def sparse_knn_join(
     At 100 TB this replaces the old norms-grid crossJoin (O(Q x N)
     narrow rows — the sparse path's one quadratic stage) with
     O(shared nonzeros) join work plus a driver-bounded probe list.
+
+    ``resolution_out`` (VERDICT r9 #5): pass a dict and the operator
+    records which no-overlap route it actually took —
+    ``{'route': 'probe' | 'grid'}`` — the decision the adaptive loop
+    makes at call time. Cost-only (both routes are exact), but the
+    same audit argument as the dense tier's resolved_knn_strategy:
+    a fit whose plan the heuristic chose should say which plan ran.
     """
     # id universe comes from `labels`, NOT the long table: an all-zero
     # row has no long-form rows at all but is still a real instance
@@ -222,6 +230,8 @@ def sparse_knn_join(
         if m >= m_cap:
             break  # dense regime: grid fallback
         m = min(4 * m, m_cap)
+    if resolution_out is not None:
+        resolution_out["route"] = "probe" if probe_ok else "grid"
     # ---- sharing pairs: exact distance from the inverted index ----
     # queries are a bounded sample (the operator contract): broadcast
     # their long rows so the inverted-index join never shuffles the
@@ -454,9 +464,10 @@ def fit_relief_sparse(
             estimation_ratio=estimation_ratio,
             knn_probe=knn_probe,
         )
+    knn_res: dict = {}
     neigh = sparse_knn_join(
         long_df, labels, labels.select("id"), k, num_corpus=n_elems,
-        probe=knn_probe,
+        probe=knn_probe, resolution_out=knn_res,
     ).cache()
     # materialize NOW: both lp and pair_counts consume neigh, and a lazy
     # cache computes the kNN subplan once per consumer concurrently
@@ -498,7 +509,7 @@ def fit_relief_sparse(
         n_instances=n_elems,
         priors=priors,
         redundancy_coo=red_coo,
-        resolved_knn_strategy="sparse-inverted",
+        resolved_knn_strategy=f"sparse-inverted/{knn_res['route']}",
     )
 
 
@@ -551,6 +562,7 @@ def _fit_relief_sparse_batched(
     # batch 0 contributes no joint stats unless the caller seeds the
     # scope explicitly (the reference starts with an empty topFeatures)
     tf: list[int] = list(seed_top_features) if seed_top_features else []
+    knn_res: dict = {"route": "grid"}  # overwritten by batch 0's call
     batch_weights: list[DataFrame] = []
     margs: list[DataFrame] = []
     joints: list[DataFrame] = []
@@ -568,9 +580,13 @@ def _fit_relief_sparse_batched(
         # exact per-batch count only where the probe's coverage proof
         # consumes it; the grid path takes a uniform-split estimate
         b_n = max(1, n_elems // n_batches) if dense_ish else b_labels.count()
+        # record batch 0's route resolution (batches share the data
+        # regime, so the first call's decision is the fit's decision;
+        # forced modes resolve identically every batch by construction)
         neigh = sparse_knn_join(
             b_long, b_labels, b_labels.select("id"), k,
             num_corpus=b_n, probe=probe_arg,
+            resolution_out=knn_res if b == 0 else None,
         ).cache()
         n_pairs = neigh.count()
         total_pairs += n_pairs
@@ -656,7 +672,7 @@ def _fit_relief_sparse_batched(
         priors=priors,
         redundancy_coo=red_coo,
         n_batches=n_batches,
-        resolved_knn_strategy="sparse-inverted",
+        resolved_knn_strategy=f"sparse-inverted/{knn_res['route']}",
     )
 
 

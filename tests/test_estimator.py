@@ -339,7 +339,7 @@ def test_sparse_model_records_inverted_strategy(spark):
         numTopFeatures=2, numNeighbors=2, estimationRatio=1.0,
         batchSize=1.0, redundancyRemoval=False,
     ).fit(df)
-    assert m.getOrDefault(m.resolvedKnnStrategy) == "sparse-inverted"
+    assert m.getOrDefault(m.resolvedKnnStrategy).startswith("sparse-inverted/")
 
 
 def test_sampling_mode_param_reaches_the_fit(spark, vec_df, tmp_path):
@@ -388,7 +388,7 @@ def test_sparse_estimator_honors_sampling_mode(spark):
     )
     m1, m2 = sel.fit(df), sel.fit(df)
     assert m1.getOrDefault(m1.stdSelection) == m2.getOrDefault(m2.stdSelection)
-    assert m1.getOrDefault(m1.resolvedKnnStrategy) == "sparse-inverted"
+    assert m1.getOrDefault(m1.resolvedKnnStrategy).startswith("sparse-inverted/")
 
 
 def test_lsh_probe_radius_param_roundtrip(tmp_path):

@@ -434,3 +434,72 @@ def test_sparse_fit_kddb_width_driver_stays_coo(spark):
     assert len(res.relevance.data) <= n * nnz  # bounded by active features
     assert len(res.std_selection) == 5
     assert len(res.redundancy_selection) == 5
+
+
+def test_sparse_route_resolution_is_recorded(spark):
+    """VERDICT r9 #5: the fit records WHICH no-overlap route the
+    sparse kNN actually took — 'sparse-inverted/probe' when the
+    adaptive bottom-M probe covers, 'sparse-inverted/grid' under the
+    dense-regime fallback or a caller override — mirroring the dense
+    tier's resolved_knn_strategy audit trail (both routes are exact;
+    this is a cost audit, not an exactness one)."""
+    import numpy as np
+
+    from spark_relieffc_fselection_spark.operators.relief_sparse import (
+        sparse_knn_join,
+    )
+
+    # genuinely sparse: 2 of 50 features per row -> the probe covers
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        f1, f2 = rng.choice(50, size=2, replace=False)
+        rows.append((i, int(f1), round(float(rng.normal()), 3)))
+        rows.append((i, int(f2), round(float(rng.normal()), 3)))
+    sparse_long = spark.createDataFrame(
+        rows, "id long, feature_idx int, value double"
+    )
+    sparse_labels = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(120)], "id long, label double"
+    )
+    res = fit_relief_sparse(
+        sparse_long, sparse_labels, n_features=50, num_top_features=3,
+        num_neighbors=2, redundancy_removal=False,
+    )
+    assert res.resolved_knn_strategy == "sparse-inverted/probe"
+
+    # the q161 regime: every instance shares feature 0, so no-overlap
+    # coverage is impossible and the adaptive loop must fall back;
+    # a knn_probe=False override goes straight there
+    # corpus must exceed the adaptive cap 8*(k+1), or the probe
+    # legally degenerates to full-corpus coverage and records 'probe'
+    shared = [(i, 0, 1.0 + (i % 7) / 10.0) for i in range(100)] + [
+        (i, 1 + i % 5, 0.5) for i in range(100)
+    ]
+    shared_long = spark.createDataFrame(
+        shared, "id long, feature_idx int, value double"
+    )
+    shared_labels = spark.createDataFrame(
+        [(i, float(i % 2)) for i in range(100)], "id long, label double"
+    )
+    for override in (None, False):
+        res = fit_relief_sparse(
+            shared_long, shared_labels, n_features=6, num_top_features=3,
+            num_neighbors=2, redundancy_removal=False, knn_probe=override,
+        )
+        assert res.resolved_knn_strategy == "sparse-inverted/grid", override
+    # forcing the probe escalates to full-corpus coverage -> 'probe'
+    res = fit_relief_sparse(
+        shared_long, shared_labels, n_features=6, num_top_features=3,
+        num_neighbors=2, redundancy_removal=False, knn_probe=True,
+    )
+    assert res.resolved_knn_strategy == "sparse-inverted/probe"
+    # the batched loop records batch 0's resolution the same way
+    res = fit_relief_sparse(
+        sparse_long, sparse_labels, n_features=50, num_top_features=3,
+        num_neighbors=2, redundancy_removal=False, batch_size=0.5,
+    )
+    assert res.resolved_knn_strategy in (
+        "sparse-inverted/probe", "sparse-inverted/grid"
+    )
+    assert res.resolved_knn_strategy == "sparse-inverted/probe"
