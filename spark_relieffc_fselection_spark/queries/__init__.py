@@ -178,6 +178,12 @@ _DEFERRED: dict[str, int] = {
     "q110_linear_quality_classifier": 9,
     "q153_bpe_merge_step": 9,
     "q156_bpe_encode": 9,
+    # VERDICT r9 #8 (recall-gate consolidation) was CONDITIONAL on the
+    # round-10 window math needing slots; it did not (see the
+    # _PRIORITY round-11 math note), so q157 keeps its slot. If a
+    # future round's math pinches, fold q157's Hamming-1 evidence into
+    # q160 (radius-2 strictly subsumes it; keep the xor() replay) and
+    # retire this entry — the judge pre-approved that trade.
     "q157_knn_lsh_multiprobe_recall": 9,
     "q158_sparse_fit_hash_batched": 9,
     "q159_ann_lsh_multiprobe_recall": 9,
