@@ -1092,7 +1092,7 @@ def main() -> None:
     # it maxsim_rerank drops the hint in candidates mode and refuses
     # rerank-all outright.
     def maxsim_q(kk: int) -> DataFrame:
-        q = _emb_toks(emb).filter(F.col("doc_id") % (250 // kk) == 0)
+        q = _emb_toks(emb).filter(F.col("doc_id") % max(250 // kk, 1) == 0)
         return maxsim_rerank(_emb_toks(emb), q, k=5)
 
     bench("maxsim rerank (queries grow, corpus fixed)", maxsim_q)
@@ -1108,22 +1108,25 @@ def main() -> None:
             (F.col("id") % 97 + 1).alias("wc"),
         )
 
-    cap_rows = {
-        kk: piece_table(
-            localize(synth_vocab(kk)), max_piece_len=4, max_pieces=256
-        ).count()
-        for kk in (1, k)
-    }
-    raw_rows = {
-        kk: piece_table(localize(synth_vocab(kk)), max_piece_len=4).count()
-        for kk in (1, k)
-    }
-    print(
-        f"unigram piece-table driver dict (vocab grows {k}x): "
-        f"capped 1x={cap_rows[1]} {k}x={cap_rows[k]} (flat = bounded "
-        f"broadcast); uncapped 1x={raw_rows[1]} {k}x={raw_rows[k]} "
-        f"(grows with vocab — the 100 TB hazard the cap removes)"
-    )
+    if not label_filters or any(
+        f in "unigram piece-table driver dict" for f in label_filters
+    ):
+        cap_rows = {
+            kk: piece_table(
+                localize(synth_vocab(kk)), max_piece_len=4, max_pieces=256
+            ).count()
+            for kk in (1, k)
+        }
+        raw_rows = {
+            kk: piece_table(localize(synth_vocab(kk)), max_piece_len=4).count()
+            for kk in (1, k)
+        }
+        print(
+            f"unigram piece-table driver dict (vocab grows {k}x): "
+            f"capped 1x={cap_rows[1]} {k}x={cap_rows[k]} (flat = bounded "
+            f"broadcast); uncapped 1x={raw_rows[1]} {k}x={raw_rows[k]} "
+            f"(grows with vocab — the 100 TB hazard the cap removes)"
+        )
 
     # composed trainers (VERDICT r9 #4): corpus grows Kx but the
     # fixture vocabulary is fixed, so train_unigram (EM + prune) and

@@ -48,6 +48,11 @@ def merge_placeholder(m: int) -> str:
 #: see the localCheckpoint note in the merge loop.
 _CHECKPOINT_EVERY = 8
 
+#: learn_bpe refuses to collect a larger training histogram than this
+#: (~1M short words is tens of MB on the driver); callers bound the
+#: vocab with max_vocab_words / min_count like any production trainer.
+MAX_BPE_VOCAB_COLLECT = 1_000_000
+
 
 def pair_counts(vocab: DataFrame, word_col: str = "w", weight_col: str = "wc") -> DataFrame:
     """Adjacent symbol-pair counts weighted by word frequency —
@@ -212,7 +217,8 @@ def learn_bpe(
     word histogram): ONE corpus shuffle builds the histogram (the
     caller's groupBy), ONE bounded collect brings the top
     ``max_vocab_words`` words (wc DESC, w ASC — deterministic, the
-    same capping story as piece_table's max_pieces) to the driver,
+    same capping story as piece_table's max_pieces; the collect is
+    refused past MAX_BPE_VOCAB_COLLECT rows either way) to the driver,
     and the merge loop runs locally — no per-merge cluster round
     trip. :func:`learn_bpe_merges` remains the fully-distributed
     exact path (one argmax job per round) for when the histogram must
@@ -235,18 +241,44 @@ def learn_bpe(
         q = q.filter(F.col(weight_col) >= min_count)
     if max_vocab_words is not None:
         q = q.orderBy(F.desc(weight_col), F.asc(word_col)).limit(max_vocab_words)
-    rows = q.collect()
-    words = [(r[word_col], int(r[weight_col])) for r in rows]
-    import re as _re
-
-    forbidden = _re.compile(_FORBIDDEN_RANGE)
-    for w, _ in words:
-        if forbidden.search(w):
-            raise ValueError(
-                "vocabulary contains C0 control or private-use "
-                f"characters (e.g. {w!r}) that would alias BPE merge "
-                "placeholders; strip or reject them upstream"
-            )
+    # The forbidden-character probe scans the FULL vocabulary, not the
+    # capped top-N: a low-frequency word carrying a PUA char would
+    # otherwise slip past the cap, and bpe_render over the full vocab
+    # would then expand its char as if it were a merge placeholder —
+    # silent corruption, the exact class this guard exists to reject.
+    # Fused into the one collect as a union branch (the
+    # learn_bpe_merges probe pattern) so it costs no extra job.
+    probe = (
+        vocab.filter(F.col(word_col).rlike(_FORBIDDEN_RANGE))
+        .select(F.lit(1).alias("k"), F.col(word_col).alias(word_col),
+                F.lit(0).cast("long").alias(weight_col))
+        .limit(1)
+    )
+    # Bounded collect (the two_stage_maxsim lesson, ADVICE r9): an
+    # uncapped Heaps'-law vocabulary must surface as a clear error,
+    # not a driver OOM.
+    fetch = (
+        q.select(F.lit(0).alias("k"), word_col,
+                 F.col(weight_col).cast("long").alias(weight_col))
+        .limit(MAX_BPE_VOCAB_COLLECT + 1)
+        .unionAll(probe)
+    )
+    rows = fetch.collect()
+    dirty = [r for r in rows if r["k"] == 1]
+    if dirty:
+        raise ValueError(
+            "vocabulary contains C0 control or private-use "
+            f"characters (e.g. {dirty[0][word_col]!r}) that would alias "
+            "BPE merge placeholders; strip or reject them upstream"
+        )
+    words = [(r[word_col], int(r[weight_col])) for r in rows if r["k"] == 0]
+    if len(words) > MAX_BPE_VOCAB_COLLECT:
+        raise ValueError(
+            f"learn_bpe would collect more than {MAX_BPE_VOCAB_COLLECT} "
+            "vocabulary rows to the driver — pass max_vocab_words (or "
+            "min_count) to bound the training histogram, the way "
+            "production tokenizer trainers seed their vocab"
+        )
     if vocab_target is not None:
         alphabet = {c for w, _ in words for c in w}
         n_merges = max(vocab_target - len(alphabet), 0)

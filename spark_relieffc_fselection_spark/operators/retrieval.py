@@ -228,10 +228,16 @@ def maxsim_rerank(
     q_rows = query_tokens.select(
         F.col("doc_id").alias("query_id"), "tok_idx", F.col("vec").alias("q_vec")
     )
-    q_fits_broadcast = (
-        num_query_tokens is None
-        or num_query_tokens <= MAX_BROADCAST_QUERY_TOKENS
-    )
+    if num_query_tokens is None:
+        # Self-enforcing: a guard that waits for callers to volunteer
+        # the count never fires in practice. limit(N+1).count() is
+        # early-exit bounded (LocalLimit stops each partition at the
+        # cap), so the probe costs ~nothing on a legitimate bounded
+        # query side and still trips on a corpus-sized one.
+        num_query_tokens = query_tokens.limit(
+            MAX_BROADCAST_QUERY_TOKENS + 1
+        ).count()
+    q_fits_broadcast = num_query_tokens <= MAX_BROADCAST_QUERY_TOKENS
     if candidates is None:
         if not q_fits_broadcast:
             raise ValueError(
@@ -318,6 +324,7 @@ def two_stage_maxsim(
     query_tokens: DataFrame,
     first_stage_c: int,
     k: int,
+    num_query_tokens: int | None = None,
 ) -> DataFrame:
     """The production retrieval shape: a CHEAP single-vector first
     stage cuts the corpus to ``first_stage_c`` candidates per query
@@ -389,5 +396,6 @@ def two_stage_maxsim(
         "query_id long, doc_id long",
     )
     return maxsim_rerank(
-        doc_tokens, query_tokens, k, exclude_self=True, candidates=cand_local
+        doc_tokens, query_tokens, k, exclude_self=True,
+        candidates=cand_local, num_query_tokens=num_query_tokens,
     )

@@ -349,6 +349,8 @@ def em_step_counts(
     seed collect this way, one driver job fewer per iteration."""
     spark = vocab.sparkSession
     if lp_map is None:
+        if pieces is None:
+            raise ValueError("em_step_counts needs pieces or lp_map")
         lp_map = {
             r["piece"]: float(r["lp"])
             for r in pieces.select("piece", "lp").collect()

@@ -997,11 +997,9 @@ def _mstep_walk(dp_prefix: str, out: str) -> list[str]:
 
 def _unigram_mstep_chain() -> list[str]:
     """Round-1 prefix + M-step walk into ``agg`` (q163/q165/q166)."""
-    parts = _unigram_dp_prefix()
-    # legacy names: the round-1 walk is unprefixed (w0..wW, used, agg)
-    return parts + [
-        p.replace("w0 AS", "w0 AS", 1) for p in _mstep_walk("d", "")
-    ]
+    # the round-1 walk uses the unprefixed legacy names (w0..wW,
+    # used, agg), which is exactly _mstep_walk's empty out-prefix
+    return _unigram_dp_prefix() + _mstep_walk("d", "")
 
 
 def _unigram_mstep_oracle() -> str:

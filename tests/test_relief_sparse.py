@@ -499,7 +499,4 @@ def test_sparse_route_resolution_is_recorded(spark):
         sparse_long, sparse_labels, n_features=50, num_top_features=3,
         num_neighbors=2, redundancy_removal=False, batch_size=0.5,
     )
-    assert res.resolved_knn_strategy in (
-        "sparse-inverted/probe", "sparse-inverted/grid"
-    )
     assert res.resolved_knn_strategy == "sparse-inverted/probe"

@@ -834,3 +834,29 @@ def test_maxsim_candidates_mode_dedupes_pairs(spark):
     a = sorted(map(tuple, maxsim_rerank(tok, queries, 3, candidates=cand_clean).collect()))
     b = sorted(map(tuple, maxsim_rerank(tok, queries, 3, candidates=cand_dup).collect()))
     assert a == b
+
+
+def test_maxsim_broadcast_ceiling_is_self_enforcing(spark, monkeypatch):
+    """maxsim_rerank probes the query-token count itself (bounded
+    limit+count), so the broadcast ceiling fires without callers
+    volunteering num_query_tokens: rerank-ALL past the ceiling raises
+    (a non-broadcast cross join is never the right plan); candidates
+    mode drops the hint and still computes correct scores."""
+    from spark_relieffc_fselection_spark.operators import retrieval
+
+    tok = spark.createDataFrame(
+        [(d, t, [float(d + 1), float(t + 1)]) for d in range(6) for t in range(2)],
+        "doc_id long, tok_idx int, vec array<double>",
+    )
+    queries = tok.filter("doc_id = 0")
+    monkeypatch.setattr(retrieval, "MAX_BROADCAST_QUERY_TOKENS", 1)
+    with pytest.raises(ValueError, match="broadcastable"):
+        retrieval.maxsim_rerank(tok, queries, k=3)
+    cand = spark.createDataFrame(
+        [(0, d) for d in range(1, 6)], "query_id long, doc_id long"
+    )
+    out = retrieval.maxsim_rerank(tok, queries, k=3, candidates=cand).collect()
+    assert len(out) == 3
+    monkeypatch.setattr(retrieval, "MAX_BROADCAST_QUERY_TOKENS", 500_000)
+    ref = retrieval.maxsim_rerank(tok, queries, k=3, candidates=cand).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))

@@ -638,3 +638,29 @@ def test_train_unigram_contract(spark):
     res2 = train_unigram(vocab, vocab_target=2, n_iters=1, max_piece_len=3)
     got = {r["piece"] for r in res2.pieces.collect()}
     assert got == {"a", "b", "c"}
+
+
+def test_learn_bpe_rejects_forbidden_chars_outside_the_cap(spark, monkeypatch):
+    """The forbidden-character probe must scan the FULL vocabulary: a
+    low-frequency PUA-bearing word outside the top max_vocab_words
+    would otherwise train fine and then corrupt bpe_render over the
+    full vocab. Also: the driver collect is refused past
+    MAX_BPE_VOCAB_COLLECT rows instead of OOMing."""
+    from spark_relieffc_fselection_spark.operators import bpe
+
+    vocab = spark.createDataFrame(
+        [("banana", 100), ("bandana", 50), ("he\uE001lo", 1)],
+        "w string, wc long",
+    )
+    with pytest.raises(ValueError, match="C0 control or private-use"):
+        bpe.learn_bpe(vocab, n_merges=2, max_vocab_words=2)
+
+    clean = spark.createDataFrame(
+        [("banana", 100), ("bandana", 50), ("cabana", 10)],
+        "w string, wc long",
+    )
+    monkeypatch.setattr(bpe, "MAX_BPE_VOCAB_COLLECT", 2)
+    with pytest.raises(ValueError, match="pass max_vocab_words"):
+        bpe.learn_bpe(clean, n_merges=2)
+    # bounded callers stay fine under the same ceiling
+    assert len(bpe.learn_bpe(clean, n_merges=2, max_vocab_words=2)) == 2
