@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 #: Unicode BMP private-use area U+E001..U+F8FF (VERDICT r9 #2: the
 #: earlier C0 alphabet capped real training at 31 merges — a
 #: capability cliff, since a production vocabulary needs ~30k merges;
-#: the PUA rebase buys ~6.4k per tier, enough for q170's composed
-#: trainer, and a future second tier could chain the supplementary
-#: planes). Two guards make the "can't collide with surface text"
+#: the PUA rebase buys 6,399 BMP placeholders, and the chained
+#: Plane-15 tier lifts the ceiling to 71,932 — a production-vocab
+#: merge budget). Two guards make the "can't collide with surface text"
 #: claim real instead of assumed: learn_bpe_merges rejects
 #: n_merges > _MAX_MERGES (beyond U+F8FF sit surrogates and
 #: assigned text), and rejects vocabularies that already contain C0
@@ -35,13 +35,24 @@ from pyspark.sql import functions as F
 #: bytes are never legitimate tokenizer input and rejecting both
 #: keeps the contract stable across alphabet rebases).
 _PUA_BASE = 0xE000
-_MAX_MERGES = 0xF8FF - 0xE000  # 6399 usable placeholders
-_FORBIDDEN_RANGE = "[\x01-\x1f\uE000-\uF8FF]"
+_BMP_SLOTS = 0xF8FF - 0xE000       # 6399 BMP placeholders
+#: Second tier: Plane-15 private-use area (U+F0000..U+FFFFD). Spark's
+#: UTF8String, DuckDB, and Python all treat these as single code
+#: points in length/substring/replace, so the merge machinery is
+#: tier-agnostic; the tier boundary is property-tested by shrinking
+#: _BMP_SLOTS (same code path, fast test).
+_SUPP_BASE = 0xF0000
+_SUPP_SLOTS = 0xFFFFD - 0xF0000    # 65533 supplementary placeholders
+_MAX_MERGES = _BMP_SLOTS + _SUPP_SLOTS  # 71932 — a production-vocab scale
+_FORBIDDEN_RANGE = "[\x01-\x1f\uE000-\uF8FF\U000F0000-\U000FFFFD]"
 
 
 def merge_placeholder(m: int) -> str:
-    """Placeholder character for merge number ``m`` (1-based)."""
-    return chr(_PUA_BASE + m)
+    """Placeholder character for merge number ``m`` (1-based):
+    BMP PUA first, then the Plane-15 PUA tier."""
+    if m <= _BMP_SLOTS:
+        return chr(_PUA_BASE + m)
+    return chr(_SUPP_BASE + (m - _BMP_SLOTS))
 
 
 #: learn_bpe_merges truncates its replace-chain lineage this often —
@@ -94,9 +105,9 @@ def learn_bpe_merges(
     vocab-sized aggregation collapsing to ONE driver row; the replace
     chain stays lazy over the caller's (ideally localized) vocab.
 
-    Raises on ``n_merges > 6399`` (the placeholder alphabet is the
-    BMP private-use area U+E001..U+F8FF — beyond it sit surrogates
-    and assigned text) and on vocabularies already containing C0 or
+    Raises on ``n_merges > 71932`` (the placeholder alphabet is the
+    BMP private-use area U+E001..U+F8FF chained with the Plane-15
+    PUA) and on vocabularies already containing C0 or
     PUA characters (PUA would alias placeholders and break the
     bpe_render reconstruction law; C0 is never legitimate tokenizer
     input). The presence probe is FUSED
@@ -107,11 +118,10 @@ def learn_bpe_merges(
     if n_merges > _MAX_MERGES:
         raise ValueError(
             f"learn_bpe_merges supports at most {_MAX_MERGES} merges: "
-            f"placeholder {n_merges} would fall past U+F8FF, outside "
-            "the BMP private-use area — surrogate or assigned text, "
-            "silently corrupting tokenization. Chain a second "
-            "placeholder tier (supplementary-plane PUA) before "
-            "scaling the merge count further."
+            f"placeholder {n_merges} would fall past the Plane-15 "
+            "private-use area into assigned text, silently corrupting "
+            "tokenization — a third tier (Plane-16 PUA-B) would be "
+            "needed to scale the merge count further."
         )
     probe = (
         vocab.filter(F.col(word_col).rlike(_FORBIDDEN_RANGE))
@@ -285,9 +295,9 @@ def learn_bpe(
     if n_merges > _MAX_MERGES:
         raise ValueError(
             f"learn_bpe supports at most {_MAX_MERGES} merges: "
-            f"placeholder {n_merges} would fall past U+F8FF, outside "
-            "the BMP private-use area. Chain a second placeholder "
-            "tier (supplementary-plane PUA) before scaling further."
+            f"placeholder {n_merges} would fall past the Plane-15 "
+            "private-use area into assigned text — a third tier "
+            "(Plane-16 PUA-B) would be needed to scale further."
         )
     merges: list[tuple[str, str]] = []
     for m in range(1, n_merges + 1):

@@ -263,15 +263,18 @@ def test_bpe_placeholder_alphabet_is_guarded(spark):
         merge_placeholder,
     )
 
-    assert _MAX_MERGES == 6399
+    assert _MAX_MERGES == 71932
     assert merge_placeholder(1) == "\uE001"
-    assert merge_placeholder(_MAX_MERGES) == "\uF8FF"
+    assert merge_placeholder(6399) == "\uF8FF"
+    # the Plane-15 tier chains on seamlessly past the BMP slots
+    assert merge_placeholder(6400) == "\U000F0001"
+    assert merge_placeholder(_MAX_MERGES) == "\U000FFFFD"
     vocab = spark.createDataFrame(
         [("hello", 3), ("help", 2)], "w string, wc long"
     )
-    with pytest.raises(ValueError, match="at most 6399 merges"):
-        learn_bpe_merges(vocab, 6400)
-    for bad in ("he\x01lo", "he\uE001lo", "he\uF8FFlo"):
+    with pytest.raises(ValueError, match="at most 71932 merges"):
+        learn_bpe_merges(vocab, 71933)
+    for bad in ("he\x01lo", "he\uE001lo", "he\uF8FFlo", "he\U000F0001lo"):
         dirty = spark.createDataFrame(
             [(bad, 3), ("help", 2)], "w string, wc long"
         )
@@ -664,3 +667,34 @@ def test_learn_bpe_rejects_forbidden_chars_outside_the_cap(spark, monkeypatch):
         bpe.learn_bpe(clean, n_merges=2)
     # bounded callers stay fine under the same ceiling
     assert len(bpe.learn_bpe(clean, n_merges=2, max_vocab_words=2)) == 2
+
+
+def test_bpe_tier_boundary_is_lossless(spark, monkeypatch):
+    """Merge chains that cross the BMP->Plane-15 placeholder tier
+    boundary stay lossless through the SPARK apply/render path (the
+    F.replace machinery must treat supplementary code points as
+    single characters, same as Python and DuckDB). The boundary is
+    shrunk to 5 so a 33-merge chain provably crosses it without a
+    6,400-merge test."""
+    import pyspark.sql.functions as F
+
+    from spark_relieffc_fselection_spark.operators import bpe
+
+    monkeypatch.setattr(bpe, "_BMP_SLOTS", 5)
+    alphabet = [chr(ord("0") + i) for i in range(10)] + [
+        chr(ord("A") + i) for i in range(26)
+    ] + [chr(ord("a") + i) for i in range(26)]
+    words = [
+        ("".join(alphabet[4 * i : 4 * i + 4]), 100 - i) for i in range(11)
+    ]
+    vocab = spark.createDataFrame(words, "w string, wc long")
+    merges = bpe.learn_bpe(vocab, n_merges=1000)
+    assert len(merges) == 33
+    assert merges[4][0] == "\uE005" and merges[5][0] == "\U000F0001"
+    # the distributed trainer picks the identical chain across tiers
+    assert bpe.learn_bpe_merges(vocab, 8) == merges[:8]
+    merged = bpe.bpe_apply(vocab.withColumn("orig", F.col("w")), merges)
+    rebuilt = merged.select(
+        "orig", bpe.bpe_render("w", merges).alias("round_trip")
+    )
+    assert rebuilt.filter(F.col("round_trip") != F.col("orig")).count() == 0
