@@ -70,39 +70,50 @@ def piece_table(
     the SURVIVING pieces, so the capped table is a proper
     distribution, not a truncated one."""
     w = F.col(word_col)
-    subs = F.flatten(
-        F.array(
-            *[
-                F.when(
-                    F.length(w) >= l,
-                    F.expr(
-                        f"transform(sequence(1, length({word_col}) - {l} + 1),"
-                        f" i -> substring({word_col}, i, {l}))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-                for l in range(1, max_piece_len + 1)
-            ]
+
+    def _subs(lo: int, hi: int) -> F.Column:
+        return F.flatten(
+            F.array(
+                *[
+                    F.when(
+                        F.length(w) >= l,
+                        F.expr(
+                            f"transform(sequence(1, length({word_col}) - {l} + 1),"
+                            f" i -> substring({word_col}, i, {l}))"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                    for l in range(lo, hi + 1)
+                ]
+            )
         )
-    )
-    counts = (
-        vocab.select(F.explode(subs).alias("piece"), weight_col)
-        .groupBy("piece")
-        .agg(F.sum(weight_col).alias("c"))
-    )
-    if min_count > 1:
-        counts = counts.filter(
-            (F.length("piece") == 1) | (F.col("c") >= min_count)
+
+    def _counts(lo: int, hi: int) -> DataFrame:
+        return (
+            vocab.select(F.explode(_subs(lo, hi)).alias("piece"), weight_col)
+            .groupBy("piece")
+            .agg(F.sum(weight_col).alias("c"))
         )
-    if max_pieces is not None:
-        # base alphabet unconditionally + bounded top-N multi-char
-        # candidates; the tie order (c DESC, piece ASC) is total, so
-        # the boundary is deterministic and cross-engine replayable
-        multi = (
-            counts.filter(F.length("piece") >= 2)
-            .orderBy(F.desc("c"), F.asc("piece"))
-            .limit(max_pieces)
-        )
-        counts = counts.filter(F.length("piece") == 1).unionByName(multi)
+
+    if max_pieces is None and min_count <= 1:
+        counts = _counts(1, max_piece_len)
+    else:
+        # DISJOINT branch aggregations (length-1 vs multi-char): the
+        # knobs treat the alphabet and the candidates differently, and
+        # filtering one shared `counts` frame twice would re-run the
+        # whole substring explode per reference (dupe-subtree scan
+        # flagged exactly that) — two branch explodes cover the same
+        # substring volume exactly once between them.
+        alpha = _counts(1, 1)
+        multi = _counts(2, max_piece_len)
+        if min_count > 1:
+            multi = multi.filter(F.col("c") >= min_count)
+        if max_pieces is not None:
+            # bounded top-N, tie order (c DESC, piece ASC) — total, so
+            # the boundary is deterministic and cross-engine replayable
+            multi = multi.orderBy(F.desc("c"), F.asc("piece")).limit(
+                max_pieces
+            )
+        counts = alpha.unionByName(multi)
     total = float(counts.agg(F.sum("c")).first()[0] or 0.0)
     if total == 0.0:
         # an empty candidate table would silently score every piece
