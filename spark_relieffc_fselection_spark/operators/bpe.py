@@ -313,3 +313,37 @@ def learn_bpe(
         merges.append((ph, pair))
         words = [(w.replace(pair, ph), wc) for w, wc in words]
     return merges
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge chain as parquet ``(m, placeholder,
+    pair)`` — merge order is the load-bearing contract (pairs may
+    contain earlier placeholders), so the ordinal is stored explicitly
+    instead of trusting file/row order. One driver-sized write: the
+    chain is merges-long (<= _MAX_MERGES rows)."""
+    df = spark.createDataFrame(
+        [(i, ph, pair) for i, (ph, pair) in enumerate(merges, 1)],
+        "m int, placeholder string, pair string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge chain saved by :func:`save_merges`, validating the
+    ordinal sequence (a gap or duplicate means a corrupt artifact and
+    would silently mis-render every affected token)."""
+    rows = spark.read.parquet(path).orderBy("m").collect()
+    for i, r in enumerate(rows, 1):
+        if int(r["m"]) != i:
+            raise ValueError(
+                f"corrupt merge chain at {path}: ordinal {r['m']} at "
+                f"position {i} (expected contiguous 1..{len(rows)})"
+            )
+        if r["placeholder"] != merge_placeholder(i):
+            raise ValueError(
+                f"corrupt merge chain at {path}: merge {i} carries "
+                f"placeholder {r['placeholder']!r}, expected "
+                f"{merge_placeholder(i)!r} — the artifact was saved "
+                "under a different placeholder alphabet"
+            )
+    return [(r["placeholder"], r["pair"]) for r in rows]

@@ -499,3 +499,45 @@ def train_unigram(
         pruned_multi=len(candidates) - len(kept),
         final_size=len(final),
     )
+
+
+def save_piece_table(pieces: DataFrame, path: str) -> None:
+    """Persist a (trained) piece table ``(piece, uses?, lp)`` as
+    parquet — the serving artifact :func:`viterbi_segment` and the
+    corpus-join tokenization pattern (q164) consume. Pieces-sized
+    (seed-capped), so one small write."""
+    cols = [c for c in ("piece", "uses", "c", "lp") if c in pieces.columns]
+    if "piece" not in cols or "lp" not in cols:
+        raise ValueError(
+            f"piece table needs at least (piece, lp); got {pieces.columns}"
+        )
+    pieces.select(*cols).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_piece_table(spark, path: str) -> DataFrame:
+    """Load a piece table saved by :func:`save_piece_table`,
+    validating segmentation TOTALITY: every multi-char piece's
+    characters must be covered by length-1 pieces, or some word over
+    the alphabet would hit MISSING_PIECE_SCORE on every path. One
+    pieces-sized validation collect."""
+    df = spark.read.parquet(path)
+    if "piece" not in df.columns or "lp" not in df.columns:
+        raise ValueError(
+            f"not a piece-table artifact at {path}: columns {df.columns}"
+        )
+    rows = df.select("piece").collect()
+    alphabet = {r["piece"] for r in rows if len(r["piece"]) == 1}
+    uncovered = {
+        ch
+        for r in rows
+        for ch in r["piece"]
+        if len(r["piece"]) >= 2 and ch not in alphabet
+    }
+    if uncovered:
+        raise ValueError(
+            f"piece table at {path} is not segmentation-total: "
+            f"characters {sorted(uncovered)!r} appear in multi-char "
+            "pieces but have no length-1 piece — words containing "
+            "them outside those exact pieces would be unsegmentable"
+        )
+    return df

@@ -698,3 +698,66 @@ def test_bpe_tier_boundary_is_lossless(spark, monkeypatch):
         "orig", bpe.bpe_render("w", merges).alias("round_trip")
     )
     assert rebuilt.filter(F.col("round_trip") != F.col("orig")).count() == 0
+
+
+def test_tokenizer_artifact_round_trip(spark, tmp_path):
+    """Trained tokenizers must survive persistence: the BPE merge
+    chain round-trips with its load-bearing order validated, and the
+    unigram piece table round-trips with segmentation totality
+    validated — a trained-but-unsaveable tokenizer is not a trainer."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_render,
+        learn_bpe,
+        load_merges,
+        save_merges,
+    )
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        load_piece_table,
+        save_piece_table,
+        train_unigram,
+        viterbi_segment,
+    )
+
+    vocab = spark.createDataFrame(
+        [("banana", 7), ("bandana", 5), ("cabana", 4), ("anagram", 2)],
+        "w string, wc long",
+    )
+    merges = learn_bpe(vocab, n_merges=8)
+    mp = str(tmp_path / "merges")
+    save_merges(spark, merges, mp)
+    assert load_merges(spark, mp) == merges
+    # a loaded chain renders identically to the in-memory one
+    sym = spark.createDataFrame([(merges[-1][0],)], "s string")
+    a = sym.select(bpe_render("s", merges).alias("t")).first()["t"]
+    b = sym.select(bpe_render("s", load_merges(spark, mp)).alias("t")).first()["t"]
+    assert a == b and len(a) >= 2
+
+    # alphabet is 8 chars; target 12 keeps 4 multi-char pieces, so
+    # the corrupt-artifact case below has multi rows to orphan
+    res = train_unigram(vocab, vocab_target=12, n_iters=1, max_piece_len=3)
+    pp = str(tmp_path / "pieces")
+    save_piece_table(res.pieces, pp)
+    loaded = load_piece_table(spark, pp)
+    assert sorted(map(tuple, loaded.collect())) == sorted(
+        map(tuple, res.pieces.collect())
+    )
+    # the loaded artifact segments every word (serving path)
+    seg = viterbi_segment(vocab, loaded, max_piece_len=3)
+    assert seg.filter(F.col("best_lp") < -1e8).count() == 0
+
+    # corrupt artifacts fail loudly
+    bad = res.pieces.filter(F.length("piece") >= 2)
+    bp = str(tmp_path / "bad_pieces")
+    bad.write.parquet(bp)
+    with pytest.raises(ValueError, match="not segmentation-total"):
+        load_piece_table(spark, bp)
+    gap = spark.createDataFrame(
+        [(1, "\uE001", "ba"), (3, "\uE003", "na")],
+        "m int, placeholder string, pair string",
+    )
+    gp = str(tmp_path / "bad_merges")
+    gap.write.parquet(gp)
+    with pytest.raises(ValueError, match="corrupt merge chain"):
+        load_merges(spark, gp)
