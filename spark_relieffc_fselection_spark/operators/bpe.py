@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Placeholder for merge m is chr(0xE000 + m), m in 1..6399 — the
+#: Placeholder for merge m: chr(0xE000 + m) for m in 1..6399, then
+#: chr(0xF0000 + (m - 6399)) up to 71932 (see merge_placeholder) — the
 #: Unicode BMP private-use area U+E001..U+F8FF (VERDICT r9 #2: the
 #: earlier C0 alphabet capped real training at 31 merges — a
 #: capability cliff, since a production vocabulary needs ~30k merges;
@@ -334,7 +335,7 @@ def load_merges(spark, path: str) -> list[tuple[str, str]]:
     would silently mis-render every affected token)."""
     rows = spark.read.parquet(path).orderBy("m").collect()
     for i, r in enumerate(rows, 1):
-        if int(r["m"]) != i:
+        if r["m"] is None or int(r["m"]) != i:
             raise ValueError(
                 f"corrupt merge chain at {path}: ordinal {r['m']} at "
                 f"position {i} (expected contiguous 1..{len(rows)})"

@@ -94,7 +94,11 @@ def piece_table(
             .agg(F.sum(weight_col).alias("c"))
         )
 
-    if max_pieces is None and min_count <= 1:
+    if (max_pieces is None and min_count <= 1) or max_piece_len < 2:
+        # knobs only act on multi-char candidates, so with
+        # max_piece_len=1 the single alphabet explode IS the answer
+        # (and _counts(2, 1) would be an empty flatten(array()) —
+        # an AnalysisException, not an empty frame)
         counts = _counts(1, max_piece_len)
     else:
         # DISJOINT branch aggregations (length-1 vs multi-char): the

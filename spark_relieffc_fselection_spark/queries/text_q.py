@@ -694,6 +694,18 @@ BPE_ENC_MERGES = 6
 BPE_ENC_TOP = 20
 
 
+def _placeholder_cp(m: int) -> int:
+    """DuckDB chr() codepoint for merge ``m`` — derived from the
+    engine's merge_placeholder so the generated oracles track the
+    two-tier PUA alphabet by construction (a hardcoded 0xE000+m would
+    silently diverge past merge 6399)."""
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        merge_placeholder,
+    )
+
+    return ord(merge_placeholder(m))
+
+
 def _bpe_encode_oracle(
     n_merges: int = BPE_ENC_MERGES,
     vocab_cap: int | None = None,
@@ -740,11 +752,11 @@ def _bpe_encode_oracle(
             f"(SELECT pair FROM p{m} ORDER BY wcnt DESC, pair ASC LIMIT 1),",
             f"vocab{m} AS MATERIALIZED (",
             # coalesce: an exhausted pair supply (tiny corpus) must be an
-            # identity replace, not a NULL-poisoned vocabulary
-            # chr(57344 + m): the U+E000 PUA placeholder alphabet —
-            # must track operators/bpe.py merge_placeholder exactly
+            # identity replace, not a NULL-poisoned vocabulary;
+            # the chr codepoint is derived FROM merge_placeholder, so
+            # the oracle tracks the two-tier alphabet by construction
             f"  SELECT replace(w, coalesce((SELECT pair FROM t{m}), chr(0)),"
-            f" chr({0xE000 + m})) AS w, wc FROM vocab{m - 1}",
+            f" chr({_placeholder_cp(m)})) AS w, wc FROM vocab{m - 1}",
             "),",
         ]
     if vocab_cap is None:
@@ -756,13 +768,13 @@ def _bpe_encode_oracle(
         for m in range(1, n_merges + 1):
             chain = (
                 f"replace({chain}, coalesce((SELECT pair FROM t{m}),"
-                f" chr(0)), chr({0xE000 + m}))"
+                f" chr(0)), chr({_placeholder_cp(m)}))"
             )
         parts.append(f"applied AS (SELECT {chain} AS w, wc FROM fullvocab),")
     render = "sym"
     for m in range(n_merges, 0, -1):
         render = (
-            f"replace({render}, chr({0xE000 + m}),"
+            f"replace({render}, chr({_placeholder_cp(m)}),"
             f" coalesce((SELECT pair FROM t{m}), chr(0)))"
         )
     parts += [

@@ -761,3 +761,17 @@ def test_tokenizer_artifact_round_trip(spark, tmp_path):
     gap.write.parquet(gp)
     with pytest.raises(ValueError, match="corrupt merge chain"):
         load_merges(spark, gp)
+
+
+def test_piece_table_single_char_pieces_with_knobs(spark):
+    """max_piece_len=1 with the capping knobs must degrade to the
+    plain alphabet table (the knobs only act on multi-char
+    candidates), not crash building an empty multi-branch explode."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+    )
+
+    vocab = spark.createDataFrame([("abab", 5), ("b", 2)], "w string, wc long")
+    for kw in ({"min_count": 2}, {"max_pieces": 1}, {"max_pieces": 0, "min_count": 3}):
+        rows = piece_table(vocab, max_piece_len=1, **kw).collect()
+        assert {r["piece"] for r in rows} == {"a", "b"}, kw
