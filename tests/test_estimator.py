@@ -391,7 +391,11 @@ def test_sparse_estimator_honors_sampling_mode(spark):
     assert m1.getOrDefault(m1.resolvedKnnStrategy).startswith("sparse-inverted/")
 
 
-def test_lsh_probe_radius_param_roundtrip(tmp_path):
+def test_lsh_probe_radius_param_roundtrip(spark, tmp_path):
+    # the spark fixture is load-bearing: Param persistence needs an
+    # ACTIVE SparkContext, and without requesting it this test only
+    # passed when some earlier test left one around (latent ordering
+    # dependency, found by a -k selection)
     est = ReliefFSelector(numTopFeatures=3, lshProbeRadius=2)
     path = str(tmp_path / "radius-est")
     est.write().overwrite().save(path)
@@ -503,6 +507,13 @@ def test_sparse_knn_probe_param_reaches_the_fit(spark, tmp_path):
     m_grid = ReliefFSelector(**params, sparseKnnProbe="grid").fit(df)
     assert m_grid.getOrDefault(m_grid.stdSelection) == m_auto.getOrDefault(
         m_auto.stdSelection
+    )
+    # the persisted model records WHICH route ran (VERDICT r9 #5)
+    assert m_grid.getOrDefault(
+        m_grid.resolvedKnnStrategy
+    ) == "sparse-inverted/grid"
+    assert m_auto.getOrDefault(m_auto.resolvedKnnStrategy).startswith(
+        "sparse-inverted/"
     )
     path = str(tmp_path / "probe-est")
     sel = ReliefFSelector(sparseKnnProbe="grid")
