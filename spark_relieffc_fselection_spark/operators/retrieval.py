@@ -230,13 +230,20 @@ def maxsim_rerank(
     )
     if num_query_tokens is None:
         # Self-enforcing: a guard that waits for callers to volunteer
-        # the count never fires in practice. limit(N+1).count() is
-        # early-exit bounded (LocalLimit stops each partition at the
-        # cap), so the probe costs ~nothing on a legitimate bounded
-        # query side and still trips on a corpus-sized one.
-        num_query_tokens = query_tokens.limit(
-            MAX_BROADCAST_QUERY_TOKENS + 1
-        ).count()
+        # the count never fires in practice. A LOCALIZED query side
+        # (the q167/q168 shape — localize() is already the house rule
+        # for multiply-referenced bounded frames) carries its exact
+        # row count for free; anything else pays one
+        # early-exit-bounded probe job (LocalLimit stops each
+        # partition at the cap), which costs ~nothing on a legitimate
+        # bounded side and still trips on a corpus-sized one.
+        num_query_tokens = getattr(
+            query_tokens, "_localized_row_count", None
+        )
+        if num_query_tokens is None:
+            num_query_tokens = query_tokens.limit(
+                MAX_BROADCAST_QUERY_TOKENS + 1
+            ).count()
     q_fits_broadcast = num_query_tokens <= MAX_BROADCAST_QUERY_TOKENS
     if candidates is None:
         if not q_fits_broadcast:

@@ -367,4 +367,9 @@ def localize(df: DataFrame) -> DataFrame:
     Only for driver-sized results — never big distributed data.
     """
     rows = df.collect()
-    return df.sparkSession.createDataFrame(rows, schema=df.schema)
+    out = df.sparkSession.createDataFrame(rows, schema=df.schema)
+    # free metadata for size-sensitive consumers (e.g. maxsim_rerank's
+    # broadcast ceiling reads it instead of paying a probe job) — the
+    # count is exact by construction and dies with this Python object
+    out._localized_row_count = len(rows)
+    return out
