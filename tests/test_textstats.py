@@ -775,3 +775,55 @@ def test_piece_table_single_char_pieces_with_knobs(spark):
     for kw in ({"min_count": 2}, {"max_pieces": 1}, {"max_pieces": 0, "min_count": 3}):
         rows = piece_table(vocab, max_piece_len=1, **kw).collect()
         assert {r["piece"] for r in rows} == {"a", "b"}, kw
+
+
+def test_bpe_incremental_loop_matches_reference_recount():
+    """The incremental heap merge loop must pick the IDENTICAL merge
+    sequence as a naive full-recount formulation — same (wcnt DESC,
+    pair ASC) argmax, same left-to-right replace — across randomized
+    vocabularies (overlapping pairs like 'aaa' included) and merge
+    depths past exhaustion. Pure-driver property: no Spark."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        _merge_loop,
+        merge_placeholder,
+    )
+
+    def reference(words, n_merges):
+        words = list(words)
+        merges = []
+        for m in range(1, n_merges + 1):
+            counts = {}
+            for w, wc in words:
+                for i in range(len(w) - 1):
+                    p = w[i : i + 2]
+                    counts[p] = counts.get(p, 0) + wc
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p], p))
+            ph = merge_placeholder(m)
+            merges.append((ph, pair))
+            words = [(w.replace(pair, ph), wc) for w, wc in words]
+        return merges
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        alphabet = "abcde" if seed % 2 else "ab"  # tiny alphabets force ties
+        words = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9))),
+                rng.randint(1, 5),
+            )
+            for _ in range(rng.randint(1, 40))
+        ]
+        # dedup words like a real histogram (duplicate keys would be
+        # two rows in work[], which is fine, but keep it histogram-like)
+        hist = {}
+        for w, wc in words:
+            hist[w] = hist.get(w, 0) + wc
+        vocab = sorted(hist.items())
+        depth = rng.choice([1, 3, 10, 200])
+        assert _merge_loop(list(vocab), depth) == reference(vocab, depth), (
+            seed, depth, vocab,
+        )
