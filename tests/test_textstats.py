@@ -827,3 +827,50 @@ def test_bpe_incremental_loop_matches_reference_recount():
         assert _merge_loop(list(vocab), depth) == reference(vocab, depth), (
             seed, depth, vocab,
         )
+
+
+def test_train_unigram_at_nontrivial_vocab(spark):
+    """The composed trainer at a NON-toy vocabulary (2k distinct
+    synthetic words, capped 400-piece seed, 300-piece target): LL
+    monotone across iterations, the target hit exactly, the alphabet
+    intact, and — the serving check — the TRAINED table still
+    segments every vocabulary word."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        MISSING_PIECE_SCORE,
+        train_unigram,
+        viterbi_segment,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    rng = random.Random(17)
+    alphabet = "abcdefghijklmnop"
+    hist = {}
+    # skewed word lengths and shared stems so multi-char pieces carry
+    # real mass (pure-random strings would starve the prune ranking)
+    stems = ["".join(rng.choice(alphabet) for _ in range(4)) for _ in range(40)]
+    while len(hist) < 2000:
+        w = rng.choice(stems) + "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 6))
+        )
+        hist[w] = hist.get(w, 0) + rng.randint(1, 50)
+    vocab = localize(spark.createDataFrame(
+        sorted(hist.items()), "w string, wc long"
+    ))
+    # post-EM multi-char support measures ~263 here, so a 150-piece
+    # target forces a real prune of ~130 pieces
+    res = train_unigram(
+        vocab, vocab_target=150, n_iters=2, max_piece_len=4,
+        seed_max_pieces=400,
+    )
+    assert len(res.ll_history) == 2
+    assert res.ll_history[1] >= res.ll_history[0] - 1e-3 * abs(res.ll_history[0])
+    rows = res.pieces.collect()
+    assert len(rows) == 150 == res.final_size
+    assert {r["piece"] for r in rows} >= set(alphabet)
+    assert res.pruned_multi > 0
+    seg = viterbi_segment(vocab, res.pieces, max_piece_len=4)
+    assert seg.filter(F.col("best_lp") < MISSING_PIECE_SCORE / 2).count() == 0
