@@ -53,50 +53,55 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: keeps its oracle either way — this only chooses which 50 the DRIVER
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
-_CURRENT_ROUND = 10
+_CURRENT_ROUND = 11
 
 _PRIORITY: tuple[str, ...] = (
-    # round 10 rotation (VERDICT r9 #1): all 39 r6-stale entries lead —
-    # age 4 at round 10, the staleness bound forces them in.
-    "q22_simhash_signatures",
-    "q27_embedding_neardup",
-    "q37_relief_discrete_collisions",
-    "q60_sequence_packing",
-    "q72b_relief_greedy_topk",
-    "q74_kmeans_step",
-    "q75_oov_rate",
-    "q76_length_histogram",
-    "q77_streaming_enrichment",
-    "q78_random_projection",
-    "q79_shuffle_shards",
-    "q80_hash_uniform_sample",
-    "q81_incremental_dedup",
-    "q83_pii_scrub",
-    "q84_canonical_selection",
-    "q85_token_truncation",
-    "q86_source_interleave",
-    "q87_temperature_mix",
-    "q88_embedding_drift",
-    "q89_streaming_outer_join",
-    "q90_deletion_propagation",
-    "q91_doc_chunking",
-    "q92_boilerplate_detection",
-    "q105_mdlp_discretize",
-    "q140_streaming_psi_drift",
-    "q141_k_anonymity",
-    "q142_pagerank",
-    "q143_variant_shred",
-    "q144_hybrid_rrf",
-    "q145_gram_matrix",
-    "q146_schema_evolution",
-    "q147_rollup_cascade",
-    "q148_kmv_distinct",
-    "q149_event_transitions",
-    "q150_merge_upsert",
-    "q151_negative_sampling",
-    "q152_zipf_fit",
-    "q154_streaming_upsert_state",
-    "q155_recursive_cte",
+    # round 11 rotation (VERDICT r10 #1): all 43 r7-stale entries lead
+    # — age 4 at round 11, the staleness bound forces them in (the r7
+    # cohort was 45; q01/q02 were pre-paid in round 10).
+    "q03_join_revenue_by_nation",
+    "q09_minmax_norm",
+    "q10_label_priors",
+    "q11_mod_sample_agg",
+    "q12_mutual_information",
+    "q18_dedup_exact",
+    "q21_minhash_lsh_neardup",
+    "q23_simhash_neardup",
+    "q24_ann_bruteforce",
+    "q25_ann_lsh",
+    "q26_ann_ivf",
+    "q28_token_stats",
+    "q29_quality_scores",
+    "q30_language_id",
+    "q31_fingerprints",
+    "q32_tumbling_window",
+    "q33_sliding_window",
+    "q34_session_window",
+    "q35_json_extract",
+    "q38_rollup",
+    "q39_distinct_agg",
+    "q40_percentiles",
+    "q41_corpus_curation",
+    "q42_asof_join",
+    "q43_range_join",
+    "q45_analytic_windows",
+    "q46_cube",
+    "q47_pivot",
+    "q48_setops",
+    "q49_ann_recall",
+    "q51_hll_distinct",
+    "q52_correlated_subquery",
+    "q53_mom_growth",
+    "q54_dedup_clusters",
+    "q55_tfidf_topterms",
+    "q56_grouping_sets",
+    "q57_stratified_sample",
+    "q58_streaming_sessions",
+    "q59_stopword_scrub",
+    "q61_contamination",
+    "q62_repetition",
+    "q63_frame_sample",
+    "q64_streaming_interval_join",
     # core sentinels — always in the window. q72 is the PERMANENT
     # engine-seeded-draw witness (VERDICT r8 #6 decision): its rows-only
     # slot is kept deliberately, because it is the one registry entry
@@ -107,37 +112,19 @@ _PRIORITY: tuple[str, ...] = (
     # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # semantically changed this round (VERDICT r9 #3): the unigram-LM
-    # candidate piece table gains a max_pieces/min_count cap, threaded
-    # through q162-q166 with a deliberately tiny cap at query level so
-    # the ORACLE exercises the capped path — outputs change, so the
-    # driver must re-hash all five:
-    "q162_unigram_viterbi",
-    "q163_unigram_mstep_counts",
-    "q164_unigram_tokenize_corpus",
-    "q165_unigram_prune_loss",
-    "q166_unigram_em_iteration",
-    # new this round (VERDICT r9 #4, never driver-checked — a new
-    # query always takes a window slot, test_registry enforces it):
-    # the composed tokenizer trainers.
-    "q169_unigram_train",
-    "q170_bpe_train",
-    # r7 pre-pay (VERDICT r9 #1): round-10 additions consumed 7 of the
-    # 9 free slots (5 changed unigram gates + 2 new trainer gates, the
-    # judge's own #3/#4 done-criteria), so 2 slots pre-pay the r7
-    # cohort instead of the 9 the judge budgeted. Round-11 math,
-    # written out: r7 cohort is 45 entries, minus the 2 pre-paid here
-    # = 43 forced at age 4 in round 11, + 2 sentinels = 45 of 50
-    # slots, leaving 5 for round-11 additions — tight but satisfiable
-    # (round 12 then faces the 38-entry r8 cohort + 2 = 40, 10 free).
-    # Code touched in round 10 whose gates are NOT re-windowed
-    # (bpe.py PUA rebase -> q153/q156; retrieval.py rounding fix ->
-    # q167/q168; simsearch_q.py doc_id integer-div -> q106/q109) is
-    # instead verified by the local all-SF compare_oracle sweep, with
-    # the bit-identical-at-sf0.01 evidence noted per entry below —
-    # the q02/q46/q47 precedent from round 9.
-    "q01_pruned_scan",
-    "q02_groupby_agg",
+    # 5 free slots (VERDICT r10 #1): spent pre-paying the r8 cohort
+    # oldest-first (new round-11 gates, if any land, swap in here and
+    # the displaced pre-pays return to _DEFERRED at 8).
+    # Round-12 math, written out: r8 cohort is 38 entries, minus the
+    # pre-pays seated here = 33 forced at age 4 in round 12, + 2
+    # sentinels = 35 of 50 slots, 15 free — use them to pre-pay the
+    # 43-entry r9 cohort, which is otherwise 43 + 2 = 45 forced in
+    # round 13 (the same pinch as this round).
+    "q66_unigram_lm_quality",
+    "q67_deterministic_split",
+    "q68_domain_mix",
+    "q82_filter_funnel",
+    "q93_quantile_discretize",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -147,24 +134,63 @@ _PRIORITY: tuple[str, ...] = (
 #: (VERDICT r5 #10): tests/test_registry.py asserts _PRIORITY and
 #: _DEFERRED exactly partition the registry, so a new query CANNOT be
 #: added without either taking a driver slot or being documented here.
-#: The r6 holdovers (39 after the continuation's displacements) are
-#: the oldest cohort (age 3 at round 9); ALL of them MUST take
-#: round-10 slots per the staleness bound.
-#: Rounding-robustness note (round 9 continuation): q02/q46/q47 moved
-#: to decimal-first rounding (ROUND the decimal sum, THEN cast double)
-#: and q100/q103 normalize -0.0, fixing sf0.1-only divergences found
-#: by the all-SF sweep. Their sf0.01 outputs are BIT-IDENTICAL under
-#: both formulations (verified value-for-value in DuckDB), so the
-#: driver hashes are unchanged and no window slot is required — the
-#: sf0.001/sf0.1 sweeps are the evidence for the changed boundaries.
 _DEFERRED: dict[str, int] = {
-    # r9-green: the round-9 window cohort rotating out (sentinels and
-    # the changed q162-q166 stay in _PRIORITY). Age 1 at round 10;
-    # forced back in by round 13 at the latest. Touched-code notes:
-    # q153/q156 (bpe.py PUA placeholder rebase, VERDICT r9 #2) and
-    # q167/q168 (retrieval.py decimal-first rounding, ADVICE r9) are
-    # re-verified this round by the local all-SF compare_oracle sweep
-    # instead of a window slot — see the _PRIORITY comment.
+    # r10-green: the round-10 window cohort rotating out (sentinels
+    # stay in _PRIORITY). Age 1 at round 11; forced back in by round
+    # 14 at the latest.
+    "q22_simhash_signatures": 10,
+    "q27_embedding_neardup": 10,
+    "q37_relief_discrete_collisions": 10,
+    "q60_sequence_packing": 10,
+    "q72b_relief_greedy_topk": 10,
+    "q74_kmeans_step": 10,
+    "q75_oov_rate": 10,
+    "q76_length_histogram": 10,
+    "q77_streaming_enrichment": 10,
+    "q78_random_projection": 10,
+    "q79_shuffle_shards": 10,
+    "q80_hash_uniform_sample": 10,
+    "q81_incremental_dedup": 10,
+    "q83_pii_scrub": 10,
+    "q84_canonical_selection": 10,
+    "q85_token_truncation": 10,
+    "q86_source_interleave": 10,
+    "q87_temperature_mix": 10,
+    "q88_embedding_drift": 10,
+    "q89_streaming_outer_join": 10,
+    "q90_deletion_propagation": 10,
+    "q91_doc_chunking": 10,
+    "q92_boilerplate_detection": 10,
+    "q105_mdlp_discretize": 10,
+    "q140_streaming_psi_drift": 10,
+    "q141_k_anonymity": 10,
+    "q142_pagerank": 10,
+    "q143_variant_shred": 10,
+    "q144_hybrid_rrf": 10,
+    "q145_gram_matrix": 10,
+    "q146_schema_evolution": 10,
+    "q147_rollup_cascade": 10,
+    "q148_kmv_distinct": 10,
+    "q149_event_transitions": 10,
+    "q150_merge_upsert": 10,
+    "q151_negative_sampling": 10,
+    "q152_zipf_fit": 10,
+    "q154_streaming_upsert_state": 10,
+    "q155_recursive_cte": 10,
+    "q162_unigram_viterbi": 10,
+    "q163_unigram_mstep_counts": 10,
+    "q164_unigram_tokenize_corpus": 10,
+    "q165_unigram_prune_loss": 10,
+    "q166_unigram_em_iteration": 10,
+    "q169_unigram_train": 10,
+    "q170_bpe_train": 10,
+    "q01_pruned_scan": 10,
+    "q02_groupby_agg": 10,
+    # r9-green (age 2 at round 11; forced by round 13 — pre-pay in
+    # round 12's 15 free slots, see the _PRIORITY math note).
+    # q157 fold note (VERDICT r9 #8 / r10 #1): folding q157's
+    # Hamming-1 evidence into q160 stays pre-approved if a future
+    # window pinches; round 11 seats everything without it.
     "q13_knn_join": 9,
     "q15_relief_topk": 9,
     "q16_collision_marginal": 9,
@@ -178,12 +204,6 @@ _DEFERRED: dict[str, int] = {
     "q110_linear_quality_classifier": 9,
     "q153_bpe_merge_step": 9,
     "q156_bpe_encode": 9,
-    # VERDICT r9 #8 (recall-gate consolidation) was CONDITIONAL on the
-    # round-10 window math needing slots; it did not (see the
-    # _PRIORITY round-11 math note), so q157 keeps its slot. If a
-    # future round's math pinches, fold q157's Hamming-1 evidence into
-    # q160 (radius-2 strictly subsumes it; keep the xor() replay) and
-    # retire this entry — the judge pre-approved that trade.
     "q157_knn_lsh_multiprobe_recall": 9,
     "q158_sparse_fit_hash_batched": 9,
     "q159_ann_lsh_multiprobe_recall": 9,
@@ -214,62 +234,8 @@ _DEFERRED: dict[str, int] = {
     "q137_compaction_plan": 9,
     "q138_join_cardinality": 9,
     "q139_bucketed_join": 9,
-    # r7-green (rotated out of the round-8 window; all 49 oracle-able
-    # entries of round 7's window were driver hash-green in
-    # CORRECTNESS_r07 — kept in the window above are the sentinels
-    # plus q72c/q44/q13, whose code this round touches again):
-    "q40_percentiles": 7,
-    "q41_corpus_curation": 7,
-    "q45_analytic_windows": 7,
-    "q46_cube": 7,
-    "q47_pivot": 7,
-    "q48_setops": 7,
-    "q51_hll_distinct": 7,
-    "q52_correlated_subquery": 7,
-    "q53_mom_growth": 7,
-    "q56_grouping_sets": 7,
-    "q57_stratified_sample": 7,
-    "q59_stopword_scrub": 7,
-    "q61_contamination": 7,
-    "q38_rollup": 7,
-    "q39_distinct_agg": 7,
-    "q03_join_revenue_by_nation": 7,
-    "q09_minmax_norm": 7,
-    "q10_label_priors": 7,
-    "q11_mod_sample_agg": 7,
-    "q12_mutual_information": 7,
-    "q18_dedup_exact": 7,
-    "q21_minhash_lsh_neardup": 7,
-    "q23_simhash_neardup": 7,
-    "q24_ann_bruteforce": 7,
-    "q25_ann_lsh": 7,
-    "q26_ann_ivf": 7,
-    "q28_token_stats": 7,
-    "q29_quality_scores": 7,
-    "q30_language_id": 7,
-    "q31_fingerprints": 7,
-    "q32_tumbling_window": 7,
-    "q33_sliding_window": 7,
-    "q34_session_window": 7,
-    "q35_json_extract": 7,
-    "q42_asof_join": 7,
-    "q43_range_join": 7,
-    "q49_ann_recall": 7,
-    "q54_dedup_clusters": 7,
-    "q55_tfidf_topterms": 7,
-    "q58_streaming_sessions": 7,
-    "q62_repetition": 7,
-    "q63_frame_sample": 7,
-    "q64_streaming_interval_join": 7,
-    # r8-green (rotated out of the round-9 window; all 49 oracle-able
-    # entries of round 8's window were driver hash-green in
-    # CORRECTNESS_r08 — kept in the window above are the sentinels
-    # plus the queries whose code this round touches again):
-    "q66_unigram_lm_quality": 8,
-    "q67_deterministic_split": 8,
-    "q68_domain_mix": 8,
-    "q82_filter_funnel": 8,
-    "q93_quantile_discretize": 8,
+    # r8-green (age 3 at round 11; the 5 oldest are pre-paid in this
+    # round's free slots, the remaining 33 are forced in round 12).
     "q94_substring_dedup": 8,
     "q95_substring_contamination": 8,
     "q96_bigram_lm_quality": 8,
