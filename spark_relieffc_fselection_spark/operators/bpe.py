@@ -178,7 +178,14 @@ def learn_bpe_merges(
         # localCheckpoint pins the current vocab as an in-memory RDD
         # (vocab-sized — the same budget pair counting spends anyway)
         # and restarts the plan from it, so N merges cost N bounded
-        # plans instead of one unbounded one.
+        # plans instead of one unbounded one. CLUSTER CAVEAT (ADVICE
+        # r10): localCheckpoint blocks live in UNREPLICATED
+        # executor-local storage — on a real cluster, losing an
+        # executor mid-chain kills the job unrecoverably (the lineage
+        # is severed by design). Fine for this operator's documented
+        # localized-vocab use; a training run over a NON-local vocab
+        # that must survive executor loss should use reliable
+        # checkpoint() (or re-localize the capped vocab) instead.
         if m % _CHECKPOINT_EVERY == 0:
             v = v.localCheckpoint(eager=False)
     return merges

@@ -237,13 +237,28 @@ def maxsim_rerank(
         # early-exit-bounded probe job (LocalLimit stops each
         # partition at the cap), which costs ~nothing on a legitimate
         # bounded side and still trips on a corpus-sized one.
+        # A lost stamp (any transformation returns a NEW DataFrame
+        # object) means a probe job here — a correctness no-op, just
+        # the +0.4s/query cost the stamp exists to avoid.
         num_query_tokens = getattr(
             query_tokens, "_localized_row_count", None
         )
         if num_query_tokens is None:
+            num_query_tokens = getattr(
+                query_tokens, "_maxsim_probe_count", None
+            )
+        if num_query_tokens is None:
             num_query_tokens = query_tokens.limit(
                 MAX_BROADCAST_QUERY_TOKENS + 1
             ).count()
+            # Memoize the probe on the frame object (the localize()
+            # stamp pattern, ADVICE r10) so repeat calls over the SAME
+            # query side — two_stage_maxsim callers that omit the
+            # count, bench reps — skip the probe job. A SEPARATE slot
+            # from _localized_row_count because this value is capped
+            # at ceiling+1, not exact; the guard only needs the
+            # <=ceiling comparison, which the cap preserves.
+            query_tokens._maxsim_probe_count = num_query_tokens
     q_fits_broadcast = num_query_tokens <= MAX_BROADCAST_QUERY_TOKENS
     if candidates is None:
         if not q_fits_broadcast:

@@ -144,7 +144,18 @@ def _dp(
     (SentencePiece's vocabulary-refinement step asks what the corpus
     likelihood loses if a piece is removed). Masking can only lower
     the max; length-1 pieces are never masked, so every word stays
-    feasible."""
+    feasible.
+
+    Empty words are REJECTED (ADVICE r10): an empty path would make
+    the word silently vanish from every explode-shaped consumer
+    (em_step_counts, viterbi_piece_counts) — a totality violation the
+    operator must enforce, not each caller's length>=1 filter."""
+    if not w:
+        raise ValueError(
+            "unigram DP over an empty word: empty words have no path "
+            "and would silently vanish from piece counts — filter "
+            "length >= 1 upstream"
+        )
     n = len(w)
     s = [0.0] * (n + 1)
     npc = [0] * (n + 1)
@@ -453,7 +464,10 @@ def train_unigram(
         for r in pieces.select("piece", "lp").collect()
     }
     alphabet = sorted(p for p in lp_map if len(p) == 1)
-    seed_multi = None  # diagnostics only; filled from iteration 1 support
+    # seed diagnostics measure the SEED table itself (ADVICE r10 —
+    # the earlier iteration-1-support count overstated the docstring's
+    # "size diagnostics" claim)
+    seed_multi = sum(1 for p in lp_map if len(p) >= 2)
     ll_history: list[float] = []
     support: dict[str, int] = {}
     for i in range(n_iters):
@@ -463,8 +477,6 @@ def train_unigram(
         lp_map = None  # later iterations' tables come from reestimate
         ll_history.append(float(sum((r["ll"] for r in rows), Decimal(0))))
         support = {r["piece"]: int(r["uses"]) for r in rows}
-        if seed_multi is None:
-            seed_multi = sum(1 for p in support if len(p) >= 2)
         if i < n_iters - 1:
             uses_df = spark.createDataFrame(
                 [(p, c) for p, c in support.items()], "piece string, uses long"
@@ -499,7 +511,7 @@ def train_unigram(
     return UnigramTrainResult(
         pieces=trained,
         ll_history=ll_history,
-        seed_multi=seed_multi or 0,
+        seed_multi=seed_multi,
         pruned_multi=len(candidates) - len(kept),
         final_size=len(final),
     )
