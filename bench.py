@@ -118,6 +118,14 @@ def main() -> None:
         lambda: warehouse_q._bucketed_tables(spark, sf_dir),
     )
 
+    # the unigram family's shared vocab + capped piece table
+    # (VERDICT r10 #2): q162-q166/q169 consume the same memoized base,
+    # so the cap's explode+sort is a named one-time line, not five
+    # per-gate re-pays
+    from spark_relieffc_fselection_spark.queries import text_q
+
+    _setup("unigram_base", lambda: text_q._unigram_base(spark, sf_dir))
+
     # Per-query medians over n>=3 FULL-SUITE passes (not back-to-back
     # reps of one query): suite-level repetition both stabilizes the
     # median and exposes session-state/ordering effects — a query that
