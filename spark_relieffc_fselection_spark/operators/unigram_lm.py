@@ -30,7 +30,7 @@ pieces-sized. Segmentation of the CORPUS then joins words back on the
 from __future__ import annotations
 
 from collections.abc import Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -408,15 +408,21 @@ def em_step_counts(
 class UnigramTrainResult:
     """Outcome of :func:`train_unigram`: the trained piece table
     ``(piece, uses, lp)`` (at most ``vocab_target`` rows plus any
-    alphabet overflow), the corpus log-likelihood per EM iteration
-    (hard EM: non-decreasing — property-tested), and size
-    diagnostics."""
+    alphabet overflow), the corpus log-likelihood per fused E+M pass
+    (``n_iters`` entries per prune round; hard EM makes each
+    WITHIN-round segment non-decreasing — property-tested; a prune
+    boundary may drop it, that is what pruning does), and size
+    diagnostics. ``prune_sizes`` records the surviving multi-char
+    candidate count after each prune round — the shrink schedule's
+    audit trail (a round was BINDING iff its size is below the
+    preceding candidate count)."""
 
     pieces: DataFrame
     ll_history: list[float]
     seed_multi: int
     pruned_multi: int
     final_size: int
+    prune_sizes: list[int] = field(default_factory=list)
 
 
 def train_unigram(
@@ -428,26 +434,56 @@ def train_unigram(
     seed_min_count: int = 1,
     word_col: str = "w",
     weight_col: str = "wc",
+    prune_rounds: int = 1,
+    shrink_factor: float | None = None,
 ) -> UnigramTrainResult:
     """The COMPOSED SentencePiece-style trainer (VERDICT r9 #4) on top
     of the gated primitives: seed a (capped) candidate table
-    (:func:`piece_table`), run ``n_iters`` hard-EM iterations — each
-    one fused E+M pass (:func:`em_step_counts`) plus a re-estimate
-    (:func:`reestimate_piece_table`) — then prune by likelihood loss
-    (:func:`prune_loss`) down to ``vocab_target`` pieces, keeping the
-    HIGHEST-loss (most useful) multi-char pieces; ties (loss DESC,
-    piece ASC). The alphabet (length-1 seed pieces) is never pruned
-    and survives even at uses=0 via a GREATEST(uses, 1) smoothing
-    floor, so the trained vocabulary can segment any word over the
-    seed alphabet. Final scores renormalize over the survivors.
+    (:func:`piece_table`), then run ``prune_rounds`` outer rounds of
+    SentencePiece's shrink loop (VERDICT r10 #3) — each round is
+    ``n_iters`` hard-EM iterations (one fused E+M pass,
+    :func:`em_step_counts`, plus a re-estimate,
+    :func:`reestimate_piece_table`) followed by a prune-by-likelihood-
+    loss step (:func:`prune_loss`) keeping the HIGHEST-loss (most
+    useful) multi-char pieces; ties (loss DESC, piece ASC).
+
+    The shrink schedule: non-final rounds prune to
+    ``max(keep_k, floor(candidates * shrink_factor))`` and the FINAL
+    round prunes straight to the target — so the control flow is
+    data-independent (replayable by a static oracle) while the loss
+    ranking re-runs against FRESH likelihoods each round instead of
+    trusting the stale single-shot losses (the failure mode when the
+    seed sits far above the target). ``prune_rounds=1`` (the default)
+    is the original single-shot behavior, bit-for-bit. Between
+    rounds, survivors re-estimate WITH the alphabet re-included under
+    the GREATEST(uses, 1) floor (the final-output formula): pruning
+    removes pieces that ARE on best paths, so without the floored
+    alphabet a word could lose its cover and become unsegmentable.
+    ``shrink_factor`` should be a DYADIC rational (0.75, 0.5): the
+    threshold floor is replayed in DuckDB, and a non-dyadic factor's
+    double-vs-decimal product can floor differently across engines on
+    exact-integer boundaries.
+
+    The alphabet (length-1 seed pieces) is never pruned and survives
+    even at uses=0 via the GREATEST(uses, 1) smoothing floor, so the
+    trained vocabulary can segment any word over the seed alphabet.
+    Final scores renormalize over the survivors.
 
     Scale: the corpus is touched once (the caller's word histogram);
     every EM iteration is one vocab-sized Arrow DP pass with a
     PIECES-sized (seed-capped, bounded) collect — the driver never
     holds anything larger than the capped piece table, the knob that
-    holds at Heaps'-law vocabularies (VERDICT r9 #3)."""
+    holds at Heaps'-law vocabularies (VERDICT r9 #3). Iterative
+    pruning multiplies the vocab-sized pass count by ``prune_rounds``
+    and leaves the corpus-sized cost unchanged at zero."""
     from decimal import Decimal
 
+    if prune_rounds < 1:
+        raise ValueError(f"prune_rounds must be >= 1, got {prune_rounds}")
+    if shrink_factor is not None and not (0.0 < shrink_factor < 1.0):
+        raise ValueError(
+            f"shrink_factor must be in (0, 1), got {shrink_factor}"
+        )
     spark = vocab.sparkSession
     pieces = piece_table(
         vocab,
@@ -468,35 +504,78 @@ def train_unigram(
     # the earlier iteration-1-support count overstated the docstring's
     # "size diagnostics" claim)
     seed_multi = sum(1 for p in lp_map if len(p) >= 2)
-    ll_history: list[float] = []
-    support: dict[str, int] = {}
-    for i in range(n_iters):
-        rows = em_step_counts(
-            vocab, pieces, max_piece_len, word_col, weight_col, lp_map=lp_map
-        ).collect()
-        lp_map = None  # later iterations' tables come from reestimate
-        ll_history.append(float(sum((r["ll"] for r in rows), Decimal(0))))
-        support = {r["piece"]: int(r["uses"]) for r in rows}
-        if i < n_iters - 1:
-            uses_df = spark.createDataFrame(
-                [(p, c) for p, c in support.items()], "piece string, uses long"
-            )
-            pieces = reestimate_piece_table(uses_df)
-    candidates = sorted(p for p in support if len(p) >= 2)
     keep_k = max(vocab_target - len(alphabet), 0)
-    if len(candidates) > keep_k:
-        loss_rows = prune_loss(
-            vocab, pieces, candidates, max_piece_len, word_col, weight_col
-        ).collect()
-        loss = {r["piece"]: float(r["loss"]) for r in loss_rows}
-        # highest loss = most useful; a candidate missing from the
-        # loss table (possible only if it left every best path) costs
-        # nothing to remove
-        kept = sorted(candidates, key=lambda p: (-loss.get(p, 0.0), p))[:keep_k]
-    else:
-        kept = candidates
+    ll_history: list[float] = []
+    prune_sizes: list[int] = []
+    pruned_multi = 0
+    support: dict[str, int] = {}
+    kept: list[str] = []
+    for rnd in range(prune_rounds):
+        if rnd > 0:
+            # Survivor table for the next round: alphabet re-included
+            # under the GREATEST(uses, 1) floor, renormalized — the
+            # final-output formula applied mid-loop, computed IN SPARK
+            # so the 6dp rounding is the same HALF_UP the oracle's
+            # ROUND replays (Python round() is banker's — not it).
+            surv = [(p, support.get(p, 0)) for p in alphabet] + [
+                (p, support[p]) for p in kept
+            ]
+            total_f = float(sum(max(u, 1) for _, u in surv))
+            surv_df = spark.createDataFrame(surv, "piece string, uses long")
+            lp_rows = surv_df.select(
+                "piece",
+                F.round(
+                    F.log2(
+                        F.greatest(F.col("uses"), F.lit(1)) / F.lit(total_f)
+                    ),
+                    6,
+                ).alias("lp"),
+            ).collect()
+            lp_map = {r["piece"]: float(r["lp"]) for r in lp_rows}
+            pieces = spark.createDataFrame(
+                sorted(lp_map.items()), "piece string, lp double"
+            )
+        for i in range(n_iters):
+            rows = em_step_counts(
+                vocab, pieces, max_piece_len, word_col, weight_col,
+                lp_map=lp_map,
+            ).collect()
+            lp_map = None  # later passes' tables come from reestimate
+            ll_history.append(float(sum((r["ll"] for r in rows), Decimal(0))))
+            support = {r["piece"]: int(r["uses"]) for r in rows}
+            if i < n_iters - 1:
+                uses_df = spark.createDataFrame(
+                    [(p, c) for p, c in support.items()],
+                    "piece string, uses long",
+                )
+                pieces = reestimate_piece_table(uses_df)
+        candidates = sorted(p for p in support if len(p) >= 2)
+        last = rnd == prune_rounds - 1
+        if shrink_factor is not None and not last:
+            # floor(n * shrink) in DOUBLE math — identical to the
+            # oracle's CAST(FLOOR(n * CAST(shrink AS DOUBLE)) AS INT)
+            k_round = max(keep_k, int(len(candidates) * shrink_factor))
+        else:
+            k_round = keep_k
+        if len(candidates) > k_round:
+            loss_rows = prune_loss(
+                vocab, pieces, candidates, max_piece_len, word_col,
+                weight_col,
+            ).collect()
+            loss = {r["piece"]: float(r["loss"]) for r in loss_rows}
+            # highest loss = most useful; a candidate missing from the
+            # loss table (possible only if it left every best path)
+            # costs nothing to remove
+            kept = sorted(
+                candidates, key=lambda p: (-loss.get(p, 0.0), p)
+            )[:k_round]
+        else:
+            kept = candidates
+        pruned_multi += len(candidates) - len(kept)
+        prune_sizes.append(len(kept))
+        kept = sorted(kept)
     final = [(p, support.get(p, 0)) for p in alphabet] + [
-        (p, support[p]) for p in sorted(kept)
+        (p, support[p]) for p in kept
     ]
     out = spark.createDataFrame(final, "piece string, uses long")
     # GREATEST(uses, 1): the smoothing floor that keeps zero-use
@@ -512,8 +591,9 @@ def train_unigram(
         pieces=trained,
         ll_history=ll_history,
         seed_multi=seed_multi,
-        pruned_multi=len(candidates) - len(kept),
+        pruned_multi=pruned_multi,
         final_size=len(final),
+        prune_sizes=prune_sizes,
     )
 
 

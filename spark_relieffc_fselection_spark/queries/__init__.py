@@ -122,7 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     # round 13 (the same pinch as this round).
     "q66_unigram_lm_quality",
     "q67_deterministic_split",
-    "q68_domain_mix",
+    "q171_unigram_train_iterprune",
     "q82_filter_funnel",
     "q93_quantile_discretize",
 )
@@ -236,6 +236,7 @@ _DEFERRED: dict[str, int] = {
     "q139_bucketed_join": 9,
     # r8-green (age 3 at round 11; the 5 oldest are pre-paid in this
     # round's free slots, the remaining 33 are forced in round 12).
+    "q68_domain_mix": 8,
     "q94_substring_dedup": 8,
     "q95_substring_contamination": 8,
     "q96_bigram_lm_quality": 8,

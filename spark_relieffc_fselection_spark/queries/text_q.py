@@ -1446,68 +1446,137 @@ UNI_TRAIN_TARGET = 40
 UNI_TRAIN_ITERS = 2
 
 
-def _unigram_train_oracle() -> str:
-    """Replays train_unigram(n_iters=2) end-to-end: seed (capped)
-    pieces -> E1 arg-max DP -> M1 walk -> re-estimate -> E2 DP under
-    the new scores -> M2 walk -> prune-loss (masked GREATEST DP vs
-    the E2 table, q165's machinery) -> keep the alphabet plus the
-    highest-loss multi-char pieces up to the target -> renormalized
-    final scores with the GREATEST(uses, 1) smoothing floor."""
-    P, W, T = UNI_MAX_PIECE, UNI_MAX_WORD, UNI_TRAIN_TARGET
-    final_bs = (
-        "CASE length(w) "
-        + " ".join(f"WHEN {i} THEN s{i}" for i in range(1, W + 1))
-        + " END"
-    )
+def _train_oracle(
+    n_iters: int,
+    prune_rounds: int = 1,
+    shrink: float | None = None,
+    target: int = UNI_TRAIN_TARGET,
+) -> str:
+    """Replays train_unigram(n_iters, prune_rounds, shrink_factor)
+    end-to-end — parameterized over the EM iteration count (ADVICE
+    r10: the earlier generator hardcoded 2 iterations and would have
+    silently desynced from UNI_TRAIN_ITERS) AND the round-11 shrink
+    schedule (VERDICT r10 #3). Per prune round: ``n_iters`` fused E+M
+    passes (the first under the round's entry table — the capped seed
+    for round 0, the floored survivor renorm afterwards; later passes
+    under plain re-estimates), then a masked-GREATEST prune-loss
+    probe (q165's machinery) and a bounded keep by (loss DESC, piece
+    ASC). Non-final rounds keep max(keep_k, floor(n * shrink)); the
+    final round keeps exactly keep_k. Between rounds, survivors
+    re-estimate with the alphabet re-included under the
+    GREATEST(uses, 1) floor (the final-output formula applied
+    mid-loop — totality: pruning removes on-path pieces, so the
+    floored alphabet is what keeps every word segmentable).
+
+    Control flow is data-INDEPENDENT — fixed round and pass counts; a
+    round whose candidate count is already at-or-below its threshold
+    keeps everything through the same LIMIT — so this static CTE
+    chain replays the engine loop exactly at every SF, binding or
+    not. ``shrink`` must be dyadic (0.75, 0.5): the floor threshold
+    is computed in double math in BOTH engines, and a non-dyadic
+    literal's double-vs-decimal product can floor differently on
+    exact-integer boundaries."""
+    P, W = UNI_MAX_PIECE, UNI_MAX_WORD
+    if prune_rounds > 1 and shrink is None:
+        raise ValueError("iterative prune oracle needs a shrink factor")
+
+    def final_case(col: str) -> str:
+        return (
+            "CASE length(w) "
+            + " ".join(f"WHEN {i} THEN {col}{i}" for i in range(1, W + 1))
+            + " END"
+        )
+
     parts = _unigram_dp_prefix()
-    parts += _mstep_walk("d", "")
-    parts += [
-        "t2 AS (SELECT CAST(SUM(uses) AS DOUBLE) AS t FROM agg),",
-        "pieces2 AS MATERIALIZED (SELECT piece, ROUND(log2(uses / t), 6) "
-        "AS lp FROM agg, t2),",
-    ]
-    parts += _dp_argmax_chain("e", "vocab", "pieces2")
-    parts += _mstep_walk("e", "x")
-    parts += [
-        "alpha AS (SELECT piece FROM keep WHERE length(piece) = 1),",
-        "cand AS (SELECT piece, uses FROM xagg WHERE length(piece) >= 2),",
-        f"best2 AS (SELECT w, wc, {final_bs} AS bs FROM e{W}),",
-        "m0 AS (SELECT b.w, b.wc, b.bs, c.piece AS mask, "
-        "CAST(0.0 AS DOUBLE) AS ms0 "
-        "FROM best2 b JOIN cand c ON instr(b.w, c.piece) > 0),",
-    ]
-    for i in range(1, W + 1):
-        exprs = ", ".join(
-            f"m.ms{i - l} + COALESCE((SELECT lp FROM pieces2 p WHERE "
-            f"p.piece = substr(m.w, {i - l + 1}, {l}) "
-            f"AND p.piece <> m.mask), -1000000000.0)"
-            for l in range(1, min(P, i) + 1)
+    parts.append("alpha AS (SELECT piece FROM keep WHERE length(piece) = 1),")
+    keepk = f"GREATEST({target} - (SELECT COUNT(*) FROM alpha), 0)"
+    chain = "d"      # E chain of the most recent pass
+    tbl = "pieces"   # score table that pass ran under
+    agg = "agg"      # M-step aggregate of the most recent pass
+    k = 0            # global pass counter
+    for s in range(prune_rounds):
+        for i in range(n_iters):
+            if k == 0:
+                chain, tbl = "d", "pieces"  # emitted by the prefix
+            else:
+                if i == 0:
+                    tbl = f"piecesr{s}"  # floored renorm, emitted below
+                else:
+                    parts += [
+                        f"tr{k} AS (SELECT CAST(SUM(uses) AS DOUBLE) "
+                        f"AS t FROM {agg}),",
+                        f"piecesq{k} AS MATERIALIZED (SELECT piece, "
+                        f"ROUND(log2(uses / t), 6) AS lp "
+                        f"FROM {agg}, tr{k}),",
+                    ]
+                    tbl = f"piecesq{k}"
+                chain = f"e{k}"
+                parts += _dp_argmax_chain(chain, "vocab", tbl)
+            out = "" if k == 0 else f"u{k}"
+            parts += _mstep_walk(chain, out)
+            agg = f"{out}agg"
+            k += 1
+        # prune round s: loss probe under the last pass's table
+        kexpr = (
+            keepk
+            if s == prune_rounds - 1
+            else f"GREATEST({keepk}, CAST(FLOOR((SELECT COUNT(*) FROM "
+            f"cnd{s}) * CAST({shrink} AS DOUBLE)) AS INT))"
         )
-        greatest = exprs if i == 1 else f"GREATEST({exprs})"
-        parts.append(
-            f"m{i} AS MATERIALIZED (SELECT m.*, {greatest} AS ms{i} "
-            f"FROM m{i - 1} m),"
-        )
-    final_ms = (
-        "CASE length(w) "
-        + " ".join(f"WHEN {i} THEN ms{i}" for i in range(1, W + 1))
-        + " END"
-    )
+        parts += [
+            f"cnd{s} AS (SELECT piece, uses FROM {agg} "
+            f"WHERE length(piece) >= 2),",
+            f"bst{s} AS (SELECT w, wc, {final_case('s')} AS bs "
+            f"FROM {chain}{W}),",
+            f"pm{s}_0 AS (SELECT b.w, b.wc, b.bs, c.piece AS mask, "
+            f"CAST(0.0 AS DOUBLE) AS ms0 "
+            f"FROM bst{s} b JOIN cnd{s} c ON instr(b.w, c.piece) > 0),",
+        ]
+        for i in range(1, W + 1):
+            exprs = ", ".join(
+                f"m.ms{i - l} + COALESCE((SELECT lp FROM {tbl} p WHERE "
+                f"p.piece = substr(m.w, {i - l + 1}, {l}) "
+                f"AND p.piece <> m.mask), -1000000000.0)"
+                for l in range(1, min(P, i) + 1)
+            )
+            greatest = exprs if i == 1 else f"GREATEST({exprs})"
+            parts.append(
+                f"pm{s}_{i} AS MATERIALIZED (SELECT m.*, {greatest} "
+                f"AS ms{i} FROM pm{s}_{i - 1} m),"
+            )
+        parts += [
+            f"msf{s} AS (SELECT mask, wc, bs, {final_case('ms')} AS ms "
+            f"FROM pm{s}_{W}),",
+            # decimal-FIRST rounding (ADVICE r9), as in q165
+            f"lss{s} AS (SELECT mask AS piece, "
+            "CAST(ROUND(SUM(CAST(wc * (bs - ms) AS DECIMAL(38,18))), 6) "
+            f"AS DOUBLE) AS loss FROM msf{s} GROUP BY mask),",
+            f"keepr{s + 1} AS (SELECT piece, uses FROM ("
+            f"SELECT c.piece, c.uses, ROW_NUMBER() OVER "
+            f"(ORDER BY l.loss DESC, c.piece ASC) AS rn "
+            f"FROM cnd{s} c JOIN lss{s} l ON l.piece = c.piece) "
+            f"WHERE rn <= ({kexpr})),",
+        ]
+        if s < prune_rounds - 1:
+            # floored survivor renorm: the next round's entry table
+            parts += [
+                f"surv{s + 1} AS (SELECT piece, uses FROM keepr{s + 1}",
+                "  UNION ALL",
+                f"  SELECT a.piece, COALESCE(g.uses, 0) AS uses "
+                f"FROM alpha a LEFT JOIN {agg} g ON g.piece = a.piece),",
+                f"tsv{s + 1} AS (SELECT CAST(SUM(GREATEST(uses, 1)) "
+                f"AS DOUBLE) AS t FROM surv{s + 1}),",
+                f"piecesr{s + 1} AS MATERIALIZED (SELECT piece, "
+                f"ROUND(log2(GREATEST(uses, 1) / t), 6) AS lp "
+                f"FROM surv{s + 1}, tsv{s + 1}),",
+            ]
     parts += [
-        f"msf AS (SELECT mask, wc, bs, {final_ms} AS ms FROM m{W}),",
-        # decimal-FIRST rounding (ADVICE r9), as in q165
-        "lossagg AS (SELECT mask AS piece, "
-        "CAST(ROUND(SUM(CAST(wc * (bs - ms) AS DECIMAL(38,18))), 6) AS DOUBLE) "
-        "AS loss FROM msf GROUP BY mask),",
-        "keepm AS (SELECT c.piece, c.uses, "
-        "ROW_NUMBER() OVER (ORDER BY l.loss DESC, c.piece ASC) AS rn "
-        "FROM cand c JOIN lossagg l ON l.piece = c.piece),",
-        f"surv AS (SELECT piece, uses FROM keepm "
-        f"WHERE rn <= {T} - (SELECT COUNT(*) FROM alpha)",
+        f"surv AS (SELECT piece, uses FROM keepr{prune_rounds}",
         "  UNION ALL",
-        "  SELECT a.piece, COALESCE(x.uses, 0) AS uses "
-        "FROM alpha a LEFT JOIN xagg x ON x.piece = a.piece),",
-        "tots AS (SELECT CAST(SUM(GREATEST(uses, 1)) AS DOUBLE) AS t FROM surv)",
+        f"  SELECT a.piece, COALESCE(g.uses, 0) AS uses "
+        f"FROM alpha a LEFT JOIN {agg} g ON g.piece = a.piece),",
+        "tots AS (SELECT CAST(SUM(GREATEST(uses, 1)) AS DOUBLE) AS t "
+        "FROM surv)",
         "SELECT ROW_NUMBER() OVER (ORDER BY uses DESC, piece ASC) AS rank,",
         "       piece, CAST(uses AS BIGINT) AS uses,",
         "       ROUND(log2(GREATEST(uses, 1) / t), 6) AS lp",
@@ -1518,7 +1587,7 @@ def _unigram_train_oracle() -> str:
 
 @register(
     "q169_unigram_train",
-    oracle=_unigram_train_oracle(),
+    oracle=_train_oracle(UNI_TRAIN_ITERS),
     doc="The COMPOSED unigram-LM trainer (the loop q162-q166 supply "
         "primitives for): seed a CAPPED candidate table, run "
         f"{UNI_TRAIN_ITERS} hard-EM iterations (each ONE fused E+M "
@@ -1550,6 +1619,68 @@ def q169_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=UNI_TRAIN_ITERS,
         max_piece_len=UNI_MAX_PIECE,
         seed_max_pieces=UNI_PIECE_CAP,
+    )
+    return res.pieces.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("uses"), F.asc("piece")))
+        .alias("rank"),
+        "piece",
+        F.col("uses").cast("bigint").alias("uses"),
+        "lp",
+    )
+
+
+#: q171: the iterative-prune trainer (VERDICT r10 #3 — SentencePiece's
+#: shrink loop). At the gate SF the post-EM multi-char support is ~28
+#: against the same 16-piece multi-char budget as q169, so round 1
+#: prunes to max(16, floor(28 * 0.75)) = 21 (BINDING) and, after the
+#: inter-round re-EM, round 2 prunes to the 16-piece target (BINDING
+#: again) — both rounds' loss rankings are load-bearing under the
+#: hash, and the round-2 ranking runs against FRESH likelihoods, the
+#: exact staleness the schedule exists to avoid.
+UNI_TRAIN_PRUNE_ROUNDS = 2
+UNI_TRAIN_SHRINK = 0.75
+
+
+@register(
+    "q171_unigram_train_iterprune",
+    oracle=_train_oracle(
+        UNI_TRAIN_ITERS, UNI_TRAIN_PRUNE_ROUNDS, UNI_TRAIN_SHRINK
+    ),
+    doc="The unigram trainer under SentencePiece's ITERATIVE shrink "
+        f"schedule: {UNI_TRAIN_PRUNE_ROUNDS} prune rounds, each "
+        f"{UNI_TRAIN_ITERS} fused-E+M hard-EM passes then a prune to "
+        f"max(target_budget, floor(candidates * {UNI_TRAIN_SHRINK})), "
+        "the final round straight to the target — vs q169's "
+        "single-shot prune, each round's loss ranking runs against "
+        "RE-ESTIMATED likelihoods, which matters whenever the seed "
+        "sits far above the target (single-shot over-trusts stale "
+        "losses). Between rounds the survivors renormalize with the "
+        "alphabet re-included under the GREATEST(uses,1) floor, so "
+        "segmentation totality survives every prune. Scale: the "
+        "corpus is still touched exactly once (the memoized word "
+        "histogram); iterating multiplies only the vocab-sized "
+        "DP-pass count by prune_rounds — corpus-zero, the same "
+        "schedule SentencePiece runs to a 32k vocab.",
+)
+def q171_unigram_train_iterprune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        train_unigram,
+    )
+
+    vocab, _ = _unigram_base(spark, sf_dir)
+    res = train_unigram(
+        vocab,
+        vocab_target=UNI_TRAIN_TARGET,
+        n_iters=UNI_TRAIN_ITERS,
+        max_piece_len=UNI_MAX_PIECE,
+        seed_max_pieces=UNI_PIECE_CAP,
+        prune_rounds=UNI_TRAIN_PRUNE_ROUNDS,
+        shrink_factor=UNI_TRAIN_SHRINK,
     )
     return res.pieces.select(
         F.row_number()

@@ -829,6 +829,80 @@ def test_bpe_incremental_loop_matches_reference_recount():
         )
 
 
+def test_train_unigram_iterative_prune(spark):
+    """The SentencePiece shrink schedule (VERDICT r10 #3): with
+    prune_rounds=R, the trainer runs R segments of n_iters hard-EM
+    passes with a shrink-bounded prune between them. Pinned:
+    ll_history is one entry per fused E+M pass and NON-DECREASING
+    WITHIN every segment (the hard-EM law extended across prune
+    rounds — a prune BOUNDARY may drop LL, that is what pruning
+    does); the prune_sizes schedule binds per the
+    max(keep_k, floor(n * shrink)) rule with the final round exactly
+    at target; and the iterative result genuinely differs from the
+    single-shot prune (fresh vs stale losses)."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        MISSING_PIECE_SCORE,
+        train_unigram,
+        viterbi_segment,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    alphabet = "abcdefgh"
+    stems = ["".join(rng.choice(alphabet) for _ in range(3)) for _ in range(12)]
+    hist = {}
+    while len(hist) < 300:
+        w = rng.choice(stems) + "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 5))
+        )
+        hist[w] = hist.get(w, 0) + rng.randint(1, 30)
+    vocab = spark.createDataFrame(sorted(hist.items()), "w string, wc long")
+
+    n_iters, rounds = 2, 3
+    res = train_unigram(
+        vocab, vocab_target=30, n_iters=n_iters, max_piece_len=4,
+        seed_max_pieces=120, prune_rounds=rounds, shrink_factor=0.75,
+    )
+    assert len(res.ll_history) == n_iters * rounds
+    for s in range(rounds):  # hard-EM monotone WITHIN each segment
+        seg = res.ll_history[s * n_iters:(s + 1) * n_iters]
+        for prev, cur in zip(seg, seg[1:]):
+            assert cur >= prev - 1e-3 * max(1.0, abs(prev)), (s, seg)
+    assert len(res.prune_sizes) == rounds
+    keep_k = 30 - len(alphabet)
+    assert res.prune_sizes[-1] == keep_k        # final round hits target
+    for a, b in zip(res.prune_sizes, res.prune_sizes[1:]):
+        assert b <= a                            # schedule never grows
+    assert res.pruned_multi > 0
+    rows = res.pieces.collect()
+    assert len(rows) == 30 == res.final_size
+    assert {r["piece"] for r in rows} >= set(alphabet)
+    # totality survives every prune: the trained table still segments
+    # every vocabulary word (the floored-alphabet re-estimate's job)
+    seg_df = viterbi_segment(vocab, res.pieces, max_piece_len=4)
+    assert seg_df.filter(
+        F.col("best_lp") < MISSING_PIECE_SCORE / 2
+    ).count() == 0
+    # the schedule BITES: iterative keep differs from single-shot
+    single = train_unigram(
+        vocab, vocab_target=30, n_iters=n_iters, max_piece_len=4,
+        seed_max_pieces=120,
+    )
+    kept_iter = {r["piece"] for r in rows}
+    kept_single = {r["piece"] for r in single.pieces.collect()}
+    assert kept_iter != kept_single
+    # knob validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prune_rounds"):
+        train_unigram(vocab, vocab_target=30, prune_rounds=0)
+    with _pytest.raises(ValueError, match="shrink_factor"):
+        train_unigram(vocab, vocab_target=30, shrink_factor=1.5)
+
+
 def test_train_unigram_at_nontrivial_vocab(spark):
     """The composed trainer at a NON-toy vocabulary (2k distinct
     synthetic words, capped 400-piece seed, 300-piece target): LL
