@@ -126,6 +126,42 @@ def main() -> None:
 
     _setup("unigram_base", lambda: text_q._unigram_base(spark, sf_dir))
 
+    # Host-speed canary (VERDICT r10 #5): a FIXED tiny control
+    # workload — the warmup's broadcast-join/window/decimal-agg shape
+    # over nation — timed at bench start AND end, so a record captured
+    # at a slow host hour is self-adjudicating: readers normalize any
+    # per-query drift claim against the canary ratio instead of
+    # needing an ABBA re-run (BENCH_r10 read 1.34x at face value from
+    # ambient drift alone; the truth lived only in SCALE.md's
+    # narrative). Median of 3 so one scheduler hiccup can't skew the
+    # control itself. Runs AFTER warmup, so it measures host speed,
+    # not first-run JIT.
+    def _canary() -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            (
+                nation.join(
+                    _F.broadcast(
+                        nation.select(_F.col("n_nationkey").alias("k"))
+                    ),
+                    nation.n_nationkey == _F.col("k"),
+                )
+                .withColumn(
+                    "r",
+                    _F.row_number().over(
+                        _W.partitionBy("k").orderBy("n_name")
+                    ),
+                )
+                .groupBy("r")
+                .agg(_F.sum(_F.col("k").cast("decimal(38,18)")))
+                .count()
+            )
+            times.append(time.time() - t0)
+        return round(sorted(times)[1], 3)
+
+    canary_start = _canary()
+
     # Per-query medians over n>=3 FULL-SUITE passes (not back-to-back
     # reps of one query): suite-level repetition both stabilizes the
     # median and exposes session-state/ordering effects — a query that
@@ -154,9 +190,16 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
+    canary_end = _canary()
     timings = {name: round(_median(ts), 3) for name, ts in rep_times.items()}
     setup_total = round(sum(shared_setup.values()), 3)
     total = round(sum(timings.values()) + setup_total, 3)
+    canary = {
+        "start_s": canary_start,
+        "end_s": canary_end,
+        "wall_hour": time.localtime().tm_hour,
+        "ts": round(time.time(), 1),
+    }
     # Full-precision per-query detail (every rep + spread) goes to a
     # sidecar file; the printed line stays compact (short qNN keys,
     # 2-decimal values) so the driver's bounded tail capture never
@@ -168,6 +211,7 @@ def main() -> None:
             {
                 "sf": sf,
                 "total": total,
+                "canary": canary,
                 "reps": {n: ts for n, ts in rep_times.items()},
                 "queries": timings,
                 "shared_setup": shared_setup,
@@ -182,6 +226,7 @@ def main() -> None:
     )
     compact = {name.split("_")[0]: round(t, 2) for name, t in timings.items()}
     compact["setup"] = round(setup_total, 2)
+    compact["canary"] = round((canary_start + canary_end) / 2, 2)
     print(
         json.dumps(
             {

@@ -1,0 +1,79 @@
+"""BPE trainer production-depth smoke (VERDICT r10 #4): run the
+incremental merge loop at the regime the ~14x claim extrapolates to —
+a ~1M-distinct-word Zipf histogram (the MAX_BPE_VOCAB_COLLECT cap,
+i.e. the largest histogram learn_bpe will ever hand the loop) and a
+30k-merge production vocabulary. Reports wall time and peak driver
+RSS; the numbers land in SCALE.md round 11.
+
+The histogram is synthetic but SHAPED like a real one: Zipf-ranked
+counts, shared stems so early merges have fat supports (the expensive
+case — a head pair can touch 100k+ words), long tail of rare words.
+Pure driver-side (the loop is the driver stage of learn_bpe; the one
+corpus pass that builds the histogram is Spark's and already measured
+elsewhere).
+
+Usage: python scripts/bpe_depth_smoke.py [n_words] [n_merges]
+"""
+
+from __future__ import annotations
+
+import random
+import resource
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from spark_relieffc_fselection_spark.operators.bpe import _merge_loop
+
+
+def synth_histogram(n_words: int, seed: int = 41) -> list[tuple[str, int]]:
+    rng = random.Random(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    stems = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 5)))
+        for _ in range(2000)
+    ]
+    hist: dict[str, int] = {}
+    # Zipf-ish counts: rank r gets ~N/r; stems recur so pair supports
+    # are fat at the head like a natural-language histogram
+    r = 0
+    while len(hist) < n_words:
+        r += 1
+        w = rng.choice(stems) + "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 7))
+        )
+        if w in hist:
+            continue
+        hist[w] = max(1, n_words // r)
+    return sorted(hist.items())
+
+
+def main() -> None:
+    n_words = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+
+    t0 = time.time()
+    words = synth_histogram(n_words)
+    t_synth = time.time() - t0
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    total_chars = sum(len(w) for w, _ in words)
+    print(
+        f"histogram: {len(words)} words, {total_chars} chars, "
+        f"built in {t_synth:.1f}s, rss {rss_before:.0f} MB"
+    )
+
+    t0 = time.time()
+    merges = _merge_loop(words, n_merges)
+    wall = time.time() - t0
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(
+        f"_merge_loop: {len(merges)} merges in {wall:.1f}s "
+        f"({wall / max(len(merges), 1) * 1000:.2f} ms/merge), "
+        f"peak rss {rss_after:.0f} MB (+{rss_after - rss_before:.0f} over histogram)"
+    )
+
+
+if __name__ == "__main__":
+    main()

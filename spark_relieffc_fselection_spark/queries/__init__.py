@@ -112,19 +112,21 @@ _PRIORITY: tuple[str, ...] = (
     # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # 5 free slots (VERDICT r10 #1): spent pre-paying the r8 cohort
-    # oldest-first (new round-11 gates, if any land, swap in here and
-    # the displaced pre-pays return to _DEFERRED at 8).
+    # 5 free slots (VERDICT r10 #1): 3 taken by the round's new
+    # gates (q171 iterative-prune trainer, q172/q173 artifact round
+    # trips — never driver-checked, so a slot each is mandatory), 2
+    # pre-pay the r8 cohort oldest-first.
     # Round-12 math, written out: r8 cohort is 38 entries, minus the
-    # pre-pays seated here = 33 forced at age 4 in round 12, + 2
-    # sentinels = 35 of 50 slots, 15 free — use them to pre-pay the
-    # 43-entry r9 cohort, which is otherwise 43 + 2 = 45 forced in
-    # round 13 (the same pinch as this round).
+    # 2 pre-paid here = 36 forced at age 4 in round 12, + 2 sentinels
+    # = 38 of 50 slots, 12 free — use them to pre-pay the 43-entry r9
+    # cohort, which is otherwise 43 + 2 = 45 forced in round 13 (the
+    # same pinch as this round; 12 pre-pays cut it to 31 + 2 + 12
+    # re-seated = manageable).
     "q66_unigram_lm_quality",
     "q67_deterministic_split",
     "q171_unigram_train_iterprune",
-    "q82_filter_funnel",
-    "q93_quantile_discretize",
+    "q172_bpe_artifact_encode",
+    "q173_unigram_artifact_tokenize",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -187,7 +189,7 @@ _DEFERRED: dict[str, int] = {
     "q01_pruned_scan": 10,
     "q02_groupby_agg": 10,
     # r9-green (age 2 at round 11; forced by round 13 — pre-pay in
-    # round 12's 15 free slots, see the _PRIORITY math note).
+    # round 12's 12 free slots, see the _PRIORITY math note).
     # q157 fold note (VERDICT r9 #8 / r10 #1): folding q157's
     # Hamming-1 evidence into q160 stays pre-approved if a future
     # window pinches; round 11 seats everything without it.
@@ -237,6 +239,8 @@ _DEFERRED: dict[str, int] = {
     # r8-green (age 3 at round 11; the 5 oldest are pre-paid in this
     # round's free slots, the remaining 33 are forced in round 12).
     "q68_domain_mix": 8,
+    "q82_filter_funnel": 8,
+    "q93_quantile_discretize": 8,
     "q94_substring_dedup": 8,
     "q95_substring_contamination": 8,
     "q96_bigram_lm_quality": 8,

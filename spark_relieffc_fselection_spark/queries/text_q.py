@@ -1766,3 +1766,151 @@ def q170_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+#: q172/q173 (VERDICT r10 #7): the tokenizer ARTIFACT round trip under
+#: the hash gate — each gate trains, persists the tokenizer to
+#: parquet, loads it back through the validating loader, and encodes
+#: with the LOADED artifact. The oracle replays the straight-through
+#: computation, so hash equality proves persistence is lossless
+#: end-to-end (a corrupted ordinal, a dropped piece, or a
+#: different-alphabet artifact would diverge the values), not just
+#: test-asserted. Params deliberately differ from q170/q156 so the
+#: gates carry independent evidence.
+BPE_ART_MERGES = 60
+BPE_ART_VOCAB_CAP = 20
+BPE_ART_TOP = 25
+
+#: Per-(gate, sf) artifact dirs — mkdtemp like q139/q146 (unique per
+#: process, so concurrent runners can't race), memoized so bench reps
+#: re-read the same artifact instead of re-writing per rep.
+_ARTIFACT_DIRS: dict[str, str] = {}
+
+
+def _artifact_dir(key: str) -> str:
+    import tempfile
+
+    if key not in _ARTIFACT_DIRS:
+        _ARTIFACT_DIRS[key] = tempfile.mkdtemp(prefix=f"{key}_")
+    return _ARTIFACT_DIRS[key]
+
+
+@register(
+    "q172_bpe_artifact_encode",
+    oracle=_bpe_encode_oracle(
+        n_merges=BPE_ART_MERGES,
+        vocab_cap=BPE_ART_VOCAB_CAP,
+        top=BPE_ART_TOP,
+    ),
+    doc=f"BPE artifact round trip: train {BPE_ART_MERGES} merges over "
+        f"the capped histogram (top {BPE_ART_VOCAB_CAP} words), "
+        "persist the chain with save_merges (parquet, explicit merge "
+        "ordinals — order is the load-bearing contract), load it back "
+        "through load_merges' ordinal/alphabet validation, and encode "
+        "the FULL vocabulary with the LOADED chain. The oracle replays "
+        "the straight-through train+encode, so the hash pins the "
+        "persistence layer itself: any ordinal shuffle, alphabet "
+        "drift, or row loss in the artifact diverges the token "
+        "counts. Scale: the artifact is merges-sized (<= ceiling "
+        "rows); one tiny write + one tiny validated read on top of "
+        "q170's corpus-independent training cost.",
+)
+def q172_bpe_artifact_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        bpe_render,
+        learn_bpe,
+        load_merges,
+        save_merges,
+    )
+    from spark_relieffc_fselection_spark.queries import localize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    vocab = localize(words.groupBy("w").agg(F.count("*").alias("wc")))
+    merges = learn_bpe(
+        vocab, n_merges=BPE_ART_MERGES, max_vocab_words=BPE_ART_VOCAB_CAP
+    )
+    path = f"{_artifact_dir('q172_' + Path(sf_dir).name)}/merges"
+    save_merges(spark, merges, path)
+    loaded = load_merges(spark, path)
+    v = bpe_apply(vocab, loaded)
+    syms = v.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("sym"),
+        "wc",
+    )
+    return (
+        syms.select(bpe_render("sym", loaded).alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(BPE_ART_TOP)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("rank"),
+            "token",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "q173_unigram_artifact_tokenize",
+    oracle=_unigram_corpus_oracle(),
+    doc="Unigram piece-table artifact round trip (q164's serving "
+        "shape): the capped piece table persists with save_piece_table "
+        "(parquet), loads back through load_piece_table's segmentation-"
+        "TOTALITY validation (every multi-char piece's characters must "
+        "be alphabet-covered), and the corpus tokenizes under the "
+        "LOADED table — per-document piece counts joined by word, the "
+        "100 TB-safe pattern. The oracle replays the straight-through "
+        "q164 computation, so the hash pins the artifact layer: a "
+        "dropped piece or a perturbed lp would shift best paths and "
+        "diverge the per-doc counts. Scale: the artifact is "
+        "pieces-sized (seed-capped); one tiny write + validated read "
+        "on top of q164's one-corpus-pass cost.",
+)
+def q173_unigram_artifact_tokenize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pathlib import Path
+
+    from spark_relieffc_fselection_spark.functions.text import tokens
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        load_piece_table,
+        save_piece_table,
+        viterbi_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select("doc_id", F.explode(tokens("text")).alias("w")).filter(
+        (F.length("w") >= 1) & (F.length("w") <= UNI_MAX_WORD)
+    )
+    vocab, pieces = _unigram_base(spark, sf_dir)
+    path = f"{_artifact_dir('q173_' + Path(sf_dir).name)}/pieces"
+    save_piece_table(pieces, path)
+    loaded = load_piece_table(spark, path)
+    perword = viterbi_segment(
+        vocab, loaded, max_piece_len=UNI_MAX_PIECE
+    ).select("w", "n_pieces")
+    return (
+        dtoks.join(F.broadcast(perword), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces") / F.count("*").cast("double"), 6
+            ).alias("pieces_per_word"),
+        )
+    )

@@ -263,18 +263,23 @@ def test_bpe_placeholder_alphabet_is_guarded(spark):
         merge_placeholder,
     )
 
-    assert _MAX_MERGES == 71932
+    assert _MAX_MERGES == 137465
     assert merge_placeholder(1) == "\uE001"
     assert merge_placeholder(6399) == "\uF8FF"
     # the Plane-15 tier chains on seamlessly past the BMP slots
     assert merge_placeholder(6400) == "\U000F0001"
-    assert merge_placeholder(_MAX_MERGES) == "\U000FFFFD"
+    assert merge_placeholder(71932) == "\U000FFFFD"
+    # ... and Plane-16 PUA-B past Plane-15 (VERDICT r10 #4): the last
+    # private-use tier Unicode has, covering a 128k-class vocab
+    assert merge_placeholder(71933) == "\U00100001"
+    assert merge_placeholder(_MAX_MERGES) == "\U0010FFFD"
     vocab = spark.createDataFrame(
         [("hello", 3), ("help", 2)], "w string, wc long"
     )
-    with pytest.raises(ValueError, match="at most 71932 merges"):
-        learn_bpe_merges(vocab, 71933)
-    for bad in ("he\x01lo", "he\uE001lo", "he\uF8FFlo", "he\U000F0001lo"):
+    with pytest.raises(ValueError, match="at most 137465 merges"):
+        learn_bpe_merges(vocab, 137466)
+    for bad in ("he\x01lo", "he\uE001lo", "he\uF8FFlo", "he\U000F0001lo",
+                "he\U00100000lo"):
         dirty = spark.createDataFrame(
             [(bad, 3), ("help", 2)], "w string, wc long"
         )
@@ -670,17 +675,19 @@ def test_learn_bpe_rejects_forbidden_chars_outside_the_cap(spark, monkeypatch):
 
 
 def test_bpe_tier_boundary_is_lossless(spark, monkeypatch):
-    """Merge chains that cross the BMP->Plane-15 placeholder tier
-    boundary stay lossless through the SPARK apply/render path (the
-    F.replace machinery must treat supplementary code points as
-    single characters, same as Python and DuckDB). The boundary is
-    shrunk to 5 so a 33-merge chain provably crosses it without a
-    6,400-merge test."""
+    """Merge chains that cross BOTH placeholder tier boundaries
+    (BMP->Plane-15 and Plane-15->Plane-16 PUA-B, VERDICT r10 #4) stay
+    lossless through the SPARK apply/render path (the F.replace
+    machinery must treat supplementary code points as single
+    characters, same as Python and DuckDB). Both tiers are shrunk to
+    5 so a 33-merge chain provably crosses both without a
+    72k-merge test."""
     import pyspark.sql.functions as F
 
     from spark_relieffc_fselection_spark.operators import bpe
 
     monkeypatch.setattr(bpe, "_BMP_SLOTS", 5)
+    monkeypatch.setattr(bpe, "_SUPP_SLOTS", 5)
     alphabet = [chr(ord("0") + i) for i in range(10)] + [
         chr(ord("A") + i) for i in range(26)
     ] + [chr(ord("a") + i) for i in range(26)]
@@ -691,6 +698,8 @@ def test_bpe_tier_boundary_is_lossless(spark, monkeypatch):
     merges = bpe.learn_bpe(vocab, n_merges=1000)
     assert len(merges) == 33
     assert merges[4][0] == "\uE005" and merges[5][0] == "\U000F0001"
+    # second boundary: Plane-15 exhausts at merge 10, Plane-16 chains on
+    assert merges[9][0] == "\U000F0005" and merges[10][0] == "\U00100001"
     # the distributed trainer picks the identical chain across tiers
     assert bpe.learn_bpe_merges(vocab, 8) == merges[:8]
     merged = bpe.bpe_apply(vocab.withColumn("orig", F.col("w")), merges)
