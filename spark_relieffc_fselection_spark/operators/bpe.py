@@ -389,6 +389,15 @@ def _merge_loop(
                     heappush(heap, (-left, old_p))
                 else:
                     del counts[old_p]
+                    # compact the occurrence index with the count
+                    # (VERDICT r10 note: grow-only occ peaked at
+                    # 4.4 GB in the 30k x 1M smoke): count 0 means no
+                    # OTHER live word contains old_p — any survivor
+                    # would hold the count above 0 — so the set holds
+                    # only stale ids (and possibly this word's, which
+                    # the add-loop below re-creates if old_p survives
+                    # in the rewritten word). Dropping it is lossless.
+                    occ.pop(old_p, None)
             w2 = w.replace(pair, ph)
             work[idx] = (w2, wc)
             for i in range(len(w2) - 1):
@@ -397,6 +406,17 @@ def _merge_loop(
                 occ.setdefault(new_p, set()).add(idx)
                 heappush(heap, (-counts[new_p], new_p))
         occ.pop(pair, None)
+        # Lazy invalidation pushes a fresh heap entry on EVERY count
+        # change and removes stale ones only when popped — at
+        # production depth the stale backlog, not occ or counts, is
+        # the dominant memory term (measured: the 30k x 1M smoke).
+        # Rebuild from the live counts whenever staleness dominates:
+        # amortized O(live pairs) memory and the rebuilt heap orders
+        # identically, because the dict holds the truth either way
+        # (parity-tested vs the reference recount).
+        if len(heap) > 64 and len(heap) > 8 * len(counts):
+            heap = [(-c, pr) for pr, c in counts.items()]
+            heapify(heap)
     return merges
 
 
