@@ -40,8 +40,8 @@ _BMP_SLOTS = 0xF8FF - 0xE000       # 6399 BMP placeholders
 #: Second tier: Plane-15 private-use area (U+F0000..U+FFFFD). Spark's
 #: UTF8String, DuckDB, and Python all treat these as single code
 #: points in length/substring/replace, so the merge machinery is
-#: tier-agnostic; the tier boundary is property-tested by shrinking
-#: _BMP_SLOTS (same code path, fast test).
+#: tier-agnostic; both tier boundaries are property-tested by
+#: shrinking _BMP_SLOTS/_SUPP_SLOTS (same code path, fast test).
 _SUPP_BASE = 0xF0000
 _SUPP_SLOTS = 0xFFFFD - 0xF0000    # 65533 supplementary placeholders
 #: Third tier (VERDICT r10 #4): Plane-16 private-use area
@@ -430,7 +430,12 @@ def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
         [(i, ph, pair) for i, (ph, pair) in enumerate(merges, 1)],
         "m int, placeholder string, pair string",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    # repartition(1), NOT coalesce(1): coalesce fuses into the parent
+    # plan and makes ONE task evaluate every LocalRelation partition
+    # serially (measured 4.3s for a 60-row write on local[32]);
+    # repartition shuffles the tiny rows to one writer task in ~0.4s
+    # and still yields the single-file artifact.
+    df.repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_merges(spark, path: str) -> list[tuple[str, str]]:
