@@ -436,6 +436,7 @@ def train_unigram(
     weight_col: str = "wc",
     prune_rounds: int = 1,
     shrink_factor: float | None = None,
+    seed_pieces: DataFrame | None = None,
 ) -> UnigramTrainResult:
     """The COMPOSED SentencePiece-style trainer (VERDICT r9 #4) on top
     of the gated primitives: seed a (capped) candidate table
@@ -485,14 +486,24 @@ def train_unigram(
             f"shrink_factor must be in (0, 1), got {shrink_factor}"
         )
     spark = vocab.sparkSession
-    pieces = piece_table(
-        vocab,
-        max_piece_len,
-        word_col,
-        weight_col,
-        max_pieces=seed_max_pieces,
-        min_count=seed_min_count,
-    )
+    if seed_pieces is not None:
+        # Warm-start seed (SentencePiece's seed-from-given-vocab): a
+        # caller-supplied ``(piece, lp)`` table replaces the internal
+        # candidate build — e.g. the q162-q166 family's memoized
+        # capped table, which is value-identical to what piece_table
+        # would recompute here, so the knob changes cost, never
+        # answers (the seed_max_pieces/seed_min_count knobs are then
+        # the CALLER's responsibility).
+        pieces = seed_pieces
+    else:
+        pieces = piece_table(
+            vocab,
+            max_piece_len,
+            word_col,
+            weight_col,
+            max_pieces=seed_max_pieces,
+            min_count=seed_min_count,
+        )
     # ONE seed collect serves the alphabet, iteration 1's broadcast
     # dict, and the seed diagnostics — pieces is bounded by the cap
     lp_map: dict[str, float] | None = {
