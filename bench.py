@@ -125,6 +125,7 @@ def main() -> None:
     from spark_relieffc_fselection_spark.queries import text_q
 
     _setup("unigram_base", lambda: text_q._unigram_base(spark, sf_dir))
+    _setup("bpe_vocab", lambda: text_q._bpe_vocab(spark, sf_dir))
 
     # Host-speed canary (VERDICT r10 #5): a FIXED tiny control
     # workload — the warmup's broadcast-join/window/decimal-agg shape
