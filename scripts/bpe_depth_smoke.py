@@ -12,7 +12,13 @@ Pure driver-side (the loop is the driver stage of learn_bpe; the one
 corpus pass that builds the histogram is Spark's and already measured
 elsewhere).
 
-Usage: python scripts/bpe_depth_smoke.py [n_words] [n_merges]
+Usage: python scripts/bpe_depth_smoke.py [n_words] [n_merges] [--ids]
+
+``--ids`` runs the CEILING-FREE id-space loop (operators/bpe_ids.py)
+instead of the string loop — with a wide synthetic alphabet so the
+pair supply sustains merge counts PAST the string path's 137,465
+placeholder ceiling; reports the max allocated merge id to prove the
+chain actually left the Unicode code-point space.
 """
 
 from __future__ import annotations
@@ -50,12 +56,36 @@ def synth_histogram(n_words: int, seed: int = 41) -> list[tuple[str, int]]:
     return sorted(hist.items())
 
 
+def synth_histogram_wide(n_words: int, seed: int = 43) -> list[tuple[str, int]]:
+    """Wide-alphabet variant (400 base symbols, longer words): enough
+    pair diversity to sustain >137k merges — the regime the id-space
+    loop exists for."""
+    rng = random.Random(seed)
+    alphabet = [chr(0x4E00 + i) for i in range(400)]  # CJK block, sub-U+E000
+    stems = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 5)))
+        for _ in range(4000)
+    ]
+    hist: dict[str, int] = {}
+    r = 0
+    while len(hist) < n_words:
+        r += 1
+        w = rng.choice(stems) + "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 9))
+        )
+        if w in hist:
+            continue
+        hist[w] = max(1, n_words // r)
+    return sorted(hist.items())
+
+
 def main() -> None:
     n_words = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    ids_mode = "--ids" in sys.argv
 
     t0 = time.time()
-    words = synth_histogram(n_words)
+    words = (synth_histogram_wide if ids_mode else synth_histogram)(n_words)
     t_synth = time.time() - t0
     rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     total_chars = sum(len(w) for w, _ in words)
@@ -65,6 +95,26 @@ def main() -> None:
     )
 
     t0 = time.time()
+    if ids_mode:
+        from spark_relieffc_fselection_spark.operators.bpe_ids import (
+            _merge_loop_ids,
+        )
+
+        id_words = [(tuple(ord(c) for c in w), wc) for w, wc in words]
+        merges_i = _merge_loop_ids(id_words, n_merges)
+        wall = time.time() - t0
+        rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        max_id = max(m for m, _ in merges_i) if merges_i else 0
+        print(
+            f"_merge_loop_ids: {len(merges_i)} merges in {wall:.1f}s "
+            f"({wall / max(len(merges_i), 1) * 1000:.2f} ms/merge), "
+            f"peak rss {rss_after:.0f} MB "
+            f"(+{rss_after - rss_before:.0f} over histogram); "
+            f"max merge id 0x{max_id:X} "
+            f"({'PAST' if max_id > 0x10FFFF else 'within'} the Unicode "
+            "code-point space)"
+        )
+        return
     merges = _merge_loop(words, n_merges)
     wall = time.time() - t0
     rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024

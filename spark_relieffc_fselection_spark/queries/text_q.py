@@ -1924,3 +1924,83 @@ def q173_unigram_artifact_tokenize(
             ).alias("pieces_per_word"),
         )
     )
+
+
+#: q174: the CEILING-FREE id-space BPE path (the tier design note,
+#: built out): train in symbol-id space (no placeholder alphabet, so
+#: no 137,465-merge ceiling and no C0/PUA input rejection), encode
+#: with the production rank-based algorithm, render ids back to
+#: surface tokens. Params differ from q170/q172 so the three trainer
+#: gates carry independent evidence; the oracle is the same generated
+#: string-path replay — below the ceiling on an ASCII corpus the two
+#: representations are sequence-identical (property-pinned), so the
+#: hash pins the id path end-to-end: trainer, rank encoder, and
+#: renderer.
+BPE_IDS_MERGES = 80
+BPE_IDS_VOCAB_CAP = 22
+BPE_IDS_TOP = 28
+
+
+@register(
+    "q174_bpe_ids_train",
+    oracle=_bpe_encode_oracle(
+        n_merges=BPE_IDS_MERGES,
+        vocab_cap=BPE_IDS_VOCAB_CAP,
+        top=BPE_IDS_TOP,
+    ),
+    doc=f"BPE over ARRAYS OF SYMBOL IDS: train {BPE_IDS_MERGES} merges "
+        f"(capped histogram, top {BPE_IDS_VOCAB_CAP} words) in id "
+        "space — merge m allocates integer id 0x110000+m, above every "
+        "Unicode code point, so the representation has NO merge "
+        "ceiling (vs the string path's 137,465 private-use slots) and "
+        "accepts ANY input text (merge ids cannot alias characters, "
+        "so the C0/PUA guard has nothing to guard). Encode runs the "
+        "production rank-based algorithm (lowest-rank adjacent pair "
+        "first) in one Arrow pass with the merges-sized ranks dict "
+        "broadcast — chain-length-independent, which is what makes a "
+        "137k+ vocabulary servable. The oracle replays the STRING "
+        "path: below the ceiling the two representations produce "
+        "identical sequences (property-pinned parity), so the hash "
+        "gates trainer, encoder, and renderer at once. Scale: one "
+        "corpus shuffle (the memoized histogram); training is "
+        "merges x capped-histogram, corpus-independent; vocabulary "
+        "encode is vocab-sized; corpus tokenization joins back by "
+        "word (the q156/q164 pattern).",
+)
+def q174_bpe_ids_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode,
+        learn_bpe_ids,
+        render_id,
+    )
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = learn_bpe_ids(
+        vocab, n_merges=BPE_IDS_MERGES, max_vocab_words=BPE_IDS_VOCAB_CAP
+    )
+    encoded = bpe_ids_encode(vocab, merges)
+    # the distinct-token space is bounded by construction
+    # (|alphabet| + n_merges, ~200 rows here), so collecting the WHOLE
+    # aggregate is exact and driver-trivial — an id-ordered bounded
+    # top-N would mis-handle count ties (id order != surface order)
+    counts = (
+        encoded.select(F.explode("token_ids").alias("tid"), "wc")
+        .groupBy("tid")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    expand = {nid: pair for nid, pair in merges}
+    memo: dict[int, str] = {}
+    # DISTINCT ids can share a surface — (X,c) and (a,Y) both render
+    # "abc" when X=(a,b) merged in some words and Y=(b,c) in others —
+    # and the oracle (like the string path) aggregates by SURFACE, so
+    # re-sum after rendering, then rank by (cnt DESC, token ASC)
+    agg: dict[str, int] = {}
+    for r in counts:
+        tok = render_id(int(r["tid"]), expand, memo)
+        agg[tok] = agg.get(tok, 0) + int(r["cnt"])
+    top = sorted(agg.items(), key=lambda t: (-t[1], t[0]))[:BPE_IDS_TOP]
+    return spark.createDataFrame(
+        [(i + 1, tok, cnt) for i, (tok, cnt) in enumerate(top)],
+        "rank int, token string, cnt bigint",
+    )

@@ -957,3 +957,123 @@ def test_train_unigram_at_nontrivial_vocab(spark):
     assert res.pruned_multi > 0
     seg = viterbi_segment(vocab, res.pieces, max_piece_len=4)
     assert seg.filter(F.col("best_lp") < MISSING_PIECE_SCORE / 2).count() == 0
+
+
+def test_bpe_ids_parity_with_string_path():
+    """The ceiling-free id-space trainer replays the string path's
+    merge sequences EXACTLY (under the placeholder->merge-id mapping)
+    on sub-U+E000 vocabularies — randomized histograms, depths past
+    the pair supply, overlap cases included. Plus: the rank-based
+    per-word encode equals chain-order application, and rendering is
+    lossless."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        _merge_loop,
+        merge_placeholder,
+    )
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        _merge_loop_ids,
+        _replace_pair,
+        encode_word_ids,
+        merge_id,
+        render_id,
+    )
+
+    rng = random.Random(31)
+    for trial in range(15):
+        hist = {}
+        for _ in range(rng.randint(3, 40)):
+            w = "".join(
+                rng.choice("abcdef") for _ in range(rng.randint(1, 9))
+            )
+            hist[w] = hist.get(w, 0) + rng.randint(1, 20)
+        words = sorted(hist.items())
+        depth = rng.choice([1, 5, 50, 400])
+        s_merges = _merge_loop(list(words), depth)
+        i_merges = _merge_loop_ids(
+            [(tuple(ord(c) for c in w), wc) for w, wc in words], depth
+        )
+        ph2id = {
+            merge_placeholder(m): merge_id(m)
+            for m in range(1, len(s_merges) + 1)
+        }
+        mapped = [
+            (
+                merge_id(m),
+                (ph2id.get(pair[0], ord(pair[0])),
+                 ph2id.get(pair[1], ord(pair[1]))),
+            )
+            for m, (_ph, pair) in enumerate(s_merges, 1)
+        ]
+        assert mapped == i_merges, (trial, depth)
+        ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(i_merges, 1)}
+        expand = {nid: pair for nid, pair in i_merges}
+        memo = {}
+        for w, _ in words[:8]:
+            ids = [ord(c) for c in w]
+            enc = encode_word_ids(list(ids), ranks)
+            chain = tuple(ids)
+            for nid, pair in i_merges:
+                chain = _replace_pair(chain, pair, nid)
+            assert list(chain) == enc, (trial, w)
+            assert "".join(render_id(t, expand, memo) for t in enc) == w
+
+
+def test_bpe_ids_has_no_merge_ceiling():
+    """The whole point of the id representation: n_merges far past the
+    string path's 137,465 ceiling is ACCEPTED (supply exhaustion, not
+    a ValueError), merge ids allocate past the Unicode code-point
+    space, and PUA/C0 input — which the string path must reject —
+    trains and round-trips fine because merge ids cannot alias any
+    character."""
+    from spark_relieffc_fselection_spark.operators.bpe import _MAX_MERGES
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        MERGE_ID_BASE,
+        _merge_loop_ids,
+        encode_word_ids,
+        merge_id,
+        render_id,
+    )
+
+    assert merge_id(_MAX_MERGES + 1) > 0x10FFFF  # past every code point
+    got = _merge_loop_ids([((97, 98, 99, 100), 5)], _MAX_MERGES + 10_000)
+    assert len(got) == 3  # supply exhausted gracefully, no ceiling error
+    # PUA input is legal here (the string path raises on it)
+    w = "helo"
+    ids_in = [ord(c) for c in w]
+    merges = _merge_loop_ids([(tuple(ids_in), 3)], 4)
+    ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(merges, 1)}
+    enc = encode_word_ids(list(ids_in), ranks)
+    expand = {nid: pair for nid, pair in merges}
+    assert "".join(render_id(t, expand, {}) for t in enc) == w
+    # a synthetic chain whose ids exceed the Unicode ceiling renders
+    base = MERGE_ID_BASE
+    chain = [(base + 1, (97, 98)), (base + 2, (base + 1, 99))]
+    assert render_id(base + 2, {n: p for n, p in chain}, {}) == "abc"
+
+
+def test_bpe_ids_spark_encode_matches_driver(spark):
+    """bpe_ids_encode's Arrow pass returns, per word, exactly the
+    driver-side rank encode — and the trained chain via the DataFrame
+    API equals the driver loop on the same histogram."""
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        _merge_loop_ids,
+        bpe_ids_encode,
+        encode_word_ids,
+        learn_bpe_ids,
+    )
+
+    rows = [("banana", 7), ("bandana", 5), ("cabana", 4), ("anagram", 2)]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    merges = learn_bpe_ids(vocab, n_merges=6)
+    assert merges == _merge_loop_ids(
+        [(tuple(ord(c) for c in w), wc) for w, wc in rows], 6
+    )
+    ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(merges, 1)}
+    got = {
+        r["w"]: list(r["token_ids"])
+        for r in bpe_ids_encode(vocab, merges).collect()
+    }
+    for w, _ in rows:
+        assert got[w] == encode_word_ids([ord(c) for c in w], ranks), w
