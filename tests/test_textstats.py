@@ -957,6 +957,24 @@ def test_train_unigram_at_nontrivial_vocab(spark):
     assert res.pruned_multi > 0
     seg = viterbi_segment(vocab, res.pieces, max_piece_len=4)
     assert seg.filter(F.col("best_lp") < MISSING_PIECE_SCORE / 2).count() == 0
+    # the ITERATIVE schedule at the same non-toy scale (the ~263-piece
+    # support shrinks 263 -> ~197 -> ~147 -> 142 over three binding-ish
+    # rounds): every within-segment LL pair monotone, totality intact
+    res_it = train_unigram(
+        vocab, vocab_target=150, n_iters=2, max_piece_len=4,
+        seed_max_pieces=400, prune_rounds=3, shrink_factor=0.75,
+    )
+    assert len(res_it.ll_history) == 6 and len(res_it.prune_sizes) == 3
+    for s in range(3):
+        a, b = res_it.ll_history[2 * s], res_it.ll_history[2 * s + 1]
+        assert b >= a - 1e-3 * max(1.0, abs(a)), (s, a, b)
+    assert res_it.prune_sizes[-1] == 150 - len(alphabet)
+    rows_it = res_it.pieces.collect()
+    assert len(rows_it) == 150
+    seg_it = viterbi_segment(vocab, res_it.pieces, max_piece_len=4)
+    assert seg_it.filter(
+        F.col("best_lp") < MISSING_PIECE_SCORE / 2
+    ).count() == 0
 
 
 def test_bpe_ids_parity_with_string_path():
