@@ -131,7 +131,11 @@ def piece_table(
 
 
 def _dp(
-    w: str, lp: dict, max_piece_len: int, masked: str | None = None
+    w: str,
+    lp: dict,
+    max_piece_len: int,
+    masked: str | None = None,
+    perturb=None,
 ) -> tuple[float, int, list[str]]:
     """The per-word Viterbi recurrence (shared by both emit shapes):
     s[0] = 0; s[i] = max over l in 1..min(max_piece_len, i) of
@@ -145,6 +149,12 @@ def _dp(
     likelihood loses if a piece is removed). Masking can only lower
     the max; length-1 pieces are never masked, so every word stays
     feasible.
+
+    ``perturb(i, l)`` adds a per-candidate term to the recurrence —
+    the hash-Gumbel subword-regularization hook
+    (:func:`sampled_segment`): v = s[i-l] + lp(piece) + perturb(i, l).
+    The tie order is unchanged, so the perturbed DP stays total and
+    oracle-replayable.
 
     Empty words are REJECTED (ADVICE r10): an empty path would make
     the word silently vanish from every explode-shaped consumer
@@ -170,6 +180,8 @@ def _dp(
                 else lp.get(piece, MISSING_PIECE_SCORE)
             )
             v = s[i - l] + score
+            if perturb is not None:
+                v += perturb(i, l)
             key = (v, -(npc[i - l] + 1), -l)
             if best is None or key > best[0]:
                 best = (key, v, npc[i - l] + 1, l)
@@ -652,3 +664,90 @@ def load_piece_table(spark, path: str) -> DataFrame:
             "them outside those exact pieces would be unsegmentable"
         )
     return df
+
+
+def sampled_segment(
+    vocab: DataFrame,
+    pieces: DataFrame,
+    alpha: float = 1.0,
+    seed: str = "sr0",
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    weight_col: str = "wc",
+    emit_pieces: bool = False,
+) -> DataFrame:
+    """SUBWORD REGULARIZATION (Kudo 2018 §3) — sampled segmentation
+    for training-data augmentation — via hash-Gumbel perturb-and-MAP:
+    the Viterbi recurrence maximizes
+    ``s[i-l] + lp(piece) + ROUND(G(seed, w, i, l) / alpha, 6)`` where
+    ``G = -ln(-ln(u))`` is a Gumbel draw and ``u`` the repo's portable
+    md5 uniform (the hash_uniform/q80 convention) keyed by (seed,
+    word, position, length). Gumbel-perturbing each candidate and
+    taking the max is the standard scalable approximation to sampling
+    a segmentation from the softmax over paths (perturb-and-MAP);
+    ``alpha`` is the sharpness knob — large alpha converges on the
+    argmax path, small alpha explores.
+
+    Fully DETERMINISTIC given (seed, alpha): the draw is a pure hash,
+    so the sampled paths are identical across engines and runs — the
+    property that makes a SAMPLING operator hash-gateable (q175), the
+    same reason q57/q80 sample by hash instead of engine RNG. The
+    Gumbel term is rounded to 6dp (the q66 log2 precedent: post-round
+    doubles parse identically in both engines; an exact .5e-6
+    boundary is unreachable for transcendental ln outputs in
+    practice, and the all-SF sweep would surface one).
+
+    Output shape matches :func:`viterbi_segment` (``sampled_lp`` =
+    the PERTURBED objective of the sampled path, ``n_pieces``, and
+    the path with ``emit_pieces``). Scale: identical to the argmax
+    E-step — one vocab-sized Arrow pass, pieces-dict broadcast; n
+    augmentation epochs cost n corpus-zero passes with n seeds."""
+    from hashlib import md5 as _md5
+    from math import log as _ln
+
+    spark = vocab.sparkSession
+    lp_map = {
+        r["piece"]: float(r["lp"])
+        for r in pieces.select("piece", "lp").collect()
+    }
+    bc = spark.sparkContext.broadcast(lp_map)
+    out_schema = (
+        f"{word_col} string, {weight_col} long, sampled_lp double, "
+        "n_pieces int"
+    )
+    if emit_pieces:
+        out_schema += ", pieces array<string>"
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lp = bc.value
+        for pdf in batches:
+            words, weights, bests, counts, paths = [], [], [], [], []
+            for w, wc in zip(pdf[word_col], pdf[weight_col]):
+
+                def perturb(i: int, l: int, _w=w) -> float:
+                    h = _md5(f"{seed}|{_w}|{i}|{l}".encode()).hexdigest()
+                    u = (int(h[3:9], 16) + 0.5) / 16777216.0
+                    return round(-_ln(-_ln(u)) / alpha, 6)
+
+                best, n_pieces, path = _dp(
+                    w, lp, max_piece_len, perturb=perturb
+                )
+                words.append(w)
+                weights.append(int(wc))
+                bests.append(best)
+                counts.append(n_pieces)
+                if emit_pieces:
+                    paths.append(path)
+            out = {
+                word_col: words,
+                weight_col: weights,
+                "sampled_lp": bests,
+                "n_pieces": counts,
+            }
+            if emit_pieces:
+                out["pieces"] = paths
+            yield pd.DataFrame(out)
+
+    return vocab.select(word_col, weight_col).mapInPandas(
+        seg, schema=out_schema
+    )

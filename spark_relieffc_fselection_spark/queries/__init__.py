@@ -112,18 +112,18 @@ _PRIORITY: tuple[str, ...] = (
     # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # 5 free slots (VERDICT r10 #1): 4 taken by the round's new
+    # 5 free slots (VERDICT r10 #1): ALL 5 taken by the round's new
     # gates (q171 iterative-prune trainer, q172/q173 artifact round
-    # trips, q174 ceiling-free id-space BPE — never driver-checked,
-    # so a slot each is mandatory), 1 pre-pays the r8 cohort
-    # oldest-first.
-    # Round-12 math, written out: r8 cohort is 38 entries, minus the
-    # 1 pre-paid here = 37 forced at age 4 in round 12, + 2 sentinels
-    # = 39 of 50 slots, 11 free — use them to pre-pay the 43-entry r9
-    # cohort, which is otherwise 43 + 2 = 45 forced in round 13 (the
-    # same pinch as this round; 11 pre-pays cut round 13 to 32 + 2 =
-    # 34 forced, 16 free — the debt spiral ends there).
-    "q66_unigram_lm_quality",
+    # trips, q174 ceiling-free id-space BPE, q175 subword
+    # regularization — never driver-checked, so a slot each is
+    # mandatory; the judge's rule puts new gates ahead of pre-pays).
+    # Round-12 math, written out: the full 38-entry r8 cohort is
+    # forced at age 4 in round 12, + 2 sentinels = 40 of 50 slots,
+    # 10 free — use them to pre-pay the 43-entry r9 cohort, which is
+    # otherwise 43 + 2 = 45 forced in round 13 (the same pinch as
+    # this round; 10 pre-pays cut round 13 to 33 + 2 = 35 forced,
+    # 15 free — the debt spiral ends there).
+    "q175_unigram_sampled_tokens",
     "q174_bpe_ids_train",
     "q171_unigram_train_iterprune",
     "q172_bpe_artifact_encode",
@@ -190,7 +190,7 @@ _DEFERRED: dict[str, int] = {
     "q01_pruned_scan": 10,
     "q02_groupby_agg": 10,
     # r9-green (age 2 at round 11; forced by round 13 — pre-pay in
-    # round 12's 11 free slots, see the _PRIORITY math note).
+    # round 12's 10 free slots, see the _PRIORITY math note).
     # q157 fold note (VERDICT r9 #8 / r10 #1): folding q157's
     # Hamming-1 evidence into q160 stays pre-approved if a future
     # window pinches; round 11 seats everything without it.
@@ -239,6 +239,7 @@ _DEFERRED: dict[str, int] = {
     "q139_bucketed_join": 9,
     # r8-green (age 3 at round 11; the 5 oldest are pre-paid in this
     # round's free slots, the remaining 33 are forced in round 12).
+    "q66_unigram_lm_quality": 8,
     "q67_deterministic_split": 8,
     "q68_domain_mix": 8,
     "q82_filter_funnel": 8,

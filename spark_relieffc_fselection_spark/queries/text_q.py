@@ -946,15 +946,11 @@ def _unigram_base(spark: SparkSession, sf_dir: str):
     return vocab, pieces
 
 
-def _unigram_dp_prefix() -> list[str]:
-    """Shared generated-oracle prefix replaying the Viterbi DP exactly
-    (the q156 generated-oracle technique): piece scores are
-    ROUND(log2(share), 6) — identical doubles across engines — and one
-    CTE per word position takes the (s DESC, np ASC, l ASC) arg-max
-    over the same candidates in the same operand order, so the scores
-    are bit-identical and the arg-max (hence the chosen PATH — the
-    tie order is total) cannot diverge. Each d{i} also records the
-    chosen last-piece length l{i}, which the q163 tail walks back."""
+def _unigram_seed_prefix() -> list[str]:
+    """The seed half of the generated oracle: corpus words -> capped
+    candidate piece table (CTEs toks/vocab/rawp/keep/tot/pieces) —
+    shared by the arg-max chains AND the perturbed (subword-
+    regularization) chain, which replaces only the DP half."""
     P, W = UNI_MAX_PIECE, UNI_MAX_WORD
     parts = [
         "WITH toks AS (",
@@ -982,14 +978,32 @@ def _unigram_dp_prefix() -> list[str]:
         "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM keep),",
         "pieces AS MATERIALIZED (SELECT piece, ROUND(log2(c / t), 6) AS lp FROM keep, tot),",
     ]
-    return parts + _dp_argmax_chain("d", "vocab", "pieces")
+    return parts
 
 
-def _dp_argmax_chain(prefix: str, src: str, pieces_cte: str) -> list[str]:
+def _unigram_dp_prefix() -> list[str]:
+    """Shared generated-oracle prefix replaying the Viterbi DP exactly
+    (the q156 generated-oracle technique): piece scores are
+    ROUND(log2(share), 6) — identical doubles across engines — and one
+    CTE per word position takes the (s DESC, np ASC, l ASC) arg-max
+    over the same candidates in the same operand order, so the scores
+    are bit-identical and the arg-max (hence the chosen PATH — the
+    tie order is total) cannot diverge. Each d{i} also records the
+    chosen last-piece length l{i}, which the q163 tail walks back."""
+    return _unigram_seed_prefix() + _dp_argmax_chain("d", "vocab", "pieces")
+
+
+def _dp_argmax_chain(
+    prefix: str, src: str, pieces_cte: str, extra=None
+) -> list[str]:
     """CTE chain ``{prefix}0..{prefix}W`` replaying the arg-max Viterbi
     DP over ``src`` (w, wc) against the scores in ``pieces_cte`` —
     parameterized so q166's second E-step can re-run the identical
-    recurrence against the RE-ESTIMATED piece table."""
+    recurrence against the RE-ESTIMATED piece table. ``extra(i, l)``
+    appends a per-candidate SQL term (the hash-Gumbel
+    subword-regularization perturbation, q175) — added AFTER the
+    COALESCE exactly like the engine adds perturb() after the piece
+    score, so operand order (hence doubles) match."""
     P, W = UNI_MAX_PIECE, UNI_MAX_WORD
     parts = [
         f"{prefix}0 AS (SELECT w, wc, CAST(0.0 AS DOUBLE) AS s0, "
@@ -998,7 +1012,9 @@ def _dp_argmax_chain(prefix: str, src: str, pieces_cte: str) -> list[str]:
     for i in range(1, W + 1):
         cands = " UNION ALL ".join(
             f"SELECT d.s{i - l} + COALESCE((SELECT lp FROM {pieces_cte} p WHERE "
-            f"p.piece = substr(d.w, {i - l + 1}, {l})), -1000000000.0) AS s, "
+            f"p.piece = substr(d.w, {i - l + 1}, {l})), -1000000000.0)"
+            + (f" + {extra(i, l)}" if extra is not None else "")
+            + " AS s, "
             f"d.np{i - l} + 1 AS np, {l} AS l"
             for l in range(1, min(P, i) + 1)
         )
@@ -2003,4 +2019,90 @@ def q174_bpe_ids_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, tok, cnt) for i, (tok, cnt) in enumerate(top)],
         "rank int, token string, cnt bigint",
+    )
+
+
+#: q175: SUBWORD REGULARIZATION (Kudo 2018 §3) — the sampled-
+#: segmentation piece counts, i.e. the augmentation-epoch twin of
+#: q163's argmax M-step. Sampling is hash-Gumbel perturb-and-MAP
+#: (operators/unigram_lm.sampled_segment): deterministic given
+#: (seed, alpha), which is what makes a SAMPLING operator
+#: hash-gateable — the q57/q80 principle applied to segmentation.
+UNI_SR_ALPHA = 1.0
+UNI_SR_SEED = "sr0"
+
+
+def _gumbel_term(i: int, l: int) -> str:
+    """The per-candidate perturbation in DuckDB spelling: u = the
+    repo's portable md5 uniform keyed (seed, word, position, length);
+    term = ROUND(-LN(-LN(u)) / alpha, 6) — matching the engine's
+    round(-log(-log(u)) / alpha, 6) on the identical u."""
+    u = (
+        f"(CAST(('0x' || substr(md5('{UNI_SR_SEED}|' || d.w || "
+        f"'|{i}|{l}'), 4, 6)) AS BIGINT) + 0.5) / 16777216.0"
+    )
+    return f"ROUND(-LN(-LN({u})) / {UNI_SR_ALPHA}, 6)"
+
+
+def _sampled_tokens_oracle() -> str:
+    K = UNI_TOP
+    parts = _unigram_seed_prefix()
+    parts += _dp_argmax_chain("d", "vocab", "pieces", extra=_gumbel_term)
+    parts += _mstep_walk("d", "")
+    parts += [
+        f"top AS (SELECT * FROM agg ORDER BY uses DESC, piece ASC LIMIT {K})",
+        "SELECT ROW_NUMBER() OVER (ORDER BY uses DESC, piece ASC) AS rank,",
+        "       piece, uses",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q175_unigram_sampled_tokens",
+    oracle=_sampled_tokens_oracle(),
+    doc="Subword regularization (Kudo 2018): piece usage counts under "
+        "a SAMPLED segmentation — the data-augmentation mode where "
+        "each training epoch tokenizes under a different segmentation "
+        "drawn from the model, which regularizes the downstream LM. "
+        "Sampling is hash-Gumbel perturb-and-MAP: every DP candidate "
+        "gains ROUND(-ln(-ln(u))/alpha, 6) with u the portable md5 "
+        "uniform keyed (seed, word, position, length), and the "
+        "perturbed arg-max is a softmax-ish draw — fully "
+        "deterministic given (seed, alpha), so the sampled paths are "
+        "identical across engines and the M-step counts sit under the "
+        "value hash (the q57/q80 hash-sampling principle applied to "
+        "segmentation). Scale: identical to the argmax E-step — one "
+        "vocab-sized Arrow DP pass per epoch seed, corpus-zero.",
+)
+def q175_unigram_sampled_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        sampled_segment,
+    )
+
+    vocab, pieces = _unigram_base(spark, sf_dir)
+    seg = sampled_segment(
+        vocab,
+        pieces,
+        alpha=UNI_SR_ALPHA,
+        seed=UNI_SR_SEED,
+        max_piece_len=UNI_MAX_PIECE,
+        emit_pieces=True,
+    )
+    uses = (
+        seg.select(F.explode("pieces").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("bigint").alias("uses"))
+    )
+    top = uses.orderBy(F.desc("uses"), F.asc("piece")).limit(UNI_TOP)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("uses"), F.asc("piece")))
+        .alias("rank"),
+        "piece",
+        F.col("uses").cast("bigint").alias("uses"),
     )

@@ -1095,3 +1095,43 @@ def test_bpe_ids_spark_encode_matches_driver(spark):
     }
     for w, _ in rows:
         assert got[w] == encode_word_ids([ord(c) for c in w], ranks), w
+
+
+def test_sampled_segment_subword_regularization(spark):
+    """Hash-Gumbel perturb-and-MAP sampling (Kudo 2018 subword
+    regularization): deterministic given (seed, alpha) — identical
+    across calls; different seeds explore different segmentations;
+    large alpha converges on the argmax path; every sampled path
+    still reconstructs its word (totality under perturbation)."""
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        piece_table,
+        sampled_segment,
+        viterbi_segment,
+    )
+
+    rows = [("banana", 9), ("bandana", 6), ("cabana", 5), ("anagram", 3),
+            ("bananarama", 2), ("cabal", 4)]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    pieces = piece_table(vocab, max_piece_len=3)
+
+    def paths(df):
+        return {r["w"]: tuple(r["pieces"]) for r in df.collect()}
+
+    s1 = paths(sampled_segment(vocab, pieces, alpha=1.0, seed="a",
+                               max_piece_len=3, emit_pieces=True))
+    s2 = paths(sampled_segment(vocab, pieces, alpha=1.0, seed="a",
+                               max_piece_len=3, emit_pieces=True))
+    assert s1 == s2                       # deterministic given the seed
+    s3 = paths(sampled_segment(vocab, pieces, alpha=1.0, seed="b",
+                               max_piece_len=3, emit_pieces=True))
+    assert s1 != s3                       # a different epoch seed explores
+    argmax = paths(viterbi_segment(vocab, pieces, max_piece_len=3,
+                                   emit_pieces=True))
+    assert s1 != argmax                   # sampling bites at alpha=1
+    sharp = paths(sampled_segment(vocab, pieces, alpha=1e9, seed="a",
+                                  max_piece_len=3, emit_pieces=True))
+    # alpha -> inf collapses the Gumbel term to ~0 (rounded to 6dp),
+    # recovering the argmax path exactly
+    assert sharp == argmax
+    for w, _ in rows:                     # totality: paths reconstruct
+        assert "".join(s1[w]) == w and "".join(s3[w]) == w
