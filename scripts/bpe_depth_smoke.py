@@ -114,6 +114,25 @@ def main() -> None:
             f"({'PAST' if max_id > 0x10FFFF else 'within'} the Unicode "
             "code-point space)"
         )
+        # serving half: rank-based encode of the FULL histogram under
+        # the trained chain — the claim under test is chain-length
+        # INDEPENDENCE (one ranks-dict lookup per adjacent pair, never
+        # a per-merge pass)
+        from spark_relieffc_fselection_spark.operators.bpe_ids import (
+            encode_word_ids,
+        )
+
+        ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(merges_i, 1)}
+        t0 = time.time()
+        n_toks = 0
+        for w, _wc in id_words:
+            n_toks += len(encode_word_ids(list(w), ranks))
+        enc_wall = time.time() - t0
+        print(
+            f"encode: {len(id_words)} words -> {n_toks} tokens in "
+            f"{enc_wall:.1f}s ({len(id_words) / enc_wall:.0f} words/s "
+            f"single-threaded) under the {len(merges_i)}-merge chain"
+        )
         return
     merges = _merge_loop(words, n_merges)
     wall = time.time() - t0
