@@ -137,6 +137,14 @@ def main() -> None:
     # narrative). Median of 3 so one scheduler hiccup can't skew the
     # control itself. Runs AFTER warmup, so it measures host speed,
     # not first-run JIT.
+    # Two control components, because drift has two shapes: the tiny
+    # nation join tracks DRIVER/scheduler latency, and a real orders
+    # shuffle aggregation tracks executor/shuffle throughput — the
+    # first round-11 drift specimen moved the shuffle-bound queries
+    # 1.3x while the driver-latency control moved only 1.04x, so a
+    # single tiny control under-reads ambient shifts.
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
     def _canary() -> float:
         times = []
         for _ in range(3):
@@ -156,6 +164,11 @@ def main() -> None:
                 )
                 .groupBy("r")
                 .agg(_F.sum(_F.col("k").cast("decimal(38,18)")))
+                .count()
+            )
+            (
+                orders.groupBy("o_custkey")
+                .agg(_F.sum(_F.col("o_totalprice").cast("decimal(38,18)")))
                 .count()
             )
             times.append(time.time() - t0)
