@@ -281,3 +281,86 @@ def render_id(
         out = render_id(a, expand, memo) + render_id(b, expand, memo)
     memo[tid] = out
     return out
+
+
+def encode_word_ids_dropout(
+    word: str,
+    ranks: dict[tuple[int, int], tuple[int, int]],
+    p: float,
+    seed: str = "bd0",
+) -> list[int]:
+    """BPE-DROPOUT (Provilkov et al. 2020) — the BPE twin of subword
+    regularization: during encode, each candidate merge SITE is
+    dropped with probability ``p``, so every epoch seed yields a
+    different (coarser) segmentation of the same word, which
+    regularizes the downstream model. ``p=0`` is exact
+    :func:`encode_word_ids`; ``p=1`` falls back to characters.
+
+    Deterministic given (seed, p) — the drop decision is the repo's
+    portable md5 uniform keyed by (seed, word, the site's CHARACTER
+    SPAN in the original word, merge number), so the same site gets
+    the same decision whenever it is re-examined as the sequence
+    mutates, and runs are reproducible across engines and epochs (the
+    hash-sampling principle q57/q80/q175 use). One site merges per
+    step (leftmost-lowest-rank among surviving sites), which keeps
+    the decision keys stable; each merge shortens the sequence, and
+    dropped sites stay dropped, so the loop terminates."""
+    from hashlib import md5 as _md5
+
+    ids = [ord(c) for c in word]
+    spans = [(i, i + 1) for i in range(len(ids))]
+    while len(ids) >= 2:
+        best = None  # (rank, site index, new id)
+        for i in range(len(ids) - 1):
+            r = ranks.get((ids[i], ids[i + 1]))
+            if r is None:
+                continue
+            m, nid = r
+            if best is not None and m >= best[0]:
+                continue
+            key = f"{seed}|{word}|{spans[i][0]}|{spans[i + 1][1]}|{m}"
+            h = _md5(key.encode()).hexdigest()
+            u = (int(h[3:9], 16) + 0.5) / 16777216.0
+            if u < p:
+                continue  # this site is dropped for this epoch
+            best = (m, i, nid)
+        if best is None:
+            break
+        _m, i, nid = best
+        ids[i : i + 2] = [nid]
+        spans[i : i + 2] = [(spans[i][0], spans[i + 1][1])]
+    return ids
+
+
+def bpe_ids_encode_dropout(
+    vocab: DataFrame,
+    merges: list[tuple[int, tuple[int, int]]],
+    p: float,
+    seed: str = "bd0",
+    word_col: str = "w",
+    weight_col: str = "wc",
+) -> DataFrame:
+    """Vocabulary-level BPE-dropout tokenization: ``(word, wc,
+    token_ids array<long>)`` under :func:`encode_word_ids_dropout` —
+    one Arrow pass with the ranks dict broadcast, same scale story as
+    :func:`bpe_ids_encode`; n augmentation epochs cost n corpus-zero
+    passes with n seeds."""
+    spark = vocab.sparkSession
+    ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(merges, 1)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = bc.value
+        for pdf in batches:
+            words, weights, toks = [], [], []
+            for w, wc in zip(pdf[word_col], pdf[weight_col]):
+                words.append(w)
+                weights.append(int(wc))
+                toks.append(encode_word_ids_dropout(w, rk, p, seed))
+            yield pd.DataFrame(
+                {word_col: words, weight_col: weights, "token_ids": toks}
+            )
+
+    return vocab.select(word_col, weight_col).mapInPandas(
+        enc, schema=f"{word_col} string, {weight_col} long, token_ids array<long>"
+    )

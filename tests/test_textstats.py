@@ -1135,3 +1135,48 @@ def test_sampled_segment_subword_regularization(spark):
     assert sharp == argmax
     for w, _ in rows:                     # totality: paths reconstruct
         assert "".join(s1[w]) == w and "".join(s3[w]) == w
+
+
+def test_bpe_dropout_regularization(spark):
+    """BPE-dropout (Provilkov 2020): p=0 equals the exact rank encode,
+    p=1 falls back to characters, 0<p<1 yields an intermediate
+    (coarser) segmentation; deterministic per (seed, p), exploring
+    across seeds; every variant still renders back to its word."""
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode_dropout,
+        encode_word_ids,
+        encode_word_ids_dropout,
+        learn_bpe_ids,
+        render_id,
+    )
+
+    rows = [("banana", 9), ("bandana", 6), ("cabana", 5), ("anagram", 3),
+            ("bananarama", 2)]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    merges = learn_bpe_ids(vocab, n_merges=8)
+    ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(merges, 1)}
+    expand = {nid: pair for nid, pair in merges}
+    memo: dict[int, str] = {}
+    diverged = 0
+    for w, _ in rows:
+        exact = encode_word_ids([ord(c) for c in w], ranks)
+        p0 = encode_word_ids_dropout(w, ranks, 0.0, "a")
+        assert p0 == exact, w                    # p=0 == exact encode
+        p1 = encode_word_ids_dropout(w, ranks, 1.0, "a")
+        assert p1 == [ord(c) for c in w], w      # p=1 == characters
+        mid_a = encode_word_ids_dropout(w, ranks, 0.4, "a")
+        assert mid_a == encode_word_ids_dropout(w, ranks, 0.4, "a")
+        mid_b = encode_word_ids_dropout(w, ranks, 0.4, "b")
+        if mid_a != mid_b:
+            diverged += 1
+        assert len(exact) <= len(mid_a) <= len(w)  # coarser, not finer
+        for enc in (p0, p1, mid_a, mid_b):       # lossless rendering
+            assert "".join(render_id(t, expand, memo) for t in enc) == w
+    assert diverged > 0                          # seeds genuinely explore
+    # the Spark pass matches the driver encode word-for-word
+    got = {
+        r["w"]: list(r["token_ids"])
+        for r in bpe_ids_encode_dropout(vocab, merges, 0.4, "a").collect()
+    }
+    for w, _ in rows:
+        assert got[w] == encode_word_ids_dropout(w, ranks, 0.4, "a"), w
