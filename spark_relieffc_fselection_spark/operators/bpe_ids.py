@@ -72,6 +72,7 @@ def learn_bpe_ids(
     min_count: int = 1,
     word_col: str = "w",
     weight_col: str = "wc",
+    byte_level: bool = False,
 ) -> list[tuple[int, tuple[int, int]]]:
     """The ceiling-free BPE trainer: same architecture as
     :func:`~spark_relieffc_fselection_spark.operators.bpe.learn_bpe`
@@ -84,7 +85,15 @@ def learn_bpe_ids(
 
     No forbidden-character probe: merge ids live above the Unicode
     code-point space, so no input character can alias one (the string
-    path must reject C0/PUA input for exactly that reason)."""
+    path must reject C0/PUA input for exactly that reason).
+
+    ``byte_level=True`` trains over UTF-8 BYTES (base ids 0..255 —
+    the GPT-2/Llama tokenizer family): a closed 256-symbol base
+    alphabet with no <unk> ever, at the cost of tokens that may split
+    multi-byte characters (render via :func:`render_id_bytes`, which
+    returns bytes for exactly that reason). On pure-ASCII text byte
+    ids equal code points, so byte-level and char-level merge
+    sequences are IDENTICAL there (tested)."""
     if (n_merges is None) == (vocab_target is None):
         raise ValueError("pass exactly one of n_merges / vocab_target")
     q = vocab.select(word_col, weight_col)
@@ -103,9 +112,16 @@ def learn_bpe_ids(
             "vocabulary rows to the driver — pass max_vocab_words (or "
             "min_count) to bound the training histogram"
         )
-    words = [
-        (tuple(ord(c) for c in r[word_col]), int(r[weight_col])) for r in rows
-    ]
+    if byte_level:
+        words = [
+            (tuple(r[word_col].encode("utf-8")), int(r[weight_col]))
+            for r in rows
+        ]
+    else:
+        words = [
+            (tuple(ord(c) for c in r[word_col]), int(r[weight_col]))
+            for r in rows
+        ]
     if vocab_target is not None:
         alphabet = {i for w, _ in words for i in w}
         n_merges = max(vocab_target - len(alphabet), 0)
@@ -234,6 +250,7 @@ def bpe_ids_encode(
     merges: list[tuple[int, tuple[int, int]]],
     word_col: str = "w",
     weight_col: str = "wc",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Tokenize the distinct-word vocabulary under a trained id-space
     chain: ``(word, wc, token_ids array<long>)``. One Arrow-batched
@@ -252,7 +269,11 @@ def bpe_ids_encode(
             for w, wc in zip(pdf[word_col], pdf[weight_col]):
                 words.append(w)
                 weights.append(int(wc))
-                toks.append(encode_word_ids([ord(c) for c in w], rk))
+                base = (
+                    list(w.encode("utf-8")) if byte_level
+                    else [ord(c) for c in w]
+                )
+                toks.append(encode_word_ids(base, rk))
             yield pd.DataFrame(
                 {word_col: words, weight_col: weights, "token_ids": toks}
             )
@@ -364,3 +385,27 @@ def bpe_ids_encode_dropout(
     return vocab.select(word_col, weight_col).mapInPandas(
         enc, schema=f"{word_col} string, {weight_col} long, token_ids array<long>"
     )
+
+
+def render_id_bytes(
+    tid: int,
+    expand: dict[int, tuple[int, int]],
+    memo: dict[int, bytes] | None = None,
+) -> bytes:
+    """Byte-level rendering: base ids are UTF-8 BYTES (0..255), merge
+    ids expand recursively — returns bytes, because a byte-level token
+    may legitimately split a multi-byte character (the GPT-2 family's
+    defining property); the caller decodes only at word/document
+    granularity, where the concatenation is valid UTF-8 again."""
+    if memo is None:
+        memo = {}
+    out = memo.get(tid)
+    if out is not None:
+        return out
+    if tid < MERGE_ID_BASE:
+        out = bytes([tid])
+    else:
+        a, b = expand[tid]
+        out = render_id_bytes(a, expand, memo) + render_id_bytes(b, expand, memo)
+    memo[tid] = out
+    return out

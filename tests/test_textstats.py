@@ -1180,3 +1180,37 @@ def test_bpe_dropout_regularization(spark):
     }
     for w, _ in rows:
         assert got[w] == encode_word_ids_dropout(w, ranks, 0.4, "a"), w
+
+
+def test_bpe_ids_byte_level(spark):
+    """Byte-level mode (the GPT-2/Llama base alphabet): multi-byte
+    characters train and round-trip through BYTES (tokens may split a
+    character — rendering returns bytes and the word-level
+    concatenation is valid UTF-8 again); on pure-ASCII text byte ids
+    equal code points, so merge sequences match char-level exactly."""
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode,
+        learn_bpe_ids,
+        render_id_bytes,
+    )
+
+    rows = [("héllo", 6), ("héllos", 3), ("日本語", 4), ("hello", 5)]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    merges = learn_bpe_ids(vocab, n_merges=10, byte_level=True)
+    assert merges, "byte-level training produced no merges"
+    expand = {nid: pair for nid, pair in merges}
+    memo: dict[int, bytes] = {}
+    got = {
+        r["w"]: list(r["token_ids"])
+        for r in bpe_ids_encode(vocab, merges, byte_level=True).collect()
+    }
+    for w, _ in rows:  # lossless at word granularity, via BYTES
+        assert b"".join(
+            render_id_bytes(int(t), expand, memo) for t in got[w]
+        ) == w.encode("utf-8"), w
+    # ASCII-only vocab: byte-level == char-level merge-for-merge
+    ascii_rows = [("banana", 7), ("bandana", 5), ("cabana", 4)]
+    av = spark.createDataFrame(ascii_rows, "w string, wc long")
+    assert learn_bpe_ids(av, n_merges=6, byte_level=True) == learn_bpe_ids(
+        av, n_merges=6
+    )
