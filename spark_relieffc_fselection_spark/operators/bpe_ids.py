@@ -409,3 +409,40 @@ def render_id_bytes(
         out = render_id_bytes(a, expand, memo) + render_id_bytes(b, expand, memo)
     memo[tid] = out
     return out
+
+
+def save_merges_ids(
+    spark, merges: list[tuple[int, tuple[int, int]]], path: str
+) -> None:
+    """Persist an id-space merge chain as parquet ``(m, new_id,
+    left_id, right_id)`` — ordinal explicit (merge order is the
+    load-bearing contract, exactly like the string path's
+    save_merges), ids as longs since they exceed the Unicode range by
+    design. repartition(1), not coalesce(1) — the tiny-write lesson
+    (SCALE.md round 11)."""
+    df = spark.createDataFrame(
+        [(i, nid, pair[0], pair[1]) for i, (nid, pair) in enumerate(merges, 1)],
+        "m int, new_id long, left_id long, right_id long",
+    )
+    df.repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges_ids(spark, path: str) -> list[tuple[int, tuple[int, int]]]:
+    """Load an id-space merge chain saved by :func:`save_merges_ids`,
+    validating the ordinal sequence AND the id-allocation law
+    (new_id == MERGE_ID_BASE + m): a gap, duplicate, or foreign id
+    means a corrupt artifact that would silently mis-render tokens."""
+    rows = spark.read.parquet(path).orderBy("m").collect()
+    for i, r in enumerate(rows, 1):
+        if r["m"] is None or int(r["m"]) != i:
+            raise ValueError(
+                f"corrupt id merge chain at {path}: ordinal {r['m']} at "
+                f"position {i} (expected contiguous 1..{len(rows)})"
+            )
+        if int(r["new_id"]) != merge_id(i):
+            raise ValueError(
+                f"corrupt id merge chain at {path}: merge {i} carries "
+                f"new_id {r['new_id']}, expected {merge_id(i)} — the "
+                "artifact was saved under a different id-allocation law"
+            )
+    return [(int(r["new_id"]), (int(r["left_id"]), int(r["right_id"]))) for r in rows]

@@ -1214,3 +1214,45 @@ def test_bpe_ids_byte_level(spark):
     assert learn_bpe_ids(av, n_merges=6, byte_level=True) == learn_bpe_ids(
         av, n_merges=6
     )
+
+
+def test_bpe_ids_artifact_round_trip(spark, tmp_path):
+    """Id-space merge chains must survive persistence with the same
+    validation rigor as the string path: ordinal gaps and a foreign
+    id-allocation law are refused; the loaded chain encodes
+    identically to the in-session one."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode,
+        learn_bpe_ids,
+        load_merges_ids,
+        save_merges_ids,
+    )
+
+    vocab = spark.createDataFrame(
+        [("banana", 7), ("bandana", 5), ("cabana", 4)], "w string, wc long"
+    )
+    merges = learn_bpe_ids(vocab, n_merges=6)
+    p = str(tmp_path / "ids_merges")
+    save_merges_ids(spark, merges, p)
+    loaded = load_merges_ids(spark, p)
+    assert loaded == merges
+    a = {r["w"]: list(r["token_ids"])
+         for r in bpe_ids_encode(vocab, merges).collect()}
+    b = {r["w"]: list(r["token_ids"])
+         for r in bpe_ids_encode(vocab, loaded).collect()}
+    assert a == b
+    # corrupt ordinal refused
+    spark.read.parquet(p).withColumn(
+        "m", F.when(F.col("m") == 2, 9).otherwise(F.col("m"))
+    ).write.mode("overwrite").parquet(str(tmp_path / "bad1"))
+    with _pytest.raises(ValueError, match="ordinal"):
+        load_merges_ids(spark, str(tmp_path / "bad1"))
+    # foreign id-allocation law refused
+    spark.read.parquet(p).withColumn(
+        "new_id", F.col("new_id") + 7
+    ).write.mode("overwrite").parquet(str(tmp_path / "bad2"))
+    with _pytest.raises(ValueError, match="id-allocation"):
+        load_merges_ids(spark, str(tmp_path / "bad2"))
