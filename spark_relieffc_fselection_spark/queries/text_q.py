@@ -817,7 +817,6 @@ def _bpe_encode_oracle(
 def q156_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from spark_relieffc_fselection_spark.functions.text import tokens
     from spark_relieffc_fselection_spark.operators.bpe import (
         bpe_apply,
         bpe_render,
@@ -1765,7 +1764,6 @@ BPE_TRAIN_TOP = 30
 def q170_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from spark_relieffc_fselection_spark.functions.text import tokens
     from spark_relieffc_fselection_spark.operators.bpe import (
         bpe_apply,
         bpe_render,
@@ -1852,7 +1850,6 @@ def q172_bpe_artifact_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from spark_relieffc_fselection_spark.functions.text import tokens
     from spark_relieffc_fselection_spark.operators.bpe import (
         bpe_apply,
         bpe_render,
@@ -1860,6 +1857,7 @@ def q172_bpe_artifact_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_merges,
         save_merges,
     )
+
     vocab = _bpe_vocab(spark, sf_dir)
     merges = learn_bpe(
         vocab, n_merges=BPE_ART_MERGES, max_vocab_words=BPE_ART_VOCAB_CAP
