@@ -309,6 +309,7 @@ def encode_word_ids_dropout(
     ranks: dict[tuple[int, int], tuple[int, int]],
     p: float,
     seed: str = "bd0",
+    byte_level: bool = False,
 ) -> list[int]:
     """BPE-DROPOUT (Provilkov et al. 2020) — the BPE twin of subword
     regularization: during encode, each candidate merge SITE is
@@ -325,10 +326,21 @@ def encode_word_ids_dropout(
     hash-sampling principle q57/q80/q175 use). One site merges per
     step (leftmost-lowest-rank among surviving sites), which keeps
     the decision keys stable; each merge shortens the sequence, and
-    dropped sites stay dropped, so the loop terminates."""
-    from hashlib import md5 as _md5
+    dropped sites stay dropped, so the loop terminates.
 
-    ids = [ord(c) for c in word]
+    ``byte_level`` must match the TRAINED chain's mode (code-point
+    ids vs UTF-8 byte ids) — a byte-level chain applied to code-point
+    ids would silently never merge anything non-ASCII."""
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        hash_uniform_py,
+    )
+
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"dropout probability must be in [0, 1], got {p}")
+    ids = (
+        list(word.encode("utf-8")) if byte_level
+        else [ord(c) for c in word]
+    )
     spans = [(i, i + 1) for i in range(len(ids))]
     while len(ids) >= 2:
         best = None  # (rank, site index, new id)
@@ -340,9 +352,7 @@ def encode_word_ids_dropout(
             if best is not None and m >= best[0]:
                 continue
             key = f"{seed}|{word}|{spans[i][0]}|{spans[i + 1][1]}|{m}"
-            h = _md5(key.encode()).hexdigest()
-            u = (int(h[3:9], 16) + 0.5) / 16777216.0
-            if u < p:
+            if hash_uniform_py(key) < p:
                 continue  # this site is dropped for this epoch
             best = (m, i, nid)
         if best is None:
@@ -360,6 +370,7 @@ def bpe_ids_encode_dropout(
     seed: str = "bd0",
     word_col: str = "w",
     weight_col: str = "wc",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Vocabulary-level BPE-dropout tokenization: ``(word, wc,
     token_ids array<long>)`` under :func:`encode_word_ids_dropout` —
@@ -377,7 +388,9 @@ def bpe_ids_encode_dropout(
             for w, wc in zip(pdf[word_col], pdf[weight_col]):
                 words.append(w)
                 weights.append(int(wc))
-                toks.append(encode_word_ids_dropout(w, rk, p, seed))
+                toks.append(
+                    encode_word_ids_dropout(w, rk, p, seed, byte_level)
+                )
             yield pd.DataFrame(
                 {word_col: words, weight_col: weights, "token_ids": toks}
             )

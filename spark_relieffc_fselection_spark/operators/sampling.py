@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 U24 = 1 << 24  # md5-derived uniforms use 24 bits, as in q80
 
 
+def hash_uniform_py(key: str) -> float:
+    """Driver/UDF-side twin of :func:`hash_uniform` — THE one place
+    the portable md5-uniform spelling lives in Python (ADVICE-class
+    dedup: sampled_segment and BPE-dropout each re-implemented it,
+    which is how engine spellings silently diverge). Identical to the
+    Column form and to DuckDB's
+    ``(('0x' || substr(md5(key), 4, 6))::BIGINT + 0.5) / 16777216.0``.
+    """
+    from hashlib import md5
+
+    h = md5(key.encode()).hexdigest()
+    return (int(h[3:9], 16) + 0.5) / float(U24)
+
+
 def hash_uniform(id_col: Column) -> Column:
     """Deterministic uniform in (0, 1) from a row id: 24 bits of the
     row's md5, offset by 0.5 so 0 (whose log diverges) is unreachable.

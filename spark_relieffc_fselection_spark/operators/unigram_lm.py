@@ -702,9 +702,14 @@ def sampled_segment(
     the path with ``emit_pieces``). Scale: identical to the argmax
     E-step — one vocab-sized Arrow pass, pieces-dict broadcast; n
     augmentation epochs cost n corpus-zero passes with n seeds."""
-    from hashlib import md5 as _md5
     from math import log as _ln
 
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        hash_uniform_py,
+    )
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     spark = vocab.sparkSession
     lp_map = {
         r["piece"]: float(r["lp"])
@@ -725,8 +730,7 @@ def sampled_segment(
             for w, wc in zip(pdf[word_col], pdf[weight_col]):
 
                 def perturb(i: int, l: int, _w=w) -> float:
-                    h = _md5(f"{seed}|{_w}|{i}|{l}".encode()).hexdigest()
-                    u = (int(h[3:9], 16) + 0.5) / 16777216.0
+                    u = hash_uniform_py(f"{seed}|{_w}|{i}|{l}")
                     return round(-_ln(-_ln(u)) / alpha, 6)
 
                 best, n_pieces, path = _dp(

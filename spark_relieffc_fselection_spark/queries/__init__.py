@@ -237,8 +237,9 @@ _DEFERRED: dict[str, int] = {
     "q137_compaction_plan": 9,
     "q138_join_cardinality": 9,
     "q139_bucketed_join": 9,
-    # r8-green (age 3 at round 11; the 5 oldest are pre-paid in this
-    # round's free slots, the remaining 33 are forced in round 12).
+    # r8-green (age 3 at round 11). NONE are pre-paid: all 5 free
+    # round-11 slots went to the new gates (see the _PRIORITY math
+    # note), so the FULL 38-entry cohort is forced in round 12.
     "q66_unigram_lm_quality": 8,
     "q67_deterministic_split": 8,
     "q68_domain_mix": 8,

@@ -1058,7 +1058,7 @@ def test_bpe_ids_has_no_merge_ceiling():
     got = _merge_loop_ids([((97, 98, 99, 100), 5)], _MAX_MERGES + 10_000)
     assert len(got) == 3  # supply exhausted gracefully, no ceiling error
     # PUA input is legal here (the string path raises on it)
-    w = "helo"
+    w = "he\uE001lo"  # a literal PUA char: legal here, rejected by the string path
     ids_in = [ord(c) for c in w]
     merges = _merge_loop_ids([(tuple(ids_in), 3)], 4)
     ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(merges, 1)}
@@ -1180,6 +1180,27 @@ def test_bpe_dropout_regularization(spark):
     }
     for w, _ in rows:
         assert got[w] == encode_word_ids_dropout(w, ranks, 0.4, "a"), w
+    # byte-level dropout: mode must match the trained chain (a
+    # byte-level chain on multi-byte text merges nothing under
+    # code-point ids — the guard the byte_level flag exists for)
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        learn_bpe_ids,
+        render_id_bytes,
+    )
+
+    brows = [("héllo", 6), ("héllos", 3)]
+    bv = spark.createDataFrame(brows, "w string, wc long")
+    bmerges = learn_bpe_ids(bv, n_merges=6, byte_level=True)
+    branks = {pair: (m, nid) for m, (nid, pair) in enumerate(bmerges, 1)}
+    bexpand = {nid: pair for nid, pair in bmerges}
+    for w, _ in brows:
+        enc = encode_word_ids_dropout(w, branks, 0.4, "a", byte_level=True)
+        assert b"".join(
+            render_id_bytes(t, bexpand, {}) for t in enc
+        ) == w.encode("utf-8"), w
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probability"):
+        encode_word_ids_dropout("abc", ranks, 1.5)
 
 
 def test_bpe_ids_byte_level(spark):
