@@ -693,9 +693,16 @@ def sampled_segment(
     property that makes a SAMPLING operator hash-gateable (q175), the
     same reason q57/q80 sample by hash instead of engine RNG. The
     Gumbel term is rounded to 6dp (the q66 log2 precedent: post-round
-    doubles parse identically in both engines; an exact .5e-6
-    boundary is unreachable for transcendental ln outputs in
-    practice, and the all-SF sweep would surface one).
+    doubles parse identically in both engines). KNOWN residual
+    (review-flagged, accepted): Python round() and DuckDB ROUND
+    disagree exactly when the double sits ON a representable .5e-6
+    boundary — the q110 class — which for a transcendental
+    -ln(-ln(md5 u)) has per-draw probability ~1e-9 (vs q110's coarse
+    rationals, where it actually fired). Because every draw is a pure
+    hash of fixed data, greenness at a given SF is PINNED, not
+    per-run luck: the all-SF sweeps that pass today pass identically
+    tomorrow, and a new SF would surface any boundary hit in its
+    first sweep, never silently.
 
     Output shape matches :func:`viterbi_segment` (``sampled_lp`` =
     the PERTURBED objective of the sampled path, ``n_pieces``, and
