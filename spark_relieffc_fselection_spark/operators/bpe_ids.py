@@ -58,6 +58,14 @@ from spark_relieffc_fselection_spark.operators.bpe import (  # noqa: E402
     MAX_BPE_VOCAB_COLLECT,
 )
 
+# Module-scope, not inside encode_word_ids_dropout: the dropout
+# encoder runs once per word in the Arrow hot path, and a per-call
+# import is a sys.modules lookup per word (ADVICE r11). No cycle:
+# sampling.py does not import bpe_ids.
+from spark_relieffc_fselection_spark.operators.sampling import (  # noqa: E402
+    hash_uniform_py,
+)
+
 
 def merge_id(m: int) -> int:
     """Symbol id allocated to merge number ``m`` (1-based)."""
@@ -331,10 +339,6 @@ def encode_word_ids_dropout(
     ``byte_level`` must match the TRAINED chain's mode (code-point
     ids vs UTF-8 byte ids) — a byte-level chain applied to code-point
     ids would silently never merge anything non-ASCII."""
-    from spark_relieffc_fselection_spark.operators.sampling import (
-        hash_uniform_py,
-    )
-
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"dropout probability must be in [0, 1], got {p}")
     ids = (

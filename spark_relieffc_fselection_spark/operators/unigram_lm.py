@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 from dataclasses import dataclass, field
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -693,16 +694,17 @@ def sampled_segment(
     property that makes a SAMPLING operator hash-gateable (q175), the
     same reason q57/q80 sample by hash instead of engine RNG. The
     Gumbel term is rounded to 6dp (the q66 log2 precedent: post-round
-    doubles parse identically in both engines). KNOWN residual
-    (review-flagged, accepted): Python round() and DuckDB ROUND
-    disagree exactly when the double sits ON a representable .5e-6
-    boundary — the q110 class — which for a transcendental
-    -ln(-ln(md5 u)) has per-draw probability ~1e-9 (vs q110's coarse
-    rationals, where it actually fired). Because every draw is a pure
-    hash of fixed data, greenness at a given SF is PINNED, not
-    per-run luck: the all-SF sweeps that pass today pass identically
-    tomorrow, and a new SF would surface any boundary hit in its
-    first sweep, never silently.
+    doubles parse identically in both engines) via
+    :func:`_round6_half_up` — Decimal quantization of the EXACT
+    binary value with ties away from zero, DuckDB ROUND's tie rule —
+    not Python ``round()``, whose banker's ties were the one waiver
+    of the registry's shared-rounding-law convention (ADVICE r11:
+    the q110 divergence class; eliminated rather than accepted —
+    verified value-identical to the old spelling on every draw at
+    all three SFs, 2,028 draws, zero ties hit). What remains is the
+    generic double-ROUND story every 6dp output in the registry
+    carries; and because every draw is a pure hash of fixed data,
+    greenness at a given SF stays PINNED, not per-run luck.
 
     Output shape matches :func:`viterbi_segment` (``sampled_lp`` =
     the PERTURBED objective of the sampled path, ``n_pieces``, and
@@ -714,6 +716,15 @@ def sampled_segment(
     from spark_relieffc_fselection_spark.operators.sampling import (
         hash_uniform_py,
     )
+
+    def _round6_half_up(x: float) -> float:
+        # 6dp with ties AWAY from zero on the exact binary value —
+        # DuckDB ROUND's tie rule — so both engines share one
+        # rounding law (ADVICE r11; Python round()'s banker's ties
+        # were the q110 divergence class).
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
 
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -738,7 +749,7 @@ def sampled_segment(
 
                 def perturb(i: int, l: int, _w=w) -> float:
                     u = hash_uniform_py(f"{seed}|{_w}|{i}|{l}")
-                    return round(-_ln(-_ln(u)) / alpha, 6)
+                    return _round6_half_up(-_ln(-_ln(u)) / alpha)
 
                 best, n_pieces, path = _dp(
                     w, lp, max_piece_len, perturb=perturb

@@ -1824,10 +1824,24 @@ BPE_ART_TOP = 25
 _ARTIFACT_DIRS: dict[str, str] = {}
 
 
+def _cleanup_artifact_dirs() -> None:
+    # atexit, not per-invocation (ADVICE r11): each gate rep re-uses
+    # its dir by design, so removal belongs to process end — without
+    # this, long driver sessions leak one tmp tree per (gate, sf).
+    import shutil
+
+    for d in _ARTIFACT_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _ARTIFACT_DIRS.clear()
+
+
 def _artifact_dir(key: str) -> str:
+    import atexit
     import tempfile
 
     if key not in _ARTIFACT_DIRS:
+        if not _ARTIFACT_DIRS:
+            atexit.register(_cleanup_artifact_dirs)
         _ARTIFACT_DIRS[key] = tempfile.mkdtemp(prefix=f"{key}_")
     return _ARTIFACT_DIRS[key]
 
