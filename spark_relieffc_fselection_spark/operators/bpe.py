@@ -234,6 +234,62 @@ def bpe_render(symbol: Column | str, merges: list[tuple[str, str]]) -> Column:
     return out
 
 
+def bpe_apply_word_dropout(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    p: float,
+    seed: str = "wd0",
+    word_col: str = "w",
+) -> DataFrame:
+    """WORD-level BPE-dropout (the replayable string-path variant of
+    Provilkov 2020, SCALE.md round-11 note): merge ``m`` applies to a
+    word iff the portable md5 uniform keyed by (seed, the ORIGINAL
+    word, m) is >= ``p`` — so each epoch seed yields a coarser
+    segmentation per word, the same regularization knob as site-level
+    dropout at merge granularity. Keying on the original word (never
+    the mutating intermediate) is what makes the decision mask
+    independent of application order, hence SQL-replayable: a DuckDB
+    CTE chain can compute every (word, merge) decision up front and
+    conditionally skip the corresponding replace (the q177 oracle).
+    ``p=0`` is exactly :func:`bpe_apply`; ``p=1`` applies nothing
+    (characters) — both ends property-pinned against the site-level
+    id-space variant (tests/test_bpe_ids.py).
+
+    Deterministic given (seed, p): the q57/q80/q175 hash-sampling
+    principle. Scale: identical to bpe_apply — one vocab-sized
+    projection, merges applied as stacked conditional replaces; fine
+    at gate/oracle depths, production serving at 30k+ chains belongs
+    to the id path (see bpe_ids.merge_ranks_from_string_chain).
+
+    The drop is spelled as a conditional SEARCH PATTERN — dropped
+    merges search for chr(0), which learn_bpe's forbidden-range
+    guard keeps out of every trainable vocabulary, so the replace is
+    an identity — NOT as ``when(dropped, prev).otherwise(replace(
+    prev, ...))``: that form references the accumulated expression
+    twice per level, and Column trees are trees, not DAGs, so 40
+    merges would build a 2^40-node expression (measured: client-side
+    Column->Expression conversion dies before Catalyst ever sees
+    it). The pattern form references it once — linear, bpe_apply's
+    shape."""
+    from spark_relieffc_fselection_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"dropout probability must be in [0, 1], got {p}")
+    orig = F.col(word_col)
+    out = orig
+    for m, (ph, pair) in enumerate(merges, 1):
+        u = hash_uniform(
+            F.concat(F.lit(f"{seed}|"), orig, F.lit(f"|{m}"))
+        )
+        pattern = F.when(u < F.lit(float(p)), F.lit("\x00")).otherwise(
+            F.lit(pair)
+        )
+        out = F.replace(out, pattern, F.lit(ph))
+    return vocab.withColumn(word_col, out)
+
+
 def learn_bpe(
     vocab: DataFrame,
     n_merges: int | None = None,

@@ -53,55 +53,52 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: keeps its oracle either way — this only chooses which 50 the DRIVER
 #: re-verifies this round (the rest stay covered by
 #: scripts/compare_oracle.py).
-_CURRENT_ROUND = 11
+_CURRENT_ROUND = 12
 
 _PRIORITY: tuple[str, ...] = (
-    # round 11 rotation (VERDICT r10 #1): all 43 r7-stale entries lead
-    # — age 4 at round 11, the staleness bound forces them in (the r7
-    # cohort was 45; q01/q02 were pre-paid in round 10).
-    "q03_join_revenue_by_nation",
-    "q09_minmax_norm",
-    "q10_label_priors",
-    "q11_mod_sample_agg",
-    "q12_mutual_information",
-    "q18_dedup_exact",
-    "q21_minhash_lsh_neardup",
-    "q23_simhash_neardup",
-    "q24_ann_bruteforce",
-    "q25_ann_lsh",
-    "q26_ann_ivf",
-    "q28_token_stats",
-    "q29_quality_scores",
-    "q30_language_id",
-    "q31_fingerprints",
-    "q32_tumbling_window",
-    "q33_sliding_window",
-    "q34_session_window",
-    "q35_json_extract",
-    "q38_rollup",
-    "q39_distinct_agg",
-    "q40_percentiles",
-    "q41_corpus_curation",
-    "q42_asof_join",
-    "q43_range_join",
-    "q45_analytic_windows",
-    "q46_cube",
-    "q47_pivot",
-    "q48_setops",
-    "q49_ann_recall",
-    "q51_hll_distinct",
-    "q52_correlated_subquery",
-    "q53_mom_growth",
-    "q54_dedup_clusters",
-    "q55_tfidf_topterms",
-    "q56_grouping_sets",
-    "q57_stratified_sample",
-    "q58_streaming_sessions",
-    "q59_stopword_scrub",
-    "q61_contamination",
-    "q62_repetition",
-    "q63_frame_sample",
-    "q64_streaming_interval_join",
+    # round 12 rotation (VERDICT r11 #1): the FULL 38-entry r8 cohort
+    # leads — age 4 at round 12, the staleness bound forces it in
+    # (zero r8 pre-pays happened in round 11: all 5 free slots went
+    # to that round's new gates, per the new-gates-outrank-pre-pays
+    # rule).
+    "q66_unigram_lm_quality",
+    "q67_deterministic_split",
+    "q68_domain_mix",
+    "q82_filter_funnel",
+    "q93_quantile_discretize",
+    "q94_substring_dedup",
+    "q95_substring_contamination",
+    "q96_bigram_lm_quality",
+    "q97_token_budget_selection",
+    "q98_cdc_chunking",
+    "q99_pq_ann",
+    "q100_weighted_sample",
+    "q101_domain_cap",
+    "q102_ivfpq_ann",
+    "q103_stratified_weighted_sample",
+    "q04_window_topk",
+    "q05_global_topk",
+    "q06_union_distinct",
+    "q07_semijoin",
+    "q08_antijoin",
+    "q36_multimodal_features",
+    "q50_streaming_tumbling",
+    "q65_embedding_quantization",
+    "q69_streaming_sliding",
+    "q70_streaming_dedup",
+    "q71_streaming_user_totals",
+    "q72a_relief_std_ranking",
+    "q104_streaming_list_drift",
+    "q106_semantic_dedup",
+    "q107_dsir_importance_sample",
+    "q108_editdist_neardup",
+    "q109_bloom_dedup",
+    "q111_streaming_bloom_screen",
+    "q112_countmin_heavy_hitters",
+    "q113_source_overlap",
+    "q114_cluster_aware_split",
+    "q115_salted_skew_join",
+    "q116_snapshot_diff",
     # core sentinels — always in the window. q72 is the PERMANENT
     # engine-seeded-draw witness (VERDICT r8 #6 decision): its rows-only
     # slot is kept deliberately, because it is the one registry entry
@@ -112,22 +109,33 @@ _PRIORITY: tuple[str, ...] = (
     # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # 5 free slots (VERDICT r10 #1): ALL 5 taken by the round's new
-    # gates (q171 iterative-prune trainer, q172/q173 artifact round
-    # trips, q174 ceiling-free id-space BPE, q175 subword
-    # regularization — never driver-checked, so a slot each is
-    # mandatory; the judge's rule puts new gates ahead of pre-pays).
-    # Round-12 math, written out: the full 38-entry r8 cohort is
-    # forced at age 4 in round 12, + 2 sentinels = 40 of 50 slots,
-    # 10 free — use them to pre-pay the 43-entry r9 cohort, which is
-    # otherwise 43 + 2 = 45 forced in round 13 (the same pinch as
-    # this round; 10 pre-pays cut round 13 to 33 + 2 = 35 forced,
-    # 15 free — the debt spiral ends there).
-    "q175_unigram_sampled_tokens",
-    "q174_bpe_ids_train",
-    "q171_unigram_train_iterprune",
-    "q172_bpe_artifact_encode",
-    "q173_unigram_artifact_tokenize",
+    # 10 free slots: 2 go to this round's new gates (never
+    # driver-checked -> a slot each is mandatory) — q176 id-space
+    # artifact round trip + byte-level mode (VERDICT r11 #2), q177
+    # word-level BPE-dropout (VERDICT r11 #3); the remaining 8
+    # pre-pay the 43-entry r9 cohort per VERDICT r11 #1 — the named
+    # heavy fit gates (q72c/q72d/q158/q161, q13/q44) so the RELIEF
+    # core's evidence stays fresh, plus q153/q156, chosen because the
+    # round-12 serving bridge (string merges -> id ranks) claims
+    # q156-hash-unchanged parity, so re-greening the BPE encode gates
+    # the claim rides on is the highest-value remaining pick.
+    # Round-13 math, written out: the r9 remainder is 43 - 8 = 35,
+    # forced at age 4 in round 13, + 2 sentinels = 37 forced,
+    # 13 free — the 45-forced pinch never recurs. Steady state from
+    # there: each round's ~12-15 free slots pre-pay the next cohort
+    # (round 13 pre-pays 13 of the 49-entry r10 cohort -> round 14
+    # lands at 36 + 2 = 38 forced), which holds every cohort within
+    # the staleness bound indefinitely.
+    "q72c_relief_fit_hash_batched",
+    "q72d_relief_fit_hash_sampled",
+    "q158_sparse_fit_hash_batched",
+    "q161_sparse_fit_coo_width",
+    "q13_knn_join",
+    "q44_sparse_relief_relevance",
+    "q153_bpe_merge_step",
+    "q156_bpe_encode",
+    "q176_bpe_ids_artifact_bytelevel",
+    "q177_bpe_word_dropout",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -138,9 +146,60 @@ _PRIORITY: tuple[str, ...] = (
 #: _DEFERRED exactly partition the registry, so a new query CANNOT be
 #: added without either taking a driver slot or being documented here.
 _DEFERRED: dict[str, int] = {
-    # r10-green: the round-10 window cohort rotating out (sentinels
-    # stay in _PRIORITY). Age 1 at round 11; forced back in by round
-    # 14 at the latest.
+    # r11-green: the round-11 window cohort rotating out (sentinels
+    # stay in _PRIORITY). Age 1 at round 12; forced back in by round
+    # 15 at the latest.
+    "q03_join_revenue_by_nation": 11,
+    "q09_minmax_norm": 11,
+    "q10_label_priors": 11,
+    "q11_mod_sample_agg": 11,
+    "q12_mutual_information": 11,
+    "q18_dedup_exact": 11,
+    "q21_minhash_lsh_neardup": 11,
+    "q23_simhash_neardup": 11,
+    "q24_ann_bruteforce": 11,
+    "q25_ann_lsh": 11,
+    "q26_ann_ivf": 11,
+    "q28_token_stats": 11,
+    "q29_quality_scores": 11,
+    "q30_language_id": 11,
+    "q31_fingerprints": 11,
+    "q32_tumbling_window": 11,
+    "q33_sliding_window": 11,
+    "q34_session_window": 11,
+    "q35_json_extract": 11,
+    "q38_rollup": 11,
+    "q39_distinct_agg": 11,
+    "q40_percentiles": 11,
+    "q41_corpus_curation": 11,
+    "q42_asof_join": 11,
+    "q43_range_join": 11,
+    "q45_analytic_windows": 11,
+    "q46_cube": 11,
+    "q47_pivot": 11,
+    "q48_setops": 11,
+    "q49_ann_recall": 11,
+    "q51_hll_distinct": 11,
+    "q52_correlated_subquery": 11,
+    "q53_mom_growth": 11,
+    "q54_dedup_clusters": 11,
+    "q55_tfidf_topterms": 11,
+    "q56_grouping_sets": 11,
+    "q57_stratified_sample": 11,
+    "q58_streaming_sessions": 11,
+    "q59_stopword_scrub": 11,
+    "q61_contamination": 11,
+    "q62_repetition": 11,
+    "q63_frame_sample": 11,
+    "q64_streaming_interval_join": 11,
+    "q171_unigram_train_iterprune": 11,
+    "q172_bpe_artifact_encode": 11,
+    "q173_unigram_artifact_tokenize": 11,
+    "q174_bpe_ids_train": 11,
+    "q175_unigram_sampled_tokens": 11,
+    # r10-green. Age 2 at round 12; forced by round 14 — round 13's
+    # free slots pre-pay this 49-entry cohort (see the _PRIORITY
+    # math note).
     "q22_simhash_signatures": 10,
     "q27_embedding_neardup": 10,
     "q37_relief_discrete_collisions": 10,
@@ -189,29 +248,22 @@ _DEFERRED: dict[str, int] = {
     "q170_bpe_train": 10,
     "q01_pruned_scan": 10,
     "q02_groupby_agg": 10,
-    # r9-green (age 2 at round 11; forced by round 13 — pre-pay in
-    # round 12's 10 free slots, see the _PRIORITY math note).
+    # r9-green (age 3 at round 12; the 35-entry remainder after round
+    # 12's 8 pre-pays — q72c/q72d/q158/q161/q13/q44/q153/q156 moved
+    # to _PRIORITY — is forced in round 13, see the math note).
     # q157 fold note (VERDICT r9 #8 / r10 #1): folding q157's
     # Hamming-1 evidence into q160 stays pre-approved if a future
-    # window pinches; round 11 seats everything without it.
-    "q13_knn_join": 9,
+    # window pinches; round 12 seats everything without it.
     "q15_relief_topk": 9,
     "q16_collision_marginal": 9,
     "q17_collision_joint": 9,
     "q19_dedup_jaccard": 9,
     "q20_minhash_signatures": 9,
-    "q44_sparse_relief_relevance": 9,
-    "q72c_relief_fit_hash_batched": 9,
-    "q72d_relief_fit_hash_sampled": 9,
     "q73_knn_lsh_recall": 9,
     "q110_linear_quality_classifier": 9,
-    "q153_bpe_merge_step": 9,
-    "q156_bpe_encode": 9,
     "q157_knn_lsh_multiprobe_recall": 9,
-    "q158_sparse_fit_hash_batched": 9,
     "q159_ann_lsh_multiprobe_recall": 9,
     "q160_knn_lsh_hamming2_recall": 9,
-    "q161_sparse_fit_coo_width": 9,
     "q167_maxsim_rerank": 9,
     "q168_two_stage_retrieval": 9,
     "q117_source_quality_calibration": 9,
@@ -237,47 +289,6 @@ _DEFERRED: dict[str, int] = {
     "q137_compaction_plan": 9,
     "q138_join_cardinality": 9,
     "q139_bucketed_join": 9,
-    # r8-green (age 3 at round 11). NONE are pre-paid: all 5 free
-    # round-11 slots went to the new gates (see the _PRIORITY math
-    # note), so the FULL 38-entry cohort is forced in round 12.
-    "q66_unigram_lm_quality": 8,
-    "q67_deterministic_split": 8,
-    "q68_domain_mix": 8,
-    "q82_filter_funnel": 8,
-    "q93_quantile_discretize": 8,
-    "q94_substring_dedup": 8,
-    "q95_substring_contamination": 8,
-    "q96_bigram_lm_quality": 8,
-    "q97_token_budget_selection": 8,
-    "q98_cdc_chunking": 8,
-    "q99_pq_ann": 8,
-    "q100_weighted_sample": 8,
-    "q101_domain_cap": 8,
-    "q102_ivfpq_ann": 8,
-    "q103_stratified_weighted_sample": 8,
-    "q04_window_topk": 8,
-    "q05_global_topk": 8,
-    "q06_union_distinct": 8,
-    "q07_semijoin": 8,
-    "q08_antijoin": 8,
-    "q36_multimodal_features": 8,
-    "q50_streaming_tumbling": 8,
-    "q65_embedding_quantization": 8,
-    "q69_streaming_sliding": 8,
-    "q70_streaming_dedup": 8,
-    "q71_streaming_user_totals": 8,
-    "q72a_relief_std_ranking": 8,
-    "q104_streaming_list_drift": 8,
-    "q106_semantic_dedup": 8,
-    "q107_dsir_importance_sample": 8,
-    "q108_editdist_neardup": 8,
-    "q109_bloom_dedup": 8,
-    "q111_streaming_bloom_screen": 8,
-    "q112_countmin_heavy_hitters": 8,
-    "q113_source_overlap": 8,
-    "q114_cluster_aware_split": 8,
-    "q115_salted_skew_join": 8,
-    "q116_snapshot_diff": 8,
 }
 
 

@@ -706,25 +706,12 @@ def _placeholder_cp(m: int) -> int:
     return ord(merge_placeholder(m))
 
 
-def _bpe_encode_oracle(
-    n_merges: int = BPE_ENC_MERGES,
-    vocab_cap: int | None = None,
-    top: int = BPE_ENC_TOP,
-) -> str:
-    """Mechanically generated CTE chain shared by q156 and q170: M
-    data-dependent merge rounds (pair count -> top-1 -> literal
-    replace, exactly q153's proven primitive) followed by the ENCODE
-    half — explode the merged vocabulary into single symbols, expand
-    placeholders back to surface strings (reverse merge order), and
-    count token frequency over the corpus via the word counts.
-
-    ``vocab_cap`` replays learn_bpe's capped-histogram architecture
-    (the top-N (wc DESC, w ASC) words train the merges; the FULL
-    vocabulary is then encoded with them). Merge-round CTEs are
-    MATERIALIZED: at ~100 rounds an inlined chain re-evaluates
-    vocab{m-1} once per reference (vocab{m} + t{m}) — exponential
-    blowup, the DuckDB twin of the Catalyst lineage blowup the Spark
-    trainer hit."""
+def _bpe_train_cte_parts(n_merges: int, vocab_cap: int | None) -> list[str]:
+    """The shared training half of the generated BPE oracles (pure
+    code motion out of ``_bpe_encode_oracle`` — the emitted SQL is
+    character-identical): corpus histogram, optional capped vocab0,
+    then M data-dependent merge rounds (pair count -> top-1 ->
+    literal replace)."""
     parts = [
         "WITH words AS (",
         f"  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents",
@@ -759,6 +746,29 @@ def _bpe_encode_oracle(
             f" chr({_placeholder_cp(m)})) AS w, wc FROM vocab{m - 1}",
             "),",
         ]
+    return parts
+
+
+def _bpe_encode_oracle(
+    n_merges: int = BPE_ENC_MERGES,
+    vocab_cap: int | None = None,
+    top: int = BPE_ENC_TOP,
+) -> str:
+    """Mechanically generated CTE chain shared by q156 and q170: M
+    data-dependent merge rounds (pair count -> top-1 -> literal
+    replace, exactly q153's proven primitive) followed by the ENCODE
+    half — explode the merged vocabulary into single symbols, expand
+    placeholders back to surface strings (reverse merge order), and
+    count token frequency over the corpus via the word counts.
+
+    ``vocab_cap`` replays learn_bpe's capped-histogram architecture
+    (the top-N (wc DESC, w ASC) words train the merges; the FULL
+    vocabulary is then encoded with them). Merge-round CTEs are
+    MATERIALIZED: at ~100 rounds an inlined chain re-evaluates
+    vocab{m-1} once per reference (vocab{m} + t{m}) — exponential
+    blowup, the DuckDB twin of the Catalyst lineage blowup the Spark
+    trainer hit."""
+    parts = _bpe_train_cte_parts(n_merges, vocab_cap)
     if vocab_cap is None:
         parts.append(f"applied AS (SELECT w, wc FROM vocab{n_merges}),")
     else:
@@ -2124,4 +2134,231 @@ def q175_unigram_sampled_tokens(
         .alias("rank"),
         "piece",
         F.col("uses").cast("bigint").alias("uses"),
+    )
+
+
+#: q176 (VERDICT r11 #2): the ID-SPACE path's artifact layer + byte-
+#: level mode under ONE hash gate — q172 gave the STRING path's
+#: persistence the oracle treatment; the ids path is now the
+#: production-scale trainer (the 210k-merge smoke, SCALE.md round 11)
+#: and its artifacts deserve the same. Train in byte-level id space,
+#: persist with save_merges_ids, load back through load_merges_ids'
+#: ordinal + id-allocation-law validation, and encode the FULL
+#: vocabulary with the LOADED chain. The corpus is pure ASCII at
+#: every SF (verified: zero non-ASCII words in the normalized token
+#: stream at sf0.001/0.01/0.1), so UTF-8 byte ids == code-point ids
+#: == the string path's symbols, and the SAME generated string-path
+#: oracle replays the whole computation — one gate pins persistence,
+#: the allocation-law validator, AND the byte mode at once (a
+#: corrupt ordinal, a foreign id, or a byte/char split divergence
+#: would each shift the token counts). Params differ from
+#: q156/q170/q172/q174 so the trainer gates stay independent
+#: evidence.
+BPE_IDB_MERGES = 70
+BPE_IDB_VOCAB_CAP = 24
+BPE_IDB_TOP = 26
+
+
+@register(
+    "q176_bpe_ids_artifact_bytelevel",
+    oracle=_bpe_encode_oracle(
+        n_merges=BPE_IDB_MERGES,
+        vocab_cap=BPE_IDB_VOCAB_CAP,
+        top=BPE_IDB_TOP,
+    ),
+    doc=f"Id-space BPE artifact round trip in BYTE-LEVEL mode: train "
+        f"{BPE_IDB_MERGES} merges over UTF-8 byte ids (capped "
+        f"histogram, top {BPE_IDB_VOCAB_CAP} words), persist the "
+        "chain with save_merges_ids (parquet, explicit ordinals + "
+        "new_id = 0x110000+m allocation law), load it back through "
+        "load_merges_ids' ordinal/allocation-law validation, encode "
+        "the full vocabulary with the LOADED chain (rank-based, "
+        "chain-length-independent), render byte ids back to surface "
+        "tokens. The oracle replays the string path — on this ASCII "
+        "corpus byte ids equal code points, so the hash pins the "
+        "ids-path artifact layer, the validator, and byte-level mode "
+        "against independent arithmetic. Scale: artifact is "
+        "merges-sized; one tiny write + validated read on top of the "
+        "corpus-independent training cost (the q172 story on the "
+        "ceiling-free path).",
+)
+def q176_bpe_ids_artifact_bytelevel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pathlib import Path
+
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode,
+        learn_bpe_ids,
+        load_merges_ids,
+        render_id_bytes,
+        save_merges_ids,
+    )
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = learn_bpe_ids(
+        vocab,
+        n_merges=BPE_IDB_MERGES,
+        max_vocab_words=BPE_IDB_VOCAB_CAP,
+        byte_level=True,
+    )
+    path = f"{_artifact_dir('q176_' + Path(sf_dir).name)}/merges_ids"
+    save_merges_ids(spark, merges, path)
+    loaded = load_merges_ids(spark, path)
+    encoded = bpe_ids_encode(vocab, loaded, byte_level=True)
+    # bounded by |byte alphabet| + n_merges (~200 rows) — exact and
+    # driver-trivial, same rationale as q174's aggregate
+    counts = (
+        encoded.select(F.explode("token_ids").alias("tid"), "wc")
+        .groupBy("tid")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    expand = {nid: pair for nid, pair in loaded}
+    memo: dict[int, bytes] = {}
+    # distinct ids can share a surface (q174's note) and a byte-level
+    # token is bytes until rendered — re-aggregate by decoded surface
+    agg: dict[str, int] = {}
+    for r in counts:
+        tok = render_id_bytes(int(r["tid"]), expand, memo).decode("utf-8")
+        agg[tok] = agg.get(tok, 0) + int(r["cnt"])
+    top = sorted(agg.items(), key=lambda t: (-t[1], t[0]))[:BPE_IDB_TOP]
+    return spark.createDataFrame(
+        [(i + 1, tok, cnt) for i, (tok, cnt) in enumerate(top)],
+        "rank int, token string, cnt bigint",
+    )
+
+
+#: q177 (VERDICT r11 #3): WORD-level BPE-dropout under the hash gate —
+#: the replayable string-path variant of Provilkov 2020 (site-level
+#: dropout, property-pinned in tests, has no tractable SQL replay;
+#: keying the drop decision on the ORIGINAL word makes the mask
+#: computable up front, so a CTE chain can conditionally skip each
+#: merge's replace per word). Params differ from every other BPE gate.
+BPE_WD_MERGES = 40
+BPE_WD_VOCAB_CAP = 16
+BPE_WD_TOP = 24
+BPE_WD_P = 0.25
+BPE_WD_SEED = "wd0"
+
+
+def _bpe_word_dropout_oracle(
+    n_merges: int, vocab_cap: int, top: int, p: float, seed: str
+) -> str:
+    """Generated replay of train-then-dropout-encode: the shared
+    training rounds (``_bpe_train_cte_parts``), then ONE nested
+    replace chain over the full vocabulary where each merge's search
+    pattern is conditional — chr(0) (unmatchable: C0 is
+    trainer-rejected from every vocabulary) where the word's (seed,
+    original word, merge ordinal) md5 uniform is < p, the trained
+    pair otherwise — operand-for-operand the engine's
+    ``bpe_apply_word_dropout``. The uniform is the portable
+    hash_uniform spelling (q80/q175), exact in both engines, so the
+    comparison against the p literal cannot diverge. The
+    conditional-PATTERN form keeps the chain linear (each level
+    references the accumulated expression once); a ``CASE WHEN
+    dropped THEN prev ELSE replace(prev, ...)`` chain would inline
+    prev twice per level — exponential, the blowup class the
+    MATERIALIZED training rounds exist to avoid. Inside the chain,
+    bare ``w`` in each CASE resolves to fullvocab's COLUMN (the
+    original word), never the accumulated expression — exactly the
+    engine's original-word keying."""
+    parts = _bpe_train_cte_parts(n_merges, vocab_cap)
+    chain = "w"
+    for m in range(1, n_merges + 1):
+        u = (
+            f"(CAST(('0x' || substr(md5('{seed}|' || w || '|{m}'), "
+            "4, 6)) AS BIGINT) + 0.5) / 16777216.0"
+        )
+        chain = (
+            f"replace({chain}, CASE WHEN {u} < {p} THEN chr(0)"
+            f" ELSE coalesce((SELECT pair FROM t{m}), chr(0)) END,"
+            f" chr({_placeholder_cp(m)}))"
+        )
+    parts.append(f"applied AS (SELECT {chain} AS w, wc FROM fullvocab),")
+    render = "sym"
+    for m in range(n_merges, 0, -1):
+        render = (
+            f"replace({render}, chr({_placeholder_cp(m)}),"
+            f" coalesce((SELECT pair FROM t{m}), chr(0)))"
+        )
+    parts += [
+        "syms AS (",
+        "  SELECT substr(w, i.i, 1) AS sym, wc",
+        "  FROM applied, LATERAL (",
+        "    SELECT unnest(generate_series(1, length(w))) AS i",
+        "  ) i",
+        "),",
+        f"rendered AS (SELECT {render} AS token, wc FROM syms),",
+        "agg AS (",
+        "  SELECT token, CAST(SUM(wc) AS BIGINT) AS cnt",
+        "  FROM rendered GROUP BY token",
+        "),",
+        f"top AS (SELECT * FROM agg ORDER BY cnt DESC, token ASC LIMIT {top})",
+        "SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,",
+        "       token, cnt",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q177_bpe_word_dropout",
+    oracle=_bpe_word_dropout_oracle(
+        n_merges=BPE_WD_MERGES,
+        vocab_cap=BPE_WD_VOCAB_CAP,
+        top=BPE_WD_TOP,
+        p=BPE_WD_P,
+        seed=BPE_WD_SEED,
+    ),
+    doc=f"WORD-level BPE-dropout (Provilkov 2020 at merge "
+        f"granularity): train {BPE_WD_MERGES} merges (capped "
+        f"histogram, top {BPE_WD_VOCAB_CAP} words), then encode the "
+        f"full vocabulary with each merge dropped per word at "
+        f"p={BPE_WD_P} — the drop decision is the portable md5 "
+        "uniform keyed by (seed, ORIGINAL word, merge ordinal), so "
+        "the mask is order-independent, reproducible across engines "
+        "and epochs (the q57/q80/q175 hash-sampling principle), and "
+        "SQL-replayable — which site-level dropout is not; the "
+        "site-level id-space twin agrees with this variant at p=0 "
+        "and p=1 (property-pinned). Token counts over the corpus "
+        "under the dropped segmentation. Scale: vocab-sized encode "
+        "projection per epoch seed, corpus touched once for the "
+        "histogram; production-depth serving belongs to the id path.",
+)
+def q177_bpe_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply_word_dropout,
+        bpe_render,
+        learn_bpe,
+    )
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = learn_bpe(
+        vocab, n_merges=BPE_WD_MERGES, max_vocab_words=BPE_WD_VOCAB_CAP
+    )
+    v = bpe_apply_word_dropout(
+        vocab, merges, p=BPE_WD_P, seed=BPE_WD_SEED
+    )
+    syms = v.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        ).alias("sym"),
+        "wc",
+    )
+    return (
+        syms.select(bpe_render("sym", merges).alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(BPE_WD_TOP)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .alias("rank"),
+            "token",
+            "cnt",
+        )
     )

@@ -26,7 +26,7 @@ from spark_relieffc_fselection_spark.queries import (
 
 #: Registry floor as of round 11. Raise when queries are added; a drop
 #: below this means an import path silently lost a module.
-MIN_REGISTRY_SIZE = 179
+MIN_REGISTRY_SIZE = 181
 
 
 def test_priority_is_exactly_the_driver_window():

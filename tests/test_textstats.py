@@ -1277,3 +1277,76 @@ def test_bpe_ids_artifact_round_trip(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "bad2"))
     with _pytest.raises(ValueError, match="id-allocation"):
         load_merges_ids(spark, str(tmp_path / "bad2"))
+
+
+def test_bpe_word_dropout_properties(spark):
+    """WORD-level BPE-dropout (the q177 string-path variant): p=0
+    equals exact bpe_apply, p=1 applies nothing (characters) — the
+    two ends where it must AGREE with the site-level id-space
+    variant — deterministic per (seed, p), exploring across seeds,
+    and every variant renders back to its word."""
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_word_dropout,
+        learn_bpe,
+    )
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        encode_word_ids_dropout,
+        learn_bpe_ids,
+        render_id,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [("banana", 9), ("bandana", 6), ("cabana", 5), ("anagram", 3),
+            ("bananarama", 2)]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    src = vocab.withColumn("orig", F.col("w"))
+    merges = learn_bpe(vocab, n_merges=8)
+
+    def surf(sym: str) -> str:
+        # expand placeholders to surface text (reverse merge order —
+        # later pairs may contain earlier placeholders)
+        for ph, pair in reversed(merges):
+            sym = sym.replace(ph, pair)
+        return sym
+
+    def applied(p: float, seed: str) -> dict[str, str]:
+        out = bpe_apply_word_dropout(src, merges, p=p, seed=seed)
+        return {r["orig"]: r["w"] for r in out.collect()}
+
+    exact = {r["orig"]: r["w"]
+             for r in bpe_apply(src, merges).collect()}
+    p0, p1 = applied(0.0, "a"), applied(1.0, "a")
+    mid_a, mid_a2, mid_b = applied(0.5, "a"), applied(0.5, "a"), applied(0.5, "b")
+
+    # the site-level id-space twin, for the agreement pin at the ends
+    id_merges = learn_bpe_ids(vocab, n_merges=8)
+    id_ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(id_merges, 1)}
+    id_expand = {nid: pair for nid, pair in id_merges}
+
+    diverged = 0
+    for w, _ in rows:
+        assert p0[w] == exact[w], w              # p=0 == exact chain
+        assert p1[w] == w, w                     # p=1 == characters
+        assert mid_a[w] == mid_a2[w], w          # deterministic per seed
+        if mid_a[w] != mid_b[w]:
+            diverged += 1
+        # coarser-never-finer, and lossless rendering at every p
+        assert len(exact[w]) <= len(mid_a[w]) <= len(w)
+        for v in (p0[w], p1[w], mid_a[w], mid_b[w]):
+            assert surf(v) == w, w
+        # site-vs-word agreement at the ends: identical rendered
+        # token sequences (mid-p legitimately differs — different
+        # granularity of the drop decision)
+        for p_end, word_form in ((0.0, p0[w]), (1.0, p1[w])):
+            site = [
+                render_id(t, id_expand, {})
+                for t in encode_word_ids_dropout(w, id_ranks, p_end, "a")
+            ]
+            assert [surf(s) for s in word_form] == site, (w, p_end)
+    assert diverged > 0                          # seeds genuinely explore
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probability"):
+        bpe_apply_word_dropout(src, merges, p=-0.1)
