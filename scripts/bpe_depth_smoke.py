@@ -144,5 +144,82 @@ def main() -> None:
     )
 
 
+
+
+def bridge_main() -> None:
+    """--bridge (VERDICT r11 #4): train the STRING loop at production
+    depth, convert the chain with merge_ranks_from_string_chain, and
+    serve the full histogram through the id path's rank encoder —
+    the measured evidence that a string-trained tokenizer gets
+    chain-length-independent serving without retraining. Includes a
+    sampled stacked-replace parity check (the full replace chain is
+    O(chain) per word — exactly the plan the bridge retires — so the
+    check samples; the exhaustive parity law is property-tested at
+    100 merges in tests/test_textstats.py)."""
+    n_words = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+
+    words = synth_histogram(n_words)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    t0 = time.time()
+    merges = _merge_loop(words, n_merges)
+    t_train = time.time() - t0
+    print(f"string train: {len(merges)} merges in {t_train:.1f}s")
+
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        encode_word_ids,
+        merge_ranks_from_string_chain,
+        render_id,
+    )
+
+    t0 = time.time()
+    bridged = merge_ranks_from_string_chain(merges)
+    t_bridge = time.time() - t0
+    ranks = {pair: (m, nid) for m, (nid, pair) in enumerate(bridged, 1)}
+    print(f"bridge: {len(bridged)} ranks in {t_bridge:.2f}s")
+
+    t0 = time.time()
+    n_toks = 0
+    for w, _wc in words:
+        n_toks += len(encode_word_ids([ord(c) for c in w], ranks))
+    enc_wall = time.time() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(
+        f"bridged encode: {len(words)} words -> {n_toks} tokens in "
+        f"{enc_wall:.1f}s ({len(words) / enc_wall:.0f} words/s "
+        f"single-threaded) under the {len(merges)}-merge STRING chain; "
+        f"peak rss {rss1:.0f} MB (+{rss1 - rss0:.0f})"
+    )
+
+    # sampled parity vs the stacked replace (the retired serving plan)
+    rng = random.Random(7)
+    expand = {nid: pair for nid, pair in bridged}
+    memo: dict[int, str] = {}
+    sample = rng.sample(words, min(200, len(words)))
+    t0 = time.time()
+    for w, _wc in sample:
+        s = w
+        for ph, pair in merges:
+            s = s.replace(pair, ph)
+        stacked = list(s)
+        for i, ph in enumerate(stacked):
+            for p, pr in reversed(merges):
+                ph = ph.replace(p, pr)
+            stacked[i] = ph
+        ids = encode_word_ids([ord(c) for c in w], ranks)
+        rendered = [render_id(t, expand, memo) for t in ids]
+        assert rendered == stacked, (w, rendered, stacked)
+    t_par = time.time() - t0
+    print(
+        f"parity: {len(sample)} sampled words, stacked-replace == "
+        f"bridged rank encode ({t_par:.1f}s for the STACKED side alone "
+        f"— {t_par / len(sample) * 1000:.0f} ms/word under a "
+        f"{len(merges)}-deep chain, the cost the bridge retires)"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--bridge" in sys.argv:
+        bridge_main()
+    else:
+        main()

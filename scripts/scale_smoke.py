@@ -1159,6 +1159,57 @@ def main() -> None:
 
     bench("bpe trainer 100 merges on capped histogram (flat-ish)", bpe_train)
 
+    # production-depth corpus tokenization (VERDICT r11 #5): encode the
+    # DISTINCT words under a 30k-merge id chain, then join tokens back
+    # to the corpus by word — the q156/q164/bpe_ids serving pattern.
+    # The claim under measurement ("corpus size never enters the
+    # encode", operators/bpe_ids.py): the distinct-word set — hence
+    # the Arrow encode pass and the broadcast ranks dict — is
+    # IDENTICAL at 1x and Kx (replication shifts doc_id, not text),
+    # so only the explode + broadcast-join-back side may grow, and it
+    # must grow ~linearly with corpus rows. The shuffle story: the
+    # join ships only the broadcast (word -> n_tokens) table; the two
+    # groupBys shuffle PARTIAL aggregates (word histogram: vocab-sized
+    # after map-side combine; per-doc totals: doc-count-sized) — the
+    # exploded token stream itself is never shuffled.
+    if not label_filters or any(
+        f in "bpe corpus tokenize 30k (broadcast join-back)"
+        for f in label_filters
+    ):
+        from scripts.bpe_depth_smoke import synth_histogram
+        from spark_relieffc_fselection_spark.operators.bpe import (
+            _merge_loop,
+        )
+        from spark_relieffc_fselection_spark.operators.bpe_ids import (
+            bpe_ids_encode,
+            merge_ranks_from_string_chain,
+        )
+        from spark_relieffc_fselection_spark.functions.text import tokens
+
+        t0 = time.time()
+        chain = merge_ranks_from_string_chain(
+            _merge_loop(synth_histogram(100_000), 30_000)
+        )
+        print(
+            f"  [setup: 30k-merge chain trained on a 100k-word synth "
+            f"histogram + bridged in {time.time() - t0:.1f}s]"
+        )
+
+        def bpe_corpus(kk: int) -> DataFrame:
+            d = docs_k(kk)
+            words = d.select(
+                "doc_id", F.explode(tokens("text")).alias("w")
+            ).filter(F.length("w") >= 1)
+            vocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+            per_word = bpe_ids_encode(vocab, chain).select(
+                "w", F.size("token_ids").alias("n_tok")
+            )
+            return words.join(F.broadcast(per_word), "w").groupBy(
+                "doc_id"
+            ).agg(F.sum("n_tok").alias("doc_tokens"))
+
+        bench("bpe corpus tokenize 30k chain (broadcast join-back)", bpe_corpus)
+
     spark.stop()
 
 

@@ -428,6 +428,76 @@ def render_id_bytes(
     return out
 
 
+def merge_ranks_from_string_chain(
+    merges: list[tuple[str, str]],
+) -> list[tuple[int, tuple[int, int]]]:
+    """The STRING->IDS serving bridge (VERDICT r11 #4): convert a
+    chain trained on the string path (``[(placeholder, pair), ...]``
+    from operators/bpe.py learn_bpe / learn_bpe_merges) into the
+    id-space representation this module serves, so a string-trained
+    tokenizer gets chain-length-independent rank encoding
+    (:func:`encode_word_ids` via :func:`bpe_ids_encode`) instead of
+    the stacked one-replace-per-merge plan — at 30k merges that is
+    the difference between a production serving path and a
+    Catalyst-hostile one (the string trainer localCheckpoints every
+    8 rounds for exactly this reason, operators/bpe.py).
+
+    The mapping is the property-tested sub-U+E000 parity law (module
+    docstring): a base character maps to its code point, merge m's
+    placeholder maps to ``merge_id(m)`` = 0x110000+m. Each pair
+    symbol is resolved against the placeholders allocated BEFORE it
+    (later pairs may contain earlier placeholders); an unknown
+    placeholder-range character or a pair that is not exactly two
+    symbols means a corrupt or foreign chain — raise, don't
+    mis-serve. After bridging, ``render_id`` yields surface text
+    directly (base ids are real code points, never placeholders).
+
+    Output feeds the same consumers as :func:`learn_bpe_ids` output:
+    ranks for encode, expand for render, save_merges_ids for
+    persistence. Parity is pinned by test (stacked-replace encode ==
+    bridged rank encode, token for token) and by the q156/q172 gates
+    staying hash-green — the bridge touches no trained values."""
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        merge_placeholder,
+    )
+
+    ph_ordinal: dict[str, int] = {}
+    out: list[tuple[int, tuple[int, int]]] = []
+    for m, (ph, pair) in enumerate(merges, 1):
+        if ph != merge_placeholder(m):
+            raise ValueError(
+                f"corrupt string chain: merge {m} carries placeholder "
+                f"U+{ord(ph):04X}, expected "
+                f"U+{ord(merge_placeholder(m)):04X} — the chain was "
+                "built under a different placeholder-allocation law"
+            )
+        syms = list(pair)  # code points, incl. supplementary-plane
+        if len(syms) != 2:
+            raise ValueError(
+                f"corrupt string chain: merge {m} pair has "
+                f"{len(syms)} symbols, expected 2"
+            )
+        ids = []
+        for c in syms:
+            if c in ph_ordinal:
+                ids.append(merge_id(ph_ordinal[c]))
+            elif (
+                0xE000 <= ord(c) <= 0xF8FF
+                or 0xF0000 <= ord(c) <= 0xFFFFD
+                or 0x100000 <= ord(c) <= 0x10FFFD
+            ):  # exactly the trainer's _FORBIDDEN_RANGE PUA tiers
+                raise ValueError(
+                    f"corrupt string chain: merge {m} pair references "
+                    f"placeholder-range U+{ord(c):04X} that no earlier "
+                    "merge allocated"
+                )
+            else:
+                ids.append(ord(c))
+        ph_ordinal[ph] = m
+        out.append((merge_id(m), (ids[0], ids[1])))
+    return out
+
+
 def save_merges_ids(
     spark, merges: list[tuple[int, tuple[int, int]]], path: str
 ) -> None:

@@ -1350,3 +1350,69 @@ def test_bpe_word_dropout_properties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="probability"):
         bpe_apply_word_dropout(src, merges, p=-0.1)
+
+
+def test_string_to_ids_serving_bridge(spark):
+    """merge_ranks_from_string_chain (VERDICT r11 #4): a chain trained
+    on the STRING path serves identically through the id path's
+    rank encoder — stacked-replace encode == bridged rank encode,
+    token for token, at real depth (100 merges over a mixed-length
+    vocab) — and the validators reject foreign/corrupt chains."""
+    from spark_relieffc_fselection_spark.operators.bpe import (
+        bpe_apply,
+        learn_bpe,
+        merge_placeholder,
+    )
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode,
+        merge_ranks_from_string_chain,
+        render_id,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("international", 11), ("internation", 9), ("internal", 8),
+        ("nationalism", 7), ("nation", 13), ("rational", 5),
+        ("rationalism", 4), ("alienation", 3), ("intern", 6),
+        ("banana", 9), ("bandana", 2), ("anagram", 2), ("a", 20),
+        ("ab", 1), ("x", 1),
+    ]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    merges = learn_bpe(vocab, n_merges=100)
+    assert len(merges) > 20  # depth is real, not pair-exhausted at 5
+
+    # string-path serving: apply the chain, split to symbols, expand
+    def surf(sym: str) -> str:
+        for ph, pair in reversed(merges):
+            sym = sym.replace(ph, pair)
+        return sym
+
+    src = vocab.withColumn("orig", F.col("w"))
+    string_tokens = {
+        r["orig"]: [surf(c) for c in r["w"]]
+        for r in bpe_apply(src, merges).collect()
+    }
+
+    # bridged id-path serving
+    bridged = merge_ranks_from_string_chain(merges)
+    expand = {nid: pair for nid, pair in bridged}
+    memo: dict[int, str] = {}
+    id_tokens = {
+        r["w"]: [render_id(int(t), expand, memo) for t in r["token_ids"]]
+        for r in bpe_ids_encode(vocab, bridged).collect()
+    }
+    for w, _ in rows:
+        assert string_tokens[w] == id_tokens[w], w
+
+    # validator: placeholder-allocation law
+    bad = [(merge_placeholder(2), merges[0][1])] + merges[1:]
+    with pytest.raises(ValueError, match="placeholder-allocation"):
+        merge_ranks_from_string_chain(bad)
+    # validator: pair referencing a never-allocated placeholder
+    bad2 = [(merge_placeholder(1), "a" + merge_placeholder(7))]
+    with pytest.raises(ValueError, match="no earlier merge"):
+        merge_ranks_from_string_chain(bad2)
+    # validator: pair that is not two symbols
+    bad3 = [(merge_placeholder(1), "abc")]
+    with pytest.raises(ValueError, match="expected 2"):
+        merge_ranks_from_string_chain(bad3)
