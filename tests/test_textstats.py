@@ -1416,3 +1416,58 @@ def test_string_to_ids_serving_bridge(spark):
     bad3 = [(merge_placeholder(1), "abc")]
     with pytest.raises(ValueError, match="expected 2"):
         merge_ranks_from_string_chain(bad3)
+
+
+def test_bridge_parity_property_random_vocabs():
+    """Hypothesis pin of the serving-bridge parity law over random
+    sub-U+E000 vocabularies (ASCII + CJK — the domain where string
+    and id paths are sequence-identical by the module contract):
+    stacked in-order replace == bridged rank encode, token for
+    token, for every word under every trained depth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_relieffc_fselection_spark.operators.bpe import _merge_loop
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        encode_word_ids,
+        merge_ranks_from_string_chain,
+        render_id,
+    )
+
+    alphabet = "abcdefgh" + "一丁丂é"
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=1, max_size=12),
+            min_size=3,
+            max_size=20,
+            unique=True,
+        ),
+        st.integers(min_value=1, max_value=60),
+    )
+    def check(words, n_merges):
+        hist = [(w, i + 1) for i, w in enumerate(sorted(words))]
+        merges = _merge_loop(hist, n_merges)
+        bridged = merge_ranks_from_string_chain(merges)
+        ranks = {
+            pair: (m, nid) for m, (nid, pair) in enumerate(bridged, 1)
+        }
+        expand = {nid: pair for nid, pair in bridged}
+        memo: dict[int, str] = {}
+        for w, _ in hist:
+            s = w
+            for ph, pair in merges:
+                s = s.replace(pair, ph)
+            stacked = []
+            for c in s:
+                for ph, pair in reversed(merges):
+                    c = c.replace(ph, pair)
+                stacked.append(c)
+            rendered = [
+                render_id(t, expand, memo)
+                for t in encode_word_ids([ord(c) for c in w], ranks)
+            ]
+            assert rendered == stacked, (w, rendered, stacked)
+
+    check()
