@@ -291,6 +291,57 @@ def bpe_ids_encode(
     )
 
 
+def bpe_ids_decode(
+    encoded: DataFrame,
+    merges: list[tuple[int, tuple[int, int]]],
+    token_col: str = "token_ids",
+    out_col: str = "decoded",
+    byte_level: bool = False,
+) -> DataFrame:
+    """Serving DECODE — the other half of the tokenize round trip:
+    expand each row's token ids back to surface text, appended as
+    ``out_col``. One Arrow-batched ``mapInPandas`` pass with only the
+    merges-sized expand dict broadcast (the exact mirror of
+    :func:`bpe_ids_encode`); the per-task render memo makes repeated
+    ids O(1) after first expansion, so a row costs O(output chars).
+    ``byte_level`` must match the chain's trained mode — byte tokens
+    concatenate to valid UTF-8 only at word/row granularity (a single
+    token may split a multi-byte character), which is why decode
+    happens here and not per token. Corpus decode joins the decoded
+    DISTINCT words back by word, the encode pattern in reverse —
+    corpus size never enters the Arrow pass."""
+    spark = encoded.sparkSession
+    expand = {nid: pair for nid, pair in merges}
+    bc = spark.sparkContext.broadcast(expand)
+    in_cols = encoded.columns
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in encoded.schema.fields
+    ) + f", {out_col} string"
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ex = bc.value
+        if byte_level:
+            bmemo: dict[int, bytes] = {}
+
+            def render(ids) -> str:
+                return b"".join(
+                    render_id_bytes(int(t), ex, bmemo) for t in ids
+                ).decode("utf-8")
+        else:
+            smemo: dict[int, str] = {}
+
+            def render(ids) -> str:
+                return "".join(render_id(int(t), ex, smemo) for t in ids)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [render(ids) for ids in pdf[token_col]]
+            yield pdf
+
+    return encoded.select(*in_cols).mapInPandas(dec, schema=out_schema)
+
+
 def render_id(
     tid: int, expand: dict[int, tuple[int, int]], memo: dict[int, str] | None = None
 ) -> str:

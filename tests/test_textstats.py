@@ -1471,3 +1471,68 @@ def test_bridge_parity_property_random_vocabs():
             assert rendered == stacked, (w, rendered, stacked)
 
     check()
+
+
+def test_bpe_ids_decode_round_trip(spark):
+    """bpe_ids_decode is the exact inverse of bpe_ids_encode in both
+    modes (char ids incl. supplementary-plane input; byte ids whose
+    tokens may split multi-byte characters), and the corpus-level
+    tokenize -> decode -> join-back reconstruction equals the
+    normalized text — the round-13 gate-candidate shape."""
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_decode,
+        bpe_ids_encode,
+        learn_bpe_ids,
+    )
+
+    rows = [("banana", 9), ("bandana", 6), ("héllo", 4), ("𝄞music", 2)]
+    vocab = spark.createDataFrame(rows, "w string, wc long")
+    for byte_level in (False, True):
+        merges = learn_bpe_ids(vocab, n_merges=6, byte_level=byte_level)
+        enc = bpe_ids_encode(vocab, merges, byte_level=byte_level)
+        dec = bpe_ids_decode(enc, merges, byte_level=byte_level)
+        assert dec.columns == ["w", "wc", "token_ids", "decoded"]
+        for r in dec.collect():
+            assert r["decoded"] == r["w"], (byte_level, r)
+
+    # corpus identity: tokenize distinct words, decode, join back by
+    # word, reassemble in position order == normalized text
+    docs = spark.createDataFrame(
+        [(1, "  Banana  bandana\tbanana "), (2, "héllo 𝄞music banana")],
+        "doc_id long, text string",
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    cvocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+    merges = learn_bpe_ids(cvocab, n_merges=8)
+    per_word = bpe_ids_decode(
+        bpe_ids_encode(cvocab, merges), merges
+    ).select("w", "decoded")
+    rebuilt = (
+        words.join(F.broadcast(per_word), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "decoded")))
+                .getField("decoded")
+            ).alias("rebuilt")
+        )
+    )
+    got = {
+        r["doc_id"]: r["rebuilt"]
+        for r in docs.join(rebuilt, "doc_id")
+        .select("doc_id", "rebuilt", normalize_text("text").alias("norm"))
+        .collect()
+    }
+    norms = {
+        r["doc_id"]: r["norm"]
+        for r in docs.select("doc_id", normalize_text("text").alias("norm")).collect()
+    }
+    assert got == norms
