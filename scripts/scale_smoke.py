@@ -1173,7 +1173,7 @@ def main() -> None:
     # after map-side combine; per-doc totals: doc-count-sized) — the
     # exploded token stream itself is never shuffled.
     if not label_filters or any(
-        f in "bpe corpus tokenize 30k (broadcast join-back)"
+        f in "bpe corpus tokenize 30k chain (broadcast join-back)"
         for f in label_filters
     ):
         from scripts.bpe_depth_smoke import synth_histogram
