@@ -109,22 +109,29 @@ _PRIORITY: tuple[str, ...] = (
     # runs, not a gap awaiting an oracle.
     "q14_relief_relevance",
     "q72_relief_fit_rankings",
-    # 10 free slots: 2 go to this round's new gates (never
-    # driver-checked -> a slot each is mandatory) — q176 id-space
-    # artifact round trip + byte-level mode (VERDICT r11 #2), q177
-    # word-level BPE-dropout (VERDICT r11 #3); the remaining 8
-    # pre-pay the 43-entry r9 cohort per VERDICT r11 #1 — the named
-    # heavy fit gates (q72c/q72d/q158/q161, q13/q44) so the RELIEF
-    # core's evidence stays fresh, plus q153/q156, chosen because the
-    # round-12 serving bridge (string merges -> id ranks) claims
-    # q156-hash-unchanged parity, so re-greening the BPE encode gates
-    # the claim rides on is the highest-value remaining pick.
-    # Round-13 math, written out: the r9 remainder is 43 - 8 = 35,
-    # forced at age 4 in round 13, + 2 sentinels = 37 forced,
-    # 13 free — the 45-forced pinch never recurs. Steady state from
-    # there: each round's ~12-15 free slots pre-pay the next cohort
-    # (round 13 pre-pays 13 of the 49-entry r10 cohort -> round 14
-    # lands at 36 + 2 = 38 forced), which holds every cohort within
+    # 10 free slots: 4 go to this round's new gates (never
+    # driver-checked -> a slot each is mandatory, the standing
+    # new-gates-outrank-pre-pays rule) — q176 id-space artifact round
+    # trip + byte-level mode (VERDICT r11 #2), q177 word-level
+    # BPE-dropout (VERDICT r11 #3), q178 string->ids serving bridge
+    # and q179 tokenize->detokenize identity (this round's own
+    # flagship features, promoted from the round-13 candidate list so
+    # they enter the record driver-gated, not tests-only); the
+    # remaining 6 pre-pay the 43-entry r9 cohort per VERDICT r11 #1 —
+    # the named heavy fit gates (q72c/q72d/q158/q161, q13/q44) so the
+    # RELIEF core's evidence stays fresh. q153/q156 were the original
+    # 7th/8th pre-pays; q178 supersedes that pick (it exercises the
+    # same string trainer + encode machinery END-TO-END against the
+    # same generated oracle family, plus the bridge and the rank
+    # encoder on top), and both remain all-SF green under
+    # scripts/compare_oracle.py this round (SCALE.md).
+    # Round-13 math, written out: the r9 remainder is 43 - 6 = 37,
+    # forced at age 4 in round 13, + 2 sentinels = 39 forced,
+    # 11 free — the 45-forced pinch never recurs. Steady state from
+    # there: each round's ~11-15 free slots pre-pay the next cohort
+    # (round 13 pre-pays 11 of the 49-entry r10 cohort -> round 14
+    # lands at 38 + 2 = 40 forced, 10 free, pre-paying the remaining
+    # 38-entry r11 cohort's oldest), which holds every cohort within
     # the staleness bound indefinitely.
     "q72c_relief_fit_hash_batched",
     "q72d_relief_fit_hash_sampled",
@@ -132,10 +139,10 @@ _PRIORITY: tuple[str, ...] = (
     "q161_sparse_fit_coo_width",
     "q13_knn_join",
     "q44_sparse_relief_relevance",
-    "q153_bpe_merge_step",
-    "q156_bpe_encode",
     "q176_bpe_ids_artifact_bytelevel",
     "q177_bpe_word_dropout",
+    "q178_bpe_bridged_serving",
+    "q179_bpe_roundtrip_identity",
 )
 
 #: Every registered query NOT in this round's driver window, mapped to
@@ -248,12 +255,16 @@ _DEFERRED: dict[str, int] = {
     "q170_bpe_train": 10,
     "q01_pruned_scan": 10,
     "q02_groupby_agg": 10,
-    # r9-green (age 3 at round 12; the 35-entry remainder after round
-    # 12's 8 pre-pays — q72c/q72d/q158/q161/q13/q44/q153/q156 moved
-    # to _PRIORITY — is forced in round 13, see the math note).
+    # r9-green (age 3 at round 12; the 37-entry remainder after round
+    # 12's 6 pre-pays — q72c/q72d/q158/q161/q13/q44 moved to
+    # _PRIORITY — is forced in round 13, see the math note; q153/q156
+    # stayed deferred because their slots went to q178/q179, the new
+    # gates that exercise the same machinery end-to-end).
     # q157 fold note (VERDICT r9 #8 / r10 #1): folding q157's
     # Hamming-1 evidence into q160 stays pre-approved if a future
     # window pinches; round 12 seats everything without it.
+    "q153_bpe_merge_step": 9,
+    "q156_bpe_encode": 9,
     "q15_relief_topk": 9,
     "q16_collision_marginal": 9,
     "q17_collision_joint": 9,

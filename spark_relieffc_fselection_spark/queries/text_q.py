@@ -2362,3 +2362,203 @@ def q177_bpe_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+#: q178 (SCALE.md round-12 gate candidate #1, promoted this round):
+#: the STRING->IDS serving bridge under its own hash gate. Round 12
+#: built merge_ranks_from_string_chain so a string-trained chain can
+#: be served through the rank-based, chain-length-independent id
+#: encoder instead of the stacked one-replace-per-merge plan; until
+#: now the bridge was pinned by parity properties (stacked-replace ==
+#: bridged encode, tests) and by q156/q172 staying green. This gate
+#: pins the bridged COMPOSITION end-to-end against independent
+#: arithmetic: train on the STRING path (capped histogram), bridge to
+#: id ranks, encode the full vocabulary with encode_word_ids, render
+#: ids back to surfaces — all replayed by the SAME generated
+#: string-path oracle, so a wrong ordinal mapping, a mis-resolved
+#: placeholder-in-pair, or a rank/tie divergence in the id encoder
+#: would each shift the token counts. Params differ from every other
+#: BPE gate (q156 6/-/20, q170 100/24/30, q172 60/20/25, q174
+#: 80/22/28, q176 70/24/26, q177 40/16/24) so the gates stay
+#: independent evidence.
+BPE_BRG_MERGES = 55
+BPE_BRG_VOCAB_CAP = 18
+BPE_BRG_TOP = 27
+
+
+@register(
+    "q178_bpe_bridged_serving",
+    oracle=_bpe_encode_oracle(
+        n_merges=BPE_BRG_MERGES,
+        vocab_cap=BPE_BRG_VOCAB_CAP,
+        top=BPE_BRG_TOP,
+    ),
+    doc=f"String->ids SERVING BRIDGE end-to-end: train "
+        f"{BPE_BRG_MERGES} merges on the string path (capped "
+        f"histogram, top {BPE_BRG_VOCAB_CAP} words), convert the "
+        "placeholder chain to id ranks via the sub-U+E000 parity law "
+        "(merge_ranks_from_string_chain), tokenize the FULL "
+        "vocabulary with the rank-based id encoder, render token ids "
+        "back to surface strings, and report the corpus' top-"
+        f"{BPE_BRG_TOP} tokens. The oracle replays the string path, "
+        "so the hash pins the bridge against independent arithmetic "
+        "— the production pattern (string-trained artifact served "
+        "chain-length-independently) is oracle-gated, not just "
+        "property-tested. Scale: bridge cost is merges-sized, encode "
+        "is one Arrow pass over the Zipf-bounded vocabulary with a "
+        "merges-sized broadcast; the corpus is touched once for the "
+        "histogram (the q156 story with production serving).",
+)
+def q178_bpe_bridged_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_relieffc_fselection_spark.operators.bpe import learn_bpe
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_encode,
+        merge_ranks_from_string_chain,
+        render_id,
+    )
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = learn_bpe(
+        vocab, n_merges=BPE_BRG_MERGES, max_vocab_words=BPE_BRG_VOCAB_CAP
+    )
+    chain = merge_ranks_from_string_chain(merges)
+    encoded = bpe_ids_encode(vocab, chain)
+    # bounded by |alphabet| + n_merges (~200 rows) — exact and
+    # driver-trivial, the q174 aggregate rationale
+    counts = (
+        encoded.select(F.explode("token_ids").alias("tid"), "wc")
+        .groupBy("tid")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    expand = {nid: pair for nid, pair in chain}
+    memo: dict[int, str] = {}
+    # distinct ids can share a surface (q174's note) — re-aggregate by
+    # rendered surface, then rank by (cnt DESC, token ASC)
+    agg: dict[str, int] = {}
+    for r in counts:
+        tok = render_id(int(r["tid"]), expand, memo)
+        agg[tok] = agg.get(tok, 0) + int(r["cnt"])
+    top = sorted(agg.items(), key=lambda t: (-t[1], t[0]))[:BPE_BRG_TOP]
+    return spark.createDataFrame(
+        [(i + 1, tok, cnt) for i, (tok, cnt) in enumerate(top)],
+        "rank int, token string, cnt bigint",
+    )
+
+
+#: q179 (SCALE.md round-12 gate candidate #2, promoted this round):
+#: tokenize -> DETOKENIZE identity under the hash gate. Round 12
+#: added bpe_ids_decode (the serving-side detokenizer); until now it
+#: was test-covered only. This gate encodes the full vocabulary under
+#: an id-space-trained chain, decodes every row back through the
+#: Arrow decode pass, and reports per-word (token count, round-trip
+#: verdict) for the top words — the oracle independently segments
+#: each word with the replayed merge chain, counts its symbols, and
+#: reverse-renders them, so a decode that dropped, reordered, or
+#: mis-expanded ANY token id in the top words would flip a roundtrip
+#: bit or shift a token count. Params distinct from every other BPE
+#: gate (see q178's table).
+BPE_RT_MERGES = 45
+BPE_RT_VOCAB_CAP = 19
+BPE_RT_TOP = 22
+
+
+def _bpe_roundtrip_oracle(n_merges: int, vocab_cap: int, top: int) -> str:
+    """Generated replay of encode-then-decode: the shared training
+    rounds (``_bpe_train_cte_parts``), one nested replace chain
+    applying the merges to the full vocabulary WITH the original word
+    preserved, then per-word token count (= merged length: one symbol
+    per token) and reverse-render (placeholders expanded back in
+    reverse merge order) compared against the original. The engine
+    must reproduce the verdict column by actually round-tripping
+    through its decode path — the oracle's TRUE is independent
+    arithmetic, not an assumption."""
+    parts = _bpe_train_cte_parts(n_merges, vocab_cap)
+    chain = "w"
+    for m in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, coalesce((SELECT pair FROM t{m}),"
+            f" chr(0)), chr({_placeholder_cp(m)}))"
+        )
+    parts.append(
+        f"applied AS (SELECT w AS word, wc, {chain} AS mw FROM fullvocab),"
+    )
+    render = "mw"
+    for m in range(n_merges, 0, -1):
+        render = (
+            f"replace({render}, chr({_placeholder_cp(m)}),"
+            f" coalesce((SELECT pair FROM t{m}), chr(0)))"
+        )
+    parts += [
+        "back AS (",
+        "  SELECT word, wc, CAST(length(mw) AS INTEGER) AS n_tokens,",
+        f"         {render} AS rec",
+        "  FROM applied",
+        "),",
+        "top AS (",
+        "  SELECT word, wc, n_tokens, (rec = word) AS roundtrip",
+        f"  FROM back ORDER BY wc DESC, word ASC LIMIT {top}",
+        ")",
+        "SELECT ROW_NUMBER() OVER (ORDER BY wc DESC, word ASC) AS rank,",
+        "       word, wc, n_tokens, roundtrip",
+        "FROM top",
+    ]
+    return "\n".join(parts)
+
+
+@register(
+    "q179_bpe_roundtrip_identity",
+    oracle=_bpe_roundtrip_oracle(
+        n_merges=BPE_RT_MERGES,
+        vocab_cap=BPE_RT_VOCAB_CAP,
+        top=BPE_RT_TOP,
+    ),
+    doc=f"Tokenize->detokenize IDENTITY: train {BPE_RT_MERGES} "
+        f"id-space merges (capped histogram, top {BPE_RT_VOCAB_CAP} "
+        "words), encode the FULL vocabulary, decode every row back "
+        "through bpe_ids_decode (Arrow pass, merges-sized expand "
+        "broadcast), and report per-word token count + round-trip "
+        f"verdict for the top {BPE_RT_TOP} words by frequency. The "
+        "oracle segments and reverse-renders each word with its own "
+        "replay of the merge chain, so the identity law the decoder "
+        "claims is pinned by independent arithmetic. Scale: decode "
+        "joins distinct words back to the corpus by word (the encode "
+        "pattern in reverse) — corpus size never enters the Arrow "
+        "pass, and the round trip costs two vocab-sized passes.",
+)
+def q179_bpe_roundtrip_identity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spark_relieffc_fselection_spark.operators.bpe_ids import (
+        bpe_ids_decode,
+        bpe_ids_encode,
+        learn_bpe_ids,
+    )
+
+    vocab = _bpe_vocab(spark, sf_dir)
+    merges = learn_bpe_ids(
+        vocab, n_merges=BPE_RT_MERGES, max_vocab_words=BPE_RT_VOCAB_CAP
+    )
+    encoded = bpe_ids_encode(vocab, merges)
+    decoded = bpe_ids_decode(encoded, merges)
+    return (
+        decoded.select(
+            F.col("w").alias("word"),
+            "wc",
+            F.size("token_ids").alias("n_tokens"),
+            (F.col("decoded") == F.col("w")).alias("roundtrip"),
+        )
+        .orderBy(F.desc("wc"), F.asc("word"))
+        .limit(BPE_RT_TOP)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("wc"), F.asc("word")))
+            .alias("rank"),
+            "word",
+            "wc",
+            "n_tokens",
+            "roundtrip",
+        )
+    )
