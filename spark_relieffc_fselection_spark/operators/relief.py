@@ -919,12 +919,26 @@ def fit_relief(
     )
     # ONE profiling job: per-class counts (-> priors + total) and a
     # feature row (-> dimensionality) — vs count() + first() + a
-    # priors collect as three separate scans.
-    label_rows = (
-        instances.groupBy("label")
-        .agg(F.count("*").alias("n"), F.first("features").alias("fx"))
-        .collect()
-    )
+    # priors collect as three separate scans. In hash-sampling mode
+    # the SAMPLED size rides the same job as a conditional count (the
+    # draw is a pure function of the id, so the predicate evaluated
+    # here and in the filter below selects the identical row set) —
+    # one fewer action AND one fewer full pass over the instance set;
+    # engine mode can't fuse (Spark's sample draw is partition-seeded,
+    # not a column expression) and keeps its count below.
+    fuse_sampled = estimation_ratio < 1.0 and sampling == "hash"
+    if fuse_sampled:
+        from spark_relieffc_fselection_spark.operators.sampling import (
+            hash_uniform,
+        )
+    aggs = [F.count("*").alias("n"), F.first("features").alias("fx")]
+    if fuse_sampled:
+        aggs.append(
+            F.count(
+                F.when(hash_uniform(F.col("id")) < estimation_ratio, 1)
+            ).alias("ns")
+        )
+    label_rows = instances.groupBy("label").agg(*aggs).collect()
     if not label_rows:
         raise ValueError(
             "fit_relief requires a non-empty dataset "
@@ -949,15 +963,13 @@ def fit_relief(
     # function of the id, the property that makes it replayable.
     if estimation_ratio >= 1.0:
         sample = instances
+        sampled_size = n_elems
     elif sampling == "hash":
-        from spark_relieffc_fselection_spark.operators.sampling import (
-            hash_uniform,
-        )
-
         sample = instances.filter(hash_uniform(F.col("id")) < estimation_ratio)
+        sampled_size = sum(int(r["ns"]) for r in label_rows)
     else:
         sample = instances.sample(fraction=estimation_ratio, seed=seed)
-    sampled_size = sample.count() if estimation_ratio < 1.0 else n_elems
+        sampled_size = sample.count()
     # Broadcast-memory guard (ReliefFRSelector.scala:225-228): a batch
     # rides to every executor, so its fraction is capped such that
     # rows x (nFeat + 2) doubles stays under ~2 GiB.

@@ -439,10 +439,14 @@ def fit_relief_sparse(
     ReliefFRSelector.scala:483-602 for the semantics it re-expresses
     (with corrected feature indexing, SURVEY §8.1).
     """
-    n_elems = labels.count()
+    # ONE profiling job: per-class counts give priors AND (summed)
+    # the instance total — vs a count() + groupBy collect as two
+    # separate scans of the label table (same values, one fewer
+    # corpus-sized pass and one fewer driver action).
+    label_counts = labels.groupBy("label").count().collect()
+    n_elems = sum(int(r["count"]) for r in label_counts)
     priors = {
-        float(r["label"]): r["count"] / n_elems
-        for r in labels.groupBy("label").count().collect()
+        float(r["label"]): r["count"] / n_elems for r in label_counts
     }
     k = num_neighbors * len(priors)
     n_batches = max(1, int(1.0 / batch_size))
