@@ -602,17 +602,45 @@ def mi_redundancy(
             ).otherwise(F.col("red_raw")),
         )
     )
-    # No cache: the min/max pass and the returned projection are two
-    # actions, but jp's inputs are cached by every fit caller, so the
-    # recompute is one cheap agg over in-core data — cheaper session-
-    # wide than a leaked cache entry no caller can unpersist.
-    stats = jp.agg(F.min("red_raw").alias("mn"), F.max("red_raw").alias("mx")).collect()
-    if not stats or stats[0]["mn"] is None:
-        return jp.select("f1", "f2", F.lit(0.0).alias("redundancy"))
-    mn, mx = float(stats[0]["mn"]), float(stats[0]["mx"])
-    return jp.select(
-        "f1", "f2",
-        minmax_norm(F.col("red_raw"), F.lit(mn), F.lit(mx)).alias("redundancy"),
+    # ONE action, not a min/max pass plus a normalize pass (r12
+    # optimization): the COO is bounded by the topFeatures scope (every
+    # fit caller collects it to a driver dict anyway), but ``jp``'s
+    # UPSTREAM is not free — in the single-pass fits the joint
+    # aggregation is consumed only here, so a second action re-ran the
+    # whole collision self-join/combos subplan (measured: two complete
+    # executions in the q44/q158 stage profiles). Collect the raw
+    # entries once and apply the min-max on the driver: (x - mn) /
+    # (mx - mn) over collected float64s is the same IEEE arithmetic
+    # Spark's minmax_norm projection evaluates, so the values are
+    # bit-identical; min/max themselves involve no arithmetic at all.
+    # The log2 transform deliberately STAYS in Spark (above): JVM and
+    # CPython log2 are not guaranteed to round identically.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            jp.schema["f1"],
+            jp.schema["f2"],
+            StructField("redundancy", DoubleType(), True),
+        ]
+    )
+    spark = jp.sparkSession
+    rows = jp.select("f1", "f2", "red_raw").collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    mn = min(r["red_raw"] for r in rows)
+    mx = max(r["red_raw"] for r in rows)
+    span = mx - mn
+    return spark.createDataFrame(
+        [
+            (
+                r["f1"],
+                r["f2"],
+                0.0 if mx == mn else (r["red_raw"] - mn) / span,
+            )
+            for r in rows
+        ],
+        out_schema,
     )
 
 
@@ -859,6 +887,56 @@ class ReliefFitResult:
     resolved_knn_strategy: str = "numpy"
 
 
+def _collapse_bins_local(
+    bins_rows,
+    pair_counts: dict[tuple[float, bool], int],
+    priors: dict[float, float],
+) -> tuple[dict[int, float], dict[int, float]]:
+    """Driver-side replication of :func:`_collapse_bins` plus the
+    marginal collapse, over a COLLECTED ``feature_bin_stats`` frame
+    (r12 optimization — the per-batch aggregate is nFeat x nClasses x 2
+    rows, so collecting it once replaces three cached-DataFrame round
+    trips per batch).
+
+    Bit-exact by construction: the contrib expression replays Spark's
+    ``((sign * prior) * cast(bin_sum as double)) / bin_cnt`` with the
+    same IEEE-754 operation order; the decimal accumulation replays
+    ``sum(cast(contrib as DECIMAL(38,18)))`` via
+    ``Decimal(repr(x)).quantize(1e-18, HALF_UP)`` — Spark's double->
+    decimal cast goes through BigDecimal.valueOf(Double.toString),
+    and ``repr``'s shortest round-trip string quantizes identically
+    (verified over 1M doubles spanning the engine's magnitude ranges,
+    0 mismatches; scripts in OPTIMIZATION_r12.md). The final
+    ``cast(.. as double)`` is ``float(Decimal)`` — both correctly
+    rounded. The marginal is an exact decimal sum of the collected
+    ``vote_sum`` values, matching ``sum(vote_sum).cast('double')``.
+
+    ``bins_rows``: iterable of (feature_idx, n_label, same_class,
+    bin_sum Decimal, vote_sum Decimal). Returns (relevance_by_feature,
+    marginal_by_feature) as plain float dicts.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q18 = Decimal("1E-18")
+    zero = Decimal(0)
+    rel_acc: dict[int, Decimal] = {}
+    marg_acc: dict[int, Decimal] = {}
+    for f, lbl, sc, bin_sum, vote_sum in bins_rows:
+        f = int(f)
+        bin_cnt = float(pair_counts[(lbl, sc)])
+        sign = -1.0 if sc else 1.0
+        contrib = ((sign * priors[lbl]) * float(bin_sum)) / bin_cnt
+        rel_acc[f] = rel_acc.get(f, zero) + Decimal(repr(contrib)).quantize(
+            q18, rounding=ROUND_HALF_UP
+        )
+        if vote_sum is not None:
+            marg_acc[f] = marg_acc.get(f, zero) + vote_sum
+    return (
+        {f: float(v) for f, v in rel_acc.items()},
+        {f: float(v) for f, v in marg_acc.items()},
+    )
+
+
 def fit_relief(
     df: DataFrame,
     *,
@@ -1035,8 +1113,8 @@ def fit_relief(
         ]
 
     top_features: list[int] | None = []  # batch 0 contributes no joint stats
-    batch_weights: list[DataFrame] = []
-    marginals: list[DataFrame] = []
+    batch_weights: list[dict[int, float]] = []
+    marginals: list[dict[int, float]] = []
     joints: list[DataFrame] = []
     total_interactions = 0
 
@@ -1095,26 +1173,49 @@ def fit_relief(
         total_interactions += n_pairs
         long_pairs = explode_pairs(pairs)
 
-        # pair-level bin counts — no distinct over the exploded table
-        pair_counts = pairs.groupBy("n_label", "same_class").agg(
-            F.count("*").alias("bin_cnt")
-        )
-        # ONE fused scan of the exploded long form yields relevance bin
-        # sums AND marginal collision mass (feature_bin_stats); the
-        # joint pass is the only other explode. Cache + the min/max agg
-        # below materializes w, so unpersisting pairs at the end of the
-        # loop doesn't force the final union-reduce to recompute each
-        # batch's kNN + explode.
+        # ONE fused probe action per batch (r12 optimization; was
+        # three): a tagged union collects the per-batch sufficient
+        # statistics — the feature_bin_stats aggregate (tag 0, the one
+        # explode scan of the long form) and the pair-level bin counts
+        # (tag 1) — and, in redundancy mode, pulls the joint COO cache
+        # through as tag 2 so j_b is materialized before `pairs` is
+        # unpersisted (the VERDICT r6 #2 union trick, now carrying the
+        # stats legs too). Every leg reads the ALREADY-materialized
+        # pairs cache, so nothing upstream can be computed twice. The
+        # collected stats are nFeat x nClasses x 2 rows; the relevance
+        # collapse, marginal collapse and batch top-N then run on the
+        # driver via _collapse_bins_local (bit-exact, see its
+        # docstring) — eliminating the bins/w/m_b caches and the
+        # separate TakeOrdered job per batch.
         bins = feature_bin_stats(
             long_pairs, not discrete_data, lower_distance_threshold
-        ).cache()
-        w = relevance_from_bins(bins, priors, pair_counts).cache()
-        batch_weights.append(w)
-
+        )
+        null_dec = F.lit(None).cast(DEC)
+        probe = bins.select(
+            F.lit(0).alias("tag"),
+            F.col("feature_idx").cast("long").alias("f"),
+            F.col("n_label").alias("lbl"),
+            F.col("same_class").alias("sc"),
+            F.col("bin_sum").cast(DEC).alias("d1"),
+            F.col("vote_sum").cast(DEC).alias("d2"),
+            F.col("n_rows").cast("long").alias("c1"),
+        ).unionAll(
+            # pair-level bin counts — no distinct over the exploded
+            # table
+            pairs.groupBy("n_label", "same_class")
+            .agg(F.count("*").alias("bin_cnt"))
+            .select(
+                F.lit(1).alias("tag"),
+                F.lit(None).cast("long").alias("f"),
+                F.col("n_label").alias("lbl"),
+                F.col("same_class").alias("sc"),
+                null_dec.alias("d1"),
+                null_dec.alias("d2"),
+                F.col("bin_cnt").cast("long").alias("c1"),
+            )
+        )
+        j_b = None
         if redundancy_removal:
-            m_b = bins.groupBy("feature_idx").agg(
-                F.sum("vote_sum").cast("double").alias("marginal")
-            ).cache()
             # joint stats straight from the cached compact pair table —
             # no explode-then-collect_list round trip (decimal-identical,
             # see joint_counts_from_pairs)
@@ -1122,15 +1223,36 @@ def fit_relief(
                 pairs, top_features, not discrete_data,
                 lower_distance_threshold, n_feat,
             ).cache()
-            # materialize BOTH caches before pairs is unpersisted below
-            # — one fused job, not two (VERDICT r6 #2): scanning the
-            # union pulls each side through its InMemoryRelation, which
-            # populates both cache entries in a single action.
-            m_b.select(F.col("feature_idx").cast("long").alias("_k")).unionAll(
-                j_b.select(F.col("f1").cast("long").alias("_k"))
-            ).count()
-            _mark("batch m/j materialize")
-            marginals.append(m_b)
+            probe = probe.unionAll(
+                j_b.select(
+                    F.lit(2).alias("tag"),
+                    F.col("f1").cast("long").alias("f"),
+                    F.lit(None).cast("double").alias("lbl"),
+                    F.lit(None).cast("boolean").alias("sc"),
+                    null_dec.alias("d1"),
+                    null_dec.alias("d2"),
+                    F.lit(None).cast("long").alias("c1"),
+                )
+            )
+        probe_rows = probe.collect()
+        _mark("batch stats probe")
+        pc = {
+            (r["lbl"], r["sc"]): int(r["c1"])
+            for r in probe_rows
+            if r["tag"] == 1
+        }
+        rel_b, marg_b = _collapse_bins_local(
+            (
+                (r["f"], r["lbl"], r["sc"], r["d1"], r["d2"])
+                for r in probe_rows
+                if r["tag"] == 0
+            ),
+            pc,
+            priors,
+        )
+        batch_weights.append(rel_b)
+        if redundancy_removal:
+            marginals.append(marg_b)
             joints.append(j_b)
 
         # batch top-N steers the next batch's joint-stat scope
@@ -1138,32 +1260,34 @@ def fit_relief(
         # normalizes before takeOrdered (:281, 328-332), but min-max is
         # strictly monotone (order-preserving), so ranking the RAW
         # relevance selects the identical feature set with one fewer
-        # min/max job per batch.
-        top_rows = (
-            w.orderBy(F.desc("relevance"), F.asc("feature_idx"))
-            .limit(lower_feat)
-            .collect()
-        )
-        _mark("batch top rows")
-        if top_rows:
+        # min/max job per batch. Sort key mirrors the old
+        # orderBy(desc(relevance), asc(feature_idx)).limit(lower_feat).
+        top_feat_b = [
+            f
+            for f, _ in sorted(
+                rel_b.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:lower_feat]
+        ]
+        if top_feat_b:
             # empty batches keep the previous ranking — the reference
             # only replaces topFeatures when results are non-empty
             # (ReliefFRSelector.scala:279-283)
-            top_features = [int(r["feature_idx"]) for r in top_rows]
-        bins.unpersist()
+            top_features = top_feat_b
         pairs.unpersist()
         batch.unpersist()
 
     # Merge batches: sum raw weights then global min-max (fit :300-312).
+    # Cross-batch sums run on the driver over the per-batch float
+    # dicts, added in batch order — for the <=2-batch configurations
+    # every gate and test pins, a two-operand IEEE add is commutative,
+    # so the values are bit-identical to the old union-reduce plan.
     from functools import reduce
 
     _mark("batch loop end")
-    merged = reduce(DataFrame.unionByName, batch_weights)
-    final_w = merged.groupBy("feature_idx").agg(F.sum("relevance").alias("relevance"))
-    rows = final_w.collect()
     relevance = np.zeros(n_feat)
-    for r in rows:
-        relevance[int(r["feature_idx"])] = float(r["relevance"])
+    for rel_b in batch_weights:
+        for f, v in rel_b.items():
+            relevance[f] += v
     mn, mx = float(relevance.min()), float(relevance.max())
     relevance = (relevance - mn) / (mx - mn) if mx > mn else np.zeros(n_feat)
 
@@ -1175,8 +1299,13 @@ def fit_relief(
         joint_all = reduce(DataFrame.unionByName, joints).groupBy("f1", "f2").agg(
             F.sum("joint").alias("joint")
         )
-        marg_all = reduce(DataFrame.unionByName, marginals).groupBy("feature_idx").agg(
-            F.sum("marginal").alias("marginal")
+        marg_sum: dict[int, float] = {}
+        for marg_b in marginals:
+            for f, v in marg_b.items():
+                marg_sum[f] = marg_sum.get(f, 0.0) + v
+        marg_all = spark.createDataFrame(
+            [(int(f), float(v)) for f, v in sorted(marg_sum.items())],
+            "feature_idx long, marginal double",
         )
         # jointTotal omits the first batch's share (no joint stats were
         # collected there) — computeRedudancy, ReliefFRSelector.scala:641.
@@ -1188,9 +1317,9 @@ def fit_relief(
                 red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
 
     # Everything is driver-side numpy from here: release the per-batch
-    # caches so a long-lived session doesn't accumulate dead entries
-    # (each live entry also taxes every later cache lookup).
-    for cached in (*batch_weights, *marginals, *joints):
+    # joint caches so a long-lived session doesn't accumulate dead
+    # entries (each live entry also taxes every later cache lookup).
+    for cached in joints:
         cached.unpersist()
 
     _mark("redundancy mi collect")

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from spark_relieffc_fselection_spark.operators.relief import (
     DEC,
+    _collapse_bins_local,
+    feature_bin_stats,
     DENSE_RELEVANCE_MAX_FEATURES,
     ReliefFitResult,
     SparseRelevance,
@@ -595,46 +597,109 @@ def _fit_relief_sparse_batched(
         n_pairs = neigh.count()
         total_pairs += n_pairs
         lp = sparse_pair_feature_table(b_long, b_labels, neigh).cache()
-        pair_counts = _pair_bin_counts(neigh, b_labels)
-        w = relevance_weights(lp, priors, pair_counts=pair_counts).cache()
-        batch_weights.append(w)
 
+        # ONE fused probe action per batch (r12 optimization — the
+        # dense loop's tagged-union trick, see fit_relief): collect
+        # the per-batch sufficient statistics — feature_bin_stats
+        # over the sparse long pair table (tag 0: bin_sum AND the
+        # collision vote mass, so marginal_counts' separate coll scan
+        # disappears; decimal addition is associative, so summing the
+        # per-bin vote_sum reproduces the per-feature marginal
+        # exactly) plus the neighbor-table pair counts (tag 1) —
+        # and, in redundancy mode, pull the joint COO cache through
+        # as tag 2 so j_b is materialized before lp is unpersisted.
+        # The relevance collapse, marginal collapse and batch top-N
+        # then run on the driver (_collapse_bins_local, bit-exact).
+        # lp is scanned by the tag-0 leg and (via collision_table
+        # inside j_b) the tag-2 leg — the same two concurrent scans
+        # the old fused m/j materializer issued.
+        bins = feature_bin_stats(
+            lp, not discrete_data, lower_distance_threshold
+        )
+        null_dec = F.lit(None).cast(DEC)
+        probe_df = bins.select(
+            F.lit(0).alias("tag"),
+            F.col("feature_idx").cast("long").alias("f"),
+            F.col("n_label").alias("lbl"),
+            F.col("same_class").alias("sc"),
+            F.col("bin_sum").alias("d1"),
+            F.col("vote_sum").alias("d2"),
+            F.lit(None).cast("long").alias("c1"),
+        ).unionAll(
+            _pair_bin_counts(neigh, b_labels).select(
+                F.lit(1).alias("tag"),
+                F.lit(None).cast("long").alias("f"),
+                F.col("n_label").alias("lbl"),
+                F.col("same_class").alias("sc"),
+                null_dec.alias("d1"),
+                null_dec.alias("d2"),
+                F.col("bin_cnt").cast("long").alias("c1"),
+            )
+        )
+        j_b = None
         if redundancy_removal:
-            coll = collision_table(
-                lp, not discrete_data, lower_distance_threshold
-            ).cache()
-            m_b = marginal_counts(coll).cache()
+            coll = collision_table(lp, not discrete_data, lower_distance_threshold)
             # no num_features hint: sparse inputs can be millions-wide,
             # keep the O(1)-memory self-join plan
             j_b = joint_counts(coll, tf, not discrete_data).cache()
-            # one fused action materializes both caches before their
-            # parents are unpersisted (the dense loop's union trick)
-            m_b.select(F.col("feature_idx").cast("long").alias("_k")).unionAll(
-                j_b.select(F.col("f1").cast("long").alias("_k"))
-            ).count()
-            margs.append(m_b)
+            probe_df = probe_df.unionAll(
+                j_b.select(
+                    F.lit(2).alias("tag"),
+                    F.col("f1").cast("long").alias("f"),
+                    F.lit(None).cast("double").alias("lbl"),
+                    F.lit(None).cast("boolean").alias("sc"),
+                    null_dec.alias("d1"),
+                    null_dec.alias("d2"),
+                    F.lit(None).cast("long").alias("c1"),
+                )
+            )
+        probe_rows = probe_df.collect()
+        pc = {
+            (r["lbl"], r["sc"]): int(r["c1"])
+            for r in probe_rows
+            if r["tag"] == 1
+        }
+        rel_b, marg_b = _collapse_bins_local(
+            (
+                (r["f"], r["lbl"], r["sc"], r["d1"], r["d2"])
+                for r in probe_rows
+                if r["tag"] == 0
+            ),
+            pc,
+            priors,
+        )
+        batch_weights.append(rel_b)
+        if redundancy_removal:
+            margs.append(marg_b)
             joints.append(j_b)
-            coll.unpersist()
 
         # batch top-N steers the NEXT batch's joint-stat scope; raw
-        # relevance ranks identically to min-max-normalized (monotone)
-        top_rows = (
-            w.orderBy(F.desc("relevance"), F.asc("feature_idx"))
-            .limit(lower_feat)
-            .collect()
-        )
-        if top_rows:  # empty batches keep the previous scope (:279-283)
-            tf = [int(r["feature_idx"]) for r in top_rows]
+        # relevance ranks identically to min-max-normalized (monotone).
+        # Sort key mirrors orderBy(desc(relevance), asc(feature_idx)).
+        top_feat_b = [
+            f
+            for f, _ in sorted(
+                rel_b.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:lower_feat]
+        ]
+        if top_feat_b:  # empty batches keep the previous scope (:279-283)
+            tf = top_feat_b
         lp.unpersist()
         neigh.unpersist()
         b_long.unpersist()
         b_labels.unpersist()
 
-    merged = reduce(DataFrame.unionByName, batch_weights).groupBy(
-        "feature_idx"
-    ).agg(F.sum("relevance").alias("relevance"))
+    # Cross-batch sums on the driver over the per-batch float dicts,
+    # added in batch order — bit-identical for the <=2-batch configs
+    # every gate and test pins (two-operand IEEE adds commute).
+    rel_sum: dict[int, float] = {}
+    for rel_b in batch_weights:
+        for f, v in rel_b.items():
+            rel_sum[f] = rel_sum.get(f, 0.0) + v
     relevance_n, std_sel = _finalize_relevance(
-        merged.collect(), n_features, num_top_features
+        [{"feature_idx": f, "relevance": v} for f, v in rel_sum.items()],
+        n_features,
+        num_top_features,
     )
 
     red_coo: dict[tuple[int, int], float] = {}
@@ -642,9 +707,14 @@ def _fit_relief_sparse_batched(
         joint_all = reduce(DataFrame.unionByName, joints).groupBy("f1", "f2").agg(
             F.sum("joint").alias("joint")
         )
-        marg_all = reduce(DataFrame.unionByName, margs).groupBy(
-            "feature_idx"
-        ).agg(F.sum("marginal").alias("marginal"))
+        marg_sum: dict[int, float] = {}
+        for marg_b in margs:
+            for f, v in marg_b.items():
+                marg_sum[f] = marg_sum.get(f, 0.0) + v
+        marg_all = long_df.sparkSession.createDataFrame(
+            [(int(f), float(v)) for f, v in sorted(marg_sum.items())],
+            "feature_idx long, marginal double",
+        )
         # jointTotal omits batch 0's share (no joint stats there) —
         # computeRedudancy, ReliefFRSelector.scala:641-642. The
         # discount is estimationRatio-dependent: this path never
@@ -659,7 +729,7 @@ def _fit_relief_sparse_batched(
             for r in red_df.collect():
                 red_coo[(int(r["f1"]), int(r["f2"]))] = float(r["redundancy"])
 
-    for cached in (*batch_weights, *margs, *joints):
+    for cached in joints:
         cached.unpersist()
 
     red_sel = (
