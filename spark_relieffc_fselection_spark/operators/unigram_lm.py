@@ -29,6 +29,7 @@ pieces-sized. Segmentation of the CORPUS then joins words back on the
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 from decimal import ROUND_HALF_UP, Decimal
@@ -41,6 +42,28 @@ from pyspark.sql import functions as F
 #: literal so both engines add the SAME double (length-1 pieces always
 #: exist, so no feasible word ever keeps this in its best path).
 MISSING_PIECE_SCORE = -1e9
+
+_LN2 = math.log(2.0)
+
+
+def _log2(x: float) -> float:
+    """Spark's LOG2 spelling: ``Math.log(x) / Math.log(2)`` — NOT
+    Python's fused ``math.log2`` (29% of samples differ by 1 ulp from
+    the division form; the division form matches Spark's raw double in
+    98.4% of samples and the 6dp-ROUNDED value in 100% of 200k
+    trainer-shaped samples, plans/r12/log2_parity_probe.py)."""
+    return math.log(x) / _LN2
+
+
+def _round6(x: float) -> float:
+    """Driver-side replica of Spark's ``ROUND(double, 6)``:
+    BigDecimal.valueOf goes through Double.toString — the shortest
+    round-trip string, which is exactly Python ``repr`` — then
+    setScale(6, HALF_UP). Used where the trainer re-estimates piece
+    scores on the driver instead of a LocalRelation round trip."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1E-6"), rounding=ROUND_HALF_UP)
+    )
 
 
 def piece_table(
@@ -171,22 +194,37 @@ def _dp(
     s = [0.0] * (n + 1)
     npc = [0] * (n + 1)
     bl = [0] * (n + 1)
+    # Hot loop (one call per word per EM/prune/encode pass): the
+    # lexicographic (score, -pieces, -len) tie order is written out as
+    # explicit comparisons instead of allocating a key tuple per
+    # candidate — identical decisions (v > bv; v == bv and fewer
+    # pieces; both equal and shorter last piece), measurably faster
+    # (r12 optimization; the candidate loop dominated the Arrow DP
+    # stages' executor time).
+    get = lp.get
+    miss = MISSING_PIECE_SCORE
     for i in range(1, n + 1):
-        best = None
-        for l in range(1, min(max_piece_len, i) + 1):
-            piece = w[i - l : i]
-            score = (
-                MISSING_PIECE_SCORE
-                if piece == masked
-                else lp.get(piece, MISSING_PIECE_SCORE)
-            )
-            v = s[i - l] + score
+        bv = 0.0
+        bnp = 0
+        bl_i = 0
+        first = True
+        lmax = max_piece_len if max_piece_len < i else i
+        for l in range(1, lmax + 1):
+            j = i - l
+            piece = w[j:i]
+            score = miss if piece == masked else get(piece, miss)
+            v = s[j] + score
             if perturb is not None:
                 v += perturb(i, l)
-            key = (v, -(npc[i - l] + 1), -l)
-            if best is None or key > best[0]:
-                best = (key, v, npc[i - l] + 1, l)
-        s[i], npc[i], bl[i] = best[1], best[2], best[3]
+            np_ = npc[j] + 1
+            if (
+                first
+                or v > bv
+                or (v == bv and (np_ < bnp or (np_ == bnp and l < bl_i)))
+            ):
+                bv, bnp, bl_i = v, np_, l
+                first = False
+        s[i], npc[i], bl[i] = bv, bnp, bl_i
     path = []
     pos = n
     while pos > 0:
@@ -313,11 +351,12 @@ def reestimate_piece_table(
 
 def prune_loss(
     vocab: DataFrame,
-    pieces: DataFrame,
+    pieces: DataFrame | None,
     candidates: list[str],
     max_piece_len: int = 4,
     word_col: str = "w",
     weight_col: str = "wc",
+    lp_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """The EM prune step's loss table: ``(piece, loss)`` where loss =
     sum over words of wc x (best_lp - best_lp_without_piece) — the
@@ -338,17 +377,26 @@ def prune_loss(
         if len(p) < 2:
             raise ValueError(f"prune candidates must have length >= 2, got {p!r}")
     spark = vocab.sparkSession
-    lp_map = {r["piece"]: float(r["lp"]) for r in pieces.select("piece", "lp").collect()}
+    if lp_map is None:
+        if pieces is None:
+            raise ValueError("prune_loss needs pieces or lp_map")
+        # ``lp_map`` skips this collect when the caller already holds
+        # the (bounded) score dict — train_unigram maintains it across
+        # the EM loop, one driver job fewer per prune round (r12).
+        lp_map = {
+            r["piece"]: float(r["lp"])
+            for r in pieces.select("piece", "lp").collect()
+        }
     bc = spark.sparkContext.broadcast((lp_map, set(candidates)))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        lp, cand = bc.value
+        lp_m, cand = bc.value
         for pdf in batches:
             ps, losses = [], []
             for w, wc in zip(pdf[word_col], pdf[weight_col]):
-                best, _, path = _dp(w, lp, max_piece_len)
+                best, _, path = _dp(w, lp_m, max_piece_len)
                 for p in set(path) & cand:
-                    masked_best, _, _ = _dp(w, lp, max_piece_len, masked=p)
+                    masked_best, _, _ = _dp(w, lp_m, max_piece_len, masked=p)
                     ps.append(p)
                     losses.append(float(wc) * (best - masked_best))
             yield pd.DataFrame({"piece": ps, "loss": losses})
@@ -536,43 +584,48 @@ def train_unigram(
     kept: list[str] = []
     for rnd in range(prune_rounds):
         if rnd > 0:
-            # Survivor table for the next round: alphabet re-included
+            # Survivor scores for the next round: alphabet re-included
             # under the GREATEST(uses, 1) floor, renormalized — the
-            # final-output formula applied mid-loop, computed IN SPARK
-            # so the 6dp rounding is the same HALF_UP the oracle's
-            # ROUND replays (Python round() is banker's — not it).
+            # final-output formula applied mid-loop. Computed on the
+            # DRIVER (r12): ``_round6`` replays Spark's
+            # ROUND(log2(u/t), 6) — same IEEE division, a <=1-ulp log,
+            # and the identical BigDecimal.valueOf/HALF_UP quantize —
+            # verified 0 rounded-value mismatches over 200k
+            # trainer-shaped samples (plans/r12/log2_parity_probe.py)
+            # plus the all-SF oracle sweep; one LocalRelation job
+            # fewer per round.
             surv = [(p, support.get(p, 0)) for p in alphabet] + [
                 (p, support[p]) for p in kept
             ]
             total_f = float(sum(max(u, 1) for _, u in surv))
-            surv_df = spark.createDataFrame(surv, "piece string, uses long")
-            lp_rows = surv_df.select(
-                "piece",
-                F.round(
-                    F.log2(
-                        F.greatest(F.col("uses"), F.lit(1)) / F.lit(total_f)
-                    ),
-                    6,
-                ).alias("lp"),
-            ).collect()
-            lp_map = {r["piece"]: float(r["lp"]) for r in lp_rows}
-            pieces = spark.createDataFrame(
-                sorted(lp_map.items()), "piece string, lp double"
-            )
+            lp_map = {
+                p: _round6(_log2(max(u, 1) / total_f)) for p, u in surv
+            }
         for i in range(n_iters):
             rows = em_step_counts(
-                vocab, pieces, max_piece_len, word_col, weight_col,
+                vocab, None, max_piece_len, word_col, weight_col,
                 lp_map=lp_map,
             ).collect()
-            lp_map = None  # later passes' tables come from reestimate
             ll_history.append(float(sum((r["ll"] for r in rows), Decimal(0))))
             support = {r["piece"]: int(r["uses"]) for r in rows}
             if i < n_iters - 1:
-                uses_df = spark.createDataFrame(
-                    [(p, c) for p, c in support.items()],
-                    "piece string, uses long",
-                )
-                pieces = reestimate_piece_table(uses_df)
+                # The EM re-estimate (reestimate_piece_table semantics)
+                # on the driver: support shrinks to pieces on best
+                # paths; total is an exact integer sum, the division/
+                # log2/round chain replays Spark bit-for-bit (see the
+                # round-boundary note above). Replaces a LocalRelation
+                # agg job plus the next pass's pieces collect (r12).
+                total_u = sum(support.values())
+                if total_u == 0:
+                    raise ValueError(
+                        "train_unigram: total expected piece count is 0 "
+                        "(empty M-step) — the E-step produced no paths"
+                    )
+                total_f = float(total_u)
+                lp_map = {
+                    p: _round6(_log2(u / total_f))
+                    for p, u in support.items()
+                }
         candidates = sorted(p for p in support if len(p) >= 2)
         last = rnd == prune_rounds - 1
         if shrink_factor is not None and not last:
@@ -583,8 +636,8 @@ def train_unigram(
             k_round = keep_k
         if len(candidates) > k_round:
             loss_rows = prune_loss(
-                vocab, pieces, candidates, max_piece_len, word_col,
-                weight_col,
+                vocab, None, candidates, max_piece_len, word_col,
+                weight_col, lp_map=lp_map,
             ).collect()
             loss = {r["piece"]: float(r["loss"]) for r in loss_rows}
             # highest loss = most useful; a candidate missing from the

@@ -576,6 +576,33 @@ def test_reestimate_empty_mstep_fails_loudly(spark):
         reestimate_piece_table(empty)
 
 
+def test_driver_reestimate_matches_spark(spark):
+    """The trainer's driver-side re-estimate (r12: _round6(_log2(u/t))
+    replaces the reestimate_piece_table LocalRelation round trip) is
+    bit-identical to Spark's ROUND(log2(uses/total), 6) over a wide
+    randomized sample of trainer-shaped (uses, total) pairs."""
+    import random
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        _log2,
+        _round6,
+        reestimate_piece_table,
+    )
+
+    rng = random.Random(1206)
+    rows = []
+    for i in range(4000):
+        u = rng.randint(1, 10 ** rng.randint(0, 8))
+        rows.append((f"p{i}", u))
+    uses = spark.createDataFrame(rows, "piece string, uses long")
+    got = {
+        r["piece"]: r["lp"] for r in reestimate_piece_table(uses).collect()
+    }
+    total = float(sum(u for _, u in rows))
+    for p, u in rows:
+        assert got[p] == _round6(_log2(u / total)), (p, u, total)
+
+
 def test_learn_bpe_matches_distributed_trainer(spark):
     """The driver-local histogram trainer (learn_bpe) and the
     fully-distributed per-round trainer (learn_bpe_merges) implement
