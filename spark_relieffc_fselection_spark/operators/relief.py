@@ -1159,10 +1159,26 @@ def fit_relief(
         # key first — AQE coalesces the small join output to few
         # partitions, which would serialize every downstream explode;
         # clustering by pair also makes the joint groupBy exchange-free.
+        #
+        # Partition COUNT is volume-derived (r12, guide §2.4), not a
+        # flat defaultParallelism: the widest consumer of this cache is
+        # the joint combination explode (~n_pairs x n_feat x (|top|+1)
+        # rows; the bin-stats explode is the n_pairs x n_feat floor), so
+        # size for ~256k exploded rows per task, capped at the old
+        # defaultParallelism. At bench SFs this collapses dozens of
+        # near-empty tasks per consumer stage into a few; at cluster
+        # volumes the derived count saturates the same cap as before.
+        # Sums downstream are decimal/integer (order-independent), so
+        # the layout changes cost, never values.
         par = spark.sparkContext.defaultParallelism
+        top_mult = (
+            min(lower_feat, n_feat) if redundancy_removal else 0
+        )
+        pair_vol = max(batch_rows, 1) * k * n_feat * (1 + top_mult)
+        pair_parts = max(1, min(par, -(-pair_vol // 262144)))
         pairs = (
             pair_table(batch, neigh)
-            .repartition(par, "query_id", "neighbor_id")
+            .repartition(pair_parts, "query_id", "neighbor_id")
             .cache()
         )
         # classCounter total = number of (query, neighbor) pairs
