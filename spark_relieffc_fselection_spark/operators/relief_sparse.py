@@ -107,6 +107,25 @@ def to_long_form(
     return long_df, labels
 
 
+def _coalesce_for_cache(
+    df: DataFrame, est_rows: int, per_task: int = 65536
+) -> DataFrame:
+    """Narrow-coalesce a shuffle-produced frame to ~est_rows/per_task
+    partitions before caching. Cache materialization pins the
+    shuffle_partitions-wide layout (AQE cannot re-coalesce a cached
+    plan), so at bench SFs every later scan of a tiny cached frame is
+    a stage of near-empty tasks; deriving the count from a driver-held
+    row estimate collapses that (guide §2.4: scale-adaptive, not
+    constant-tuned). At production volumes the derived count exceeds
+    the physical partition count and coalesce() is a no-op. No extra
+    exchange; no value change (downstream sums are decimal/integer,
+    ranks are computed upstream). Only used for caches whose later
+    scans are NARROW map-side reads — an under-estimate then costs a
+    few oversized cheap tasks, never a serialized wide stage."""
+    n = max(1, -(-int(est_rows) // per_task))
+    return df.coalesce(n)
+
+
 def sparse_knn_join(
     long_df: DataFrame,
     labels: DataFrame,
@@ -323,9 +342,47 @@ def sparse_pair_feature_table(
     (query_id, neighbor_id, n_label, same_class, feature_idx, fdist) —
     so every downstream aggregation is shared verbatim.
     """
-    pairs = (
-        neighbors.select("query_id", "neighbor_id")
-        .join(
+    # One exchange instead of three (r12, guide §2.3/§3): the old plan
+    # full_outer-joined a query-side and a neighbor-side long table
+    # (two exchanges + a sort-merge over the same bytes) and joined
+    # `pairs` — an UNCACHED neigh-x-labels-x-labels subtree — three
+    # times, re-running its label joins per reference. Tag the two
+    # sides, union them, and take max() per (pair, feature): each side
+    # contributes at most one non-null value per key (long form is
+    # unique on (id, feature)), so max == the full_outer's coalesce
+    # pick, bit-for-bit, and the union shuffles the identical rows
+    # once with a hash aggregate instead of twice with sorts. Labels
+    # attach once, at the end, to the bare pair keys.
+    base = neighbors.select("query_id", "neighbor_id")
+    null_d = F.lit(None).cast("double")
+    qf = base.join(
+        long_df.select(
+            F.col("id").alias("query_id"), "feature_idx", F.col("value").alias("q_val")
+        ),
+        "query_id",
+    ).select("query_id", "neighbor_id", "feature_idx", "q_val", null_d.alias("n_val"))
+    nf = base.join(
+        long_df.select(
+            F.col("id").alias("neighbor_id"), "feature_idx", F.col("value").alias("n_val")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "feature_idx", null_d.alias("q_val"), "n_val")
+    merged = (
+        qf.unionByName(nf)
+        .groupBy("query_id", "neighbor_id", "feature_idx")
+        .agg(F.max("q_val").alias("q_val"), F.max("n_val").alias("n_val"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "feature_idx",
+            F.abs(
+                F.coalesce(F.col("q_val"), F.lit(0.0))
+                - F.coalesce(F.col("n_val"), F.lit(0.0))
+            ).alias("fdist"),
+        )
+    )
+    pair_labels = (
+        base.join(
             labels.select(F.col("id").alias("query_id"), F.col("label").alias("q_label")),
             "query_id",
         )
@@ -336,32 +393,9 @@ def sparse_pair_feature_table(
             "neighbor_id",
         )
         .withColumn("same_class", F.col("n_label") == F.col("q_label"))
+        .select("query_id", "neighbor_id", "n_label", "same_class")
     )
-    q_side = pairs.join(
-        long_df.select(F.col("id").alias("query_id"), "feature_idx", F.col("value").alias("q_val")),
-        "query_id",
-    ).select("query_id", "neighbor_id", "feature_idx", "q_val")
-    n_side = pairs.join(
-        long_df.select(
-            F.col("id").alias("neighbor_id"), "feature_idx", F.col("value").alias("n_val")
-        ),
-        "neighbor_id",
-    ).select("query_id", "neighbor_id", "feature_idx", "n_val")
-    merged = q_side.join(
-        n_side, ["query_id", "neighbor_id", "feature_idx"], "full_outer"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "feature_idx",
-        F.abs(
-            F.coalesce(F.col("q_val"), F.lit(0.0))
-            - F.coalesce(F.col("n_val"), F.lit(0.0))
-        ).alias("fdist"),
-    )
-    return merged.join(
-        pairs.select("query_id", "neighbor_id", "n_label", "same_class"),
-        ["query_id", "neighbor_id"],
-    )
+    return merged.join(pair_labels, ["query_id", "neighbor_id"])
 
 
 def _pair_bin_counts(neighbors: DataFrame, labels: DataFrame) -> DataFrame:
@@ -471,14 +505,23 @@ def fit_relief_sparse(
             knn_probe=knn_probe,
         )
     knn_res: dict = {}
-    neigh = sparse_knn_join(
-        long_df, labels, labels.select("id"), k, num_corpus=n_elems,
-        probe=knn_probe, resolution_out=knn_res,
+    neigh = _coalesce_for_cache(
+        sparse_knn_join(
+            long_df, labels, labels.select("id"), k, num_corpus=n_elems,
+            probe=knn_probe, resolution_out=knn_res,
+        ),
+        n_elems * k,  # exact bound: <= k rows per query
     ).cache()
     # materialize NOW: both lp and pair_counts consume neigh, and a lazy
     # cache computes the kNN subplan once per consumer concurrently
     n_pairs = neigh.count()
-    lp = sparse_pair_feature_table(long_df, labels, neigh).cache()
+    # lp rows = n_pairs x |active-feature union per pair| — the union
+    # size is not driver-known, so x4 stands in; consumers are narrow
+    # map-side scans, so a low estimate costs only oversized cheap
+    # tasks (see _coalesce_for_cache)
+    lp = _coalesce_for_cache(
+        sparse_pair_feature_table(long_df, labels, neigh), n_pairs * 4
+    ).cache()
 
     pair_counts = _pair_bin_counts(neigh, labels)
     w_rows = relevance_weights(lp, priors, pair_counts=pair_counts).collect()
@@ -486,7 +529,10 @@ def fit_relief_sparse(
 
     red_coo: dict[tuple[int, int], float] = {}
     if redundancy_removal:
-        coll = collision_table(lp, not discrete_data, lower_distance_threshold).cache()
+        coll = _coalesce_for_cache(
+            collision_table(lp, not discrete_data, lower_distance_threshold),
+            n_pairs * 4,  # collisions subset the lp rows; same rationale
+        ).cache()
         tf = top_features if top_features is not None else std_sel
         # no num_features hint: sparse inputs can be millions-wide, so
         # keep the O(1)-memory self-join plan
@@ -589,14 +635,21 @@ def _fit_relief_sparse_batched(
         # record batch 0's route resolution (batches share the data
         # regime, so the first call's decision is the fit's decision;
         # forced modes resolve identically every batch by construction)
-        neigh = sparse_knn_join(
-            b_long, b_labels, b_labels.select("id"), k,
-            num_corpus=b_n, probe=probe_arg,
-            resolution_out=knn_res if b == 0 else None,
+        neigh = _coalesce_for_cache(
+            sparse_knn_join(
+                b_long, b_labels, b_labels.select("id"), k,
+                num_corpus=b_n, probe=probe_arg,
+                resolution_out=knn_res if b == 0 else None,
+            ),
+            b_n * k,  # exact bound: <= k rows per query
         ).cache()
         n_pairs = neigh.count()
         total_pairs += n_pairs
-        lp = sparse_pair_feature_table(b_long, b_labels, neigh).cache()
+        # x4 stands in for the per-pair active-feature union size —
+        # narrow map-side consumers only (see _coalesce_for_cache)
+        lp = _coalesce_for_cache(
+            sparse_pair_feature_table(b_long, b_labels, neigh), n_pairs * 4
+        ).cache()
 
         # ONE fused probe action per batch (r12 optimization — the
         # dense loop's tagged-union trick, see fit_relief): collect
