@@ -38,6 +38,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size
+        # conditions hold, and let AQE rewrite sort-merge to
+        # shuffled-hash at runtime when every post-shuffle partition
+        # is under 64 MB (r12, guide §3.1): the fit paths join long
+        # tables on id/pair keys where the sort dominates — measured
+        # same-session A/B at sf0.1: q44 8.9->5.9s, q72c 8.5->6.5s,
+        # q158 20.5->15.5s, q23/q108/q113 -10-15%, nothing regressed
+        # beyond noise. Both knobs are per-partition-bounded, so they
+        # stay safe at cluster scale: SHJ is only chosen when the
+        # build side's per-partition estimate fits, and the AQE
+        # rewrite checks ACTUAL post-shuffle sizes.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Pin the session timezone: naive parquet timestamps must mean
         # the same instant in Spark and in external oracles.
