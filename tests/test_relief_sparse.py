@@ -75,6 +75,62 @@ def test_sparse_pair_table_matches_dense_relevance(spark, sparse_fixture):
         assert abs(dense_w[f] - sparse_w.get(f, 0.0)) < 1e-9, f
 
 
+def test_sparse_pair_table_union_matches_full_outer(spark, sparse_fixture):
+    """r12 rewrite pin: sparse_pair_feature_table's tagged-union +
+    max() aggregate must reproduce the former full_outer-join
+    formulation ROW FOR ROW (same pair set, same fdist bits, same
+    label columns) — the rewrite's whole claim is plan shape, not
+    semantics."""
+    df, X, y = sparse_fixture
+    long_df, labels = to_long_form(df)
+    neigh = sparse_knn_join(long_df, labels, labels.select("id"), 4).cache()
+    neigh.count()
+
+    new_rows = sparse_pair_feature_table(long_df, labels, neigh).collect()
+
+    # the pre-r12 formulation, inline: full_outer q-side/n-side merge,
+    # labels via the pairs frame referenced three times
+    pairs = (
+        neigh.select("query_id", "neighbor_id")
+        .join(labels.select(F.col("id").alias("query_id"), F.col("label").alias("q_label")), "query_id")
+        .join(labels.select(F.col("id").alias("neighbor_id"), F.col("label").alias("n_label")), "neighbor_id")
+        .withColumn("same_class", F.col("n_label") == F.col("q_label"))
+    )
+    q_side = pairs.join(
+        long_df.select(F.col("id").alias("query_id"), "feature_idx", F.col("value").alias("q_val")),
+        "query_id",
+    ).select("query_id", "neighbor_id", "feature_idx", "q_val")
+    n_side = pairs.join(
+        long_df.select(F.col("id").alias("neighbor_id"), "feature_idx", F.col("value").alias("n_val")),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "feature_idx", "n_val")
+    merged = q_side.join(
+        n_side, ["query_id", "neighbor_id", "feature_idx"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "feature_idx",
+        F.abs(
+            F.coalesce(F.col("q_val"), F.lit(0.0))
+            - F.coalesce(F.col("n_val"), F.lit(0.0))
+        ).alias("fdist"),
+    )
+    old_rows = merged.join(
+        pairs.select("query_id", "neighbor_id", "n_label", "same_class"),
+        ["query_id", "neighbor_id"],
+    ).collect()
+
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["feature_idx"])
+    new_map = {key(r): r for r in new_rows}
+    old_map = {key(r): r for r in old_rows}
+    assert set(new_map) == set(old_map)
+    for k, old in old_map.items():
+        new = new_map[k]
+        assert new["fdist"] == old["fdist"], k  # bit-exact, not approx
+        assert new["n_label"] == old["n_label"] and new["same_class"] == old["same_class"], k
+    neigh.unpersist()
+
+
 def test_fit_relief_sparse_end_to_end(spark, sparse_fixture):
     df, X, y = sparse_fixture
     long_df, labels = to_long_form(df)
