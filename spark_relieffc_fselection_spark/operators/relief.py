@@ -923,9 +923,24 @@ def _collapse_bins_local(
     marg_acc: dict[int, Decimal] = {}
     for f, lbl, sc, bin_sum, vote_sum in bins_rows:
         f = int(f)
-        bin_cnt = float(pair_counts[(lbl, sc)])
+        # Diagnosable failure instead of a bare KeyError (ADVICE r12):
+        # the old Spark _collapse_bins inner-join silently DROPPED bins
+        # with no matching pair-count/prior row; that is unreachable
+        # when bins and counts derive from the same neighbor table, so
+        # a miss here means a caller passed partial inputs — name it.
+        bin_cnt_raw = pair_counts.get((lbl, sc))
+        prior = priors.get(lbl)
+        if bin_cnt_raw is None or prior is None:
+            raise ValueError(
+                f"_collapse_bins_local: bin (label={lbl!r}, "
+                f"same_class={sc!r}) has no matching "
+                f"{'pair count' if bin_cnt_raw is None else 'prior'} — "
+                "bins and pair_counts/priors must derive from the same "
+                "neighbor table"
+            )
+        bin_cnt = float(bin_cnt_raw)
         sign = -1.0 if sc else 1.0
-        contrib = ((sign * priors[lbl]) * float(bin_sum)) / bin_cnt
+        contrib = ((sign * prior) * float(bin_sum)) / bin_cnt
         rel_acc[f] = rel_acc.get(f, zero) + Decimal(repr(contrib)).quantize(
             q18, rounding=ROUND_HALF_UP
         )
@@ -1184,6 +1199,13 @@ def fit_relief(
         # classCounter total = number of (query, neighbor) pairs
         # (ReliefFRSelector.scala:469-470 sums the per-bin pair counts);
         # this count is also the action that materializes the cache.
+        # r13 NOTE (measured, kept): dropping this count and letting
+        # the fused probe materialize the cache was interleaved-A/B'd
+        # same-session (plans/r13/fuse_ab.py) — the DENSE loop got
+        # SLOWER (q72 min 8.37->8.86, med 8.67->10.03; the probe's
+        # unioned legs then plan their joins against an unmaterialized
+        # InMemoryRelation without exact stats), while the sparse loop
+        # got faster and adopted the fusion (relief_sparse.py).
         n_pairs = pairs.count()
         _mark("batch pairs count")
         total_interactions += n_pairs
@@ -1294,9 +1316,13 @@ def fit_relief(
 
     # Merge batches: sum raw weights then global min-max (fit :300-312).
     # Cross-batch sums run on the driver over the per-batch float
-    # dicts, added in batch order — for the <=2-batch configurations
-    # every gate and test pins, a two-operand IEEE add is commutative,
-    # so the values are bit-identical to the old union-reduce plan.
+    # dicts, added in batch order. Bit-identity to the old Spark
+    # union-reduce holds for the <=2-batch configurations every gate
+    # and test pins (a two-operand IEEE add is commutative); with 3+
+    # batches the driver's fixed batch order may differ at ulp level
+    # from the old plan's shuffle order — which was itself
+    # nondeterministic, so this is a documented-scope note (ADVICE
+    # r12), not a regression.
     from functools import reduce
 
     _mark("batch loop end")

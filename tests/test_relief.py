@@ -363,3 +363,36 @@ def test_fit_lsh_tables_override(spark, labeled):
         knn_strategy="lsh", lsh_tables=8, lsh_probe_radius=2,
     )
     assert set(res_full.std_selection) == {0, 1}
+
+
+def test_decimal_cast_replay_parity_probe(spark):
+    """CI-resident form of the r12 1M-sample decimal-cast probe
+    (VERDICT r12 #8): Decimal(repr(x)).quantize(1E-18, HALF_UP) must
+    reproduce Spark's CAST(double AS DECIMAL(38,18)) bit-for-bit on
+    THIS platform — the assumption _collapse_bins_local's driver
+    replay of sum(cast(contrib as decimal)) rests on. Fixed-seed
+    contrib-shaped magnitudes, one Spark job."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260817)
+    xs = []
+    for _ in range(50_000):
+        # contrib magnitudes span ~1e-12..1e6, both signs, plus exact
+        # binary fractions and ties near the 1e-18 quantize boundary
+        mag = 10.0 ** rng.uniform(-12, 6)
+        xs.append(rng.choice([-1.0, 1.0]) * rng.random() * mag)
+    xs.extend([0.0, 1.0, -1.0, 2.0**-60, -(2.0**-60), 1e-19, -1e-19])
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    rows = df.select(
+        "x", F.col("x").cast("decimal(38,18)").alias("d")
+    ).collect()
+    q18 = Decimal("1E-18")
+    mismatches = [
+        (r["x"], r["d"], Decimal(repr(r["x"])).quantize(q18, ROUND_HALF_UP))
+        for r in rows
+        if r["d"] != Decimal(repr(r["x"])).quantize(q18, ROUND_HALF_UP)
+    ]
+    assert not mismatches, mismatches[:5]

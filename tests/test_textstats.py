@@ -603,6 +603,39 @@ def test_driver_reestimate_matches_spark(spark):
         assert got[p] == _round6(_log2(u / total)), (p, u, total)
 
 
+def test_log2_round6_parity_probe(spark):
+    """CI-resident form of plans/r12/log2_parity_probe.py (VERDICT r12
+    #8): _round6(_log2(u/t)) must equal Spark's ROUND(LOG2(u/t), 6)
+    bit-for-bit on THIS platform's JVM/libm pairing — the assumption
+    every driver-side EM replay in unigram_lm.py rests on. Fixed-seed
+    trainer-shaped sample, one Spark job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_relieffc_fselection_spark.operators.unigram_lm import (
+        _log2,
+        _round6,
+    )
+
+    rng = random.Random(20260817)
+    pairs = []
+    for _ in range(20_000):
+        u = rng.randint(1, 10 ** rng.randint(0, 9))
+        t = u + rng.randint(0, 10 ** rng.randint(0, 9))
+        pairs.append((u, float(t)))
+    df = spark.createDataFrame(pairs, "u long, t double")
+    rows = df.select(
+        "u", "t", F.round(F.log2(F.col("u") / F.col("t")), 6).alias("r6")
+    ).collect()
+    mismatches = [
+        (r["u"], r["t"], r["r6"], _round6(_log2(r["u"] / r["t"])))
+        for r in rows
+        if _round6(_log2(r["u"] / r["t"])) != r["r6"]
+    ]
+    assert not mismatches, mismatches[:5]
+
+
 def test_learn_bpe_matches_distributed_trainer(spark):
     """The driver-local histogram trainer (learn_bpe) and the
     fully-distributed per-round trainer (learn_bpe_merges) implement
