@@ -643,12 +643,22 @@ def _fit_relief_sparse_batched(
             ),
             b_n * k,  # exact bound: <= k rows per query
         ).cache()
-        n_pairs = neigh.count()
-        total_pairs += n_pairs
+        # No separate materializing count() here (r13): the fused
+        # probe action below is the first consumer of BOTH caches, and
+        # RDD block-level loading locks make concurrent union legs
+        # compute each cached partition once (the second consumer
+        # blocks on the lock and reads the block). n_pairs is
+        # recovered from the tag-1 leg — every pair has exactly one
+        # (n_label, same_class) bin, so the bin counts sum to the pair
+        # total — and the lp partition estimate uses the exact upper
+        # bound b_n*k (layout-only). Interleaved same-session A/B
+        # (plans/r13/fuse_ab.py): q158 med 17.06->14.83s, q161 med
+        # 8.82->8.42s; the DENSE loop measured the opposite way and
+        # keeps its count (relief.py).
         # x4 stands in for the per-pair active-feature union size —
         # narrow map-side consumers only (see _coalesce_for_cache)
         lp = _coalesce_for_cache(
-            sparse_pair_feature_table(b_long, b_labels, neigh), n_pairs * 4
+            sparse_pair_feature_table(b_long, b_labels, neigh), b_n * k * 4
         ).cache()
 
         # ONE fused probe action per batch (r12 optimization — the
@@ -712,6 +722,8 @@ def _fit_relief_sparse_batched(
             for r in probe_rows
             if r["tag"] == 1
         }
+        n_pairs = sum(pc.values())
+        total_pairs += n_pairs
         rel_b, marg_b = _collapse_bins_local(
             (
                 (r["f"], r["lbl"], r["sc"], r["d1"], r["d2"])
