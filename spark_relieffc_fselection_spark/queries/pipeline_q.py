@@ -25,6 +25,38 @@ DUP_JACCARD = 0.8
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+def curation_keep(
+    docs: DataFrame,
+    *,
+    quality: DataFrame | None = None,
+    lang: DataFrame | None = None,
+) -> DataFrame:
+    """The quality >= MIN_QUALITY AND lang == KEEP_LANG keep-set.
+
+    ``quality`` / ``lang`` accept PRE-BUILT (cached or materialized)
+    quality_scores / language_id frames — the ``_shingles`` parameter
+    pattern (VERDICT r12 #7): q41's declared plan inlines this subtree
+    three times, which at bench volume runs concurrently inside one
+    job (caching it measured SLOWER, 3.96->5.38s — OPTIMIZATION_r12.md
+    item 1), but at production volume is three full corpus passes a
+    harness removes by passing cached frames here. Defaults rebuild
+    inline, keeping q41's declared plan unchanged."""
+    q = (quality if quality is not None else quality_scores(docs)).select(
+        "doc_id", "quality_score"
+    )
+    l = (lang if lang is not None else language_id(docs)).select(
+        "doc_id", "pred_lang"
+    )
+    return (
+        q.join(l, "doc_id")
+        .filter(
+            (F.col("quality_score") >= MIN_QUALITY)
+            & (F.col("pred_lang") == KEEP_LANG)
+        )
+        .select("doc_id", "quality_score")
+    )
+
+
 @register(
     "q41_corpus_curation",
     oracle=f"""
@@ -109,16 +141,7 @@ _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 )
 def q41_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_scores(docs).select("doc_id", "quality_score")
-    lang = language_id(docs).select("doc_id", "pred_lang")
-    kept = (
-        q.join(lang, "doc_id")
-        .filter(
-            (F.col("quality_score") >= MIN_QUALITY)
-            & (F.col("pred_lang") == KEEP_LANG)
-        )
-        .select("doc_id", "quality_score")
-    )
+    kept = curation_keep(docs)
     from spark_relieffc_fselection_spark.queries.dedup_q import _shingles
 
     pairs = jaccard_similar_pairs(

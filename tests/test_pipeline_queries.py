@@ -321,3 +321,39 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
     multi = {r["query_id"]: r["n_hits"] for r in q159_ann_lsh_multiprobe_recall(spark, SF_DIR).collect()}
     assert set(single) == set(multi)
     assert all(multi[q] >= single[q] for q in single)
+
+
+def test_curation_keep_prebuilt_frames_match_inline(spark):
+    """curation_keep's quality/lang parameters (VERDICT r12 #7, the
+    _shingles pattern): passing PRE-BUILT cached frames must produce
+    exactly the inline keep-set, and the cached plan must stop
+    re-inlining the quality/lang subtree (fewer parquet scans)."""
+    from spark_relieffc_fselection_spark.operators.textstats import (
+        language_id,
+        quality_scores,
+    )
+    from spark_relieffc_fselection_spark.queries.pipeline_q import (
+        curation_keep,
+    )
+    from spark_relieffc_fselection_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    inline = curation_keep(docs)
+    q_cached = quality_scores(docs).cache()
+    l_cached = language_id(docs).cache()
+    try:
+        param = curation_keep(docs, quality=q_cached, lang=l_cached)
+        assert sorted(map(tuple, inline.collect())) == sorted(
+            map(tuple, param.collect())
+        )
+        # the parameterized plan reads the caches (InMemoryTableScan)
+        # instead of re-inlining the quality/lang subtrees; the inline
+        # default keeps the declared cache-free plan. (FileScan counts
+        # are unusable here: InMemoryRelation's toString embeds its
+        # cached child plan, double-counting scans.)
+        plan_str = lambda df: df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan_str(param)
+        assert "InMemoryTableScan" not in plan_str(inline)
+    finally:
+        q_cached.unpersist()
+        l_cached.unpersist()
