@@ -38,18 +38,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let the planner pick shuffled-hash join when its size
-        # conditions hold, and let AQE rewrite sort-merge to
-        # shuffled-hash at runtime when every post-shuffle partition
-        # is under 64 MB (r12, guide §3.1): the fit paths join long
-        # tables on id/pair keys where the sort dominates — measured
-        # same-session A/B at sf0.1: q44 8.9->5.9s, q72c 8.5->6.5s,
-        # q158 20.5->15.5s, q23/q108/q113 -10-15%, nothing regressed
-        # beyond noise. Both knobs are per-partition-bounded, so they
-        # stay safe at cluster scale: SHJ is only chosen when the
-        # build side's per-partition estimate fits, and the AQE
-        # rewrite checks ACTUAL post-shuffle sizes.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Let AQE rewrite sort-merge to shuffled-hash at runtime when
+        # every post-shuffle partition is under 64 MB (r12, guide
+        # §3.1): the fit paths join long tables on id/pair keys where
+        # the sort dominates. The rewrite checks ACTUAL post-shuffle
+        # partition sizes, so it is bounded at any scale.
+        #
+        # r12 additionally set preferSortMergeJoin=false (static
+        # planner SHJ); r13 DROPPED it (ADVICE r12): the static choice
+        # runs on size ESTIMATES, so a post-filter misestimate at
+        # production scale can build an oversized local hash map and
+        # OOM where SMJ would have spilled — and a 3-arm interleaved
+        # same-session A/B (plans/r13/dedup_conf_ab.py) measured the
+        # static knob worth nothing beyond the AQE rewrite at sf0.1:
+        # q108 1.33/1.36, q44 5.57/5.71, q72c 5.16/5.45, q158
+        # 17.01/17.31, q161 7.31/7.44 (r12-arm/aqe-only-arm mins; all
+        # inside the hour's noise band).
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
